@@ -1,0 +1,288 @@
+"""Checkpoint tensor-name normalization.
+
+Maps every known checkpoint layout (CompVis SD1, OpenCLIP SD2, SDXL
+``conditioner.embedders.{0,1}``, diffusers ``te/te1/te2`` and
+``down_blocks/up_blocks/mid_block``) onto the internal naming scheme
+``clip./clip2./vae./unet.`` used by the model param dicts
+(reference: src/tensor_name_conv.c).  ``.``, ``_`` and ``/`` are treated as
+equivalent separators when matching prefixes.
+
+Return convention mirrors the reference: ``None`` = tensor unused,
+``str`` = renamed, ``QKV(str)`` = OpenCLIP fused in_proj tensor that must be
+split into q/k/v entries by the caller.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class QKV:
+    """Marker for fused OpenCLIP attention in_proj tensors."""
+    name: str  # normalized prefix ending in 'attn.', plus 'in_proj_weight'/'bias'
+
+
+_SEPS = "._/"
+
+
+def _match_prefix(name: str, pre: str) -> bool:
+    """Prefix match treating '.' in the pattern as any of ``._/``."""
+    if len(name) < len(pre):
+        return False
+    for a, b in zip(name, pre):
+        if b == ".":
+            if a not in _SEPS:
+                return False
+        elif a != b:
+            return False
+    return True
+
+
+class _M:
+    """Small matcher cursor over a tensor name."""
+
+    def __init__(self, name: str):
+        self.s = name
+        self.out: list = []
+
+    def match(self, pre: str) -> bool:
+        return _match_prefix(self.s, pre)
+
+    def rep(self, pre: str, rep: str) -> bool:
+        if _match_prefix(self.s, pre):
+            self.s = self.s[len(pre):]
+            if rep:
+                self.out.append(rep)
+            return True
+        return False
+
+    def push(self, pre: str) -> bool:
+        return self.rep(pre, pre)
+
+    def num_push(self) -> bool:
+        m = re.match(r"(\d+)[._/]", self.s)
+        if not m:
+            return False
+        self.out.append(m.group(1) + ".")
+        self.s = self.s[m.end():]
+        return True
+
+    def num_get(self):
+        m = re.match(r"(\d+)[._/]", self.s)
+        if not m:
+            return None
+        self.s = self.s[m.end():]
+        return int(m.group(1))
+
+    def done(self) -> str:
+        # '/' never appears in internal names; '_' is kept (meaningful inside
+        # component words like "time_embed").
+        return "".join(self.out) + self.s.replace("/", ".")
+
+
+def _clip_compvis(m: _M):
+    # CompVis / HF transformers CLIPTextModel layout
+    if not m.rep("transformer.text_model.", "text."):
+        return None
+    if m.rep("embeddings.", "embed."):
+        if m.rep("position_embedding.", "position.") or \
+           m.rep("token_embedding.", "token."):
+            return m.done()
+        return None
+    if m.push("encoder.layers."):
+        m.num_push()
+        if m.rep("layer_norm1.", "norm1.") or m.rep("layer_norm2.", "norm2.") \
+           or m.rep("self_attn.", "attn.") or m.push("mlp."):
+            return m.done()
+        return None
+    if m.rep("final_layer_norm.", "ln_final."):
+        return m.done()
+    if m.rep("text_projection", "text_proj"):
+        return m.done()
+    return None
+
+
+def _clip_openclip(m: _M):
+    if not m.rep("model.", "text."):
+        return None
+    if m.push("ln_final."):
+        return m.done()
+    if m.rep("token_embedding.", "embed.token."):
+        return m.done()
+    if m.rep("positional_embedding", "embed.position.weight"):
+        return m.done()
+    if m.rep("text_projection", "text_proj"):
+        return m.done()
+    if m.rep("transformer.resblocks.", "encoder.layers."):
+        m.num_push()
+        if m.rep("ln_1.", "norm1.") or m.rep("ln_2.", "norm2."):
+            return m.done()
+        if m.push("attn."):
+            if m.push("in_proj_bias") or m.push("in_proj_weight"):
+                return QKV(m.done())
+            if m.push("out_proj."):
+                return m.done()
+            return None
+        if m.rep("mlp.c_fc.", "mlp.fc1.") or m.rep("mlp.c_proj.", "mlp.fc2."):
+            return m.done()
+    return None
+
+
+def _clip_diffusers(m: _M):
+    if not m.rep("text_model.", "text."):
+        return None
+    if m.push("encoder.layers."):
+        m.num_push()
+        if m.rep("ln_1.", "norm1.") or m.rep("ln_2.", "norm2.") or \
+           m.rep("self_attn.", "attn.") or m.push("mlp."):
+            return m.done()
+    return None
+
+
+def _vae(m: _M):
+    if m.push("decoder."):
+        if m.push("up.") and m.num_push() and m.push("block.") and m.num_push():
+            m.rep("nin_shortcut.", "skip_conv.")
+        return m.done()
+    if m.push("encoder."):
+        if m.push("down.") and m.num_push() and m.push("block.") and m.num_push():
+            m.rep("nin_shortcut.", "skip_conv.")
+        return m.done()
+    if m.push("quant_conv.") or m.push("post_quant_conv."):
+        return m.done()
+    return None
+
+
+def _unet_block(m: _M):
+    if m.rep("transformer_blocks.", "transf."):
+        m.num_push()
+        if m.push("attn1.") or m.push("attn2."):
+            (m.rep("to_q.", "q_proj.") or m.rep("to_k.", "k_proj.") or
+             m.rep("to_v.", "v_proj.") or m.rep("to_out.0.", "out_proj."))
+            return m.done()
+        if m.push("ff."):
+            if m.push("net.0.") or m.push("net.2."):
+                return m.done()
+            return None
+        if m.push("norm1.") or m.push("norm2.") or m.push("norm3."):
+            return m.done()
+        return None
+    for pre, rep in (("in_layers.0.", "norm1."), ("in_layers.2.", "conv1."),
+                     ("out_layers.0.", "norm2."), ("out_layers.3.", "conv2."),
+                     ("emb_layers.1.", "emb_proj."),
+                     ("skip_connection.", "skip_conv."), ("op.", "conv."),
+                     # diffusers ResnetBlock2D inner names (the reference
+                     # drops these; supported here for full diffusers layouts)
+                     ("time_emb_proj.", "emb_proj."),
+                     ("conv_shortcut.", "skip_conv.")):
+        if m.rep(pre, rep):
+            return m.done()
+    for pre in ("norm.", "proj_in.", "proj_out.", "conv.",
+                "norm1.", "norm2.", "conv1.", "conv2."):
+        if m.push(pre):
+            return m.done()
+    return None
+
+
+def _unet(m: _M):
+    if m.push("time_embed."):
+        return m.done()
+    if m.rep("label_emb.0.", "label_embed."):
+        return m.done()
+    if m.rep("input_blocks.0.0.", "in.conv."):
+        return m.done()
+    if m.rep("out.0.", "out.norm.") or m.rep("out.2.", "out.conv."):
+        return m.done()
+    if (m.rep("input_blocks.", "in.") and m.num_push()) or \
+       (m.rep("output_blocks.", "out.") and m.num_push()) or \
+       m.rep("middle_block.", "mid."):
+        m.num_push()
+        return _unet_block(m)
+    # diffusers layouts
+    if m.rep("down_blocks.", "in."):
+        n1 = m.num_get()
+        if n1 is None:
+            return None
+        if m.rep("downsamplers.0.conv.", ""):
+            # The reference emits "op." here and then fails to re-match it,
+            # dropping diffusers downsampler weights (bug in
+            # tensor_name_conv.c:239); we map straight to the internal name.
+            m.out.append(f"{3 * (n1 + 1)}.0.conv.")
+            return m.done()
+        else:
+            if m.rep("attentions.", ""):
+                n2 = 1
+            elif m.rep("resnets.", ""):
+                n2 = 0
+            else:
+                return None
+            n3 = m.num_get()
+            if n3 is None:
+                return None
+            m.out.append(f"{3 * n1 + n3 + 1}.{n2}.")
+        return _unet_block(m)
+    if m.rep("up_blocks.", "out."):
+        n1 = m.num_get()
+        if n1 is None:
+            return None
+        if m.rep("upsamplers.0.", ""):
+            m.out.append(f"{3 * n1 + 2}.{1 if n1 == 0 else 2}.")
+        else:
+            if m.rep("attentions.", ""):
+                n2 = 1
+            elif m.rep("resnets.", ""):
+                n2 = 0
+            else:
+                return None
+            n3 = m.num_get()
+            if n3 is None:
+                return None
+            m.out.append(f"{3 * n1 + n3}.{n2}.")
+        return _unet_block(m)
+    if m.rep("mid_block.", "mid."):
+        if m.rep("attentions.0.", "1."):
+            return _unet_block(m)
+        if m.rep("resnets.0.", "0.") or m.rep("resnets.1.", "2."):
+            return m.done()
+    return None
+
+
+def normalize_name(name: str):
+    """Normalize a checkpoint tensor name (reference: tnconv_sd).
+
+    Returns the internal name, ``QKV(...)`` for fused qkv tensors, or ``None``
+    if the tensor is unused.
+    """
+    m = _M(name)
+    if m.rep("cond_stage_model.1.", "clip2."):
+        return _clip_compvis(m)
+    if m.rep("cond_stage_model.", "clip."):
+        if m.match("transformer.text_model."):
+            return _clip_compvis(m)
+        if m.match("model."):
+            return _clip_openclip(m)
+        return None
+    if m.rep("te.", "clip."):
+        return _clip_diffusers(m)
+    if m.rep("conditioner.embedders.0.", "clip."):
+        return _clip_compvis(m)
+    if m.rep("conditioner.embedders.1.", "clip2."):
+        return _clip_openclip(m)
+    if m.rep("te1.", "clip."):
+        return _clip_diffusers(m)
+    if m.rep("te2.", "clip2."):
+        return _clip_diffusers(m)
+    if m.rep("first_stage_model.", "vae."):
+        return _vae(m)
+    if m.rep("model.diffusion_model.", "unet.") or m.push("unet."):
+        return _unet(m)
+    return None
+
+
+def normalize_lora_name(name: str):
+    """Normalize a lora tensor name: strip ``lora_`` prefix then normalize
+    (reference: tensor_callback_lora, src/mlimgsynth.c:1060-1083)."""
+    if not name.startswith("lora_"):
+        return None
+    return normalize_name(name[len("lora_"):])

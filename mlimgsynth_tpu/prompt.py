@@ -1,0 +1,140 @@
+"""A1111-compatible prompt preprocessing.
+
+Parses stable-diffusion-webui style emphasis and ``<lora:NAME:MULT>`` tags
+(reference: src/prompt_preproc.h:96-209):
+
+* ``(x)`` multiplies the chunk weight by 1.1, ``[x]`` divides by 1.1, nesting
+  multiplies, ``(x:1.5)`` sets an explicit weight, ``\\(`` escapes,
+  ``BREAK`` is dropped, ``<lora:NAME[:MULT]>`` is extracted into a lora list.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+
+class PromptParseError(ValueError):
+    pass
+
+
+@dataclass
+class PromptText:
+    text: str = ""
+    chunks: List[Tuple[str, float]] = field(default_factory=list)
+    loras: List[Tuple[str, float]] = field(default_factory=list)
+
+
+def _parse_float_prefix(s: str) -> Tuple[float, int]:
+    """strtof-like: parse a leading float, return (value, n_chars_consumed)."""
+    i, n = 0, len(s)
+    if i < n and s[i] in "+-":
+        i += 1
+    seen = False
+    while i < n and s[i].isdigit():
+        i += 1
+        seen = True
+    if i < n and s[i] == ".":
+        i += 1
+        while i < n and s[i].isdigit():
+            i += 1
+            seen = True
+    if seen and i < n and s[i] in "eE":
+        j = i + 1
+        if j < n and s[j] in "+-":
+            j += 1
+        if j < n and s[j].isdigit():
+            while j < n and s[j].isdigit():
+                j += 1
+            i = j
+    if not seen:
+        return 0.0, 0
+    return float(s[:i]), i
+
+
+def parse_lora_tag(body: str, loras: List[Tuple[str, float]]) -> None:
+    """Parse the inside of a <...> tag (src/prompt_preproc.h:58-94)."""
+    if not body.startswith("lora:"):
+        raise PromptParseError(f"prompt: unknown option '{body}'")
+    body = body[5:]
+    sep = body.find(":")
+    if sep < 0:
+        loras.append((body, 1.0))
+        return
+    name, multstr = body[:sep], body[sep + 1:]
+    val, used = _parse_float_prefix(multstr)
+    if used != len(multstr):
+        raise PromptParseError("prompt: invalid lora multiplier")
+    loras.append((name, val))
+
+
+def prompt_set_raw(text: str) -> PromptText:
+    return PromptText(text=text, chunks=[(text, 1.0)], loras=[])
+
+
+def prompt_set_parse(src: str) -> PromptText:
+    out_text: List[str] = []
+    chunks: List[Tuple[int, float]] = [(0, 1.0)]  # (start_index, weight)
+    loras: List[Tuple[str, float]] = []
+    n_paren = 0
+    n_bracket = 0
+
+    def cur_len() -> int:
+        return sum(len(s) for s in out_text)
+
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c == "\\":
+            if i + 1 < n:
+                i += 1
+                e = src[i]
+                if e == "n":
+                    e = "\n"
+                out_text.append(e)
+        elif c in "()[]":
+            if c == "(":
+                n_paren += 1
+            elif c == ")":
+                n_paren -= 1
+            elif c == "[":
+                n_bracket += 1
+            else:
+                n_bracket -= 1
+            if n_paren < 0 or n_bracket < 0:
+                raise PromptParseError("prompt: unmatched ')' or ']'")
+            w = 1.1 ** (n_paren - n_bracket)
+            pos = cur_len()
+            start, _ = chunks[-1]
+            if start == pos:
+                chunks[-1] = (start, w)
+            else:
+                chunks.append((pos, w))
+        elif c == ":" and (n_paren > 0 or n_bracket > 0):
+            if not (n_paren == 1 and n_bracket == 0):
+                raise PromptParseError(
+                    "prompt: custom emphasis multiplier outside of '()'")
+            rest = src[i + 1:]
+            val, used = _parse_float_prefix(rest)
+            j = i + 1 + used
+            if used == 0 or j >= n or src[j] != ")":
+                raise PromptParseError("prompt: invalid emphasis with ':'")
+            chunks[-1] = (chunks[-1][0], val)
+            i = j - 1
+        elif c == "<":
+            e = src.find(">", i + 1)
+            if e < 0:
+                raise PromptParseError("prompt: '<' not matched with '>'")
+            parse_lora_tag(src[i + 1:e], loras)
+            i = e
+        elif c == "B" and src.startswith("BREAK", i) and i + 5 < n:
+            i += 4
+        else:
+            out_text.append(c)
+        i += 1
+
+    text = "".join(out_text)
+    result: List[Tuple[str, float]] = []
+    starts = [p for p, _ in chunks] + [len(text)]
+    for k, (start, w) in enumerate(chunks):
+        result.append((text[start:starts[k + 1]], w))
+    return PromptText(text=text, chunks=result, loras=loras)

@@ -1,0 +1,143 @@
+"""k-diffusion ODE solvers as jittable step functions.
+
+Each solver advances ``x`` from sigma ``t_cur`` to ``t_next`` given a
+``dxdt(x, sigma)`` callable (the CFG-combined denoiser derivative
+``(x - denoised)/sigma``).  The math mirrors the reference solvers
+(reference: src/solvers.c): Euler, Heun (Karras Algo1), Taylor3 (the
+reference author's 3rd-order history method), DPM++(2M) and DPM++(2S).
+
+State is a dict of arrays carried through ``lax.scan``; ``i_step`` is the
+0-based solver step index (a traced int32).  All last-step special cases
+(``t_next == 0``) are handled with ``lax.cond`` so the extra function
+evaluation of the 2nd-order methods is genuinely skipped at runtime.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class SolverClass:
+    name: str
+    n_fe: int
+    init_state: Callable  # (x) -> dict
+    step: Callable        # (dxdt, x, state, i_step, t_cur, t_next) -> (x, state)
+
+
+def _euler_init(x):
+    return {}
+
+
+def _euler_step(dxdt, x, state, i_step, t_cur, t_next):
+    dt = t_next - t_cur
+    dx = dxdt(x, t_cur)
+    return x + dx * dt, state
+
+
+def _heun_init(x):
+    return {}
+
+
+def _heun_step(dxdt, x, state, i_step, t_cur, t_next):
+    dt = t_next - t_cur
+    dx = dxdt(x, t_cur)
+    x1 = x + dx * dt
+
+    def last(_):
+        return x1
+
+    def correct(_):
+        d1 = dxdt(x1, t_next)
+        return x + (dx + d1) * (0.5 * dt)
+
+    x = jax.lax.cond(t_next > 0, correct, last, None)
+    return x, state
+
+
+def _taylor3_init(x):
+    return {
+        "dt_prev": jnp.zeros((), x.dtype),
+        "dp1": jnp.zeros_like(x),
+        "dp2": jnp.zeros_like(x),
+    }
+
+
+def _taylor3_step(dxdt, x, state, i_step, t_cur, t_next):
+    dt = t_next - t_cur
+    dx = dxdt(x, t_cur)
+    x = x + dx * dt
+    idtp = jnp.where(i_step >= 1, 1.0 / state["dt_prev"], 0.0)
+    f2 = jnp.where(i_step >= 1, dt * dt / 2, 0.0)
+    f3 = jnp.where(i_step >= 2, dt * dt * dt / 6, 0.0)
+    d2 = (dx - state["dp1"]) * idtp
+    d3 = (d2 - state["dp2"]) * idtp
+    x = x + d2 * f2 + d3 * f3
+    new_state = {"dt_prev": dt, "dp1": dx, "dp2": d2}
+    return x, new_state
+
+
+def _dpmpp2m_init(x):
+    return {"h_last": jnp.zeros((), x.dtype), "dprev": jnp.zeros_like(x)}
+
+
+def _dpmpp2m_step(dxdt, x, state, i_step, t_cur, t_next):
+    a = t_next / t_cur
+    h = -jnp.log(a)
+    c = h / (2 * state["h_last"])
+    c = jnp.where(jnp.logical_or(i_step == 0, jnp.logical_not(t_next > 0)), 0.0, c)
+    dx = dxdt(x, t_cur)
+    d0 = x - t_cur * dx
+    d = (1 + c) * d0 - c * state["dprev"]
+    x = a * x + (1 - a) * d
+    return x, {"h_last": h, "dprev": d0}
+
+
+def _dpmpp2s_init(x):
+    return {}
+
+
+def _dpmpp2s_step(dxdt, x, state, i_step, t_cur, t_next):
+    dx = dxdt(x, t_cur)
+
+    def last(_):
+        return x + dx * (t_next - t_cur)
+
+    def mid(_):
+        t1 = jnp.sqrt(t_next * t_cur)
+        dt1 = t1 - t_cur
+        a = t_next / t_cur
+        x1 = x + dx * dt1
+        dx1 = dxdt(x1, t1)
+        d = x1 - t1 * dx1
+        return a * x + (1 - a) * d
+
+    x_new = jax.lax.cond(t_next > 0, mid, last, None)
+    return x_new, state
+
+
+EULER = SolverClass("euler", 1, _euler_init, _euler_step)
+HEUN = SolverClass("heun", 2, _heun_init, _heun_step)
+TAYLOR3 = SolverClass("taylor3", 1, _taylor3_init, _taylor3_step)
+DPMPP2M = SolverClass("dpmpp2m", 1, _dpmpp2m_init, _dpmpp2m_step)
+DPMPP2S = SolverClass("dpmpp2s", 2, _dpmpp2s_init, _dpmpp2s_step)
+
+SOLVERS: Dict[str, SolverClass] = {
+    s.name: s for s in (EULER, HEUN, TAYLOR3, DPMPP2M, DPMPP2S)
+}
+
+# Method ids matching MLIS_Method (include/mlimgsynth.h).
+METHOD_IDS = {1: "euler", 2: "heun", 3: "taylor3", 4: "dpmpp2m", 5: "dpmpp2s"}
+
+
+def get_solver(method) -> SolverClass:
+    if isinstance(method, int):
+        method = METHOD_IDS.get(method)
+    if isinstance(method, str):
+        cls = SOLVERS.get(method)
+        if cls is not None:
+            return cls
+    raise ValueError(f"invalid sampling method {method!r}")

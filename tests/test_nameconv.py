@@ -1,0 +1,126 @@
+# Tensor-name normalization table tests (reference: src/tensor_name_conv.c).
+import pytest
+
+from mlimgsynth_tpu.nameconv import QKV, normalize_lora_name, normalize_name
+
+CASES = [
+    # CompVis SD1 CLIP
+    ("cond_stage_model.transformer.text_model.embeddings.token_embedding.weight",
+     "clip.text.embed.token.weight"),
+    ("cond_stage_model.transformer.text_model.embeddings.position_embedding.weight",
+     "clip.text.embed.position.weight"),
+    ("cond_stage_model.transformer.text_model.encoder.layers.11.self_attn.k_proj.weight",
+     "clip.text.encoder.layers.11.attn.k_proj.weight"),
+    ("cond_stage_model.transformer.text_model.encoder.layers.0.layer_norm1.bias",
+     "clip.text.encoder.layers.0.norm1.bias"),
+    ("cond_stage_model.transformer.text_model.encoder.layers.3.mlp.fc1.weight",
+     "clip.text.encoder.layers.3.mlp.fc1.weight"),
+    ("cond_stage_model.transformer.text_model.final_layer_norm.weight",
+     "clip.text.ln_final.weight"),
+    # OpenCLIP SD2
+    ("cond_stage_model.model.ln_final.weight", "clip.text.ln_final.weight"),
+    ("cond_stage_model.model.token_embedding.weight",
+     "clip.text.embed.token.weight"),
+    ("cond_stage_model.model.positional_embedding",
+     "clip.text.embed.position.weight"),
+    ("cond_stage_model.model.transformer.resblocks.5.ln_1.weight",
+     "clip.text.encoder.layers.5.norm1.weight"),
+    ("cond_stage_model.model.transformer.resblocks.5.attn.out_proj.weight",
+     "clip.text.encoder.layers.5.attn.out_proj.weight"),
+    ("cond_stage_model.model.transformer.resblocks.5.mlp.c_fc.bias",
+     "clip.text.encoder.layers.5.mlp.fc1.bias"),
+    ("cond_stage_model.model.transformer.resblocks.5.mlp.c_proj.weight",
+     "clip.text.encoder.layers.5.mlp.fc2.weight"),
+    # SDXL dual encoders
+    ("conditioner.embedders.0.transformer.text_model.encoder.layers.2.self_attn.q_proj.bias",
+     "clip.text.encoder.layers.2.attn.q_proj.bias"),
+    ("conditioner.embedders.1.model.text_projection", "clip2.text.text_proj"),
+    ("conditioner.embedders.1.model.transformer.resblocks.30.attn.out_proj.bias",
+     "clip2.text.encoder.layers.30.attn.out_proj.bias"),
+    # VAE
+    ("first_stage_model.decoder.conv_in.weight", "vae.decoder.conv_in.weight"),
+    ("first_stage_model.decoder.up.3.block.1.nin_shortcut.weight",
+     "vae.decoder.up.3.block.1.skip_conv.weight"),
+    ("first_stage_model.encoder.down.0.block.0.norm1.weight",
+     "vae.encoder.down.0.block.0.norm1.weight"),
+    ("first_stage_model.encoder.mid.attn_1.q.weight",
+     "vae.encoder.mid.attn_1.q.weight"),
+    ("first_stage_model.quant_conv.bias", "vae.quant_conv.bias"),
+    ("first_stage_model.post_quant_conv.weight", "vae.post_quant_conv.weight"),
+    # UNet CompVis
+    ("model.diffusion_model.time_embed.0.weight", "unet.time_embed.0.weight"),
+    ("model.diffusion_model.label_emb.0.0.weight", "unet.label_embed.0.weight"),
+    ("model.diffusion_model.input_blocks.0.0.weight", "unet.in.conv.weight"),
+    ("model.diffusion_model.out.0.weight", "unet.out.norm.weight"),
+    ("model.diffusion_model.out.2.weight", "unet.out.conv.weight"),
+    ("model.diffusion_model.input_blocks.1.0.in_layers.0.weight",
+     "unet.in.1.0.norm1.weight"),
+    ("model.diffusion_model.input_blocks.1.0.in_layers.2.weight",
+     "unet.in.1.0.conv1.weight"),
+    ("model.diffusion_model.input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight",
+     "unet.in.1.1.transf.0.attn2.k_proj.weight"),
+    ("model.diffusion_model.input_blocks.1.1.transformer_blocks.0.ff.net.0.proj.weight",
+     "unet.in.1.1.transf.0.ff.net.0.proj.weight"),
+    ("model.diffusion_model.input_blocks.3.0.op.weight", "unet.in.3.0.conv.weight"),
+    ("model.diffusion_model.input_blocks.4.0.skip_connection.weight",
+     "unet.in.4.0.skip_conv.weight"),
+    ("model.diffusion_model.middle_block.0.emb_layers.1.weight",
+     "unet.mid.0.emb_proj.weight"),
+    ("model.diffusion_model.middle_block.1.proj_in.weight",
+     "unet.mid.1.proj_in.weight"),
+    ("model.diffusion_model.output_blocks.2.1.conv.weight",
+     "unet.out.2.1.conv.weight"),
+    ("model.diffusion_model.output_blocks.5.1.transformer_blocks.0.norm3.weight",
+     "unet.out.5.1.transf.0.norm3.weight"),
+    # UNet diffusers (index arithmetic, tensor_name_conv.c:236-268)
+    ("unet.down_blocks.0.resnets.0.norm1.weight", "unet.in.1.0.norm1.weight"),
+    ("unet.down_blocks.0.attentions.1.proj_out.weight",
+     "unet.in.2.1.proj_out.weight"),
+    ("unet.down_blocks.0.downsamplers.0.conv.weight", "unet.in.3.0.conv.weight"),
+    ("unet.down_blocks.1.resnets.0.conv1.weight", "unet.in.4.0.conv1.weight"),
+    ("unet.up_blocks.0.resnets.2.conv2.weight", "unet.out.2.0.conv2.weight"),
+    ("unet.up_blocks.0.upsamplers.0.conv.weight", "unet.out.2.1.conv.weight"),
+    ("unet.up_blocks.1.upsamplers.0.conv.weight", "unet.out.5.2.conv.weight"),
+    ("unet.mid_block.attentions.0.transformer_blocks.0.attn1.to_q.weight",
+     "unet.mid.1.transf.0.attn1.q_proj.weight"),
+    ("unet.mid_block.resnets.0.conv1.weight", "unet.mid.0.conv1.weight"),
+    ("unet.mid_block.resnets.1.conv2.weight", "unet.mid.2.conv2.weight"),
+    # diffusers te
+    ("te.text_model.encoder.layers.7.self_attn.v_proj.weight",
+     "clip.text.encoder.layers.7.attn.v_proj.weight"),
+    ("te2.text_model.encoder.layers.7.mlp.fc1.weight",
+     "clip2.text.encoder.layers.7.mlp.fc1.weight"),
+    # Unused tensors
+    ("model_ema.decay", None),
+    ("alphas_cumprod", None),
+    ("cond_stage_model.logit_scale", None),
+]
+
+
+@pytest.mark.parametrize("name,expected", CASES, ids=[c[0] for c in CASES])
+def test_normalize(name, expected):
+    assert normalize_name(name) == expected
+
+
+def test_qkv_split_marker():
+    r = normalize_name(
+        "cond_stage_model.model.transformer.resblocks.4.attn.in_proj_weight")
+    assert isinstance(r, QKV)
+    assert r.name == "clip.text.encoder.layers.4.attn.in_proj_weight"
+    r = normalize_name(
+        "conditioner.embedders.1.model.transformer.resblocks.0.attn.in_proj_bias")
+    assert isinstance(r, QKV)
+    assert r.name == "clip2.text.encoder.layers.0.attn.in_proj_bias"
+
+
+def test_separator_equivalence():
+    # '.', '_', '/' are interchangeable separators in the source name
+    assert normalize_name(
+        "model/diffusion_model/time_embed/0/weight") == "unet.time_embed.0.weight"
+
+
+def test_lora_names():
+    assert normalize_lora_name(
+        "lora_unet.input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight"
+        ) == "unet.in.1.1.transf.0.attn2.k_proj.weight"
+    assert normalize_lora_name("not_a_lora.weight") is None
