@@ -1,0 +1,261 @@
+"""Parameter context and NN building blocks.
+
+The reference builds ggml graphs through a declarative block stack that both
+names parameters hierarchically and emits ops (reference: src/mlblock.c,
+src/mlblock_nn.c).  The TPU-native equivalent is a functional param *context*:
+blocks are plain functions that request parameters by hierarchical name from a
+``Ctx``; run under ``jax.eval_shape`` with a recording context, the same code
+yields the model's full parameter spec (names, shapes, layout kinds) used by
+the checkpoint loader — one definition, no spec drift.
+
+Layout conventions (TPU-first, unlike the reference's ggml/NCHW):
+* activations NHWC, linear weights ``[d_in, d_out]``, conv weights HWIO.
+* matmuls/convs run in the context compute dtype (bf16 by default);
+  normalizations and softmax accumulate in float32.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+
+# Param layout kinds; the loader uses these to transform checkpoint arrays.
+LINEAR_W = "linear_w"   # checkpoint [out,in]  -> [in,out]
+CONV_W = "conv_w"       # checkpoint [out,in,kh,kw] -> [kh,kw,in,out]
+VEC = "vec"             # 1-D as-is (biases, norm scales)
+EMBED = "embed"         # [vocab, d] as-is
+MAT = "mat"             # 2-D as-is (position embeddings, text_proj)
+
+
+@dataclass
+class ParamSpec:
+    shape: Tuple[int, ...]
+    kind: str
+    dtype: object
+
+
+class Ctx:
+    """Parameter provider.
+
+    ``params`` maps internal names to arrays already in TPU layout.  When
+    ``record`` is set, requested params are recorded into ``spec`` and zeros
+    are returned (use under ``jax.eval_shape`` to build a model spec without
+    compute).
+    """
+
+    def __init__(self, params: Optional[Dict[str, jnp.ndarray]] = None,
+                 dtype=jnp.bfloat16, record: bool = False):
+        self.params = params if params is not None else {}
+        self.dtype = dtype
+        self.record = record
+        self.spec: Dict[str, ParamSpec] = {}
+
+    def param(self, name: str, shape: Tuple[int, ...], kind: str,
+              dtype=None):
+        dtype = dtype or self.dtype
+        if self.record:
+            self.spec[name] = ParamSpec(tuple(shape), kind, dtype)
+            return jnp.zeros(shape, dtype)
+        p = self.params[name]
+        return p
+
+    def has(self, name: str) -> bool:
+        if self.record:
+            return True
+        return name in self.params
+
+
+def trace_spec(fn, *example_args) -> Dict[str, ParamSpec]:
+    """Run ``fn(ctx, *args)`` abstractly and return its parameter spec."""
+    ctx = Ctx(record=True)
+    jax.eval_shape(lambda *a: fn(ctx, *a), *example_args)
+    return ctx.spec
+
+
+# ---------------------------------------------------------------------------
+# Activations (ggml-exact variants)
+# ---------------------------------------------------------------------------
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def gelu_tanh(x):
+    # ggml_gelu: tanh approximation
+    return jax.nn.gelu(x, approximate=True)
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def gelu_quick(x):
+    # ggml_gelu_quick: x * sigmoid(1.702 x)
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+# ---------------------------------------------------------------------------
+# Core layers
+# ---------------------------------------------------------------------------
+
+def linear(ctx: Ctx, pre: str, x, n_out: int, bias: bool = True):
+    """ref: mlb_nn_linear (src/mlblock_nn.c:16-28)."""
+    w = ctx.param(pre + ".weight", (x.shape[-1], n_out), LINEAR_W)
+    x = jnp.dot(x, w.astype(x.dtype))
+    if bias:
+        b = ctx.param(pre + ".bias", (n_out,), VEC)
+        x = x + b.astype(x.dtype)
+    return x
+
+
+def conv2d(ctx: Ctx, pre: str, x, ch_out: int, kernel: int = 3,
+           stride: int = 1, pad=1, bias: bool = True):
+    """ref: mlb_nn_conv2d (src/mlblock_nn.c:31-55). x: [N,H,W,C]."""
+    ch_in = x.shape[-1]
+    w = ctx.param(pre + ".weight", (kernel, kernel, ch_in, ch_out), CONV_W)
+    if isinstance(pad, int):
+        padding = [(pad, pad), (pad, pad)]
+    else:
+        padding = pad
+    x = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride, stride),
+        padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias:
+        b = ctx.param(pre + ".bias", (ch_out,), VEC)
+        x = x + b.astype(x.dtype)
+    return x
+
+
+def layer_norm(ctx: Ctx, pre: str, x, eps: float = 1e-5,
+               affine: bool = True, bias: bool = True):
+    """ref: mlb_nn_layer_norm (src/mlblock_nn.c:58-75). Normalizes last dim."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if affine:
+        w = ctx.param(pre + ".weight", (x.shape[-1],), VEC, jnp.float32)
+        xf = xf * w
+        if bias:
+            b = ctx.param(pre + ".bias", (x.shape[-1],), VEC, jnp.float32)
+            xf = xf + b
+    return xf.astype(dt)
+
+
+def group_norm(ctx: Ctx, pre: str, x, n_grp: int = 32, eps: float = 1e-6,
+               affine: bool = True):
+    """ref: mlb_nn_groupnorm32 (src/mlblock_nn.c:78-103, eps 1e-6).
+    x: [N,H,W,C]; normalizes over (H,W,C/g) per group."""
+    dt = x.dtype
+    n, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(n, h, w, n_grp, c // n_grp)
+    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
+    var = xf.var(axis=(1, 2, 4), keepdims=True)
+    xf = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(n, h, w, c)
+    if affine:
+        wt = ctx.param(pre + ".weight", (c,), VEC, jnp.float32)
+        b = ctx.param(pre + ".bias", (c,), VEC, jnp.float32)
+        xf = xf * wt + b
+    return xf.astype(dt)
+
+
+def downsample(ctx: Ctx, pre: str, x, ch_out: int, vae: bool = False):
+    """ref: mlb_downsample (src/mlblock_nn.c:105-116)."""
+    if vae:
+        # asymmetric pad (0,1) on both spatial dims
+        return conv2d(ctx, pre + ".conv", x, ch_out, 3, 2,
+                      pad=[(0, 1), (0, 1)])
+    return conv2d(ctx, pre + ".conv", x, ch_out, 3, 2, pad=1)
+
+
+def upsample(ctx: Ctx, pre: str, x, ch_out: int):
+    """ref: mlb_upsample (src/mlblock_nn.c:118-126). Nearest 2x then conv."""
+    n, h, w, c = x.shape
+    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return conv2d(ctx, pre + ".conv", x, ch_out, 3, 1, pad=1)
+
+
+def resnet(ctx: Ctx, pre: str, x, emb, ch_out: int):
+    """ref: mlb_resnet (src/mlblock_nn.c:129-156)."""
+    ch_in = x.shape[-1]
+    x0 = x
+    x = group_norm(ctx, pre + ".norm1", x)
+    x = silu(x)
+    x = conv2d(ctx, pre + ".conv1", x, ch_out)
+    if emb is not None:
+        e = silu(emb)
+        e = linear(ctx, pre + ".emb_proj", e, ch_out)
+        x = x + e[:, None, None, :].astype(x.dtype)
+    x = group_norm(ctx, pre + ".norm2", x)
+    x = silu(x)
+    x = conv2d(ctx, pre + ".conv2", x, ch_out)
+    if ch_in != ch_out:
+        x0 = conv2d(ctx, pre + ".skip_conv", x0, ch_out, 1, 1, pad=0)
+    return x + x0
+
+
+def geglu(ctx: Ctx, pre: str, x, d_out: int):
+    """ref: mlb_GEGLU (src/mlblock_nn.c:159-172)."""
+    y = linear(ctx, pre + ".proj", x, d_out * 2)
+    xh, g = y[..., :d_out], y[..., d_out:]
+    return xh * gelu_tanh(g)
+
+
+def feed_forward(ctx: Ctx, pre: str, x, d_out: int, mult: int = 4):
+    """ref: mlb_feed_forward (src/mlblock_nn.c:175-187)."""
+    d_inner = x.shape[-1] * mult
+    x = geglu(ctx, pre + ".net.0", x, d_inner)
+    return linear(ctx, pre + ".net.2", x, d_out)
+
+
+def attn_mhead(ctx: Ctx, pre: str, q, k, v, d_out: int, d_embed: int,
+               n_head: int, mask: bool = False, bias: bool = False,
+               bias_out: bool = True):
+    """ref: mlb_attn_mhead (src/mlblock_nn.c:190-231).
+    q: [N, Sq, *], k/v: [N, Sk, *]; returns [N, Sq, d_out]."""
+    d_head = d_embed // n_head
+    n, sq = q.shape[0], q.shape[1]
+    sk = k.shape[1]
+    q = linear(ctx, pre + ".q_proj", q, d_embed, bias)
+    k = linear(ctx, pre + ".k_proj", k, d_embed, bias)
+    v = linear(ctx, pre + ".v_proj", v, d_embed, bias)
+    q = q.reshape(n, sq, n_head, d_head).transpose(0, 2, 1, 3)
+    k = k.reshape(n, sk, n_head, d_head).transpose(0, 2, 1, 3)
+    v = v.reshape(n, sk, n_head, d_head).transpose(0, 2, 1, 3)
+    o = attention(q, k, v, causal=mask)
+    o = o.transpose(0, 2, 1, 3).reshape(n, sq, d_embed)
+    return linear(ctx, pre + ".out_proj", o, d_out, bias_out)
+
+
+def basic_transformer(ctx: Ctx, pre: str, x, c, d_out: int, d_embed: int,
+                      n_head: int):
+    """ref: mlb_basic_transf (src/mlblock_nn.c:234-253)."""
+    r = x
+    x = layer_norm(ctx, pre + ".norm1", x)
+    x = attn_mhead(ctx, pre + ".attn1", x, x, x, d_out, d_embed, n_head)
+    x = x + r
+    r = x
+    x = layer_norm(ctx, pre + ".norm2", x)
+    x = attn_mhead(ctx, pre + ".attn2", x, c, c, d_out, d_embed, n_head)
+    x = x + r
+    r = x
+    x = layer_norm(ctx, pre + ".norm3", x)
+    x = feed_forward(ctx, pre + ".ff", x, d_out)
+    return x + r
+
+
+def timestep_embedding(t, dim: int, max_period: float = 10000.0):
+    """CompVis sinusoidal embedding, cos half then sin half
+    (ref: ggml_timestep_embedding use in src/unet.c:150 and
+    sd_timestep_embedding, src/mlimgsynth.c:1506-1518).  t: [N] float."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) *
+                    jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)

@@ -1,0 +1,181 @@
+"""Stable Diffusion UNet (SD1/SD2/SDXL variants).
+
+Architecture, parameter naming and k-diffusion scalings mirror the reference
+(reference: src/unet.c): hierarchical names like
+``in.1.1.transf.0.attn2.k_proj.weight`` match the checkpoint normalizer
+output, enabling direct keying into the param dict.
+
+TPU-native: NHWC activations, one batched forward for CFG (cond/uncond as
+batch rows) instead of the reference's two sequential evaluations.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from . import blocks as B
+
+
+@dataclass(frozen=True)
+class UnetParams:
+    """ref: src/unet.c:21-83."""
+    n_ch_in: int = 4
+    n_ch_out: int = 4
+    n_res_blk: int = 2
+    attn_res: Tuple[int, ...] = (4, 2, 1)
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    transf_depth: Tuple[int, ...] = (1, 1, 1, 1)
+    n_te: int = 1280
+    n_head: int = 0
+    d_head: int = 0
+    n_ctx: int = 768
+    n_ch: int = 320
+    ch_adm_in: int = 0
+    clip_norm: bool = True
+    cond_label: bool = False
+    uncond_empty_zero: bool = False
+    vparam: bool = False
+    n_step_train: int = 1000
+
+
+UNET_SD1 = UnetParams(n_head=8, n_ctx=768)
+UNET_SD2 = UnetParams(d_head=64, n_ctx=1024, vparam=True)
+UNET_SDXL = UnetParams(
+    attn_res=(4, 2), ch_mult=(1, 2, 4), transf_depth=(1, 2, 10),
+    d_head=64, n_ctx=2048, ch_adm_in=2816, clip_norm=False,
+    cond_label=True, uncond_empty_zero=True)
+
+
+def _heads(P: UnetParams, d_embed: int) -> Tuple[int, int]:
+    n_head, d_head = P.n_head, P.d_head
+    if not n_head:
+        n_head = d_embed // d_head
+    if not d_head:
+        d_head = d_embed // n_head
+    return n_head, d_head
+
+
+def spatial_transformer(ctx: B.Ctx, pre: str, x, cond, d_embed: int,
+                        P: UnetParams, depth: int):
+    """ref: mlb_spatial_transf (src/unet.c:110-145)."""
+    n, h, w, ch_in = x.shape
+    n_head, _ = _heads(P, d_embed)
+    x0 = x
+    x = B.group_norm(ctx, pre + ".norm", x)
+    x = B.conv2d(ctx, pre + ".proj_in", x, d_embed, 1, 1, pad=0)
+    x = x.reshape(n, h * w, d_embed)
+    for i in range(depth):
+        x = B.basic_transformer(ctx, f"{pre}.transf.{i}", x, cond,
+                                d_embed, d_embed, n_head)
+    x = x.reshape(n, h, w, d_embed)
+    x = B.conv2d(ctx, pre + ".proj_out", x, ch_in, 1, 1, pad=0)
+    return x + x0
+
+
+def unet_embed(ctx: B.Ctx, pre: str, t, label, P: UnetParams):
+    """ref: mlb_unet__embed (src/unet.c:147-165)."""
+    emb = B.timestep_embedding(t, P.n_ch).astype(ctx.dtype)
+    emb = B.linear(ctx, pre + ".time_embed.0", emb, P.n_te)
+    emb = B.silu(emb)
+    emb = B.linear(ctx, pre + ".time_embed.2", emb, P.n_te)
+    if P.ch_adm_in and label is not None:
+        le = B.linear(ctx, pre + ".label_embed.0", label.astype(ctx.dtype),
+                      P.n_te)
+        le = B.silu(le)
+        le = B.linear(ctx, pre + ".label_embed.2", le, P.n_te)
+        emb = emb + le
+    return emb
+
+
+def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
+               pre: str = "unet"):
+    """Full UNet forward.  x: [N,H,W,4] NHWC, t: [N], cond: [N,77,n_ctx],
+    label: [N, ch_adm_in] or None.  ref: mlb_unet_denoise (src/unet.c:263-281)
+    plus mlb_unet__in/__mid/__out."""
+    dtype = ctx.dtype
+    x = x.astype(dtype)
+    cond = cond.astype(dtype)
+    emb = unet_embed(ctx, pre, t, label, P)
+
+    # --- input blocks (src/unet.c:167-203)
+    x = B.conv2d(ctx, pre + ".in.conv", x, P.n_ch)
+    stack = [x]
+    i_blk = 0
+    ds = 1
+    ch = P.n_ch
+    n_levels = len(P.ch_mult)
+    for im in range(n_levels):
+        if im:
+            ds *= 2
+            i_blk += 1
+            x = B.downsample(ctx, f"{pre}.in.{i_blk}.0", x, ch)
+            stack.append(x)
+        for _ in range(P.n_res_blk):
+            i_blk += 1
+            ch = P.n_ch * P.ch_mult[im]
+            x = B.resnet(ctx, f"{pre}.in.{i_blk}.0", x, emb, ch)
+            if ds in P.attn_res:
+                x = spatial_transformer(ctx, f"{pre}.in.{i_blk}.1", x, cond,
+                                        ch, P, P.transf_depth[im])
+            stack.append(x)
+
+    # --- middle (src/unet.c:205-217)
+    im = n_levels - 1
+    ch = P.n_ch * P.ch_mult[im]
+    x = B.resnet(ctx, pre + ".mid.0", x, emb, ch)
+    x = spatial_transformer(ctx, pre + ".mid.1", x, cond, ch, P,
+                            P.transf_depth[im])
+    x = B.resnet(ctx, pre + ".mid.2", x, emb, ch)
+
+    # --- output blocks (src/unet.c:219-261)
+    i_oblk = 0
+    for im in range(n_levels - 1, -1, -1):
+        for j in range(P.n_res_blk + 1):
+            h = stack.pop()
+            x = jnp.concatenate([x, h], axis=-1)
+            i_sub = 0
+            ch = P.n_ch * P.ch_mult[im]
+            x = B.resnet(ctx, f"{pre}.out.{i_oblk}.{i_sub}", x, emb, ch)
+            i_sub += 1
+            if ds in P.attn_res:
+                x = spatial_transformer(ctx, f"{pre}.out.{i_oblk}.{i_sub}",
+                                        x, cond, ch, P, P.transf_depth[im])
+                i_sub += 1
+            if im != 0 and j == P.n_res_blk:
+                x = B.upsample(ctx, f"{pre}.out.{i_oblk}.{i_sub}", x, ch)
+                ds //= 2
+            i_oblk += 1
+    assert not stack
+
+    x = B.group_norm(ctx, pre + ".out.norm", x)
+    x = B.silu(x)
+    x = B.conv2d(ctx, pre + ".out.conv", x, P.n_ch_out)
+    return x
+
+
+def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: UnetParams,
+            pre: str = "unet"):
+    """k-diffusion wrapper: input scaling ``c_in = 1/sqrt(sigma^2+1)`` and
+    v-param output scaling (ref: unet_denoise_run, src/unet.c:460-498).
+    Returns the derivative ``dx/dsigma`` used by the solvers.
+    ``sigma`` and ``t`` are [N] or scalars (t = continuous train step)."""
+    sigma = jnp.asarray(sigma, jnp.float32)
+    c_in = 1.0 / jnp.sqrt(sigma * sigma + 1.0)
+    xs = (x * _bcast(c_in, x)).astype(ctx.dtype)
+    t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
+    out = unet_apply(ctx, xs, t, cond, label, P, pre=pre)
+    out = out.astype(jnp.float32)
+    if P.vparam:
+        c_skip = sigma / (sigma * sigma + 1.0)
+        c_out = 1.0 / jnp.sqrt(sigma * sigma + 1.0)
+        out = out * _bcast(c_out, out) + x.astype(jnp.float32) * _bcast(c_skip, x)
+    return out
+
+
+def _bcast(s, x):
+    s = jnp.asarray(s, jnp.float32)
+    while s.ndim < x.ndim:
+        s = s[..., None]
+    return s

@@ -1,0 +1,175 @@
+"""Checkpoint -> model parameter loading.
+
+Bridges the tensorstore (raw checkpoint names, torch layouts) to the model
+param dicts (internal names, TPU layouts):
+
+* name normalization + OpenCLIP fused-qkv splitting
+  (reference: tensor_callback_main + open_clip_attn_conv,
+  src/mlimgsynth.c:990-1055),
+* model-type identification by probing UNet tensor shapes
+  (reference: mlis_model_identify, src/mlimgsynth.c:1207-1249),
+* layout transforms keyed by the param spec kinds recorded by the model code
+  (linear [out,in]->[in,out], conv OIHW->HWIO),
+* LoRA weight merging into the store's tensor cache
+  (reference: src/lora.c).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import ml_dtypes
+
+from .io.tensorstore import TensorStore
+from .models.blocks import CONV_W, LINEAR_W, ParamSpec
+from .nameconv import QKV, normalize_lora_name, normalize_name
+
+BF16 = ml_dtypes.bfloat16
+
+
+@dataclass
+class NameRef:
+    raw: str              # raw checkpoint tensor name
+    split: Optional[int] = None  # 0/1/2 = q/k/v third of a fused tensor
+
+
+def build_name_map(store: TensorStore) -> Dict[str, NameRef]:
+    """Map internal names -> checkpoint entries, splitting fused qkv."""
+    out: Dict[str, NameRef] = {}
+    for raw in store.tensors:
+        r = normalize_name(raw)
+        if r is None:
+            continue
+        if isinstance(r, QKV):
+            base = r.name
+            if base.endswith("in_proj_weight"):
+                stem, suffix = base[:-len("in_proj_weight")], "weight"
+            else:
+                stem, suffix = base[:-len("in_proj_bias")], "bias"
+            for i, which in enumerate(("q_proj", "k_proj", "v_proj")):
+                out[f"{stem}{which}.{suffix}"] = NameRef(raw, split=i)
+        else:
+            out[r] = NameRef(raw)
+    return out
+
+
+def identify_model(store: TensorStore, name_map: Dict[str, NameRef]
+                   ) -> Tuple[Optional[str], Optional[str]]:
+    """Probe model type from UNet cross-attn K width
+    (reference: src/mlimgsynth.c:1207-1249).  Returns (model_type, dtype)."""
+    for probe, widths in (
+            ("unet.in.1.1.transf.0.attn2.k_proj.weight",
+             {768: "sd1", 1024: "sd2"}),
+            ("unet.in.4.1.transf.0.attn2.k_proj.weight", {2048: "sdxl"})):
+        ref = name_map.get(probe)
+        if ref is None:
+            continue
+        e = store.tensors[ref.raw]
+        return widths.get(int(e.shape[-1])), e.dtype
+    return None, None
+
+
+def read_entry(store: TensorStore, ref: NameRef) -> np.ndarray:
+    """Read a (possibly split) checkpoint tensor as f32, honoring the cache."""
+    x = store.read(ref.raw, "f32")
+    if ref.split is not None:
+        d = x.shape[0] // 3
+        x = x[ref.split * d:(ref.split + 1) * d]
+    return x
+
+
+def _to_layout(x: np.ndarray, spec: ParamSpec, name: str) -> np.ndarray:
+    shape = spec.shape
+    if spec.kind == LINEAR_W:
+        if x.ndim == 4:  # conv-stored 1x1 used as linear
+            x = x.reshape(x.shape[0], x.shape[1])
+        if x.ndim != 2:
+            raise ValueError(f"{name}: expected 2-D linear weight, got {x.shape}")
+        x = x.T  # [out,in] -> [in,out]
+    elif spec.kind == CONV_W:
+        if x.ndim == 2:  # linear-stored weight used as 1x1 conv
+            x = x.reshape(x.shape[0], x.shape[1], 1, 1)
+        if x.ndim != 4:
+            raise ValueError(f"{name}: expected 4-D conv weight, got {x.shape}")
+        x = x.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    else:
+        x = x.reshape(shape) if x.size == np.prod(shape) else x
+    if tuple(x.shape) != tuple(shape):
+        raise ValueError(
+            f"{name}: shape {tuple(x.shape)} does not match spec {shape}")
+    return np.ascontiguousarray(x)
+
+
+def _np_dtype(jdt) -> np.dtype:
+    # jnp.bfloat16 is ml_dtypes.bfloat16, which numpy understands directly
+    return np.dtype(jdt)
+
+
+def load_params(store: TensorStore, spec: Dict[str, ParamSpec],
+                name_map: Dict[str, NameRef]) -> Dict[str, np.ndarray]:
+    """Materialize all params required by ``spec`` in model-ready layout."""
+    params: Dict[str, np.ndarray] = {}
+    missing = []
+    for name, ps in spec.items():
+        ref = name_map.get(name)
+        if ref is None:
+            missing.append(name)
+            continue
+        x = read_entry(store, ref)
+        x = _to_layout(x, ps, name)
+        dt = _np_dtype(ps.dtype)
+        params[name] = x.astype(dt) if x.dtype != dt else x
+    if missing:
+        raise KeyError(
+            f"{len(missing)} tensors missing from checkpoint, e.g. "
+            + ", ".join(missing[:8]))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# LoRA merging (reference: src/lora.c)
+# ---------------------------------------------------------------------------
+
+def lora_apply(model_store: TensorStore, model_map: Dict[str, NameRef],
+               lora_store: TensorStore, mult: float) -> int:
+    """Merge ``dst += scale * up @ down`` into the model store's cache for
+    every ``*.lora_down.weight`` in the lora file.  Returns patch count."""
+    # normalize lora names once
+    lora_map: Dict[str, str] = {}
+    for raw in lora_store.tensors:
+        r = normalize_lora_name(raw)
+        if isinstance(r, str):
+            lora_map[r] = raw
+    n = 0
+    for internal, raw in lora_map.items():
+        if not internal.endswith(".lora_down.weight"):
+            continue
+        stem = internal[:-len(".lora_down.weight")]
+        dst_ref = model_map.get(stem + ".weight")
+        if dst_ref is None:
+            raise KeyError(f"lora tensor not found in model: {stem}.weight")
+        up_raw = lora_map.get(stem + ".lora_up.weight")
+        if up_raw is None:
+            raise KeyError(f"lora up tensor not found: {stem}.lora_up.weight")
+        down = lora_store.read(raw, "f32")
+        up = lora_store.read(up_raw, "f32")
+        rank = down.shape[0]
+        scale = 1.0
+        if stem + ".scale" in lora_map:
+            scale = float(lora_store.read(lora_map[stem + ".scale"], "f32"))
+        elif stem + ".alpha" in lora_map:
+            scale = float(lora_store.read(lora_map[stem + ".alpha"], "f32")) / rank
+        scale *= mult
+        base = read_entry(model_store, dst_ref).copy()
+        delta = (up.reshape(up.shape[0], -1) @
+                 down.reshape(down.shape[0], -1) * scale)
+        patched = base + delta.reshape(base.shape)
+        if not np.isfinite(patched.flat[0]):
+            raise FloatingPointError(f"NaN in LoRA result for {stem}")
+        if dst_ref.split is not None:
+            raise ValueError(f"lora on fused qkv tensor not supported: {stem}")
+        model_store.cache_set(dst_ref.raw, patched)
+        n += 1
+    return n
