@@ -1,0 +1,1148 @@
+"""Session / library API: the TPU-native counterpart of ``libmlimgsynth``.
+
+Mirrors the reference session semantics (reference: src/mlimgsynth.c,
+include/mlimgsynth.h): lazy setup with ready-flags, the 35-option config
+system with string parsing, model-type identification and per-type defaults,
+txt2img / img2img / inpainting generation, SDXL dual-encoder conditioning,
+LoRA loading (incl. ``<lora:...>`` prompt tags), named tensor slots, progress
+callbacks, A1111-style infotext.
+
+Array convention at this boundary: float32 numpy NCHW ``[n,c,h,w]`` (the
+row-major view of the reference's ggml layout) so TENSOR files, Philox draw
+order and slice semantics are byte-compatible.  Device code is NHWC; the
+conversion happens inside the jitted wrappers.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import __version__ as _pkg_version
+from . import prompt as prompt_mod
+from . import tokenizer as tok_mod
+from . import weights as weights_mod
+from .io.tensorstore import TensorStore
+from .rng import RngPhilox
+from .sampling.sampler import SamplerConfig, make_plan, run_sampler
+from .sampling.solvers import get_solver
+from .utils import image as image_mod
+from .utils.log import LVL_DEBUG, LVL_INFO, g_logger as log
+
+
+class MlisError(Exception):
+    """Error with a negative code matching MLIS_ErrCode
+    (include/mlimgsynth.h:68-77)."""
+    E_UNKNOWN = -1
+    E_VERSION = -2
+    E_FILE_NOT_FOUND = -3
+    E_UNK_OPT = -4
+    E_PROMPT_PARSE = -5
+    E_OPT_VALUE = -6
+    E_NAN = -7
+    E_IMAGE = -8
+
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code
+
+
+class Aborted(Exception):
+    pass
+
+
+# Stages (include/mlimgsynth.h MLIS_Stage)
+STAGE_IDLE = 0
+STAGE_COND_ENCODE = 1
+STAGE_IMAGE_ENCODE = 2
+STAGE_IMAGE_DECODE = 3
+STAGE_DENOISE = 4
+
+STAGE_NAMES = ["idle", "cond_encode", "image_encode", "image_decode",
+               "denoise"]
+
+METHOD_NAMES = ["none", "euler", "heun", "taylor3", "dpmpp2m", "dpmpp2s"]
+SCHED_NAMES = ["none", "uniform", "karras"]
+MODEL_TYPE_NAMES = ["none", "sd1", "sd2", "sdxl"]
+
+# Tensor-use flags (include/mlimgsynth.h:277-283)
+TUF_IMAGE = 1
+TUF_MASK = 2
+TUF_LATENT = 4
+TUF_LMASK = 8
+TUF_CONDITIONING = 16
+
+
+def _id_cmp(a: str, b: str) -> bool:
+    """Case/hyphen-insensitive option/enum name compare, '+' matches 'p'
+    (reference: strsl_cmpz_id, src/mlimgsynth.c:157-170)."""
+    def norm(s):
+        return s.lower().replace("-", "_").replace("+", "p")
+    return norm(a) == norm(b)
+
+
+def _enum_from_str(names: List[str], s: str) -> int:
+    for i, n in enumerate(names):
+        if _id_cmp(s, n):
+            return i
+    return -1
+
+
+@dataclass
+class ModelTypeDef:
+    name: str
+    clip_p: tok_mod.ClipParams
+    clip2_p: Optional[tok_mod.ClipParams]
+    unet_p: "object"
+    vae_p: "object"
+    default_dim: int
+    default_clip_skip: int
+
+
+def _model_types():
+    from .models import clip as clip_mod
+    from .models import unet as unet_mod
+    from .models import vae as vae_mod
+    return {
+        "sd1": ModelTypeDef("sd1", clip_mod.CLIP_VIT_L_14, None,
+                            unet_mod.UNET_SD1, vae_mod.VAE_SD1, 512, 1),
+        "sd2": ModelTypeDef("sd2", clip_mod.CLIP_VIT_H_14, None,
+                            unet_mod.UNET_SD2, vae_mod.VAE_SD1, 768, 2),
+        "sdxl": ModelTypeDef("sdxl", clip_mod.CLIP_VIT_L_14,
+                             clip_mod.CLIP_VIT_BIGG_14, unet_mod.UNET_SDXL,
+                             vae_mod.VAE_SDXL, 1024, 2),
+    }
+
+
+def _split_args(value: str) -> List[str]:
+    """Split a ','-separated option value with double-quote quoting
+    (reference: value_str_next, src/mlimgsynth.c:845-863)."""
+    out, cur, i, n = [], [], 0, len(value)
+    in_q = False
+    while i < n:
+        c = value[i]
+        if in_q:
+            if c == '"':
+                in_q = False
+            else:
+                cur.append(c)
+        elif c == '"':
+            in_q = True
+        elif c == ",":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+
+def _int(v, default=0):
+    if isinstance(v, str):
+        v = v.strip()
+        return default if v == "" else int(v)
+    return int(v)
+
+
+def _float(v, default=0.0):
+    if isinstance(v, str):
+        v = v.strip()
+        return default if v == "" else float(v)
+    return float(v)
+
+
+_BOOL = {"true": 1, "yes": 1, "y": 1, "1": 1,
+         "false": 0, "no": 0, "n": 0, "0": 0}
+
+
+def _parse_bool(s: str) -> int:
+    v = _BOOL.get(s.strip().lower())
+    if v is None:
+        raise ValueError(f"invalid boolean '{s}'")
+    return v
+
+
+class MLImgSynth:
+    """The session object (reference: MLIS_Ctx)."""
+
+    def __init__(self):
+        import jax.numpy as jnp
+        self.c = {
+            "backend": "", "be_params": "",
+            "model": "", "tae": "", "lora_dir": "", "aux_dir": "",
+            "prompt_raw": "", "nprompt_raw": "",
+            "width": 0, "height": 0, "clip_skip": 0,
+            "cfg_scale": 7.0, "method": "euler", "scheduler": "uniform",
+            "steps": 0, "f_t_ini": 1.0, "f_t_end": 0.0,
+            "s_noise": 0.0, "s_ancestral": 0.0,
+            "n_batch": 1, "vae_tile": 0, "unet_split": False,
+            "threads": 0, "dump_flags": 0,
+            "no_decode": False, "no_prompt_parse": False,
+            "model_type": "", "weight_type": "",
+            "tuflags": 0,
+        }
+        self.prompt = prompt_mod.PromptText()
+        self.nprompt = prompt_mod.PromptText()
+        self.loras: List[Tuple[str, float, bool]] = []  # (path, mult, from_prompt)
+        self.rng = RngPhilox(seed=int(time.time() * 1000) & 0xFFFFFFFFFFFF)
+        self.callback: Optional[Callable] = None
+        self.errstr = ""
+        self.infotext = ""
+        # named tensor slots (NCHW numpy): reference MLIS_TensorId
+        self.tensors: Dict[str, Optional[np.ndarray]] = {
+            k: None for k in ("image", "mask", "latent", "lmask", "cond",
+                              "label", "ncond", "nlabel",
+                              "tmp0", "tmp1", "tmp2", "tmp3")}
+        self.progress = {"stage": STAGE_IDLE, "step": 0, "step_end": 0,
+                         "nfe": 0, "step_time": 0.0}
+        # runtime
+        self._dtype = jnp.bfloat16
+        self._store: Optional[TensorStore] = None
+        self._name_map = None
+        self._mt: Optional[ModelTypeDef] = None
+        self._params: Dict[str, dict] = {}   # submodel -> device params
+        self._ready = set()
+        self._nfe = 0
+        self._wtype_set = False
+        self._model_type_set = False
+
+    # ------------------------------------------------------------------
+    # Options (reference: src/mlimgsynth_options_set.c.h)
+    # ------------------------------------------------------------------
+
+    def option_set(self, name: str, *args) -> None:
+        try:
+            self._option_set(name, *args)
+        except MlisError:
+            raise
+        except Exception as e:
+            raise MlisError(MlisError.E_OPT_VALUE,
+                            f"invalid argument for option '{name}': {e}")
+
+    def _find_option(self, name: str) -> str:
+        for opt in _OPTIONS:
+            if _id_cmp(name, opt):
+                return opt
+        raise MlisError(MlisError.E_UNK_OPT, f"unknown option '{name}'")
+
+    def _option_set(self, name: str, *args) -> None:
+        opt = self._find_option(name)
+        c = self.c
+        if opt == "backend":
+            c["backend"] = str(args[0]) if args else ""
+            c["be_params"] = str(args[1]) if len(args) > 1 else ""
+            self._ready.discard("backend")
+        elif opt == "model":
+            c["model"] = str(args[0])
+            self._ready.discard("model")
+        elif opt == "tae":
+            c["tae"] = str(args[0]) if args else ""
+        elif opt == "lora_dir":
+            c["lora_dir"] = str(args[0])
+        elif opt == "lora":
+            path = str(args[0])
+            mult = float(args[1]) if len(args) > 1 and args[1] != "" else 1.0
+            self._lora_add(path, mult, from_prompt=False)
+        elif opt == "lora_clear":
+            self.loras.clear()
+            self._ready.discard("loras")
+        elif opt == "prompt":
+            self._prompt_set("prompt_raw", self.prompt, str(args[0]))
+        elif opt == "nprompt":
+            self._prompt_set("nprompt_raw", self.nprompt, str(args[0]))
+        elif opt == "no_prompt_parse":
+            c["no_prompt_parse"] = bool(_parse_bool(str(args[0]))
+                                        if isinstance(args[0], str)
+                                        else args[0])
+        elif opt == "image_dim":
+            c["width"] = _int(args[0])
+            c["height"] = (_int(args[1]) if len(args) > 1 and
+                           str(args[1]) != "" else c["width"])
+        elif opt == "batch_size":
+            c["n_batch"] = max(1, _int(args[0], 1))
+        elif opt == "clip_skip":
+            c["clip_skip"] = _int(args[0])
+        elif opt == "cfg_scale":
+            c["cfg_scale"] = _float(args[0], 7.0)
+        elif opt == "method":
+            m = args[0]
+            if isinstance(m, str) and m.strip() == "":
+                return
+            if isinstance(m, str):
+                s = m
+                if s.lower().endswith("_a") or s.lower().endswith("-a"):
+                    s = s[:-2]
+                    c["s_ancestral"] = 1.0
+                i = _enum_from_str(METHOD_NAMES, s)
+                if i <= 0:
+                    raise MlisError(MlisError.E_OPT_VALUE,
+                                    f"invalid method name '{m}'")
+                c["method"] = METHOD_NAMES[i]
+            else:
+                c["method"] = METHOD_NAMES[int(m)]
+        elif opt == "scheduler":
+            s = args[0]
+            if isinstance(s, str) and s.strip() == "":
+                return
+            if isinstance(s, str):
+                i = _enum_from_str(SCHED_NAMES, s)
+                if i <= 0:
+                    raise MlisError(MlisError.E_OPT_VALUE,
+                                    f"invalid scheduler '{s}'")
+                c["scheduler"] = SCHED_NAMES[i]
+            else:
+                c["scheduler"] = SCHED_NAMES[int(s)]
+        elif opt == "steps":
+            c["steps"] = _int(args[0])
+        elif opt == "f_t_ini":
+            c["f_t_ini"] = _float(args[0], 1.0)
+        elif opt == "f_t_end":
+            c["f_t_end"] = _float(args[0])
+        elif opt == "s_noise":
+            c["s_noise"] = _float(args[0])
+        elif opt == "s_ancestral":
+            c["s_ancestral"] = _float(args[0])
+        elif opt == "image":
+            self._image_set(args[0])
+        elif opt == "image_mask":
+            t = args[0]
+            if t.shape[1] != 1:
+                raise MlisError(MlisError.E_IMAGE,
+                                "mask must have one channel")
+            self.tensors["mask"] = np.asarray(t, np.float32)
+            c["tuflags"] |= TUF_MASK
+        elif opt == "no_decode":
+            c["no_decode"] = bool(_parse_bool(str(args[0]))
+                                  if isinstance(args[0], str) else args[0])
+        elif opt == "tensor_use_flags":
+            c["tuflags"] = _int(args[0])
+        elif opt == "seed":
+            if args and str(args[0]) != "":
+                self.rng.seed = int(args[0])
+                self.rng.offset = 0
+        elif opt == "vae_tile":
+            c["vae_tile"] = _int(args[0])
+        elif opt == "unet_split":
+            c["unet_split"] = bool(_parse_bool(str(args[0]))
+                                   if isinstance(args[0], str) else args[0])
+        elif opt == "threads":
+            c["threads"] = _int(args[0])
+        elif opt == "dump_flags":
+            c["dump_flags"] = _int(args[0])
+        elif opt == "aux_dir":
+            c["aux_dir"] = str(args[0])
+        elif opt == "callback":
+            self.callback = args[0]
+        elif opt == "error_handler":
+            self.error_handler = args[0]
+        elif opt == "log_level":
+            from .utils.log import level_from_str
+            log.level = level_from_str(str(args[0]))
+        elif opt == "model_type":
+            mt = args[0]
+            if isinstance(mt, int):
+                mt = MODEL_TYPE_NAMES[mt]
+            self._model_type_apply(mt)
+        elif opt == "weight_type":
+            self._weight_type_set(str(args[0]))
+        else:
+            raise MlisError(MlisError.E_UNK_OPT, f"unknown option '{name}'")
+
+    def option_set_str(self, name: str, value: Optional[str]) -> None:
+        """Set an option from its string form (reference:
+        mlis_option_set_str)."""
+        opt = self._find_option(name)
+        value = value if value is not None else ""
+        if opt in ("model", "tae", "lora_dir", "aux_dir", "prompt",
+                   "nprompt"):
+            self.option_set(opt, value)  # no comma-splitting for paths/text
+        elif opt in ("callback", "error_handler", "image", "image_mask"):
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
+                f"option '{opt}' cannot be set with a string value")
+        else:
+            self.option_set(opt, *_split_args(value))
+
+    def option_get(self, name: str):
+        opt = self._find_option(name)
+        if opt == "model_type":
+            return self.c["model_type"] or "none"
+        return self.c.get(opt)
+
+    # ------------------------------------------------------------------
+
+    def _prompt_set(self, key: str, pt: prompt_mod.PromptText, text: str):
+        self.c[key] = text
+        if self.c["no_prompt_parse"]:
+            parsed = prompt_mod.prompt_set_raw(text)
+        else:
+            try:
+                parsed = prompt_mod.prompt_set_parse(text)
+            except prompt_mod.PromptParseError as e:
+                raise MlisError(MlisError.E_PROMPT_PARSE, str(e))
+            for lname, lmult in parsed.loras:
+                self._lora_add(lname, lmult, from_prompt=True)
+        pt.text = parsed.text
+        pt.chunks = parsed.chunks
+        pt.loras = parsed.loras
+
+    def _lora_find(self, name: str) -> str:
+        """(reference: mlis_lora_path_find, src/mlimgsynth.c:631-668)."""
+        if os.path.exists(name):
+            return name
+        base = self.c["lora_dir"]
+        path = os.path.join(base, name + ".safetensors") if base else \
+            name + ".safetensors"
+        if os.path.exists(path):
+            return path
+        raise MlisError(MlisError.E_FILE_NOT_FOUND,
+                        f"lora model file not found '{path}'")
+
+    def _lora_add(self, name: str, mult: float, from_prompt: bool):
+        path = self._lora_find(name)
+        self.loras.append((path, mult, from_prompt))
+        self._ready.discard("loras")
+
+    def _image_set(self, img):
+        """Accepts uint8 [h,w,c] or float NCHW tensor; alpha becomes mask
+        (reference: OPTION(IMAGE))."""
+        if img.dtype == np.uint8:
+            t = image_mod.tensor_from_image_arr(img)
+        else:
+            t = np.asarray(img, np.float32)
+        if t.shape[1] == 4:
+            rgb, mask = image_mod.image_alpha_split(t)
+            self.tensors["mask"] = np.ascontiguousarray(mask)
+            t = np.ascontiguousarray(rgb)
+            self.c["tuflags"] |= TUF_MASK
+        elif t.shape[1] != 3:
+            raise MlisError(MlisError.E_IMAGE,
+                            f"invalid number of channels: {t.shape[1]}")
+        self.tensors["image"] = t
+        self.c["tuflags"] |= TUF_IMAGE
+
+    def _model_type_apply(self, mt: str):
+        if mt in ("", "none"):
+            self._mt = None
+            self.c["model_type"] = ""
+            self._model_type_set = False
+            return
+        defs = _model_types()
+        if mt not in defs:
+            raise MlisError(MlisError.E_OPT_VALUE, f"invalid model type {mt}")
+        self._mt = defs[mt]
+        self.c["model_type"] = mt
+        self._model_type_set = True
+        # defaults applied only if unset (reference: IFNPOSSET)
+        if self.c["width"] <= 0:
+            self.c["width"] = self._mt.default_dim
+        if self.c["height"] <= 0:
+            self.c["height"] = self.c["width"]
+        if self.c["clip_skip"] <= 0:
+            self.c["clip_skip"] = self._mt.default_clip_skip
+
+    def _weight_type_set(self, wt: str):
+        import jax.numpy as jnp
+        if wt in ("", "none", "-1"):
+            self._dtype = jnp.bfloat16
+            self._wtype_set = False
+            return
+        m = {"f32": jnp.float32, "f16": jnp.bfloat16, "bf16": jnp.bfloat16,
+             "q8_0": jnp.bfloat16, "q4_1": jnp.bfloat16,
+             "q4_k": jnp.bfloat16, "q5_k": jnp.bfloat16,
+             "q6_k": jnp.bfloat16}
+        key = wt.lower()
+        if key == "f32":
+            self._dtype = jnp.float32
+        elif key in m:
+            self._dtype = m[key]
+        else:
+            raise MlisError(MlisError.E_OPT_VALUE,
+                            f"unknown weight type '{wt}'")
+        self.c["weight_type"] = key
+        self._wtype_set = True
+
+    # ------------------------------------------------------------------
+    # Setup (reference: mlis_setup, src/mlimgsynth.c:1251-1302)
+    # ------------------------------------------------------------------
+
+    def setup(self):
+        if "rng" not in self._ready:
+            log.info(f"Seed: {self.rng.seed}")
+            self._ready.add("rng")
+        if "backend" not in self._ready:
+            self._backend_init()
+            self._ready.add("backend")
+        if "model" not in self._ready:
+            self._model_load()
+            self._ready.add("model")
+        if "loras" not in self._ready:
+            self._loras_apply()
+            self._ready.add("loras")
+
+    def _backend_init(self):
+        import jax
+        want = self.c["backend"]
+        backend = jax.default_backend()
+        if want and want not in ("best", backend):
+            platforms = {d.platform for d in jax.devices()}
+            if want not in platforms:
+                raise MlisError(
+                    -1, f"backend '{want}' not available (have {backend})")
+        log.info(f"Backend: {backend} ({len(jax.devices())} device(s))")
+
+    def _model_load(self):
+        if not self.c["model"]:
+            if self._model_type_set:
+                # weight-less mode for tokenize-only use
+                self._store = None
+                self._name_map = {}
+                return
+            raise MlisError(MlisError.E_UNKNOWN, "No model file set")
+        t0 = time.time()
+        store = TensorStore.open(self.c["model"])
+        if self.c["tae"]:
+            store.read_file(self.c["tae"], prefix="tae.")
+        self._store = store
+        self._name_map = weights_mod.build_name_map(store)
+        # keep raw tae names accessible under the tae. prefix
+        for raw in store.tensors:
+            if raw.startswith("tae.") and raw not in self._name_map:
+                self._name_map[raw] = weights_mod.NameRef(raw)
+        log.info2(f"Model header loaded {{{time.time() - t0:.3f}s}}")
+        mt, wt = weights_mod.identify_model(store, self._name_map)
+        if mt:
+            self._model_type_apply(mt)
+        elif not self._model_type_set:
+            raise MlisError(-1, "could not detect the model type")
+        log.info(f"Model type: {self.c['model_type']}")
+        if wt and not self._wtype_set:
+            self._weight_type_set(wt)
+            self._wtype_set = False  # identification, not user choice
+        log.info2(f"Weight type: {self.c.get('weight_type') or 'f16'}")
+
+    def _loras_apply(self):
+        if self._store is None:
+            return
+        self._store.cache_clear()
+        self._params.clear()  # cached device params are stale after unpatch
+        if not self.loras:
+            return
+        t0 = time.time()
+        for path, mult, _ in self.loras:
+            lstore = TensorStore.open(path)
+            n = weights_mod.lora_apply(self._store, self._name_map, lstore,
+                                       mult)
+            log.debug(f"lora '{path}' patched {n} tensors")
+            lstore.close()
+        log.info(f"LoRA's applied: {len(self.loras)} "
+                 f"{{{time.time() - t0:.3f}s}}")
+
+    # ------------------------------------------------------------------
+    # Submodel params
+    # ------------------------------------------------------------------
+
+    def _get_params(self, submodel: str) -> dict:
+        """Load (and device-cache) one submodel's params."""
+        if submodel in self._params:
+            return self._params[submodel]
+        if self._store is None:
+            raise MlisError(-1, "no model loaded")
+        import jax.numpy as jnp
+        from .models import blocks as B
+        from .models import clip as clip_mod
+        from .models import tae as tae_mod
+        from .models import unet as unet_mod
+        from .models import vae as vae_mod
+        mt = self._mt
+        t0 = time.time()
+        if submodel in ("clip", "clip2"):
+            P = mt.clip_p if submodel == "clip" else mt.clip2_p
+            has_proj = (f"{submodel}.text.text_proj" in self._name_map)
+            spec = B.trace_spec(
+                lambda ctx, toks: clip_mod.clip_text_apply(
+                    ctx, toks, P, feat_tok_idx=(
+                        jnp.zeros((1,), jnp.int32) if has_proj else None),
+                    pre=submodel),
+                jnp.zeros((1, P.n_token), jnp.int32))
+        elif submodel == "unet":
+            P = mt.unet_p
+            label = (jnp.zeros((1, P.ch_adm_in)) if P.ch_adm_in else None)
+            spec = B.trace_spec(
+                lambda ctx, x, t, c: unet_mod.unet_apply(
+                    ctx, x, t, c, label, P),
+                jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
+                jnp.zeros((1, 77, P.n_ctx)))
+        elif submodel == "vae":
+            P = mt.vae_p
+            spec = B.trace_spec(
+                lambda ctx, x: vae_mod.vae_encode_apply(ctx, x, P),
+                jnp.zeros((1, 64, 64, 3)))
+            spec.update(B.trace_spec(
+                lambda ctx, x: vae_mod.vae_decode_apply(ctx, x, P),
+                jnp.zeros((1, 8, 8, P.ch_z))))
+        elif submodel == "tae":
+            P = tae_mod.TAE_SD1
+            spec = B.trace_spec(
+                lambda ctx, x: tae_mod.tae_encode_apply(ctx, x, P),
+                jnp.zeros((1, 64, 64, 3)))
+            spec.update(B.trace_spec(
+                lambda ctx, x: tae_mod.tae_decode_apply(ctx, x, P),
+                jnp.zeros((1, 8, 8, 4))))
+        else:
+            raise MlisError(-1, f"unknown submodel '{submodel}'")
+        # re-dtype the spec to the session weight type
+        for k, ps in spec.items():
+            if ps.dtype == jnp.bfloat16 and self._dtype != jnp.bfloat16:
+                spec[k] = B.ParamSpec(ps.shape, ps.kind, self._dtype)
+        host = weights_mod.load_params(self._store, spec, self._name_map)
+        dev = {k: jnp.asarray(v) for k, v in host.items()}
+        self._params[submodel] = dev
+        log.info2(f"{submodel} params loaded {{{time.time() - t0:.3f}s}}")
+        return dev
+
+    def _free_params(self, submodel: str):
+        self._params.pop(submodel, None)
+
+    # ------------------------------------------------------------------
+    # Progress / callbacks
+    # ------------------------------------------------------------------
+
+    def _cb(self, stage: int, step: int, step_end: int):
+        now = time.time()
+        p = self.progress
+        p["step_time"] = now - p.get("_t", now)
+        p["_t"] = now
+        p.update(stage=stage, step=step, step_end=step_end, nfe=self._nfe)
+        if self.callback is not None:
+            if self.callback(self, dict(p)):
+                raise Aborted("generation cancelled by callback")
+
+    # ------------------------------------------------------------------
+    # Text encoding (reference: mlis_text_cond_encode etc.)
+    # ------------------------------------------------------------------
+
+    def text_tokenize(self, text: str, submodel: str = "clip") -> List[int]:
+        self.setup() if self._mt is None else None
+        if self._mt is None:
+            raise MlisError(-1, "model type not set")
+        return tok_mod.tokenize(text)
+
+    def _prompt_tokens(self, pt: prompt_mod.PromptText
+                       ) -> Tuple[List[int], List[float]]:
+        toks: List[int] = []
+        wts: List[float] = []
+        chunks = pt.chunks if pt.chunks else [(pt.text, 1.0)]
+        for text, w in chunks:
+            t = tok_mod.tokenize(text)
+            toks.extend(t)
+            wts.extend([w] * len(t))
+        log.info(f"Prompt: {len(toks)} tokens")
+        return toks, wts
+
+    def _clip_encode(self, toks: List[int], weights: Optional[List[float]],
+                     submodel: str, want_feat: bool, norm: bool,
+                     clip_skip: int):
+        """Encode wrapped tokens; apply per-token emphasis weights
+        (reference: mlis_clip_tokens_encode, src/mlimgsynth.c:1424-1467)."""
+        import jax.numpy as jnp
+        P = self._mt.clip_p if submodel == "clip" else self._mt.clip2_p
+        wrapped = tok_mod.wrap_tokens(P, toks)
+        params = self._get_params(submodel)
+        n_tok = len(toks)
+        embed, feat = _clip_jit(
+            params, np.asarray([wrapped], np.int32),
+            np.asarray([n_tok + 1], np.int32), clip_p=P, submodel=submodel,
+            clip_skip=clip_skip, norm=norm, want_feat=want_feat,
+            dtype=self._dtype)
+        embed = np.asarray(embed, np.float32)
+        if weights is not None and n_tok:
+            w = np.ones(embed.shape[1], np.float32)
+            w[1:n_tok + 1] = weights
+            embed = embed * w[None, :, None]
+        return embed, (np.asarray(feat, np.float32) if feat is not None
+                       else None)
+
+    def clip_text_encode(self, text: str, submodel: str = "clip",
+                         want_feat: bool = False, norm: bool = True):
+        """Public text-embedding utility (reference: mlis_clip_text_encode)."""
+        self.setup()
+        pt = prompt_mod.prompt_set_raw(text)
+        toks, _ = self._prompt_tokens(pt)
+        return self._clip_encode(toks, None, submodel, want_feat, norm,
+                                 self.c["clip_skip"] if not want_feat else 0)
+
+    def _text_cond_encode(self, pt: prompt_mod.PromptText):
+        """Full conditioning, incl. SDXL dual-encoder + size labels
+        (reference: mlis_text_cond_encode, src/mlimgsynth.c:1486-1563)."""
+        mt = self._mt
+        norm = mt.unet_p.clip_norm
+        toks, wts = self._prompt_tokens(pt)
+        cond, _ = self._clip_encode(toks, wts, "clip", False, norm,
+                                    self.c["clip_skip"])
+        label = None
+        if mt.unet_p.cond_label:
+            emb2, _ = self._clip_encode(toks, wts, "clip2", False, norm,
+                                        self.c["clip_skip"])
+            cond = np.concatenate([cond, emb2], axis=-1)
+            _, feat = self._clip_encode(toks, None, "clip2", True, True, 0)
+            h, w = self.c["height"], self.c["width"]
+            sizes = np.array([h, w, 0, 0, h, w], np.float32)
+            from .models.blocks import timestep_embedding
+            import jax.numpy as jnp
+            se = np.asarray(timestep_embedding(jnp.asarray(sizes), 256),
+                            np.float32).reshape(-1)
+            label = np.concatenate([feat[0], se])[None]
+        return cond, label
+
+    # ------------------------------------------------------------------
+    # Image encode/decode (reference: mlis_image_encode/decode)
+    # ------------------------------------------------------------------
+
+    def image_encode(self, img: np.ndarray, sample: bool = True
+                     ) -> np.ndarray:
+        """img NCHW [n,3,h,w] in [0,1] -> scaled latent [n,4,h/8,w/8]."""
+        self.setup()
+        if self.c["tae"]:
+            lat = self._tae_encode(img)
+        else:
+            lat = self._vae_encode(img, sample=sample)
+        if not np.isfinite(lat).all():
+            raise MlisError(MlisError.E_NAN, "NaN found in encoded latent")
+        self._cb(STAGE_IMAGE_ENCODE, 1, 1)
+        return lat
+
+    def image_decode(self, latent: np.ndarray) -> np.ndarray:
+        """latent NCHW [n,4,h,w] (scaled) -> image [n,3,8h,8w] in [0,1]."""
+        self.setup()
+        if self.c["tae"]:
+            img = self._tae_decode(latent)
+        else:
+            img = self._vae_decode(latent)
+        if not np.isfinite(img).all():
+            raise MlisError(MlisError.E_NAN, "NaN found in decoded image")
+        self._cb(STAGE_IMAGE_DECODE, 1, 1)
+        return img
+
+    def mask_encode(self, mask: np.ndarray) -> np.ndarray:
+        """Image mask -> latent mask by block-mean downsize
+        (reference: mlis_mask_encode)."""
+        f = self._mt.vae_p.f_down if self._mt else 8
+        return image_mod.mask_downsize(mask, f)
+
+    def _vae_encode(self, img: np.ndarray, sample: bool) -> np.ndarray:
+        params = self._get_params("vae")
+        P = self._mt.vae_p
+        tile = self.c["vae_tile"]
+        x = np.asarray(img, np.float32) * 2.0 - 1.0  # [0,1] -> [-1,1]
+        if tile > 0:
+            mom = _tiled_encode(params, x, P, tile, self._dtype)
+        else:
+            mom = np.asarray(_vae_encode_jit(
+                params, x.transpose(0, 2, 3, 1), vae_p=P, dtype=self._dtype),
+                np.float32).transpose(0, 3, 1, 2)
+        if sample:
+            n, _, h, w = mom.shape
+            rand = np.stack([
+                self.rng.randn_shaped((P.ch_z, h, w)) for _ in range(n)])
+            mean = mom[:, :P.ch_z]
+            logvar = np.clip(mom[:, P.ch_z:], -30, 20)
+            return ((mean + np.exp(logvar * 0.5) * rand)
+                    * P.scale_factor).astype(np.float32)
+        return (mom[:, :P.ch_z] * P.scale_factor).astype(np.float32)
+
+    def _vae_decode(self, latent: np.ndarray) -> np.ndarray:
+        params = self._get_params("vae")
+        P = self._mt.vae_p
+        tile = self.c["vae_tile"]
+        lat = np.asarray(latent, np.float32)
+        if tile > 0:
+            img = _tiled_decode(params, lat, P, tile, self._dtype)
+        else:
+            img = np.asarray(_vae_decode_jit(
+                params, lat.transpose(0, 2, 3, 1), vae_p=P,
+                dtype=self._dtype), np.float32).transpose(0, 3, 1, 2)
+        return (img + 1.0) / 2.0
+
+    def _tae_encode(self, img: np.ndarray) -> np.ndarray:
+        from .models.tae import TAE_SD1
+        params = self._get_params("tae")
+        lat = np.asarray(_tae_encode_jit(
+            params, np.asarray(img, np.float32).transpose(0, 2, 3, 1),
+            dtype=self._dtype), np.float32).transpose(0, 3, 1, 2)
+        return lat
+
+    def _tae_decode(self, latent: np.ndarray) -> np.ndarray:
+        params = self._get_params("tae")
+        img = np.asarray(_tae_decode_jit(
+            params, np.asarray(latent, np.float32).transpose(0, 2, 3, 1),
+            dtype=self._dtype), np.float32).transpose(0, 3, 1, 2)
+        return np.clip(img, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+    # Generate (reference: mlis_generate, src/mlimgsynth.c:1634-1773)
+    # ------------------------------------------------------------------
+
+    def generate(self) -> np.ndarray:
+        self.setup()
+        t_start = time.time()
+        self.progress = {"stage": STAGE_IDLE, "step": 0, "step_end": 0,
+                         "nfe": 0, "step_time": 0.0, "_t": t_start}
+        self._nfe = 0
+        c = self.c
+        mt = self._mt
+        f = mt.vae_p.f_down
+        n_batch = c["n_batch"]
+        w = c["width"] // f
+        h = c["height"] // f
+
+        # initial latent
+        if c["tuflags"] & TUF_IMAGE:
+            img = self.tensors["image"]
+            if img.shape[0] != n_batch:
+                img = np.repeat(img, n_batch // img.shape[0], axis=0)
+            self.tensors["latent"] = self.image_encode(img)
+            c["tuflags"] |= TUF_LATENT
+        if c["tuflags"] & TUF_LATENT:
+            latent = np.asarray(self.tensors["latent"], np.float32)
+            if latent.shape[0] < n_batch:
+                latent = np.repeat(latent, n_batch, axis=0)
+            h, w = latent.shape[2], latent.shape[3]
+        else:
+            log.debug("Empty initial latent")
+            latent = np.zeros((n_batch, mt.unet_p.n_ch_in, h, w), np.float32)
+        log.info(f"Output size: {w * f}x{h * f}")
+
+        # masks
+        if c["tuflags"] & TUF_MASK:
+            self.tensors["lmask"] = self.mask_encode(self.tensors["mask"])
+            c["tuflags"] |= TUF_LMASK
+        lmask = (self.tensors["lmask"] if c["tuflags"] & TUF_LMASK else None)
+        if lmask is not None:
+            log.info("In-painting with mask")
+
+        # conditioning
+        if not (c["tuflags"] & TUF_CONDITIONING):
+            cond, label = self._text_cond_encode(self.prompt)
+            ncond = nlabel = None
+            if c["cfg_scale"] > 1:
+                ncond, nlabel = self._text_cond_encode(self.nprompt)
+                if mt.unet_p.uncond_empty_zero and not c["nprompt_raw"]:
+                    ncond = np.zeros_like(ncond)
+            self.tensors["cond"], self.tensors["label"] = cond, label
+            self.tensors["ncond"], self.tensors["nlabel"] = ncond, nlabel
+            self._cb(STAGE_COND_ENCODE, 1, 1)
+        cond = self.tensors["cond"]
+        ncond = self.tensors["ncond"]
+        label, nlabel = self.tensors["label"], self.tensors["nlabel"]
+        if cond.shape[0] < n_batch:
+            cond = np.repeat(cond, n_batch, axis=0)
+            ncond = np.repeat(ncond, n_batch, axis=0) if ncond is not None \
+                else None
+            label = np.repeat(label, n_batch, axis=0) if label is not None \
+                else None
+            nlabel = np.repeat(nlabel, n_batch, axis=0) \
+                if nlabel is not None else None
+
+        # sampling
+        scfg = SamplerConfig(
+            method=c["method"], sched=c["scheduler"], n_step=c["steps"],
+            cfg_scale=c["cfg_scale"], s_ancestral=c["s_ancestral"],
+            s_noise=c["s_noise"], f_t_ini=c["f_t_ini"], f_t_end=c["f_t_end"])
+        nfe_per_dxdt = 2 if c["cfg_scale"] > 1 else 1
+        plan = make_plan(scfg, latent.shape, self.rng, nfe_per_dxdt)
+        log.info(
+            f"Generating (solver: {c['method']}, sched: {c['scheduler']}, "
+            f"ancestral: {c['s_ancestral']:g}, snoise: {c['s_noise']:g}, "
+            f"cfg-s: {c['cfg_scale']:g}, steps: {plan.n_step}, "
+            f"nfe/s: {plan.nfe_per_step})")
+
+        params = self._get_params("unet")
+        if c["unet_split"]:
+            # stage-wise residency: drop text-encoder weights during the loop
+            self._free_params("clip")
+            self._free_params("clip2")
+
+        step_cb = None
+        if self.callback is not None:
+            def step_cb(i, n):
+                self._nfe += plan.nfe_per_step
+                try:
+                    self._cb(STAGE_DENOISE, i, n)
+                except Aborted:
+                    return True
+                return False
+
+        latent = run_sampler(params, latent, plan, cond, ncond, label,
+                             nlabel, lmask, scfg, mt.unet_p,
+                             dtype=self._dtype, step_callback=step_cb)
+        if step_cb is None:
+            self._nfe = plan.n_step * plan.nfe_per_step
+        if not np.isfinite(latent).all():
+            raise MlisError(MlisError.E_NAN, "NaN found in UNet output")
+        self.tensors["latent"] = latent
+        if c["unet_split"]:
+            self._free_params("unet")
+
+        # decode
+        if not c["no_decode"]:
+            self.tensors["image"] = self.image_decode(latent)
+
+        self._infotext_update(w * f, h * f, plan)
+        self._prompt_clear()
+        log.info(f"Generation done {{{time.time() - t_start:.3f}s}}")
+        return self.tensors["image"] if not c["no_decode"] else latent
+
+    def _prompt_clear(self):
+        """One-shot options cleared after generate
+        (reference: mlis_prompt_clear, src/mlimgsynth.c:697-709)."""
+        self.c["prompt_raw"] = ""
+        self.c["nprompt_raw"] = ""
+        self.c["f_t_ini"] = 1.0
+        self.c["f_t_end"] = 0.0
+        self.c["tuflags"] = 0
+        kept = [l for l in self.loras if not l[2]]
+        if len(kept) != len(self.loras):
+            self.loras = kept
+            self._ready.discard("loras")
+
+    def _infotext_update(self, w: int, h: int, plan):
+        """A1111-compatible 'parameters' text
+        (reference: mlis_infotext_update, src/mlimgsynth.c:1592-1632)."""
+        c = self.c
+        out = [c["prompt_raw"] + "\n"]
+        if c["nprompt_raw"]:
+            out.append(f"Negative prompt: {c['nprompt_raw']}\n")
+        out.append(f"Seed: {self.rng.seed}")
+        m = c["method"]
+        out.append(f", Sampler: {m}")
+        if c["s_ancestral"] == 1:
+            out.append(" ancestral")
+        out.append(f", Schedule type: {c['scheduler']}")
+        if c["s_ancestral"] > 0:
+            out.append(f", Ancestral: {c['s_ancestral']:g}")
+        if c["s_noise"] > 0:
+            out.append(f", SNoise: {c['s_noise']:g}")
+        if c["cfg_scale"] > 1:
+            out.append(f", CFG scale: {c['cfg_scale']:g}")
+        if c["f_t_ini"] < 1:
+            mode = "inpaint" if self.tensors.get("lmask") is not None \
+                else "img2img"
+            out.append(f", Mode: {mode}, f_t_ini: {c['f_t_ini']:g}")
+        out.append(f", Steps: {plan.n_step}")
+        out.append(f", NFE: {self._nfe}")
+        out.append(f", Size: {w}x{h}")
+        out.append(f", Clip skip: {c['clip_skip']}")
+        model = os.path.splitext(os.path.basename(c["model"]))[0]
+        out.append(f", Model: {model}")
+        if c["tae"]:
+            out.append(", VAE: tae")
+        out.append(f", Version: MLImgSynth-TPU v{_pkg_version}")
+        self.infotext = "".join(out)
+
+    # ------------------------------------------------------------------
+
+    def backend_info(self) -> dict:
+        """Device enumeration (reference: mlis_backend_info_get)."""
+        import jax
+        devs = []
+        for d in jax.devices():
+            mem = {}
+            try:
+                stats = d.memory_stats() or {}
+                mem = {"mem_free": stats.get("bytes_limit", 0)
+                       - stats.get("bytes_in_use", 0),
+                       "mem_total": stats.get("bytes_limit", 0)}
+            except Exception:
+                pass
+            devs.append({"name": str(d), "desc": d.device_kind, **mem})
+        return {"name": jax.default_backend(), "n_dev": len(devs),
+                "devs": devs}
+
+
+_OPTIONS = [
+    "backend", "model", "tae", "lora_dir", "lora", "lora_clear", "prompt",
+    "nprompt", "image_dim", "batch_size", "clip_skip", "cfg_scale", "method",
+    "scheduler", "steps", "f_t_ini", "f_t_end", "s_noise", "s_ancestral",
+    "image", "image_mask", "no_decode", "tensor_use_flags", "seed",
+    "vae_tile", "unet_split", "threads", "dump_flags", "aux_dir", "callback",
+    "error_handler", "log_level", "model_type", "weight_type",
+    "no_prompt_parse",
+]
+
+
+# ---------------------------------------------------------------------------
+# Jitted stage wrappers (module-level so jax.jit caches across sessions)
+# ---------------------------------------------------------------------------
+
+def _jit_import():
+    import jax
+    return jax
+
+
+@functools.lru_cache(maxsize=None)
+def _make_clip_jit():
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=(
+        "clip_p", "submodel", "clip_skip", "norm", "want_feat", "dtype"))
+    def f(params, tokens, feat_idx, *, clip_p, submodel, clip_skip, norm,
+          want_feat, dtype):
+        from .models import blocks as B
+        from .models import clip as clip_mod
+        ctx = B.Ctx(params, dtype=dtype)
+        return clip_mod.clip_text_apply(
+            ctx, tokens, clip_p, clip_skip=clip_skip, norm=norm,
+            feat_tok_idx=(feat_idx if want_feat else None), pre=submodel)
+    return f
+
+
+def _clip_jit(params, tokens, feat_idx, **kw):
+    return _make_clip_jit()(params, tokens, feat_idx, **kw)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_vae_jits():
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("vae_p", "dtype"))
+    def enc(params, img, *, vae_p, dtype):
+        from .models import blocks as B
+        from .models import vae as vae_mod
+        ctx = B.Ctx(params, dtype=dtype)
+        return vae_mod.vae_encode_apply(ctx, img, vae_p)
+
+    @functools.partial(jax.jit, static_argnames=("vae_p", "dtype"))
+    def dec(params, lat, *, vae_p, dtype):
+        from .models import blocks as B
+        from .models import vae as vae_mod
+        ctx = B.Ctx(params, dtype=dtype)
+        return vae_mod.vae_decode_apply(ctx, lat, vae_p)
+
+    return enc, dec
+
+
+def _vae_encode_jit(params, img, **kw):
+    return _make_vae_jits()[0](params, img, **kw)
+
+
+def _vae_decode_jit(params, lat, **kw):
+    return _make_vae_jits()[1](params, lat, **kw)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_tae_jits():
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("dtype",))
+    def enc(params, img, *, dtype):
+        from .models import blocks as B
+        from .models import tae as tae_mod
+        ctx = B.Ctx(params, dtype=dtype)
+        return tae_mod.tae_encode_apply(ctx, img, tae_mod.TAE_SD1)
+
+    @functools.partial(jax.jit, static_argnames=("dtype",))
+    def dec(params, lat, *, dtype):
+        from .models import blocks as B
+        from .models import tae as tae_mod
+        ctx = B.Ctx(params, dtype=dtype)
+        return tae_mod.tae_decode_apply(ctx, lat, tae_mod.TAE_SD1)
+
+    return enc, dec
+
+
+def _tae_encode_jit(params, img, **kw):
+    return _make_tae_jits()[0](params, img, **kw)
+
+
+def _tae_decode_jit(params, lat, **kw):
+    return _make_tae_jits()[1](params, lat, **kw)
+
+
+# ---------------------------------------------------------------------------
+# VAE tiling (reference: sdvae_encode/decode tiling, src/vae.c:222-411)
+# ---------------------------------------------------------------------------
+
+def _tiled_decode(params, lat: np.ndarray, P, tile_px: int, dtype
+                  ) -> np.ndarray:
+    f = P.f_down
+    k = 8  # latent-px overlap margin
+    n, cz, lh, lw = lat.shape
+    tile_px = (tile_px + 63) // 64 * 64
+    n0 = min(tile_px // f + k * 2, lw)
+    n1 = min(tile_px // f + k * 2, lh)
+    if n0 == lw and n1 == lh:
+        out = np.asarray(_vae_decode_jit(
+            params, lat.transpose(0, 2, 3, 1), vae_p=P, dtype=dtype),
+            np.float32)
+        return out.transpose(0, 3, 1, 2)
+    step0, step1 = n0 - k * 2, n1 - k * 2
+    n_t0 = (lw + step0 - 1) // step0
+    n_t1 = (lh + step1 - 1) // step1
+    img = np.zeros((n, 3, lh * f, lw * f), np.float32)
+    i_tile, n_tile = 0, n_t0 * n_t1
+    for t1 in range(n_t1):
+        i1 = min(t1 * step1, lh - n1)
+        for t0 in range(n_t0):
+            i0 = min(t0 * step0, lw - n0)
+            i_tile += 1
+            log.info(f"VAE tile {i_tile}/{n_tile}")
+            sub = lat[:, :, i1:i1 + n1, i0:i0 + n0]
+            out = np.asarray(_vae_decode_jit(
+                params, sub.transpose(0, 2, 3, 1), vae_p=P, dtype=dtype),
+                np.float32).transpose(0, 3, 1, 2)
+            d0 = k if i0 else 0
+            d1 = k if i1 else 0
+            img[:, :, (i1 + d1) * f:(i1 + n1 - k) * f if i1 + n1 < lh
+                else (i1 + n1) * f,
+                (i0 + d0) * f:(i0 + n0 - k) * f if i0 + n0 < lw
+                else (i0 + n0) * f] = \
+                out[:, :, d1 * f:(n1 - k) * f if i1 + n1 < lh else n1 * f,
+                    d0 * f:(n0 - k) * f if i0 + n0 < lw else n0 * f]
+    return img
+
+
+def _tiled_encode(params, img: np.ndarray, P, tile_px: int, dtype
+                  ) -> np.ndarray:
+    f = P.f_down
+    k = f * 8  # image-px overlap margin
+    n, _, ih, iw = img.shape
+    tile_px = (tile_px + 63) // 64 * 64
+    n0 = min(tile_px + k * 2, iw)
+    n1 = min(tile_px + k * 2, ih)
+    if n0 == iw and n1 == ih:
+        out = np.asarray(_vae_encode_jit(
+            params, img.transpose(0, 2, 3, 1), vae_p=P, dtype=dtype),
+            np.float32)
+        return out.transpose(0, 3, 1, 2)
+    step0, step1 = n0 - k * 2, n1 - k * 2
+    n_t0 = (iw + step0 - 1) // step0
+    n_t1 = (ih + step1 - 1) // step1
+    mom = np.zeros((n, P.ch_z * 2, ih // f, iw // f), np.float32)
+    i_tile, n_tile = 0, n_t0 * n_t1
+    for t1 in range(n_t1):
+        i1 = min(t1 * step1, ih - n1)
+        for t0 in range(n_t0):
+            i0 = min(t0 * step0, iw - n0)
+            i_tile += 1
+            log.info(f"VAE tile {i_tile}/{n_tile}")
+            sub = img[:, :, i1:i1 + n1, i0:i0 + n0]
+            out = np.asarray(_vae_encode_jit(
+                params, sub.transpose(0, 2, 3, 1), vae_p=P, dtype=dtype),
+                np.float32).transpose(0, 3, 1, 2)
+            d0 = k if i0 else 0
+            d1 = k if i1 else 0
+            y0 = (i1 + d1) // f
+            x0 = (i0 + d0) // f
+            y1 = (i1 + n1 - k) // f if i1 + n1 < ih else (i1 + n1) // f
+            x1 = (i0 + n0 - k) // f if i0 + n0 < iw else (i0 + n0) // f
+            mom[:, :, y0:y1, x0:x1] = \
+                out[:, :, d1 // f:d1 // f + (y1 - y0),
+                    d0 // f:d0 // f + (x1 - x0)]
+    return mom

@@ -47,6 +47,10 @@ _SAFET_DTYPES = {  # safetensors header name -> internal name
     "F64": "f64", "F32": "f32", "F16": "f16", "BF16": "bf16",
     "I64": "i64", "I32": "i32", "I16": "i16", "I8": "i8",
     "U8": "u8", "BOOL": "bool",
+    # ggml-quantized extension dtypes (as written by tstore-util convert;
+    # the reference reads/writes the same lowercase names)
+    "Q8_0": "q8_0", "Q4_1": "q4_1", "Q4_K": "q4_k", "Q5_K": "q5_k",
+    "Q6_K": "q6_k",
 }
 _SAFET_DTYPES_INV = {v: k for k, v in _SAFET_DTYPES.items()}
 
@@ -317,6 +321,12 @@ class TensorStore:
             if dtype is not None and e.dtype not in ("i64", "i32", "i16", "i8",
                                                      "u8", "bool"):
                 out_dt = dtype
+                if out_dt in gquant.BLOCK_ELEMS and (
+                        len(e.shape) < 2 or
+                        e.shape[-1] % gquant.BLOCK_ELEMS[out_dt] != 0):
+                    # small/odd tensors (biases, norms) can't be
+                    # block-quantized; keep them in f16
+                    out_dt = "f16"
             size = dtype_size(out_dt, e.n_elem)
             offset = (offset + align - 1) // align * align
             header[name] = {

@@ -280,6 +280,85 @@ def normalize_name(name: str):
     return None
 
 
+_UNET_BLOCK_INV = [
+    ("transf.", "transformer_blocks."),
+    ("q_proj.", "to_q."), ("k_proj.", "to_k."), ("v_proj.", "to_v."),
+    ("out_proj.", "to_out.0."),
+    ("norm1.", "in_layers.0."), ("conv1.", "in_layers.2."),
+    ("norm2.", "out_layers.0."), ("conv2.", "out_layers.3."),
+    ("emb_proj.", "emb_layers.1."), ("skip_conv.", "skip_connection."),
+]
+
+
+def internal_to_compvis(name: str):
+    """Inverse mapping: internal name -> CompVis checkpoint name.
+
+    Covers the subset needed to export/synthesize single-file SD checkpoints
+    (the exact inverse of :func:`normalize_name` on the names the models
+    emit).  Returns None for names with no CompVis equivalent."""
+    def unet_block(tail: str, in_attn: bool) -> str:
+        if re.match(r"transf\.\d+\.(attn1|attn2)\.", tail):
+            for a, b in _UNET_BLOCK_INV[:5]:
+                tail = tail.replace(a, b)
+            return tail
+        if tail.startswith("transf."):
+            tail = tail.replace("transf.", "transformer_blocks.")
+            return tail
+        for a, b in _UNET_BLOCK_INV[5:]:
+            if tail.startswith(a):
+                return b + tail[len(a):]
+        if tail.startswith("conv.") and not in_attn:
+            return "op." + tail[len("conv."):]  # downsample
+        return tail
+
+    if name.startswith("unet."):
+        t = name[5:]
+        if t.startswith("time_embed."):
+            return "model.diffusion_model." + t
+        if t.startswith("label_embed."):
+            return "model.diffusion_model.label_emb.0." + t[len("label_embed."):]
+        if t.startswith("in.conv."):
+            return "model.diffusion_model.input_blocks.0.0." + t[len("in.conv."):]
+        if t.startswith("out.norm."):
+            return "model.diffusion_model.out.0." + t[len("out.norm."):]
+        if t.startswith("out.conv."):
+            return "model.diffusion_model.out.2." + t[len("out.conv."):]
+        m = re.match(r"(in|out)\.(\d+)\.(\d+)\.(.*)", t)
+        if m:
+            side = "input_blocks" if m.group(1) == "in" else "output_blocks"
+            tail = m.group(4)
+            # upsample convs live in sub-block >= 1 of output blocks and keep
+            # their "conv." name in CompVis
+            in_upsample = (m.group(1) == "out" and tail.startswith("conv."))
+            blk = unet_block(tail, in_attn=False) if not in_upsample else tail
+            return f"model.diffusion_model.{side}.{m.group(2)}.{m.group(3)}.{blk}"
+        m = re.match(r"mid\.(\d+)\.(.*)", t)
+        if m:
+            return ("model.diffusion_model.middle_block."
+                    f"{m.group(1)}.{unet_block(m.group(2), False)}")
+        return None
+    if name.startswith("vae."):
+        t = name[4:].replace("skip_conv.", "nin_shortcut.")
+        return "first_stage_model." + t
+    if name.startswith("clip.text.") or name.startswith("clip2.text."):
+        pre = ("cond_stage_model.transformer."
+               if name.startswith("clip.text.")
+               else "conditioner.embedders.1.")  # clip2 as CompVis layout
+        t = name.split(".text.", 1)[1]
+        if name.startswith("clip2.text."):
+            pre = "cond_stage_model.1.transformer."
+        t = "text_model." + t
+        t = t.replace("embed.position.", "embeddings.position_embedding.")
+        t = t.replace("embed.token.", "embeddings.token_embedding.")
+        t = t.replace(".norm1.", ".layer_norm1.")
+        t = t.replace(".norm2.", ".layer_norm2.")
+        t = t.replace(".attn.", ".self_attn.")
+        t = t.replace("text_model.ln_final.", "text_model.final_layer_norm.")
+        t = t.replace("text_model.text_proj", "text_model.text_projection")
+        return pre + t
+    return None
+
+
 def normalize_lora_name(name: str):
     """Normalize a lora tensor name: strip ``lora_`` prefix then normalize
     (reference: tensor_callback_lora, src/mlimgsynth.c:1060-1083)."""

@@ -1,0 +1,136 @@
+"""Pallas TPU flash-attention kernel.
+
+Replaces the reference's full-softmax attention (src/ggml_extend.c:200-222;
+its flash path is disabled as broken, Makefile:42-45) with an online-softmax
+tiled kernel: O(S) memory instead of O(S^2), logits never leave VMEM.  This
+is what makes SDXL-1024 self-attention (S=16384, 20+ heads) fit and fly on a
+single chip without the reference's --vae-tile/--unet-split workarounds.
+
+Standard flash structure: grid (batch*heads, q_blocks, k_blocks) with the
+k-loop as the minor (sequential) grid axis; running max / sum / accumulator
+live in VMEM scratch across k iterations.  Accumulation is float32; q/k/v are
+consumed in their input dtype (bf16 on the hot path).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale: float, kv_len: int, block_k: int, causal: bool,
+                  q_len: int, block_q: int):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]            # [bq, d]
+    k = k_ref[0]            # [bk, d]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # [bq, bk]
+
+    # mask padded kv columns (and the causal triangle if requested)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+    mask = col < kv_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+            + pl.program_id(1) * block_q
+        mask = jnp.logical_and(mask, col <= row + (kv_len - q_len))
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_scr[:]                      # [bq, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)        # [bq, 1]
+    p = jnp.exp(s - m_new)                 # [bq, bk]
+
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:] = m_new
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + pv
+
+    @pl.when(ik == nk - 1)
+    def _done():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, size):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def flash_attention_compatible(q, k, v, causal: bool = False) -> bool:
+    """Use flash when the self-attention is big enough to pay off; short-kv
+    cross-attention (77 text tokens) stays on the fused XLA path."""
+    if q.ndim != 4 or q.shape[-1] > 256:
+        return False
+    return k.shape[-2] >= 512 and q.shape[-2] >= 512
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "causal", "block_q", "block_k"))
+def flash_attention(q, k, v, scale=None, causal: bool = False,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K):
+    """q: [B,H,Sq,D], k/v: [B,H,Sk,D] -> [B,H,Sq,D]."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    scale = float(scale)
+
+    # pad head dim to a lane-friendly size and seqs to block multiples
+    dp = 64 if d <= 64 else 128 if d <= 128 else 256
+    bq = min(block_q, max(256, 1 << (sq - 1).bit_length()))
+    bq = min(bq, block_q)
+    bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    sq_p = pl.cdiv(sq, bq) * bq
+    sk_p = pl.cdiv(sk, bk) * bk
+
+    qp = _pad_to(_pad_to(q.reshape(b * h, sq, d), 2, dp), 1, sq_p)
+    kp = _pad_to(_pad_to(k.reshape(b * h, sk, d), 2, dp), 1, sk_p)
+    vp = _pad_to(_pad_to(v.reshape(b * h, sk, d), 2, dp), 1, sk_p)
+
+    grid = (b * h, sq_p // bq, sk_p // bk)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, kv_len=sk, block_k=bk, causal=causal,
+        q_len=sq, block_q=bq)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dp), jnp.float32),
+        ],
+    )(qp, kp, vp)
+    return out[:, :sq, :d].reshape(b, h, sq, d)

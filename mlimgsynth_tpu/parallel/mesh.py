@@ -1,0 +1,82 @@
+"""Multi-chip execution: device mesh + sharding rules.
+
+The reference is strictly single-device (SURVEY.md section 2.5); this module
+is the TPU-native scaling layer it lacks: a ``jax.sharding.Mesh`` over
+(data, tensor) axes, named shardings for the UNet/CLIP params (attention and
+feed-forward matmuls sharded over the ``tp`` axis in Megatron style: qkv
+column-parallel, out-projection row-parallel), and batch sharding over ``dp``.
+XLA's SPMD partitioner inserts the all-reduce/all-gather collectives over ICI.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DP_AXIS = "dp"
+TP_AXIS = "tp"
+
+
+def make_mesh(n_devices: Optional[int] = None, tp: int = 1,
+              devices=None) -> Mesh:
+    """Create a (dp, tp) mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    assert n_devices % tp == 0, (n_devices, tp)
+    grid = devices.reshape(n_devices // tp, tp)
+    return Mesh(grid, (DP_AXIS, TP_AXIS))
+
+
+# Megatron-style tensor-parallel rules for transformer blocks:
+# column-parallel (shard output dim), row-parallel (shard input dim).
+_TP_RULES = [
+    (r"\.(attn1|attn2|attn)\.(q_proj|k_proj|v_proj)\.weight$", P(None, TP_AXIS)),
+    (r"\.(attn1|attn2|attn)\.(q_proj|k_proj|v_proj)\.bias$", P(TP_AXIS)),
+    (r"\.(attn1|attn2|attn)\.out_proj\.weight$", P(TP_AXIS, None)),
+    (r"\.ff\.net\.0\.proj\.weight$", P(None, TP_AXIS)),
+    (r"\.ff\.net\.0\.proj\.bias$", P(TP_AXIS)),
+    (r"\.ff\.net\.2\.weight$", P(TP_AXIS, None)),
+    (r"\.mlp\.fc1\.weight$", P(None, TP_AXIS)),
+    (r"\.mlp\.fc1\.bias$", P(TP_AXIS)),
+    (r"\.mlp\.fc2\.weight$", P(TP_AXIS, None)),
+]
+
+
+def param_spec(name: str, ndim: int, tp: bool = True) -> P:
+    if tp:
+        for pat, spec in _TP_RULES:
+            if re.search(pat, name):
+                return spec
+    return P()  # replicated
+
+
+def param_shardings(params: Dict[str, object], mesh: Mesh,
+                    tp: bool = True) -> Dict[str, NamedSharding]:
+    """NamedSharding for every param; non-tp params replicated."""
+    use_tp = tp and mesh.shape.get(TP_AXIS, 1) > 1
+    out = {}
+    for name, v in params.items():
+        spec = param_spec(name, getattr(v, "ndim", 0), tp=use_tp)
+        out[name] = NamedSharding(mesh, spec)
+    return out
+
+
+def shard_params(params: Dict[str, object], mesh: Mesh,
+                 tp: bool = True) -> Dict[str, object]:
+    sh = param_shardings(params, mesh, tp=tp)
+    return {k: jax.device_put(v, sh[k]) for k, v in params.items()}
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) axis over dp, replicate the rest."""
+    return NamedSharding(mesh, P(DP_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_batch(x, mesh: Mesh):
+    return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))

@@ -7,11 +7,19 @@ single ``lax.scan`` compiled once: CFG runs as one batched UNet call
 (cond/uncond stacked on the batch axis), solver state lives in the scan carry,
 and all noise is pre-drawn on the host with the reference's exact Philox
 sequence (bit-compatible seeds) and passed in as scan inputs.
+
+A step-at-a-time path (same compiled body, python-driven) is used when a
+progress callback needs to observe/abort between steps; the carry stays on
+device so the only per-step cost is dispatch.
+
+Array convention at this module's boundary: latents are NCHW numpy (matching
+the reference's memory order, so Philox noise lands on the same elements);
+they are transposed to NHWC for the device loop internally.
 """
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import jax
@@ -40,7 +48,7 @@ class SamplerConfig:
 
 @dataclass
 class SamplingPlan:
-    """Host-computed schedule + noise, ready to feed the device loop."""
+    """Host-computed schedule + noise (NCHW), ready for the device loop."""
     sigmas: np.ndarray
     n_step: int
     nfe_per_step: int
@@ -58,21 +66,28 @@ def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
               nfe_per_dxdt: int = 1) -> SamplingPlan:
     """Compute sigma schedule and pre-draw all noise in the reference's exact
     order (initial, then per step: churn draw, post-step ancestral draw —
-    src/sampling.c:119-178)."""
+    src/sampling.c:119-178).  ``latent_shape`` is NCHW; for batch > 1 each
+    sample gets its own sequential Philox draw."""
     solver = get_solver(cfg.method)
     s = sch.make_schedule(cfg.n_step, cfg.sched, solver.n_fe, nfe_per_dxdt,
                           cfg.f_t_ini, cfg.f_t_end)
     plan = sch.plan_step_noise(s.sigmas, cfg.s_ancestral, cfg.s_noise)
     n_step = s.n_step
+    n_batch = latent_shape[0]
+    sample_shape = tuple(latent_shape[1:])
 
-    noise0 = rng.randn_shaped(latent_shape).astype(np.float32)
+    def draw():
+        return np.stack([rng.randn_shaped(sample_shape)
+                         for _ in range(n_batch)]).astype(np.float32)
+
+    noise0 = draw()
     churn = np.zeros((n_step,) + tuple(latent_shape), np.float32)
     anc = np.zeros_like(churn)
     for i in range(n_step):
         if plan.churn_sigma[i] > 0:
-            churn[i] = rng.randn_shaped(latent_shape)
+            churn[i] = draw()
         if plan.s_up[i] > 0:
-            anc[i] = rng.randn_shaped(latent_shape)
+            anc[i] = draw()
     return SamplingPlan(
         sigmas=s.sigmas, n_step=n_step, nfe_per_step=s.nfe_per_step,
         s_hat=plan.s_hat, churn_sigma=plan.churn_sigma, s_down=plan.s_down,
@@ -96,53 +111,23 @@ def _mask_apply(x, x0, lmask):
     return x0 * lmask + x * (1.0 - lmask)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype"))
-def denoise_loop(params: Dict[str, jnp.ndarray], x, cond, uncond, label,
-                 nlabel, lmask, log_sigmas, noise0, churn_noise, anc_noise,
-                 sigmas0, s_hat, churn_sigma, s_down, s_up, t_next,
-                 cfg_scale, *, method: str, unet_p: unet_mod.UnetParams,
-                 use_cfg: bool, use_mask: bool, dtype=jnp.bfloat16):
-    """One compiled sampling run: noise-add, N solver steps, done.
-
-    x: [N,H,W,4] f32 initial latent (zeros for txt2img).
-    cond/uncond: [N,77,n_ctx]; label/nlabel: [N,ch_adm] or zeros.
-    """
-    solver: SolverClass = get_solver(method)
+def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
+    """Build the per-step body shared by the fused scan and stepwise paths."""
+    solver = get_solver(method)
     ctx = B.Ctx(params, dtype=dtype)
-
-    if use_cfg:
-        cond_all = jnp.concatenate([cond, uncond], axis=0)
-        label_all = (jnp.concatenate([label, nlabel], axis=0)
-                     if unet_p.ch_adm_in else None)
-    else:
-        cond_all = cond
-        label_all = label if unet_p.ch_adm_in else None
-
-    n = x.shape[0]
+    (cond_all, label_all, lmask, x0_keep, log_sigmas, s_hat, churn_sigma,
+     s_down, s_up, t_next, cfg_scale) = consts
 
     def dxdt(xv, sigma):
+        n = xv.shape[0]
         t = jnp_sigma_to_t(log_sigmas, sigma)
         if use_cfg:
             xb = jnp.concatenate([xv, xv], axis=0)
             d = unet_mod.denoise(ctx, xb, sigma, t, cond_all, label_all,
                                  unet_p)
-            d_c, d_u = d[:n], d[n:]
-            f = cfg_scale
-            return d_c * f + d_u * (1.0 - f)
+            return d[:n] * cfg_scale + d[n:] * (1.0 - cfg_scale)
         return unet_mod.denoise(ctx, xv, sigma, t, cond_all, label_all,
                                 unet_p)
-
-    # snapshot the un-noised latent for inpainting (src/sampling.c:129-135)
-    x = x.astype(jnp.float32)
-    x0_keep = x if use_mask else None
-    x = x + noise0 * sigmas0
-    if use_mask:
-        x = _mask_apply(x, x0_keep, lmask)
-
-    state = solver.init_state(x)
-    n_step = s_down.shape[0]
 
     def body(carry, inp):
         x, t, state = carry
@@ -153,40 +138,118 @@ def denoise_loop(params: Dict[str, jnp.ndarray], x, cond, uncond, label,
         if use_mask:
             x = jnp.where(churn > 0, _mask_apply(x, x0_keep, lmask), x)
         t = jnp.where(churn > 0, s_hat[i], t)
-        # solver step
+        # solver step (src/solvers.c)
         x, state = solver.step(dxdt, x, state, i, t, s_down[i])
         # post-step ancestral noise (src/sampling.c:170-174)
         x = x + a_noise * s_up[i]
-        t = jnp.where(s_up[i] > 0, t_next[i], s_down[i])
+        t = t_next[i]
         if use_mask:
             x = _mask_apply(x, x0_keep, lmask)
         return (x, t, state), None
 
+    return solver, body
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype"))
+def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
+              *, method, unet_p, use_cfg, use_mask, dtype):
+    solver, body = _make_body(params, consts, method=method, unet_p=unet_p,
+                              use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
+    lmask, x0_keep = consts[2], consts[3]
+    x = x.astype(jnp.float32)
+    x = x + noise0 * sigmas0
+    if use_mask:
+        x = _mask_apply(x, x0_keep, lmask)
+    state = solver.init_state(x)
+    n_step = churn_noise.shape[0]
     (x, _, _), _ = jax.lax.scan(
         body, (x, sigmas0, state),
         (jnp.arange(n_step), churn_noise, anc_noise))
     return x
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype"))
+def _step_jit(params, carry, i, c_noise, a_noise, consts,
+              *, method, unet_p, use_cfg, use_mask, dtype):
+    _, body = _make_body(params, consts, method=method, unet_p=unet_p,
+                         use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
+    carry, _ = body(carry, (i, c_noise, a_noise))
+    return carry
+
+
+@functools.partial(
+    jax.jit, static_argnames=("method", "use_mask"))
+def _init_jit(x, noise0, sigmas0, lmask, x0_keep, *, method, use_mask):
+    x = x.astype(jnp.float32) + noise0 * sigmas0
+    if use_mask:
+        x = _mask_apply(x, x0_keep, lmask)
+    state = get_solver(method).init_state(x)
+    return (x, sigmas0, state)
+
+
+def _nhwc(a):
+    return jnp.asarray(np.asarray(a, np.float32).transpose(0, 2, 3, 1))
+
+
 def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 nlabel, lmask, cfg: SamplerConfig,
-                unet_p: unet_mod.UnetParams, dtype=jnp.bfloat16):
-    """Host wrapper: package the plan and invoke the compiled loop."""
+                unet_p: unet_mod.UnetParams, dtype=jnp.bfloat16,
+                step_callback=None):
+    """Run the sampling loop.  ``x_init`` (NCHW f32), ``lmask`` [N,1,h,w] or
+    None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW.
+
+    With ``step_callback`` the loop runs step-at-a-time (device-resident
+    carry); the callback receives (i_step, n_step) after each step and may
+    return truthy to abort (reference: MLIS_Callback semantics,
+    include/mlimgsynth.h:452-456)."""
     use_cfg = cfg.cfg_scale > 1
     use_mask = lmask is not None
     n = x_init.shape[0]
-    zeros_label = jnp.zeros((n, max(unet_p.ch_adm_in, 1)), jnp.float32)
+    method = get_solver(cfg.method).name
+
+    x = _nhwc(x_init)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
-    return denoise_loop(
-        params, f32(x_init),
-        f32(cond), f32(uncond if uncond is not None else cond),
-        f32(label) if label is not None else zeros_label,
-        f32(nlabel) if nlabel is not None else zeros_label,
-        f32(lmask) if use_mask else jnp.zeros_like(f32(x_init)),
-        jnp.asarray(sch.get_log_sigmas()),
-        f32(plan.noise0), f32(plan.churn_noise), f32(plan.anc_noise),
-        jnp.float32(plan.sigmas[0]), f32(plan.s_hat), f32(plan.churn_sigma),
-        f32(plan.s_down), f32(plan.s_up), f32(plan.t_next),
-        jnp.float32(cfg.cfg_scale),
-        method=get_solver(cfg.method).name, unet_p=unet_p, use_cfg=use_cfg,
-        use_mask=use_mask, dtype=dtype)
+    cond = f32(cond)
+    uncond = f32(uncond) if uncond is not None else cond
+    if unet_p.ch_adm_in:
+        label_d = f32(label)
+        nlabel_d = f32(nlabel) if nlabel is not None else label_d
+    if use_cfg:
+        cond_all = jnp.concatenate([cond, uncond], axis=0)
+        label_all = (jnp.concatenate([label_d, nlabel_d], axis=0)
+                     if unet_p.ch_adm_in else None)
+    else:
+        cond_all = cond
+        label_all = label_d if unet_p.ch_adm_in else None
+
+    lmask_d = _nhwc(lmask) if use_mask else jnp.zeros((), jnp.float32)
+    x0_keep = x if use_mask else jnp.zeros((), jnp.float32)
+
+    consts = (cond_all, label_all, lmask_d, x0_keep,
+              jnp.asarray(sch.get_log_sigmas()),
+              f32(plan.s_hat), f32(plan.churn_sigma), f32(plan.s_down),
+              f32(plan.s_up), f32(plan.t_next), jnp.float32(cfg.cfg_scale))
+
+    noise0 = _nhwc(plan.noise0)
+    churn = jnp.asarray(plan.churn_noise.transpose(0, 1, 3, 4, 2))
+    anc = jnp.asarray(plan.anc_noise.transpose(0, 1, 3, 4, 2))
+    sigmas0 = jnp.float32(plan.sigmas[0])
+    kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
+              use_mask=use_mask, dtype=dtype)
+
+    if step_callback is None:
+        x = _loop_jit(params, x, consts, noise0, churn, anc, sigmas0, **kw)
+    else:
+        carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep,
+                          method=method, use_mask=use_mask)
+        for i in range(plan.n_step):
+            carry = _step_jit(params, carry, jnp.int32(i), churn[i], anc[i],
+                              consts, **kw)
+            if step_callback(i + 1, plan.n_step):
+                break
+        x = carry[0]
+    return np.asarray(x, np.float32).transpose(0, 3, 1, 2)

@@ -1,0 +1,185 @@
+"""End-to-end session tests with a synthetic tiny checkpoint."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlimgsynth_tpu.api import MLImgSynth, MlisError
+from helpers import patch_tiny_model_types, write_tiny_checkpoint
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny.safetensors"
+    write_tiny_checkpoint(path)
+    return str(path)
+
+
+@pytest.fixture
+def session(ckpt, monkeypatch):
+    patch_tiny_model_types(monkeypatch)
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", ckpt)
+    s.option_set("model-type", "sd1")
+    s.option_set("image-dim", 64, 64)
+    s.option_set("steps", 3)
+    s.option_set("seed", 42)
+    return s
+
+
+def test_txt2img(session):
+    session.option_set("prompt", "a photo of a cat")
+    img = session.generate()
+    assert img.shape == (1, 3, 64, 64)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    assert "Seed: 42" in session.infotext
+    assert "Steps: 3" in session.infotext
+    assert "a photo of a cat" in session.infotext
+
+
+def test_reproducible(session):
+    session.option_set("prompt", "a dog")
+    a = session.generate()
+    session.option_set("seed", 42)
+    session.option_set("prompt", "a dog")
+    b = session.generate()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_img2img(session):
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    session.option_set("image", img)
+    session.option_set("f-t-ini", 0.6)
+    session.option_set("prompt", "more cats")
+    out = session.generate()
+    assert out.shape == (1, 3, 64, 64)
+    assert "Mode: img2img" in session.infotext
+    # one-shot options cleared
+    assert session.c["f_t_ini"] == 1.0
+    assert session.c["tuflags"] == 0
+
+
+def test_inpaint_alpha(session):
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 64, 4)) * 255).astype(np.uint8)
+    img[:, :, 3] = 0
+    img[:32, :, 3] = 255  # inpaint top half
+    session.option_set("image", img)
+    session.option_set("f-t-ini", 0.8)
+    session.option_set("prompt", "x")
+    out = session.generate()
+    assert out.shape == (1, 3, 64, 64)
+    assert "Mode: inpaint" in session.infotext
+
+
+def test_progress_callback(session):
+    events = []
+
+    def cb(s, prog):
+        events.append((prog["stage"], prog["step"], prog["step_end"]))
+        return 0
+
+    session.option_set("callback", cb)
+    session.option_set("prompt", "z")
+    session.generate()
+    stages = [e[0] for e in events]
+    from mlimgsynth_tpu.api import (STAGE_COND_ENCODE, STAGE_DENOISE,
+                                    STAGE_IMAGE_DECODE)
+    assert STAGE_COND_ENCODE in stages
+    assert STAGE_IMAGE_DECODE in stages
+    assert stages.count(STAGE_DENOISE) == 3  # one per step
+
+
+def test_callback_abort(session):
+    def cb(s, prog):
+        from mlimgsynth_tpu.api import STAGE_DENOISE
+        return 1 if prog["stage"] == STAGE_DENOISE and prog["step"] >= 2 \
+            else 0
+
+    session.option_set("callback", cb)
+    session.option_set("prompt", "z")
+    session.generate()  # aborts the loop but still decodes
+
+
+def test_no_decode_latent(session):
+    session.option_set("no-decode", True)
+    session.option_set("prompt", "z")
+    lat = session.generate()
+    assert lat.shape == (1, 4, 8, 8)
+    session.option_set("no-decode", False)
+
+
+def test_batch(session):
+    session.option_set("batch-size", 2)
+    session.option_set("prompt", "two cats")
+    out = session.generate()
+    assert out.shape == (2, 3, 64, 64)
+    # different noise per batch entry
+    assert not np.allclose(out[0], out[1])
+
+
+def test_methods_and_scheduler_options(session):
+    session.option_set("method", "dpm++2m")  # '+' tolerated
+    assert session.c["method"] == "dpmpp2m"
+    session.option_set("method", "euler_a")  # ancestral alias
+    assert session.c["method"] == "euler"
+    assert session.c["s_ancestral"] == 1.0
+    session.option_set_str("scheduler", "Karras")
+    assert session.c["scheduler"] == "karras"
+    with pytest.raises(MlisError):
+        session.option_set("method", "nope")
+    with pytest.raises(MlisError):
+        session.option_set_str("nonsense-option", "1")
+
+
+def test_option_str_parsing(session):
+    session.option_set_str("image-dim", "48,32")
+    assert session.c["width"] == 48 and session.c["height"] == 32
+    session.option_set_str("cfg-scale", "11.5")
+    assert session.c["cfg_scale"] == 11.5
+    session.option_set_str("CFG_SCALE", "7")  # case-insensitive
+    assert session.c["cfg_scale"] == 7.0
+
+
+def test_clip_encode_similarity(session):
+    emb1, _ = session.clip_text_encode("a cat")
+    emb2, _ = session.clip_text_encode("a cat")
+    assert emb1.shape == (1, 77, 32)
+    np.testing.assert_array_equal(emb1, emb2)
+
+
+def test_tokenize(session):
+    toks = session.text_tokenize("a dog jumping")
+    assert toks == [320, 1929, 11476]
+
+
+def test_vae_roundtrip_and_tile(session):
+    rng = np.random.default_rng(3)
+    img = rng.random((1, 3, 256, 256)).astype(np.float32)
+    session.setup()
+    lat = session.image_encode(img, sample=False)
+    assert lat.shape == (1, 4, 32, 32)
+    full = session.image_decode(lat)
+    session.option_set("vae-tile", 64)
+    tiled = session.image_decode(lat)
+    session.option_set("vae-tile", 0)
+    assert full.shape == tiled.shape == (1, 3, 256, 256)
+    # interior must match exactly where tiles carried enough context;
+    # allow boundary effects within the overlap margin
+    diff = np.abs(full - tiled)
+    assert np.median(diff) < 2e-3
+
+
+def test_missing_tensor_error(tmp_path, monkeypatch, ckpt):
+    from safetensors.numpy import save_file
+    patch_tiny_model_types(monkeypatch)
+    save_file({"model.diffusion_model.time_embed.0.weight":
+               np.zeros((64, 32), np.float32)}, str(tmp_path / "bad.st"))
+    s = MLImgSynth()
+    s.option_set("model", str(tmp_path / "bad.st"))
+    s.option_set("model-type", "sd1")
+    s.option_set("prompt", "x")
+    with pytest.raises((MlisError, KeyError)):
+        s.generate()

@@ -1,0 +1,80 @@
+"""Flash-attention kernel vs the XLA reference path (interpret mode on CPU)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlimgsynth_tpu.ops import flash_attention as fa
+from mlimgsynth_tpu.ops.attention import attention_xla
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    if jax.default_backend() != "tpu":
+        import jax.experimental.pallas.tpu as pltpu  # noqa
+        from jax.experimental.pallas import tpu as pltpu
+        ctx = pltpu.force_tpu_interpret_mode()
+        ctx.__enter__()
+        yield
+        ctx.__exit__(None, None, None)
+    else:
+        yield
+
+
+def rand(*shape, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("sq,sk,d", [
+    (512, 512, 64),
+    (1024, 1024, 40),    # SD1 d_head=40 (padded to 64 internally)
+    (513, 512, 64),      # ragged q
+    (512, 600, 64),      # ragged kv
+    (768, 768, 128),
+])
+def test_matches_xla(sq, sk, d):
+    q = rand(1, 2, sq, d, seed=1) * 0.5
+    k = rand(1, 2, sk, d, seed=2) * 0.5
+    v = rand(1, 2, sk, d, seed=3)
+    out = fa.flash_attention(q, k, v, block_q=256, block_k=256)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_causal_matches_xla():
+    q = rand(1, 1, 512, 64, seed=1) * 0.5
+    k = rand(1, 1, 512, 64, seed=2) * 0.5
+    v = rand(1, 1, 512, 64, seed=3)
+    out = fa.flash_attention(q, k, v, causal=True, block_q=256, block_k=256)
+    ref = attention_xla(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_bf16_inputs():
+    q = rand(1, 2, 512, 64, seed=1).astype(jnp.bfloat16)
+    k = rand(1, 2, 512, 64, seed=2).astype(jnp.bfloat16)
+    v = rand(1, 2, 512, 64, seed=3).astype(jnp.bfloat16)
+    out = fa.flash_attention(q, k, v, block_q=256, block_k=256)
+    assert out.dtype == jnp.bfloat16
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_compatibility_gate():
+    # short-kv cross attention stays on XLA
+    assert not fa.flash_attention_compatible(
+        jnp.zeros((1, 8, 4096, 40)), jnp.zeros((1, 8, 77, 40)),
+        jnp.zeros((1, 8, 77, 40)))
+    assert fa.flash_attention_compatible(
+        jnp.zeros((1, 8, 4096, 40)), jnp.zeros((1, 8, 4096, 40)),
+        jnp.zeros((1, 8, 4096, 40)))
+    # 77-token CLIP attention stays on XLA
+    assert not fa.flash_attention_compatible(
+        jnp.zeros((1, 12, 77, 64)), jnp.zeros((1, 12, 77, 64)),
+        jnp.zeros((1, 12, 77, 64)), causal=True)

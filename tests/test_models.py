@@ -149,15 +149,15 @@ def test_sampler_loop_tiny():
                         jnp.zeros((1, 7, 32)))
     params = random_params(spec)
     cfg = SamplerConfig(method="euler", n_step=3, cfg_scale=7.0)
-    plan = make_plan(cfg, (1, 8, 8, 4), RngPhilox(seed=42), nfe_per_dxdt=2)
+    plan = make_plan(cfg, (1, 4, 8, 8), RngPhilox(seed=42), nfe_per_dxdt=2)
     assert plan.n_step == 3
     cond = jnp.zeros((1, 7, 32))
     uncond = jnp.ones((1, 7, 32)) * 0.1
-    x = run_sampler(params, np.zeros((1, 8, 8, 4), np.float32), plan,
+    x = run_sampler(params, np.zeros((1, 4, 8, 8), np.float32), plan,
                     cond, uncond, None, None, None, cfg, TINY,
                     dtype=jnp.float32)
     x = np.asarray(x)
-    assert x.shape == (1, 8, 8, 4)
+    assert x.shape == (1, 4, 8, 8)
     assert np.isfinite(x).all()
 
 
@@ -176,9 +176,9 @@ def test_sampler_all_methods(method):
     params = random_params(spec)
     cfg = SamplerConfig(method=method, n_step=4, cfg_scale=1.0,
                         s_ancestral=1.0 if method == "dpmpp2s" else 0.0)
-    plan = make_plan(cfg, (1, 8, 8, 4), RngPhilox(seed=1))
+    plan = make_plan(cfg, (1, 4, 8, 8), RngPhilox(seed=1))
     cond = jnp.zeros((1, 7, 32))
-    x = run_sampler(params, np.zeros((1, 8, 8, 4), np.float32), plan,
+    x = run_sampler(params, np.zeros((1, 4, 8, 8), np.float32), plan,
                     cond, None, None, None, None, cfg, TINY,
                     dtype=jnp.float32)
     assert np.isfinite(np.asarray(x)).all()
