@@ -158,9 +158,9 @@ def lora_apply(model_store: TensorStore, model_map: Dict[str, NameRef],
         rank = down.shape[0]
         scale = 1.0
         if stem + ".scale" in lora_map:
-            scale = float(lora_store.read(lora_map[stem + ".scale"], "f32"))
+            scale = float(lora_store.read(lora_map[stem + ".scale"], "f32").reshape(-1)[0])
         elif stem + ".alpha" in lora_map:
-            scale = float(lora_store.read(lora_map[stem + ".alpha"], "f32")) / rank
+            scale = float(lora_store.read(lora_map[stem + ".alpha"], "f32").reshape(-1)[0]) / rank
         scale *= mult
         base = read_entry(model_store, dst_ref).copy()
         delta = (up.reshape(up.shape[0], -1) @

@@ -1,0 +1,209 @@
+"""Model-family e2e tests: SD2-style (v-param + fused qkv), SDXL-style
+(dual encoder + size labels), TAE swap-in, LoRA merging, GGUF loading."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlimgsynth_tpu.api import MLImgSynth
+from helpers import (TINY_MODEL_TYPE, TINY_MODEL_TYPE_SD2,
+                     TINY_MODEL_TYPE_XL, patch_tiny_model_types,
+                     tiny_specs, write_checkpoint_sd2, write_checkpoint_sdxl,
+                     write_tiny_checkpoint, write_tiny_lora, write_tiny_tae)
+
+
+def make_session(ckpt, mt_name, monkeypatch, types):
+    patch_tiny_model_types(monkeypatch, types)
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", str(ckpt))
+    s.option_set("model-type", mt_name)
+    s.option_set("image-dim", 64)
+    s.option_set("steps", 2)
+    s.option_set("seed", 7)
+    return s
+
+
+def test_sd2_vparam_fused_qkv(tmp_path, monkeypatch):
+    ckpt = tmp_path / "sd2.safetensors"
+    write_checkpoint_sd2(ckpt)
+    s = make_session(ckpt, "sd2", monkeypatch,
+                     {"sd2": TINY_MODEL_TYPE_SD2})
+    s.option_set("prompt", "a test")
+    img = s.generate()
+    assert img.shape == (1, 3, 64, 64)
+    assert np.isfinite(img).all()
+    # clip_skip default 2 from model type
+    assert s.c["clip_skip"] == 2
+
+
+def test_sd2_qkv_split_matches_manual(tmp_path, monkeypatch):
+    """The fused in_proj split must reproduce separate q/k/v tensors."""
+    from mlimgsynth_tpu.io.tensorstore import TensorStore
+    from mlimgsynth_tpu.weights import build_name_map, read_entry
+    ckpt = tmp_path / "sd2b.safetensors"
+    arrays = write_checkpoint_sd2(ckpt)
+    store = TensorStore.open(str(ckpt))
+    nm = build_name_map(store)
+    fused = arrays[
+        "cond_stage_model.model.transformer.resblocks.0.attn.in_proj_weight"]
+    d = fused.shape[0] // 3
+    for i, which in enumerate(["q_proj", "k_proj", "v_proj"]):
+        ref = nm[f"clip.text.encoder.layers.0.attn.{which}.weight"]
+        got = read_entry(store, ref)
+        np.testing.assert_array_equal(got, fused[i * d:(i + 1) * d])
+
+
+def test_sdxl_dual_encoder(tmp_path, monkeypatch):
+    ckpt = tmp_path / "xl.safetensors"
+    write_checkpoint_sdxl(ckpt)
+    s = make_session(ckpt, "sdxl", monkeypatch,
+                     {"sdxl": TINY_MODEL_TYPE_XL})
+    s.option_set("prompt", "a test")
+    s.option_set("cfg-scale", 5)
+    img = s.generate()
+    assert img.shape == (1, 3, 64, 64)
+    assert np.isfinite(img).all()
+    # conditioning is the concat of both encoders (32 + 32)
+    assert s.tensors["cond"].shape == (1, 77, 64)
+    # label: clip2 features (32) + three 512-wide size embeddings
+    assert s.tensors["label"].shape == (1, 32 + 1536)
+    # empty nprompt + uncond_empty_zero -> ncond zeroed, label kept
+    assert np.all(s.tensors["ncond"] == 0)
+    assert not np.all(s.tensors["nlabel"] == 0)
+
+
+def test_sdxl_size_label_content(tmp_path, monkeypatch):
+    ckpt = tmp_path / "xl2.safetensors"
+    write_checkpoint_sdxl(ckpt)
+    s = make_session(ckpt, "sdxl", monkeypatch,
+                     {"sdxl": TINY_MODEL_TYPE_XL})
+    s.option_set("prompt", "q")
+    s.setup()
+    cond, label = s._text_cond_encode(s.prompt)
+    # size embedding: cos(h * f_i) at the start of each 256 block
+    # (reference: sd_timestep_embedding, src/mlimgsynth.c:1502-1518)
+    h = w = 64.0
+    se = label[0, 32:]
+    assert se.shape == (1536,)
+    np.testing.assert_allclose(se[0], np.cos(h * 1.0), atol=1e-5)
+    np.testing.assert_allclose(se[256], np.cos(w * 1.0), atol=1e-5)
+    np.testing.assert_allclose(se[512], np.cos(0.0), atol=1e-5)  # crop top
+    np.testing.assert_allclose(se[1024], np.cos(h * 1.0), atol=1e-5)
+
+
+def test_tae_swap_in(tmp_path, monkeypatch):
+    from mlimgsynth_tpu.models import tae as tae_mod
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+    tae_path = tmp_path / "tae.safetensors"
+    tae_p = write_tiny_tae(tae_path)
+    monkeypatch.setattr(tae_mod, "TAE_SD1", tae_p)
+    s = make_session(ckpt, "sd1", monkeypatch, {"sd1": TINY_MODEL_TYPE})
+    s.option_set("tae", str(tae_path))
+    s.option_set("prompt", "a test")
+    img = s.generate()
+    assert img.shape == (1, 3, 64, 64)
+    assert np.isfinite(img).all()
+    assert "VAE: tae" in s.infotext
+
+
+def test_lora_apply_changes_output(tmp_path, monkeypatch):
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+    spec = tiny_specs()
+    lora_path = tmp_path / "style.safetensors"
+    write_tiny_lora(lora_path,
+                    ["unet.in.1.1.transf.0.attn2.k_proj",
+                     "unet.in.1.0.conv1"], spec, alpha=4.0)
+
+    s = make_session(ckpt, "sd1", monkeypatch, {"sd1": TINY_MODEL_TYPE})
+    s.option_set("prompt", "a dog")
+    base = s.generate()
+
+    s2 = make_session(ckpt, "sd1", monkeypatch, {"sd1": TINY_MODEL_TYPE})
+    s2.option_set("lora", str(lora_path), 0.8)
+    s2.option_set("prompt", "a dog")
+    out = s2.generate()
+    assert not np.allclose(base, out)
+
+    # zero multiplier ~= no lora
+    s3 = make_session(ckpt, "sd1", monkeypatch, {"sd1": TINY_MODEL_TYPE})
+    s3.option_set("lora", str(lora_path), 0.0)
+    s3.option_set("prompt", "a dog")
+    out0 = s3.generate()
+    np.testing.assert_allclose(base, out0, atol=1e-5)
+
+
+def test_lora_prompt_tag(tmp_path, monkeypatch):
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+    spec = tiny_specs()
+    lora_path = tmp_path / "mystyle.safetensors"
+    write_tiny_lora(lora_path, ["unet.mid.1.transf.0.attn1.q_proj"], spec,
+                    alpha=2.0)
+    s = make_session(ckpt, "sd1", monkeypatch, {"sd1": TINY_MODEL_TYPE})
+    s.option_set("lora-dir", str(tmp_path))
+    s.option_set("prompt", "a dog <lora:mystyle:0.5>")
+    img = s.generate()
+    assert np.isfinite(img).all()
+    # prompt loras are one-shot: cleared after generate
+    assert s.loras == []
+
+
+def test_gguf_checkpoint(tmp_path, monkeypatch):
+    """Convert the tiny checkpoint to GGUF and load it."""
+    import struct
+    from mlimgsynth_tpu.io.tensorstore import GGML_DTYPES_INV, TensorStore
+    ckpt = tmp_path / "sd1.safetensors"
+    arrays = write_tiny_checkpoint(ckpt)
+
+    # write a GGUF v3 file from the arrays
+    def s(x):
+        b = x.encode()
+        return struct.pack("<Q", len(b)) + b
+
+    buf = b"GGUF" + struct.pack("<IQQ", 3, len(arrays), 1)
+    buf += s("general.name") + struct.pack("<I", 8) + s("tiny")
+    align = 32
+    offset = 0
+    datas = []
+    infos = b""
+    for name, arr in arrays.items():
+        offset = (offset + align - 1) // align * align
+        dims = tuple(reversed(arr.shape))  # ggml order
+        infos += s(name) + struct.pack("<I", len(dims))
+        infos += struct.pack("<" + "Q" * len(dims), *dims)
+        infos += struct.pack("<IQ", GGML_DTYPES_INV["f32"], offset)
+        datas.append((offset, arr))
+        offset += arr.nbytes
+    buf += infos
+    buf += b"\0" * ((-len(buf)) % align)
+    base = len(buf)
+    blob = bytearray(offset)
+    for off, arr in datas:
+        blob[off:off + arr.nbytes] = arr.tobytes()
+    (tmp_path / "sd1.gguf").write_bytes(buf + bytes(blob))
+
+    st = TensorStore.open(str(tmp_path / "sd1.gguf"))
+    assert st.format == "gguf"
+    name = "model.diffusion_model.time_embed.0.weight"
+    np.testing.assert_array_equal(st.read(name), arrays[name])
+
+    s2 = make_session(tmp_path / "sd1.gguf", "sd1", monkeypatch,
+                      {"sd1": TINY_MODEL_TYPE})
+    s2.option_set("prompt", "gguf test")
+    img = s2.generate()
+    assert np.isfinite(img).all()
+
+
+def test_quantized_checkpoint_load(tmp_path, monkeypatch):
+    """q8_0-converted checkpoint loads and generates."""
+    from mlimgsynth_tpu.io.tensorstore import TensorStore
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+    q = tmp_path / "sd1_q8.safetensors"
+    TensorStore.open(str(ckpt)).write_safetensors(str(q), dtype="q8_0")
+    s = make_session(q, "sd1", monkeypatch, {"sd1": TINY_MODEL_TYPE})
+    s.option_set("prompt", "quantized")
+    img = s.generate()
+    assert np.isfinite(img).all()
