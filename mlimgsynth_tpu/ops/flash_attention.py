@@ -84,7 +84,7 @@ def _pad_to(x, axis, size):
 def flash_attention_compatible(q, k, v, causal: bool = False) -> bool:
     """Use flash when the self-attention is big enough to pay off; short-kv
     cross-attention (77 text tokens) stays on the fused XLA path."""
-    if q.ndim != 4 or q.shape[-1] > 256:
+    if q.ndim != 4 or q.shape[-1] > 512:
         return False
     return k.shape[-2] >= 512 and q.shape[-2] >= 512
 
@@ -102,7 +102,7 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
     scale = float(scale)
 
     # pad head dim to a lane-friendly size and seqs to block multiples
-    dp = 64 if d <= 64 else 128 if d <= 128 else 256
+    dp = 64 if d <= 64 else (d + 127) // 128 * 128
     bq = min(block_q, max(256, 1 << (sq - 1).bit_length()))
     bq = min(bq, block_q)
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))

@@ -1,0 +1,276 @@
+"""Test support: tiny model types and synthetic checkpoint writers.
+
+Used by the test-suite and the native-shim tests; also handy for users who
+want fast structural experiments without real weights.  Enable the tiny
+model types at runtime by setting MLIS_TINY_MODELS=1 (read by the session
+layer).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mlimgsynth_tpu import nameconv
+from mlimgsynth_tpu.api import ModelTypeDef
+from mlimgsynth_tpu.models import blocks as B
+from mlimgsynth_tpu.models import clip as clip_mod
+from mlimgsynth_tpu.models import unet as unet_mod
+from mlimgsynth_tpu.models import vae as vae_mod
+from mlimgsynth_tpu.tokenizer import ClipParams
+
+TINY_CLIP = ClipParams(n_vocab=49408, n_token=77, d_embed=32, n_interm=64,
+                       n_head=4, n_layer=2)
+TINY_UNET = unet_mod.UnetParams(
+    n_ch=32, ch_mult=(1, 2), transf_depth=(1, 1), attn_res=(1, 2),
+    n_head=4, n_te=64, n_ctx=32)
+TINY_VAE = vae_mod.VaeParams(ch=32, ch_mult=(1, 1, 2, 2))
+
+TINY_MODEL_TYPE = ModelTypeDef("sd1", TINY_CLIP, None, TINY_UNET, TINY_VAE,
+                               64, 1)
+
+
+def tiny_specs():
+    spec = {}
+    spec.update(B.trace_spec(
+        lambda ctx, toks: clip_mod.clip_text_apply(ctx, toks, TINY_CLIP),
+        jnp.zeros((1, 77), jnp.int32)))
+    spec.update(B.trace_spec(
+        lambda ctx, x, t, c: unet_mod.unet_apply(ctx, x, t, c, None,
+                                                 TINY_UNET),
+        jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)), jnp.zeros((1, 77, 32))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_encode_apply(ctx, x, TINY_VAE),
+        jnp.zeros((1, 64, 64, 3))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_decode_apply(ctx, x, TINY_VAE),
+        jnp.zeros((1, 8, 8, 4))))
+    return spec
+
+
+def spec_to_checkpoint_arrays(spec, seed=0, scale=0.05):
+    """Random torch-layout arrays keyed by CompVis checkpoint names."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    for name, ps in spec.items():
+        cv = nameconv.internal_to_compvis(name)
+        assert cv is not None, f"no CompVis name for {name}"
+        back = nameconv.normalize_name(cv)
+        assert back == name, f"roundtrip failed: {name} -> {cv} -> {back}"
+        shape = ps.shape
+        if ps.kind == B.LINEAR_W:
+            shape = (shape[1], shape[0])
+        elif ps.kind == B.CONV_W:
+            kh, kw, ci, co = shape
+            shape = (co, ci, kh, kw)
+        out[cv] = (rng.standard_normal(shape) * scale).astype(np.float32)
+    return out
+
+
+def write_tiny_checkpoint(path, seed=0, dtype=np.float32):
+    from safetensors.numpy import save_file
+    spec = tiny_specs()
+    arrays = spec_to_checkpoint_arrays(spec, seed=seed)
+    if dtype != np.float32:
+        arrays = {k: v.astype(dtype) for k, v in arrays.items()}
+    save_file(arrays, str(path))
+    return arrays
+
+
+def tiny_model_types():
+    return {"sd1": TINY_MODEL_TYPE, "sd2": TINY_MODEL_TYPE_SD2,
+            "sdxl": TINY_MODEL_TYPE_XL}
+
+
+# ---------------------------------------------------------------------------
+# SD2-like (v-param, OpenCLIP fused qkv) and SDXL-like (dual encoder) tinies
+# ---------------------------------------------------------------------------
+
+TINY_UNET_V = unet_mod.UnetParams(
+    n_ch=32, ch_mult=(1, 2), transf_depth=(1, 1), attn_res=(1, 2),
+    n_head=4, n_te=64, n_ctx=32, vparam=True)
+TINY_MODEL_TYPE_SD2 = ModelTypeDef("sd2", TINY_CLIP, None, TINY_UNET_V,
+                                   TINY_VAE, 64, 2)
+
+TINY_CLIP2 = ClipParams(n_vocab=49408, n_token=77, d_embed=32, n_interm=64,
+                        n_head=4, n_layer=2, tok_pad=0)
+TINY_UNET_XL = unet_mod.UnetParams(
+    n_ch=32, ch_mult=(1, 2), transf_depth=(1, 1), attn_res=(1, 2),
+    n_head=4, n_te=64, n_ctx=64, ch_adm_in=32 + 1536, clip_norm=False,
+    cond_label=True, uncond_empty_zero=True)
+TINY_MODEL_TYPE_XL = ModelTypeDef("sdxl", TINY_CLIP, TINY_CLIP2,
+                                  TINY_UNET_XL, TINY_VAE, 64, 2)
+
+
+def _to_ckpt_layout(ps, arr_internal):
+    """Model-layout random array -> torch checkpoint layout."""
+    return arr_internal
+
+
+def _random_for_spec(rng, ps, scale):
+    shape = ps.shape
+    if ps.kind == B.LINEAR_W:
+        shape = (shape[1], shape[0])
+    elif ps.kind == B.CONV_W:
+        kh, kw, ci, co = shape
+        shape = (co, ci, kh, kw)
+    return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+
+def openclip_name(internal: str):
+    """Internal clip/clip2 name -> OpenCLIP checkpoint layout
+    (the layout SD2 and SDXL's second encoder use).  Attention q/k/v map to
+    the fused in_proj tensors (handled by the caller)."""
+    pre = ("cond_stage_model.model."
+           if internal.startswith("clip.text.")
+           else "conditioner.embedders.1.model.")
+    t = internal.split(".text.", 1)[1]
+    if t == "embed.token.weight":
+        return pre + "token_embedding.weight"
+    if t == "embed.position.weight":
+        return pre + "positional_embedding"
+    if t == "text_proj":
+        return pre + "text_projection"
+    if t.startswith("ln_final."):
+        return pre + t
+    import re
+    m = re.match(r"encoder\.layers\.(\d+)\.(.*)", t)
+    if m:
+        n, tail = m.group(1), m.group(2)
+        tail = (tail.replace("norm1.", "ln_1.").replace("norm2.", "ln_2.")
+                .replace("mlp.fc1.", "mlp.c_fc.")
+                .replace("mlp.fc2.", "mlp.c_proj.")
+                .replace("attn.out_proj.", "attn.out_proj."))
+        return f"{pre}transformer.resblocks.{n}.{tail}"
+    return None
+
+
+def spec_to_openclip_arrays(spec, prefix, seed=0, scale=0.05):
+    """Random arrays for a clip submodel in OpenCLIP layout with fused qkv."""
+    import re
+    rng = np.random.default_rng(seed)
+    out = {}
+    fused = {}
+    for name, ps in spec.items():
+        if not name.startswith(prefix):
+            continue
+        m = re.match(r"(.*\.attn)\.(q_proj|k_proj|v_proj)\.(weight|bias)$",
+                     name)
+        arr = _random_for_spec(rng, ps, scale)
+        if m:
+            key = (m.group(1), m.group(3))
+            fused.setdefault(key, {})[m.group(2)] = arr
+        else:
+            cv = openclip_name(name)
+            assert cv, name
+            out[cv] = arr
+    for (stem, kind), parts in fused.items():
+        cat = np.concatenate([parts["q_proj"], parts["k_proj"],
+                              parts["v_proj"]], axis=0)
+        base = openclip_name(stem + ".out_proj.weight")
+        base = base[:-len("out_proj.weight")]
+        out[base + ("in_proj_weight" if kind == "weight" else "in_proj_bias")
+            ] = cat
+    return out
+
+
+def write_checkpoint_sd2(path, seed=0):
+    """Tiny v-param model with OpenCLIP-layout text encoder (fused qkv)."""
+    from safetensors.numpy import save_file
+    spec = {}
+    spec.update(B.trace_spec(
+        lambda ctx, toks: clip_mod.clip_text_apply(ctx, toks, TINY_CLIP),
+        jnp.zeros((1, 77), jnp.int32)))
+    spec.update(B.trace_spec(
+        lambda ctx, x, t, c: unet_mod.unet_apply(ctx, x, t, c, None,
+                                                 TINY_UNET_V),
+        jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)), jnp.zeros((1, 77, 32))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_encode_apply(ctx, x, TINY_VAE),
+        jnp.zeros((1, 64, 64, 3))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_decode_apply(ctx, x, TINY_VAE),
+        jnp.zeros((1, 8, 8, 4))))
+    arrays = {}
+    arrays.update(spec_to_openclip_arrays(spec, "clip.", seed=seed))
+    rest = {k: v for k, v in spec.items() if not k.startswith("clip.")}
+    arrays.update(spec_to_checkpoint_arrays(rest, seed=seed + 1))
+    save_file(arrays, str(path))
+    return arrays
+
+
+def write_checkpoint_sdxl(path, seed=0):
+    """Tiny dual-encoder model: CompVis clip + OpenCLIP clip2 (fused qkv,
+    with text_projection), labeled UNet."""
+    from safetensors.numpy import save_file
+    spec = {}
+    spec.update(B.trace_spec(
+        lambda ctx, toks: clip_mod.clip_text_apply(ctx, toks, TINY_CLIP),
+        jnp.zeros((1, 77), jnp.int32)))
+    spec.update(B.trace_spec(
+        lambda ctx, toks: clip_mod.clip_text_apply(
+            ctx, toks, TINY_CLIP2, feat_tok_idx=jnp.zeros((1,), jnp.int32),
+            pre="clip2"),
+        jnp.zeros((1, 77), jnp.int32)))
+    spec.update(B.trace_spec(
+        lambda ctx, x, t, c, l: unet_mod.unet_apply(ctx, x, t, c, l,
+                                                    TINY_UNET_XL),
+        jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)), jnp.zeros((1, 77, 64)),
+        jnp.zeros((1, TINY_UNET_XL.ch_adm_in))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_encode_apply(ctx, x, TINY_VAE),
+        jnp.zeros((1, 64, 64, 3))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_decode_apply(ctx, x, TINY_VAE),
+        jnp.zeros((1, 8, 8, 4))))
+    arrays = {}
+    arrays.update(spec_to_openclip_arrays(spec, "clip2.", seed=seed))
+    rest = {k: v for k, v in spec.items() if not k.startswith("clip2.")}
+    arrays.update(spec_to_checkpoint_arrays(rest, seed=seed + 1))
+    save_file(arrays, str(path))
+    return arrays
+
+
+def write_tiny_tae(path, seed=0):
+    """Tiny taesd-format file (diffusers AutoencoderTiny names, no prefix)."""
+    from safetensors.numpy import save_file
+    from mlimgsynth_tpu.models import tae as tae_mod
+    P = tae_mod.TaeParams(ch_inner=16, n_blk=1)
+    spec = {}
+    spec.update(B.trace_spec(
+        lambda ctx, x: tae_mod.tae_encode_apply(ctx, x, P),
+        jnp.zeros((1, 64, 64, 3))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: tae_mod.tae_decode_apply(ctx, x, P),
+        jnp.zeros((1, 8, 8, 4))))
+    rng = np.random.default_rng(seed)
+    arrays = {}
+    for name, ps in spec.items():
+        assert name.startswith("tae.")
+        arrays[name[4:]] = _random_for_spec(rng, ps, 0.05)
+    save_file(arrays, str(path))
+    return P
+
+
+def write_tiny_lora(path, target_names, spec, rank=2, seed=0, alpha=None):
+    """LoRA file patching the given internal '<stem>.weight' tensors."""
+    from safetensors.numpy import save_file
+    from mlimgsynth_tpu.nameconv import internal_to_compvis
+    rng = np.random.default_rng(seed)
+    arrays = {}
+    for stem in target_names:
+        ps = spec[stem + ".weight"]
+        if ps.kind == B.LINEAR_W:
+            out_d, in_d = ps.shape[1], ps.shape[0]
+        else:
+            kh, kw, ci, co = ps.shape
+            out_d, in_d = co, ci * kh * kw
+        cv = internal_to_compvis(stem + ".weight")
+        assert cv
+        base = "lora_" + cv[:-len(".weight")]
+        arrays[base + ".lora_down.weight"] = \
+            (rng.standard_normal((rank, in_d)) * 0.1).astype(np.float32)
+        arrays[base + ".lora_up.weight"] = \
+            (rng.standard_normal((out_d, rank)) * 0.1).astype(np.float32)
+        if alpha is not None:
+            arrays[base + ".alpha"] = np.array(alpha, np.float32)
+    save_file(arrays, str(path))
+    return arrays

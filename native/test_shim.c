@@ -1,0 +1,79 @@
+/* C ABI smoke test: exercises the shim end-to-end.
+ *
+ * Usage: test_shim [MODEL_FILE]
+ * Without a model: tokenize + options + enums.  With MLIS_TINY_MODELS=1 and
+ * a tiny checkpoint: full generate.
+ */
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include "mlimgsynth.h"
+
+static int g_steps_seen = 0;
+
+static int progress_cb(void *user, MLIS_Ctx *ctx, const MLIS_Progress *prg)
+{
+	(void)user; (void)ctx;
+	printf("  progress %s %d/%d nfe=%d\n", mlis_stage_str(prg->stage),
+		prg->step, prg->step_end, prg->nfe);
+	if (prg->stage == MLIS_STAGE_DENOISE) g_steps_seen++;
+	return 0;
+}
+
+#define CHECK(COND, MSG) do { \
+	if (!(COND)) { printf("FAIL: %s\n", MSG); return 1; } \
+	printf("ok: %s\n", MSG); \
+} while (0)
+
+int main(int argc, char **argv)
+{
+	MLIS_Ctx *ctx = mlis_ctx_create();
+	CHECK(ctx != NULL, "ctx create");
+
+	/* enums */
+	CHECK(!strcmp(mlis_method_str(MLIS_METHOD_EULER), "euler"), "method str");
+	CHECK(mlis_method_fromz("dpmpp2m") == MLIS_METHOD_DPMPP2M, "method fromz");
+
+	/* options */
+	CHECK(mlis_option_set(ctx, MLIS_OPT_IMAGE_DIM, 64, 64) >= 0, "image-dim");
+	CHECK(mlis_option_set(ctx, MLIS_OPT_CFG_SCALE, 7.0) >= 0, "cfg-scale");
+	CHECK(mlis_option_set_str(ctx, "method", "euler_a") >= 0, "method str opt");
+	CHECK(mlis_option_set_str(ctx, "definitely-not-real", "1") < 0,
+		"unknown option rejected");
+
+	/* tokenizer through the ABI */
+	mlis_option_set_str(ctx, "model-type", "sd1");
+	int32_t *tokens = NULL;
+	int n = mlis_text_tokenize(ctx, "a dog jumping", &tokens,
+		MLIS_SUBMODEL_CLIP);
+	CHECK(n == 3 && tokens && tokens[0] == 320 && tokens[1] == 1929 &&
+		tokens[2] == 11476, "tokenize golden");
+
+	if (argc > 1) {
+		printf("generating with model %s\n", argv[1]);
+		CHECK(mlis_option_set(ctx, MLIS_OPT_MODEL, argv[1]) >= 0, "model");
+		CHECK(mlis_option_set(ctx, MLIS_OPT_SEED, (uint64_t)42) >= 0, "seed");
+		CHECK(mlis_option_set(ctx, MLIS_OPT_STEPS, 2) >= 0, "steps");
+		CHECK(mlis_option_set_str(ctx, "weight-type", "f32") >= 0, "wtype");
+		CHECK(mlis_option_set(ctx, MLIS_OPT_CALLBACK, progress_cb,
+			(void*)0) >= 0, "callback");
+		CHECK(mlis_option_set(ctx, MLIS_OPT_PROMPT, "a (cat:1.2) photo")
+			>= 0, "prompt");
+		int r = mlis_generate(ctx);
+		if (r < 0) printf("generate error: %s\n", mlis_errstr_get(ctx));
+		CHECK(r >= 0, "generate");
+		CHECK(g_steps_seen == 2, "per-step callbacks");
+		MLIS_Image *img = mlis_image_get(ctx, 0);
+		CHECK(img && img->w == 64 && img->h == 64 && img->c == 3,
+			"image 64x64x3");
+		const char *info = mlis_infotext_get(ctx, 0);
+		CHECK(info && strstr(info, "Seed: 42"), "infotext");
+		MLIS_Tensor *lat = mlis_tensor_get(ctx, MLIS_TENSOR_LATENT);
+		CHECK(lat && lat->n[0] == 8 && lat->n[2] == 4, "latent tensor");
+	}
+
+	mlis_ctx_destroy(&ctx);
+	CHECK(ctx == NULL, "ctx destroy");
+	printf("TEST OK test_shim\n");
+	return 0;
+}
