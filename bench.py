@@ -177,6 +177,8 @@ def bench_config(name):
 
 def main():
     import jax
+    from mlimgsynth_tpu.utils.compcache import enable as _cc
+    _cc()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     which = os.environ.get("MLIS_BENCH", "sd15")
     configs = ["sd15", "sdxl"] if which == "all" else [which]

@@ -195,6 +195,7 @@ class MLImgSynth:
         self.loras: List[Tuple[str, float, bool]] = []  # (path, mult, from_prompt)
         self.rng = RngPhilox(seed=int(time.time() * 1000) & 0xFFFFFFFFFFFF)
         self.callback: Optional[Callable] = None
+        self.error_handler: Optional[Callable] = None
         self.errstr = ""
         self.infotext = ""
         # named tensor slots (NCHW numpy): reference MLIS_TensorId
@@ -471,6 +472,14 @@ class MLImgSynth:
         self.c["weight_type"] = key
         self._wtype_set = True
 
+    def _err(self, e: "MlisError"):
+        """Record the error and invoke the user error handler
+        (reference: mlis_error_handle, src/mlimgsynth.c:619-629)."""
+        self.errstr = str(e)
+        if self.error_handler is not None:
+            self.error_handler(self, {"code": e.code, "desc": str(e)})
+        raise e
+
     # ------------------------------------------------------------------
     # Setup (reference: mlis_setup, src/mlimgsynth.c:1251-1302)
     # ------------------------------------------------------------------
@@ -615,7 +624,7 @@ class MLImgSynth:
             if ps.dtype == jnp.bfloat16 and self._dtype != jnp.bfloat16:
                 spec[k] = B.ParamSpec(ps.shape, ps.kind, self._dtype)
         host = weights_mod.load_params(self._store, spec, self._name_map)
-        dev = {k: jnp.asarray(v) for k, v in host.items()}
+        dev = weights_mod.pack_to_device(host)
         self._params[submodel] = dev
         log.info2(f"{submodel} params loaded {{{time.time() - t0:.3f}s}}")
         return dev
@@ -803,12 +812,15 @@ class MLImgSynth:
     # ------------------------------------------------------------------
 
     def generate(self) -> np.ndarray:
-        trace_dir = os.environ.get("MLIS_TRACE")
-        if trace_dir:
-            import jax
-            with jax.profiler.trace(trace_dir):
-                return self._generate()
-        return self._generate()
+        try:
+            trace_dir = os.environ.get("MLIS_TRACE")
+            if trace_dir:
+                import jax
+                with jax.profiler.trace(trace_dir):
+                    return self._generate()
+            return self._generate()
+        except MlisError as e:
+            self._err(e)
 
     def _generate(self) -> np.ndarray:
         self.setup()

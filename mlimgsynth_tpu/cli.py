@@ -373,6 +373,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif state.verbosity > 0:
         log.level = 30 + 10 * state.verbosity
 
+    from .utils.compcache import enable as _cc
+    _cc()
     session = MLImgSynth()
     try:
         for name, value in state.opts:

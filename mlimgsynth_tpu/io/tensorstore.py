@@ -349,6 +349,64 @@ class TensorStore:
                 f.write(convert_bytes(e, out_dt))
 
 
+def _gguf_pack_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack("<Q", len(b)) + b
+
+
+def write_gguf(store: "TensorStore", path: str,
+               dtype: Optional[str] = None,
+               names: Optional[List[str]] = None) -> None:
+    """Write entries to a GGUF v3 file (the reference leaves GGUF writing
+    as a TODO, tensorstore_gguf.c:237).  Optionally converts float tensors
+    to ``dtype``."""
+    align = 32
+    names = names if names is not None else store.names()
+    header = b"GGUF" + struct.pack("<IQQ", 3, len(names),
+                                   1 + len(store.meta))
+    header += _gguf_pack_str("general.alignment") + struct.pack("<I", 4) \
+        + struct.pack("<I", align)
+    for k, v in store.meta.items():
+        header += _gguf_pack_str(k) + struct.pack("<I", 8) \
+            + _gguf_pack_str(str(v))
+
+    plans = []
+    infos = b""
+    offset = 0
+    for name in names:
+        e = store.tensors[name]
+        out_dt = e.dtype
+        if dtype is not None and e.dtype not in ("i64", "i32", "i16", "i8",
+                                                 "u8", "bool"):
+            out_dt = dtype
+            if out_dt in gquant.BLOCK_ELEMS and (
+                    len(e.shape) < 2 or
+                    e.shape[-1] % gquant.BLOCK_ELEMS[out_dt] != 0):
+                out_dt = "f16"
+        gid = GGML_DTYPES_INV.get(out_dt)
+        if gid is None:
+            raise ValueError(f"dtype '{out_dt}' has no GGUF representation")
+        offset = (offset + align - 1) // align * align
+        dims = tuple(reversed(e.shape)) or (1,)
+        infos += _gguf_pack_str(name) + struct.pack("<I", len(dims))
+        infos += struct.pack("<" + "Q" * len(dims), *dims)
+        infos += struct.pack("<IQ", gid, offset)
+        plans.append((e, out_dt, offset))
+        offset += dtype_size(out_dt, e.n_elem)
+
+    with open(path, "wb") as f:
+        f.write(header + infos)
+        pad = (-f.tell()) % align
+        f.write(b"\0" * pad)
+        base = f.tell()
+        for e, out_dt, off in plans:
+            f.seek(base + off)
+            f.write(convert_bytes(e, out_dt))
+
+
+TensorStore.write_gguf = write_gguf
+
+
 def convert_bytes(e: TensorEntry, out_dt: str) -> bytes:
     """Tensor entry -> raw bytes in ``out_dt``."""
     if out_dt == e.dtype and e.name not in e.store.cache:

@@ -109,7 +109,10 @@ def cmd_convert(store, out, args):
         sys.stderr.write("use -o to set the output file\n")
         return 1
     t0 = time.time()
-    store.write_safetensors(args.path_out, dtype=args.dtype)
+    if args.path_out.endswith(".gguf"):
+        store.write_gguf(args.path_out, dtype=args.dtype)
+    else:
+        store.write_safetensors(args.path_out, dtype=args.dtype)
     sys.stderr.write(f"Converted to {args.dtype} "
                      f"{{{time.time() - t0:.3f}s}}\n")
     return 0

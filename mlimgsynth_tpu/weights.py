@@ -128,6 +128,43 @@ def load_params(store: TensorStore, spec: Dict[str, ParamSpec],
     return params
 
 
+def pack_to_device(host_params: Dict[str, np.ndarray]) -> Dict[str, object]:
+    """Upload a param dict in a handful of large transfers.
+
+    Per-array uploads cost one dispatch each; on remote-attached TPU
+    (and generally) a single large transfer per dtype followed by one jitted
+    on-device unpack is far faster.  Returns a dict of device arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    groups: Dict[np.dtype, list] = {}
+    for name in sorted(host_params):
+        arr = host_params[name]
+        groups.setdefault(arr.dtype, []).append(name)
+
+    out = {}
+    for dt, names in groups.items():
+        flats = [np.ascontiguousarray(host_params[n]).reshape(-1)
+                 for n in names]
+        big = np.concatenate(flats) if len(flats) > 1 else flats[0]
+        shapes = [host_params[n].shape for n in names]
+        sizes = [f.size for f in flats]
+
+        @jax.jit
+        def unpack(buf, shapes=tuple(map(tuple, shapes)),
+                   sizes=tuple(sizes)):
+            res = []
+            off = 0
+            for shp, n in zip(shapes, sizes):
+                res.append(buf[off:off + n].reshape(shp))
+                off += n
+            return res
+        parts = unpack(jnp.asarray(big))
+        out.update(dict(zip(names, parts)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # LoRA merging (reference: src/lora.c)
 # ---------------------------------------------------------------------------

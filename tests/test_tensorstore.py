@@ -150,3 +150,20 @@ def test_multi_file_store(st_file, tmp_path):
     st.read_file(str(p2), prefix="tae.")
     np.testing.assert_array_equal(st.read("tae.x"), extra["tae.x"])
     np.testing.assert_array_equal(st.read("a.weight"), tensors["a.weight"])
+
+
+def test_gguf_write_roundtrip(st_file, tmp_path):
+    path, tensors = st_file
+    st = TensorStore.open(str(path))
+    out = tmp_path / "out.gguf"
+    st.write_gguf(str(out))
+    back = TensorStore.open(str(out))
+    assert back.format == "gguf"
+    for name, ref in tensors.items():
+        np.testing.assert_array_equal(back.read(name), ref)
+    # quantized gguf roundtrip
+    outq = tmp_path / "out_q8.gguf"
+    st.write_gguf(str(outq), dtype="q8_0")
+    backq = TensorStore.open(str(outq))
+    a = backq.read("a.weight")
+    assert np.abs(a - tensors["a.weight"]).max() < 0.05
