@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
@@ -215,6 +216,10 @@ class MLImgSynth:
         self._nfe = 0
         self._wtype_set = False
         self._model_type_set = False
+        # pipeline entry points are serialized; sessions are safe to
+        # drive from multiple threads (the reference is documented
+        # not thread-safe, include/mlimgsynth.h:9)
+        self._lock = threading.RLock()
 
     # ------------------------------------------------------------------
     # Options (reference: src/mlimgsynth_options_set.c.h)
@@ -812,6 +817,10 @@ class MLImgSynth:
     # ------------------------------------------------------------------
 
     def generate(self) -> np.ndarray:
+        with self._lock:
+            return self._generate_guarded()
+
+    def _generate_guarded(self) -> np.ndarray:
         try:
             trace_dir = os.environ.get("MLIS_TRACE")
             if trace_dir:
