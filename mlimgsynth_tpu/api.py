@@ -629,10 +629,32 @@ class MLImgSynth:
             if ps.dtype == jnp.bfloat16 and self._dtype != jnp.bfloat16:
                 spec[k] = B.ParamSpec(ps.shape, ps.kind, self._dtype)
         host = weights_mod.load_params(self._store, spec, self._name_map)
+        if self.c["dump_flags"] & 4 and submodel == "unet":  # MLIS_DUMP_GRAPH
+            self._dump_graph(spec)
         dev = weights_mod.pack_to_device(host)
         self._params[submodel] = dev
         log.info2(f"{submodel} params loaded {{{time.time() - t0:.3f}s}}")
         return dev
+
+    def _dump_graph(self, spec):
+        """Write the UNet jaxpr to dump-graph.txt (MLIS_DUMP_GRAPH
+        equivalent of the reference's ggml graph dump)."""
+        import jax
+        import jax.numpy as jnp
+        from .models import blocks as B
+        from .models import unet as unet_mod
+        P = self._mt.unet_p
+        zeros = {k: jnp.zeros(ps.shape, ps.dtype) for k, ps in spec.items()}
+        label = jnp.zeros((1, P.ch_adm_in)) if P.ch_adm_in else None
+
+        def f(params, x, t, c):
+            return unet_mod.unet_apply(B.Ctx(params, dtype=self._dtype),
+                                       x, t, c, label, P)
+        jaxpr = jax.make_jaxpr(f)(zeros, jnp.zeros((1, 8, 8, P.n_ch_in)),
+                                  jnp.zeros((1,)),
+                                  jnp.zeros((1, 77, P.n_ctx)))
+        with open("dump-graph.txt", "w") as fo:
+            fo.write(str(jaxpr))
 
     def _free_params(self, submodel: str):
         self._params.pop(submodel, None)

@@ -119,3 +119,16 @@ def png_read_parameters(path: str) -> Optional[str]:
     from PIL import Image
     im = Image.open(path)
     return im.info.get("parameters")
+
+
+def tensor_img_redblue(t2d: np.ndarray) -> np.ndarray:
+    """Red/blue visualization of a single-channel 2-D tensor: negative values
+    red, positive blue, scaled by the max magnitude
+    (reference: ltensor_img_redblue, src/localtensor.c:305-344).
+    Input [h,w]; returns uint8 [h,w,3]."""
+    v = np.asarray(t2d, np.float32)
+    scale = max(float(v.max(initial=0.0)), float(-v.min(initial=0.0)), 1e-12)
+    img = np.zeros(v.shape + (3,), np.uint8)
+    img[..., 0] = np.clip(-v, 0, None) * (255.0 / scale)
+    img[..., 2] = np.clip(v, 0, None) * (255.0 / scale)
+    return img

@@ -36,13 +36,19 @@ def main():
     dtype = jnp.bfloat16
 
     def timeit(name, fn, n=5):
-        fn()  # compile
+        def run_once():
+            r = fn()
+            # block_until_ready is effectively async through the axon tunnel;
+            # force a host fetch of one leaf to measure true completion
+            leaf = jax.tree_util.tree_leaves(r)[0]
+            np.asarray(leaf).ravel()[0]
+        run_once()  # compile
         ts = []
         for _ in range(n):
             t0 = time.time()
-            jax.block_until_ready(fn())
+            run_once()
             ts.append(time.time() - t0)
-        print(f"{name:24s} {min(ts)*1000:8.1f} ms")
+        print(f"{name:24s} {min(ts)*1000:8.1f} ms", flush=True)
         return min(ts)
 
     spec_u = B.trace_spec(
