@@ -1,0 +1,110 @@
+"""Edge cases: corrupt files, unet-split residency, option combos."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlimgsynth_tpu.api import MLImgSynth, MlisError
+from helpers import TINY_MODEL_TYPE, patch_tiny_model_types, \
+    write_tiny_checkpoint
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "tiny.safetensors"
+    write_tiny_checkpoint(path)
+    return str(path)
+
+
+def make_session(ckpt, monkeypatch, **opts):
+    patch_tiny_model_types(monkeypatch)
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", ckpt)
+    s.option_set("model-type", "sd1")
+    s.option_set("image-dim", 64)
+    s.option_set("steps", 2)
+    s.option_set("seed", 3)
+    for k, v in opts.items():
+        s.option_set(k.replace("_", "-"), v)
+    return s
+
+
+def test_truncated_checkpoint(tmp_path, monkeypatch, ckpt):
+    data = open(ckpt, "rb").read()
+    bad = tmp_path / "trunc.safetensors"
+    bad.write_bytes(data[:100])
+    patch_tiny_model_types(monkeypatch)
+    s = MLImgSynth()
+    s.option_set("model", str(bad))
+    with pytest.raises(Exception):
+        s.setup()
+
+
+def test_garbage_file(tmp_path, monkeypatch):
+    bad = tmp_path / "junk.safetensors"
+    bad.write_bytes(b"this is not a checkpoint at all" * 10)
+    patch_tiny_model_types(monkeypatch)
+    s = MLImgSynth()
+    s.option_set("model", str(bad))
+    with pytest.raises(Exception):
+        s.setup()
+
+
+def test_unet_split_residency(ckpt, monkeypatch):
+    s = make_session(ckpt, monkeypatch, unet_split=True)
+    s.option_set("prompt", "x")
+    img = s.generate()
+    assert np.isfinite(img).all()
+    # stage-wise residency: unet params were dropped after the loop
+    assert "unet" not in s._params
+    assert "vae" in s._params
+
+
+def test_error_handler_called(ckpt, monkeypatch):
+    calls = []
+    patch_tiny_model_types(monkeypatch)
+    s = MLImgSynth()
+    s.option_set("error_handler", lambda ctx, ei: calls.append(ei))
+    s.option_set("prompt", "x")  # no model set
+    with pytest.raises(MlisError):
+        s.generate()
+    assert calls and calls[0]["code"] < 0
+    assert "model" in calls[0]["desc"].lower()
+
+
+def test_snoise_and_karras(ckpt, monkeypatch):
+    s = make_session(ckpt, monkeypatch, s_noise=1.0, scheduler="karras",
+                     steps=3)
+    s.option_set("prompt", "x")
+    img = s.generate()
+    assert np.isfinite(img).all()
+    assert "SNoise: 1" in s.infotext
+    assert "Schedule type: karras" in s.infotext
+
+
+def test_batch_img2img(ckpt, monkeypatch):
+    s = make_session(ckpt, monkeypatch, batch_size=2, f_t_ini=0.7)
+    rng = np.random.default_rng(0)
+    s.option_set("image", (rng.random((64, 64, 3)) * 255).astype(np.uint8))
+    s.option_set("prompt", "x")
+    out = s.generate()
+    assert out.shape == (2, 3, 64, 64)
+    assert not np.allclose(out[0], out[1])
+
+
+def test_clip_skip_changes_output(ckpt, monkeypatch):
+    s = make_session(ckpt, monkeypatch)
+    s.setup()
+    a, _ = s.clip_text_encode("a dog")
+    s.option_set("clip-skip", 2)
+    b, _ = s.clip_text_encode("a dog")
+    assert not np.allclose(a, b)
+
+
+def test_weight_type_q8_session(ckpt, tmp_path, monkeypatch):
+    # weight-type option accepts quantized names (compute stays bf16/f32)
+    s = make_session(ckpt, monkeypatch)
+    s.option_set("weight-type", "q8_0")
+    assert s.c["weight_type"] == "q8_0"
+    with pytest.raises(MlisError):
+        s.option_set("weight-type", "q17_9")
