@@ -383,7 +383,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"failed to set option: {e}", file=sys.stderr)
         return 1
 
-    session.option_set("callback", _progress_printer(state))
+    # per-step progress forces step-at-a-time dispatch; skip it when quiet
+    # so the fused single-dispatch loop runs (much faster on remote TPU)
+    if state.verbosity >= 0:
+        session.option_set("callback", _progress_printer(state))
 
     commands = {
         "generate": cmd_generate,
