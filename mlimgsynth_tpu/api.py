@@ -206,6 +206,8 @@ class MLImgSynth:
                               "tmp0", "tmp1", "tmp2", "tmp3")}
         self.progress = {"stage": STAGE_IDLE, "step": 0, "step_end": 0,
                          "nfe": 0, "step_time": 0.0}
+        # per-submodel stats (reference: MLCtxInfo, src/mlblock.h:75-79)
+        self.stats: Dict[str, dict] = {}
         # runtime
         self._dtype = jnp.bfloat16
         self._store: Optional[TensorStore] = None
@@ -633,7 +635,13 @@ class MLImgSynth:
             self._dump_graph(spec)
         dev = weights_mod.pack_to_device(host)
         self._params[submodel] = dev
-        log.info2(f"{submodel} params loaded {{{time.time() - t0:.3f}s}}")
+        t_load = time.time() - t0
+        mem = sum(int(np.prod(ps.shape)) * np.dtype(ps.dtype).itemsize
+                  for ps in spec.values())
+        self.stats[submodel] = {"mem_params": mem, "t_load": t_load,
+                                "n_tensors": len(spec), "n_compute": 0}
+        log.info(f"{submodel}: {len(spec)} tensors, "
+                 f"{mem / 1024**2:.1f} MiB params {{{t_load:.3f}s}}")
         return dev
 
     def _dump_graph(self, spec):
@@ -950,9 +958,14 @@ class MLImgSynth:
                     return True
                 return False
 
+        t_comp = time.time()
         latent = run_sampler(params, latent, plan, cond, ncond, label,
                              nlabel, lmask, scfg, mt.unet_p,
                              dtype=self._dtype, step_callback=step_cb)
+        if "unet" in self.stats:
+            st = self.stats["unet"]
+            st["n_compute"] = st.get("n_compute", 0) + plan.n_step
+            st["t_compute"] = st.get("t_compute", 0.0) + time.time() - t_comp
         if step_cb is None:
             self._nfe = plan.n_step * plan.nfe_per_step
         if not np.isfinite(latent).all():
