@@ -381,9 +381,14 @@ class MLImgSynth:
             self.option_set(opt, *_split_args(value))
 
     def option_get(self, name: str):
+        """(reference: mlis_option_get, mlimgsynth_options_get.c.h)."""
         opt = self._find_option(name)
         if opt == "model_type":
             return self.c["model_type"] or "none"
+        if opt in ("prompt", "nprompt"):
+            return self.c[opt + "_raw"]
+        if opt == "seed":
+            return self.rng.seed
         return self.c.get(opt)
 
     # ------------------------------------------------------------------
@@ -966,8 +971,13 @@ class MLImgSynth:
             st = self.stats["unet"]
             st["n_compute"] = st.get("n_compute", 0) + plan.n_step
             st["t_compute"] = st.get("t_compute", 0.0) + time.time() - t_comp
+        solver_nfe = get_solver(c["method"]).n_fe
+        exact_nfe = ((plan.n_step * solver_nfe - (solver_nfe - 1))
+                     * nfe_per_dxdt)
         if step_cb is None:
-            self._nfe = plan.n_step * plan.nfe_per_step
+            self._nfe = exact_nfe
+        else:
+            self._nfe = min(self._nfe, exact_nfe)
         if not np.isfinite(latent).all():
             raise MlisError(MlisError.E_NAN, "NaN found in UNet output")
         self.tensors["latent"] = latent
