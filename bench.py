@@ -67,7 +67,7 @@ def bench_config(name):
     from mlimgsynth_tpu.rng import RngPhilox
     from mlimgsynth_tpu.sampling.sampler import (SamplerConfig, make_plan,
                                                  run_sampler)
-    from mlimgsynth_tpu.api import _clip_jit, _vae_decode_jit
+    from mlimgsynth_tpu.api import _clip_jit, _vae_decode_u8_jit
     from mlimgsynth_tpu import tokenizer as tok
 
     if name == "sdxl":
@@ -149,8 +149,8 @@ def bench_config(name):
         x = run_sampler(unet_params, np.zeros((1, 4, lat, lat), np.float32),
                         plan, emb, nemb, label, nlabel, None,
                         cfg, unet_p, dtype=dtype)
-        img = _vae_decode_jit(vae_params, x.transpose(0, 2, 3, 1),
-                              vae_p=vae_p, dtype=dtype)
+        img = _vae_decode_u8_jit(vae_params, x.transpose(0, 2, 3, 1),
+                                 vae_p=vae_p, dtype=dtype)
         return np.asarray(img)
 
     t0 = time.time()

@@ -989,7 +989,15 @@ class MLImgSynth:
 
         # decode
         if not c["no_decode"]:
-            self.tensors["image"] = self.image_decode(latent)
+            if not c["tae"] and c["vae_tile"] <= 0:
+                # fused decode + u8 quantize on device (4x less transfer)
+                u8 = np.asarray(_vae_decode_u8_jit(
+                    self._get_params("vae"), latent.transpose(0, 2, 3, 1),
+                    vae_p=mt.vae_p, dtype=self._dtype))
+                self.tensors["image"] =                     u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+                self._cb(STAGE_IMAGE_DECODE, 1, 1)
+            else:
+                self.tensors["image"] = self.image_decode(latent)
 
         self._infotext_update(w * f, h * f, plan)
         self._prompt_clear()
@@ -1122,7 +1130,19 @@ def _make_vae_jits():
         ctx = B.Ctx(params, dtype=dtype)
         return vae_mod.vae_decode_apply(ctx, lat, vae_p)
 
-    return enc, dec
+    @functools.partial(jax.jit, static_argnames=("vae_p", "dtype"))
+    def dec_u8(params, lat, *, vae_p, dtype):
+        # fused [-1,1] -> [0,1] -> uint8 on device: 4x less host transfer
+        import jax.numpy as jnp
+        from .models import blocks as B
+        from .models import vae as vae_mod
+        ctx = B.Ctx(params, dtype=dtype)
+        img = vae_mod.vae_decode_apply(ctx, lat, vae_p)
+        img = (img.astype(jnp.float32) + 1.0) * (255.0 / 2.0)
+        # C-cast truncation semantics (reference: mlis_tensor_to_image)
+        return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
+
+    return enc, dec, dec_u8
 
 
 def _vae_encode_jit(params, img, **kw):
@@ -1131,6 +1151,10 @@ def _vae_encode_jit(params, img, **kw):
 
 def _vae_decode_jit(params, lat, **kw):
     return _make_vae_jits()[1](params, lat, **kw)
+
+
+def _vae_decode_u8_jit(params, lat, **kw):
+    return _make_vae_jits()[2](params, lat, **kw)
 
 
 @functools.lru_cache(maxsize=None)
