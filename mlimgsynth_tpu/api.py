@@ -197,6 +197,9 @@ class MLImgSynth:
         self.rng = RngPhilox(seed=int(time.time() * 1000) & 0xFFFFFFFFFFFF)
         self.callback: Optional[Callable] = None
         self.error_handler: Optional[Callable] = None
+        # optional per-step latent observer (i_step, latent_nchw);
+        # forces step-at-a-time execution (used by tools/latent_trace)
+        self.step_observer: Optional[Callable] = None
         self.errstr = ""
         self.infotext = ""
         # named tensor slots (NCHW numpy): reference MLIS_TensorId
@@ -545,7 +548,10 @@ class MLImgSynth:
             if raw.startswith("tae.") and raw not in self._name_map:
                 self._name_map[raw] = weights_mod.NameRef(raw)
         log.info2(f"Model header loaded {{{time.time() - t0:.3f}s}}")
-        mt, wt = weights_mod.identify_model(store, self._name_map)
+        width_table = {d.unet_p.n_ctx: name
+                       for name, d in _model_types().items()}
+        mt, wt = weights_mod.identify_model(store, self._name_map,
+                                            width_table)
         if mt:
             self._model_type_apply(mt)
         elif not self._model_type_set:
@@ -966,7 +972,8 @@ class MLImgSynth:
         t_comp = time.time()
         latent = run_sampler(params, latent, plan, cond, ncond, label,
                              nlabel, lmask, scfg, mt.unet_p,
-                             dtype=self._dtype, step_callback=step_cb)
+                             dtype=self._dtype, step_callback=step_cb,
+                             step_observer=self.step_observer)
         if "unet" in self.stats:
             st = self.stats["unet"]
             st["n_compute"] = st.get("n_compute", 0) + plan.n_step

@@ -198,7 +198,7 @@ def _nhwc(a):
 def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 nlabel, lmask, cfg: SamplerConfig,
                 unet_p: unet_mod.UnetParams, dtype=jnp.bfloat16,
-                step_callback=None):
+                step_callback=None, step_observer=None):
     """Run the sampling loop.  ``x_init`` (NCHW f32), ``lmask`` [N,1,h,w] or
     None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW.
 
@@ -241,7 +241,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
               use_mask=use_mask, dtype=dtype)
 
-    if step_callback is None:
+    if step_callback is None and step_observer is None:
         x = _loop_jit(params, x, consts, noise0, churn, anc, sigmas0, **kw)
     else:
         carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep,
@@ -249,7 +249,11 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         for i in range(plan.n_step):
             carry = _step_jit(params, carry, jnp.int32(i), churn[i], anc[i],
                               consts, **kw)
-            if step_callback(i + 1, plan.n_step):
+            if step_observer is not None:
+                step_observer(i + 1, np.asarray(
+                    carry[0], np.float32).transpose(0, 3, 1, 2))
+            if step_callback is not None and step_callback(i + 1,
+                                                           plan.n_step):
                 break
         x = carry[0]
     return np.asarray(x, np.float32).transpose(0, 3, 1, 2)

@@ -55,19 +55,21 @@ def build_name_map(store: TensorStore) -> Dict[str, NameRef]:
     return out
 
 
-def identify_model(store: TensorStore, name_map: Dict[str, NameRef]
+def identify_model(store: TensorStore, name_map: Dict[str, NameRef],
+                   width_table: Optional[Dict[int, str]] = None
                    ) -> Tuple[Optional[str], Optional[str]]:
-    """Probe model type from UNet cross-attn K width
-    (reference: src/mlimgsynth.c:1207-1249).  Returns (model_type, dtype)."""
-    for probe, widths in (
-            ("unet.in.1.1.transf.0.attn2.k_proj.weight",
-             {768: "sd1", 1024: "sd2"}),
-            ("unet.in.4.1.transf.0.attn2.k_proj.weight", {2048: "sdxl"})):
+    """Probe model type from the UNet cross-attn K width
+    (reference: src/mlimgsynth.c:1207-1249).  Returns (model_type, dtype).
+    ``width_table`` maps n_ctx -> type name; defaults to the SD families."""
+    if width_table is None:
+        width_table = {768: "sd1", 1024: "sd2", 2048: "sdxl"}
+    for probe in ("unet.in.1.1.transf.0.attn2.k_proj.weight",
+                  "unet.in.4.1.transf.0.attn2.k_proj.weight"):
         ref = name_map.get(probe)
         if ref is None:
             continue
         e = store.tensors[ref.raw]
-        return widths.get(int(e.shape[-1])), e.dtype
+        return width_table.get(int(e.shape[-1])), e.dtype
     return None, None
 
 
