@@ -235,8 +235,16 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
               f32(plan.s_up), f32(plan.t_next), jnp.float32(cfg.cfg_scale))
 
     noise0 = _nhwc(plan.noise0)
-    churn = jnp.asarray(plan.churn_noise.transpose(0, 1, 3, 4, 2))
-    anc = jnp.asarray(plan.anc_noise.transpose(0, 1, 3, 4, 2))
+
+    def _noise_stack(arr, active):
+        # all-zero stacks (no churn / no ancestral) collapse to a
+        # broadcastable stub: avoids transferring megabytes of zeros
+        if not active:
+            return jnp.zeros((arr.shape[0], 1, 1, 1, 1), jnp.float32)
+        return jnp.asarray(arr.transpose(0, 1, 3, 4, 2))
+
+    churn = _noise_stack(plan.churn_noise, bool(plan.churn_sigma.max() > 0))
+    anc = _noise_stack(plan.anc_noise, bool(plan.s_up.max() > 0))
     sigmas0 = jnp.float32(plan.sigmas[0])
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
               use_mask=use_mask, dtype=dtype)
