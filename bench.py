@@ -70,10 +70,24 @@ def bench_config(name):
     from mlimgsynth_tpu.api import _clip_jit, _vae_decode_u8_jit
     from mlimgsynth_tpu import tokenizer as tok
 
+    method = "euler"
+    use_tae = False
     if name == "sdxl":
         size, baseline = 1024, 4.0
         unet_p, clip_p, clip2_p, vae_p = (U.UNET_SDXL, C.CLIP_VIT_L_14,
                                           C.CLIP_VIT_BIGG_14, V.VAE_SDXL)
+    elif name == "sd21":
+        # BASELINE config 2: SD v2.1 768px, DPM++ 2M, v-prediction
+        size, baseline = 768, 2.25
+        unet_p, clip_p, clip2_p, vae_p = (U.UNET_SD2, C.CLIP_VIT_H_14,
+                                          None, V.VAE_SD1)
+        method = "dpmpp2m"
+    elif name == "sd15-tae":
+        # BASELINE config 3: TAE fast-decode swap-in at SD1.5 512px
+        size, baseline = 512, 1.0
+        unet_p, clip_p, clip2_p, vae_p = (U.UNET_SD1, C.CLIP_VIT_L_14,
+                                          None, V.VAE_SD1)
+        use_tae = True
     else:
         size, baseline = 512, 1.0
         unet_p, clip_p, clip2_p, vae_p = (U.UNET_SD1, C.CLIP_VIT_L_14,
@@ -90,9 +104,15 @@ def bench_config(name):
         jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
         jnp.zeros((1, 77, unet_p.n_ctx)))
     unet_params = synth_params(spec_u, 0)
-    spec_v = B.trace_spec(
-        lambda ctx, x: V.vae_decode_apply(ctx, x, vae_p),
-        jnp.zeros((1, 8, 8, 4)))
+    if use_tae:
+        from mlimgsynth_tpu.models import tae as T
+        spec_v = B.trace_spec(
+            lambda ctx, x: T.tae_decode_apply(ctx, x, T.TAE_SD1),
+            jnp.zeros((1, 8, 8, 4)))
+    else:
+        spec_v = B.trace_spec(
+            lambda ctx, x: V.vae_decode_apply(ctx, x, vae_p),
+            jnp.zeros((1, 8, 8, 4)))
     vae_params = synth_params(spec_v, 1)
     spec_c = B.trace_spec(
         lambda ctx, toks: C.clip_text_apply(ctx, toks, clip_p),
@@ -112,7 +132,7 @@ def bench_config(name):
     toks = tok.wrap_tokens(clip_p, tok.tokenize(prompt))
     ntoks = tok.wrap_tokens(clip_p, [])
     n_tok = len(tok.tokenize(prompt))
-    cfg = SamplerConfig(method="euler", sched="uniform", n_step=STEPS,
+    cfg = SamplerConfig(method=method, sched="uniform", n_step=STEPS,
                         cfg_scale=CFG)
 
     def encode_text(tk):
@@ -149,8 +169,13 @@ def bench_config(name):
         x = run_sampler(unet_params, np.zeros((1, 4, lat, lat), np.float32),
                         plan, emb, nemb, label, nlabel, None,
                         cfg, unet_p, dtype=dtype)
-        img = _vae_decode_u8_jit(vae_params, x.transpose(0, 2, 3, 1),
-                                 vae_p=vae_p, dtype=dtype)
+        if use_tae:
+            from mlimgsynth_tpu.api import _tae_decode_jit
+            img = _tae_decode_jit(vae_params, x.transpose(0, 2, 3, 1),
+                                  dtype=dtype)
+        else:
+            img = _vae_decode_u8_jit(vae_params, x.transpose(0, 2, 3, 1),
+                                     vae_p=vae_p, dtype=dtype)
         return np.asarray(img)
 
     t0 = time.time()
@@ -165,10 +190,12 @@ def bench_config(name):
         times.append(time.time() - t0)
         log(f"[{name}] run {i}: {times[-1]:.3f}s")
     best = min(times)
+    label = {"sdxl": "SDXL", "sd21": "SD2.1 dpm++2m vparam",
+             "sd15-tae": "SD1.5+TAE"}.get(name, "SD1.5")
     return {
-        "metric": f"{'SDXL' if name == 'sdxl' else 'SD1.5'} {size}px "
+        "metric": f"{label} {size}px "
                   f"{STEPS}-step cfg{CFG:g} txt2img e2e latency "
-                  "(text encode + denoise + VAE decode)",
+                  "(text encode + denoise + decode)",
         "value": round(best, 4),
         "unit": "s/image",
         "vs_baseline": round(baseline / best, 3),
@@ -181,7 +208,8 @@ def main():
     _cc()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     which = os.environ.get("MLIS_BENCH", "sd15")
-    configs = ["sd15", "sdxl"] if which == "all" else [which]
+    configs = (["sd15", "sdxl", "sd21", "sd15-tae"] if which == "all"
+               else which.split(","))
     results = [bench_config(c) for c in configs]
     for r in results[1:]:
         log(json.dumps(r))
