@@ -24,6 +24,7 @@ Usage: mlimgsynth [COMMAND] [OPTIONS]
 
 Commands:
   generate             Generate an image.
+  serve                Run an HTTP image-generation server (--port 8188).
   list-backends        List available JAX backends/devices.
   vae-encode           Encode an image to a latent.
   vae-decode           Decode a latent to an image.
@@ -89,7 +90,8 @@ SHORT_OPTS = {
 
 # long options handled by the CLI itself; everything else forwards to the
 # library option table (reference: main_mlimgsynth.c:243-251)
-CLI_PATH_OPTS = ("input", "imask", "ilatent", "ilmask", "output", "olatent")
+CLI_PATH_OPTS = ("input", "imask", "ilatent", "ilmask", "output", "olatent",
+                 "port")
 NO_VALUE_OPTS = ("help", "version", "verbose", "quiet", "silent", "debug")
 
 
@@ -388,8 +390,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     if state.verbosity >= 0:
         session.option_set("callback", _progress_printer(state))
 
+    def cmd_serve(session, st):
+        from .server import serve
+        serve(session, port=int(st.paths["port"] or 8188))
+        return 0
+
     commands = {
         "generate": cmd_generate,
+        "serve": cmd_serve,
         "list-backends": cmd_list_backends,
         "vae-encode": lambda s, st: cmd_vae(s, st, True, False),
         "vae-decode": lambda s, st: cmd_vae(s, st, False, True),
