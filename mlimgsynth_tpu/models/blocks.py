@@ -176,7 +176,6 @@ def downsample(ctx: Ctx, pre: str, x, ch_out: int, vae: bool = False):
 
 def upsample(ctx: Ctx, pre: str, x, ch_out: int):
     """ref: mlb_upsample (src/mlblock_nn.c:118-126). Nearest 2x then conv."""
-    n, h, w, c = x.shape
     x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     return conv2d(ctx, pre + ".conv", x, ch_out, 3, 1, pad=1)
 
