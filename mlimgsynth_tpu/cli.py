@@ -260,8 +260,10 @@ def cmd_vae(session, state: CliState, encode: bool, decode: bool):
                         state.paths["output"])
     if encode and decode:
         img_t = session.tensors["image"]
-        mse = float(np.sqrt(np.mean((orig - img_t) ** 2)))
-        sys.stderr.write(f"Image encode/decode mse: {mse:.3f}\n")
+        rmse = float(np.sqrt(np.mean((orig - img_t) ** 2)))
+        psnr = 20 * np.log10(1.0 / rmse) if rmse > 0 else float("inf")
+        sys.stderr.write(f"Image encode/decode mse: {rmse:.3f} "
+                         f"(PSNR {psnr:.1f} dB)\n")
     return 0
 
 

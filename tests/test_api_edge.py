@@ -108,3 +108,14 @@ def test_weight_type_q8_session(ckpt, tmp_path, monkeypatch):
     assert s.c["weight_type"] == "q8_0"
     with pytest.raises(MlisError):
         s.option_set("weight-type", "q17_9")
+
+
+def test_f_t_end_partial_denoise(ckpt, monkeypatch):
+    # --f-t-end > 0 stops the schedule early (fewer steps, sigma floor > 0)
+    s = make_session(ckpt, monkeypatch, steps=10)
+    s.option_set("f-t-end", 0.5)
+    s.option_set("prompt", "x")
+    s.option_set("no-decode", True)
+    lat = s.generate()
+    assert np.isfinite(lat).all()
+    assert "Steps: 5" in s.infotext  # 10 * (1.0 - 0.5)
