@@ -170,9 +170,9 @@ def bench_config(name):
                         plan, emb, nemb, label, nlabel, None,
                         cfg, unet_p, dtype=dtype)
         if use_tae:
-            from mlimgsynth_tpu.api import _tae_decode_jit
-            img = _tae_decode_jit(vae_params, x.transpose(0, 2, 3, 1),
-                                  dtype=dtype)
+            from mlimgsynth_tpu.api import _tae_decode_u8_jit
+            img = _tae_decode_u8_jit(vae_params, x.transpose(0, 2, 3, 1),
+                                     dtype=dtype)
         else:
             img = _vae_decode_u8_jit(vae_params, x.transpose(0, 2, 3, 1),
                                      vae_p=vae_p, dtype=dtype)

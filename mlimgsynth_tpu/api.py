@@ -996,7 +996,14 @@ class MLImgSynth:
 
         # decode
         if not c["no_decode"]:
-            if not c["tae"] and c["vae_tile"] <= 0:
+            if c["tae"]:
+                u8 = np.asarray(_tae_decode_u8_jit(
+                    self._get_params("tae"), latent.transpose(0, 2, 3, 1),
+                    dtype=self._dtype))
+                self.tensors["image"] = \
+                    u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+                self._cb(STAGE_IMAGE_DECODE, 1, 1)
+            elif c["vae_tile"] <= 0:
                 # fused decode + u8 quantize on device (4x less transfer)
                 u8 = np.asarray(_vae_decode_u8_jit(
                     self._get_params("vae"), latent.transpose(0, 2, 3, 1),
@@ -1182,7 +1189,17 @@ def _make_tae_jits():
         ctx = B.Ctx(params, dtype=dtype)
         return tae_mod.tae_decode_apply(ctx, lat, tae_mod.TAE_SD1)
 
-    return enc, dec
+    @functools.partial(jax.jit, static_argnames=("dtype",))
+    def dec_u8(params, lat, *, dtype):
+        import jax.numpy as jnp
+        from .models import blocks as B
+        from .models import tae as tae_mod
+        ctx = B.Ctx(params, dtype=dtype)
+        img = tae_mod.tae_decode_apply(ctx, lat, tae_mod.TAE_SD1)
+        return jnp.clip(img.astype(jnp.float32) * 255.0, 0.0,
+                        255.0).astype(jnp.uint8)
+
+    return enc, dec, dec_u8
 
 
 def _tae_encode_jit(params, img, **kw):
@@ -1191,6 +1208,10 @@ def _tae_encode_jit(params, img, **kw):
 
 def _tae_decode_jit(params, lat, **kw):
     return _make_tae_jits()[1](params, lat, **kw)
+
+
+def _tae_decode_u8_jit(params, lat, **kw):
+    return _make_tae_jits()[2](params, lat, **kw)
 
 
 # ---------------------------------------------------------------------------
