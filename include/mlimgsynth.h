@@ -207,6 +207,7 @@ const char* mlis_errstr_get(const MLIS_Ctx* ctx);
 /* Options */
 int mlis_option_set(MLIS_Ctx* ctx, MLIS_Option id, ...);
 int mlis_option_set_str(MLIS_Ctx* ctx, const char* name, const char* value);
+int mlis_option_get(MLIS_Ctx* ctx, MLIS_Option id, ...);
 
 /* Pipeline */
 int mlis_setup(MLIS_Ctx* ctx);

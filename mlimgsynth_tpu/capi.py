@@ -59,6 +59,12 @@ class CSession:
         r, _ = self._wrap(self.s.option_set_str, name, value)
         return r
 
+    def option_get_str(self, name: str) -> str:
+        r, v = self._wrap(self.s.option_get, name)
+        if r < 0:
+            return ""
+        return "" if v is None else str(v)
+
     def set_callback(self, fn_addr: int, user_addr: int) -> int:
         if not fn_addr:
             self.s.callback = None

@@ -195,10 +195,32 @@ const char* mlis_errstr_get(const MLIS_Ctx *S)
 
 /* ---- options ------------------------------------------------------------ */
 
+static const char* opt_name(MLIS_Option id);
+
 int mlis_option_set_str(MLIS_Ctx *S, const char *name, const char *value)
 {
 	return shim_call_i(S, "option_set_str", "(ss)", name,
 		value ? value : "");
+}
+
+/* Reference parity: option_get supports the string-valued options
+ * (mlimgsynth_options_get.c.h). The out-pointer receives a ctx-owned
+ * string valid until the next call. */
+int mlis_option_get(MLIS_Ctx *S, MLIS_Option id, ...)
+{
+	const char *name = opt_name(id);
+	if (!name) return MLIS_E_UNK_OPT;
+	PyObject *res = shim_call(S, "option_get_str", "(s)", name);
+	if (!res) return MLIS_E_UNKNOWN;
+	snprintf(S->errstr + 512, sizeof(S->errstr) - 512, "%s",
+		PyUnicode_AsUTF8(res));
+	Py_DECREF(res);
+	va_list ap;
+	va_start(ap, id);
+	const char **out = va_arg(ap, const char**);
+	va_end(ap);
+	if (out) *out = S->errstr + 512;
+	return 1;
 }
 
 static const char* opt_name(MLIS_Option id)
