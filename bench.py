@@ -190,6 +190,13 @@ def bench_config(name):
         times.append(time.time() - t0)
         log(f"[{name}] run {i}: {times[-1]:.3f}s")
     best = min(times)
+    try:
+        st = jax.devices()[0].memory_stats() or {}
+        peak = st.get("peak_bytes_in_use", 0)
+        log(f"[{name}] peak HBM {peak / 1024**3:.2f} GiB "
+            f"(reference claims SDXL <= 4 GiB with unet-split+vae-tile)")
+    except Exception:
+        pass
     label = {"sdxl": "SDXL", "sd21": "SD2.1 dpm++2m vparam",
              "sd15-tae": "SD1.5+TAE"}.get(name, "SD1.5")
     return {
