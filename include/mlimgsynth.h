@@ -5,7 +5,8 @@
  * unchanged; the implementation runs the TPU-native JAX core through an
  * embedded Python interpreter (src shim: native/mlis_shim.c).
  *
- * Not thread-safe: one MLIS_Ctx per thread.
+ * Sessions serialize their pipeline entry points internally; one
+ * MLIS_Ctx may be driven from multiple threads (unlike the reference).
  */
 #ifndef MLIMGSYNTH_TPU_H
 #define MLIMGSYNTH_TPU_H

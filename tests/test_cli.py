@@ -141,3 +141,49 @@ def test_tstore_util_extract(tmp_path, ckpt, capsys):
     assert r == 0
     data = out.read_bytes()
     assert data.startswith(b"TENSOR F32 ")
+
+
+def test_generate_from_gguf(tmp_path, monkeypatch, ckpt):
+    """CLI generate from a GGUF checkpoint converted by tstore-util."""
+    patch_tiny_model_types(monkeypatch)
+    gguf = tmp_path / "tiny.gguf"
+    assert tstore_util.main(["convert", "-i", ckpt, "-o", str(gguf),
+                             "-T", "f32"]) == 0
+    out = tmp_path / "g.png"
+    r = run_cli(["generate", "-m", str(gguf), "--model-type", "sd1",
+                 "-p", "gguf", "-o", str(out), "-d", "64", "-s", "2",
+                 "--weight-type", "f32", "-q"])
+    assert r == 0 and out.exists()
+
+
+def test_vae_encode_decode_files(tmp_path, monkeypatch, ckpt):
+    """vae-encode writes a latent; vae-decode reads it back to an image."""
+    patch_tiny_model_types(monkeypatch)
+    rng = np.random.default_rng(5)
+    src = tmp_path / "src.png"
+    image_mod.image_save(str(src),
+                         (rng.random((64, 64, 3)) * 255).astype(np.uint8))
+    lat = tmp_path / "lat.tensor"
+    r = run_cli(["vae-encode", "-m", ckpt, "--model-type", "sd1",
+                 "-i", str(src), "--olatent", str(lat),
+                 "--weight-type", "f32", "-q"])
+    assert r == 0 and lat.exists()
+    t = image_mod.tensor_load(str(lat))
+    assert t.shape == (1, 4, 8, 8)
+    out = tmp_path / "dec.png"
+    r = run_cli(["vae-decode", "-m", ckpt, "--model-type", "sd1",
+                 "--ilatent", str(lat), "-o", str(out),
+                 "--weight-type", "f32", "-q"])
+    assert r == 0 and out.exists()
+    assert image_mod.image_load(str(out)).shape == (64, 64, 3)
+
+
+def test_quiet_skips_progress(tmp_path, monkeypatch, ckpt, capsys):
+    patch_tiny_model_types(monkeypatch)
+    out = tmp_path / "q.png"
+    r = run_cli(["generate", "-m", ckpt, "--model-type", "sd1", "-p", "x",
+                 "-o", str(out), "-d", "64", "-s", "1",
+                 "--weight-type", "f32", "-q"])
+    assert r == 0
+    captured = capsys.readouterr()
+    assert "denoise" not in captured.err  # no per-step progress in quiet mode
