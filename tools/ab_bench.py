@@ -78,9 +78,10 @@ def main():
     unet_p = U.UNET_SDXL if which == "sdxl" else U.UNET_SD1
     lat = 128 if which == "sdxl" else 64
     label = (jnp.zeros((2, unet_p.ch_adm_in)) if unet_p.ch_adm_in else None)
+    label1 = (jnp.zeros((1, unet_p.ch_adm_in)) if unet_p.ch_adm_in else None)
 
     spec = B.trace_spec(
-        lambda ctx, x, t, c: U.unet_apply(ctx, x, t, c, label, unet_p),
+        lambda ctx, x, t, c: U.unet_apply(ctx, x, t, c, label1, unet_p),
         jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
         jnp.zeros((1, 77, unet_p.n_ctx)))
     params = synth_params(spec, 0)
