@@ -119,3 +119,20 @@ def test_f_t_end_partial_denoise(ckpt, monkeypatch):
     lat = s.generate()
     assert np.isfinite(lat).all()
     assert "Steps: 5" in s.infotext  # 10 * (1.0 - 0.5)
+
+
+def test_dump_flags_write_files(ckpt, monkeypatch, tmp_path):
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        s = make_session(ckpt, monkeypatch, dump_flags=1 | 4)
+        s.option_set("prompt", "x")
+        s.option_set("no-decode", True)
+        s.generate()
+    finally:
+        os.chdir(cwd)
+    dump = (tmp_path / "dump-tensors-model.txt").read_text()
+    assert "model.diffusion_model.time_embed.0.weight" in dump
+    graph = (tmp_path / "dump-graph.txt").read_text()
+    assert "conv_general_dilated" in graph
