@@ -182,6 +182,22 @@ def _step_jit(params, carry, i, c_noise, a_noise, consts,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype"))
+def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
+               *, method, unet_p, use_cfg, use_mask, dtype):
+    """Scan a fixed-size chunk of steps from an arbitrary carry: progress
+    callbacks fire between chunks with 1/chunk the dispatch overhead."""
+    _, body = _make_body(params, consts, method=method, unet_p=unet_p,
+                         use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
+    k = c_noise_chunk.shape[0]
+    carry, _ = jax.lax.scan(
+        body, carry,
+        (i0 + jnp.arange(k), c_noise_chunk, a_noise_chunk))
+    return carry
+
+
+@functools.partial(
     jax.jit, static_argnames=("method", "use_mask"))
 def _init_jit(x, noise0, sigmas0, lmask, x0_keep, *, method, use_mask):
     x = x.astype(jnp.float32) + noise0 * sigmas0
@@ -254,14 +270,25 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     else:
         carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep,
                           method=method, use_mask=use_mask)
-        for i in range(plan.n_step):
-            carry = _step_jit(params, carry, jnp.int32(i), churn[i], anc[i],
-                              consts, **kw)
+        import os
+        chunk = max(1, int(os.environ.get("MLIS_PROGRESS_CHUNK", "1")))
+        if step_observer is not None:
+            chunk = 1  # observers need every step
+        i = 0
+        while i < plan.n_step:
+            k = min(chunk, plan.n_step - i)
+            if k == 1:
+                carry = _step_jit(params, carry, jnp.int32(i), churn[i],
+                                  anc[i], consts, **kw)
+            else:
+                carry = _chunk_jit(params, carry, jnp.int32(i),
+                                   churn[i:i + k], anc[i:i + k], consts,
+                                   **kw)
+            i += k
             if step_observer is not None:
-                step_observer(i + 1, np.asarray(
+                step_observer(i, np.asarray(
                     carry[0], np.float32).transpose(0, 3, 1, 2))
-            if step_callback is not None and step_callback(i + 1,
-                                                           plan.n_step):
+            if step_callback is not None and step_callback(i, plan.n_step):
                 break
         x = carry[0]
     return np.asarray(x, np.float32).transpose(0, 3, 1, 2)
