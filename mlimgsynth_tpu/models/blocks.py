@@ -151,17 +151,25 @@ def layer_norm(ctx: Ctx, pre: str, x, eps: float = 1e-5,
 def group_norm(ctx: Ctx, pre: str, x, n_grp: int = 32, eps: float = 1e-6,
                affine: bool = True):
     """ref: mlb_nn_groupnorm32 (src/mlblock_nn.c:78-103, eps 1e-6).
-    x: [N,H,W,C]; normalizes over (H,W,C/g) per group."""
+    x: [N,H,W,C]; normalizes over (H,W,C/g) per group.
+
+    Statistics accumulate in float32; the normalization arithmetic stays in
+    the activation dtype (the output is that dtype regardless, and avoiding
+    the f32 materialization of the full activation saves ~13% of an SDXL
+    UNet step — see docs/BENCH.md)."""
     dt = x.dtype
     n, h, w, c = x.shape
-    xf = x.astype(jnp.float32).reshape(n, h, w, n_grp, c // n_grp)
-    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
-    var = xf.var(axis=(1, 2, 4), keepdims=True)
-    xf = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(n, h, w, c)
+    xg = x.reshape(n, h * w, n_grp, c // n_grp)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(jnp.square(xg.astype(jnp.float32) - mean), axis=(1, 3),
+                   keepdims=True)
+    xg = ((xg - mean.astype(dt)) *
+          jax.lax.rsqrt(var + eps).astype(dt))
+    xf = xg.reshape(n, h, w, c)
     if affine:
         wt = ctx.param(pre + ".weight", (c,), VEC, jnp.float32)
         b = ctx.param(pre + ".bias", (c,), VEC, jnp.float32)
-        xf = xf * wt + b
+        xf = xf * wt.astype(dt) + b.astype(dt)
     return xf.astype(dt)
 
 
