@@ -58,10 +58,38 @@ def variant_groupnorm_bf16():
     B.group_norm = orig
 
 
+def variant_layernorm_bf16():
+    import jax
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.models import blocks as B
+    orig = B.layer_norm
+
+    def ln(ctx, pre, x, eps=1e-5, affine=True, bias=True):
+        dt = x.dtype
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32) - mean), axis=-1,
+                       keepdims=True)
+        xf = (x - mean.astype(dt)) * jax.lax.rsqrt(var + eps).astype(dt)
+        if affine:
+            w = ctx.param(pre + ".weight", (x.shape[-1],), B.VEC,
+                          jnp.float32)
+            xf = xf * w.astype(dt)
+            if bias:
+                b = ctx.param(pre + ".bias", (x.shape[-1],), B.VEC,
+                              jnp.float32)
+                xf = xf + b.astype(dt)
+        return xf
+
+    B.layer_norm = ln
+    yield
+    B.layer_norm = orig
+
+
 VARIANTS = {
     "baseline": variant_baseline,
     "no_flash": variant_no_flash,
     "groupnorm_bf16": variant_groupnorm_bf16,
+    "layernorm_bf16": variant_layernorm_bf16,
 }
 
 
