@@ -133,18 +133,21 @@ def conv2d(ctx: Ctx, pre: str, x, ch_out: int, kernel: int = 3,
 
 def layer_norm(ctx: Ctx, pre: str, x, eps: float = 1e-5,
                affine: bool = True, bias: bool = True):
-    """ref: mlb_nn_layer_norm (src/mlblock_nn.c:58-75). Normalizes last dim."""
+    """ref: mlb_nn_layer_norm (src/mlblock_nn.c:58-75). Normalizes last dim.
+
+    Like :func:`group_norm`: float32 statistics, activation-dtype
+    normalization arithmetic (no f32 materialization of the activations)."""
     dt = x.dtype
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(axis=-1, keepdims=True)
-    var = xf.var(axis=-1, keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(jnp.square(x.astype(jnp.float32) - mean), axis=-1,
+                   keepdims=True)
+    xf = (x - mean.astype(dt)) * jax.lax.rsqrt(var + eps).astype(dt)
     if affine:
         w = ctx.param(pre + ".weight", (x.shape[-1],), VEC, jnp.float32)
-        xf = xf * w
+        xf = xf * w.astype(dt)
         if bias:
             b = ctx.param(pre + ".bias", (x.shape[-1],), VEC, jnp.float32)
-            xf = xf + b
+            xf = xf + b.astype(dt)
     return xf.astype(dt)
 
 
