@@ -72,17 +72,19 @@ def bench_config(name):
 
     method = "euler"
     use_tae = False
-    if name == "sdxl":
+    use_q8 = name.endswith("-q8")
+    name_base = name[:-3] if use_q8 else name
+    if name_base == "sdxl":
         size, baseline = 1024, 4.0
         unet_p, clip_p, clip2_p, vae_p = (U.UNET_SDXL, C.CLIP_VIT_L_14,
                                           C.CLIP_VIT_BIGG_14, V.VAE_SDXL)
-    elif name == "sd21":
+    elif name_base == "sd21":
         # BASELINE config 2: SD v2.1 768px, DPM++ 2M, v-prediction
         size, baseline = 768, 2.25
         unet_p, clip_p, clip2_p, vae_p = (U.UNET_SD2, C.CLIP_VIT_H_14,
                                           None, V.VAE_SD1)
         method = "dpmpp2m"
-    elif name == "sd15-tae":
+    elif name_base == "sd15-tae":
         # BASELINE config 3: TAE fast-decode swap-in at SD1.5 512px
         size, baseline = 512, 1.0
         unet_p, clip_p, clip2_p, vae_p = (U.UNET_SD1, C.CLIP_VIT_L_14,
@@ -104,6 +106,14 @@ def bench_config(name):
         jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
         jnp.zeros((1, 77, unet_p.n_ctx)))
     unet_params = synth_params(spec_u, 0)
+    if use_q8:
+        from mlimgsynth_tpu.weights import quantize_linear_weights
+        host = {k: np.asarray(v, np.float32) for k, v in unet_params.items()}
+        n_q = quantize_linear_weights(host, spec_u)
+        unet_params = {k: (jnp.asarray(v) if v.dtype != np.float32
+                           else jnp.asarray(v, dtype))
+                       for k, v in host.items()}
+        log(f"[{name}] {n_q} linear weights int8-quantized")
     if use_tae:
         from mlimgsynth_tpu.models import tae as T
         spec_v = B.trace_spec(
@@ -198,7 +208,9 @@ def bench_config(name):
     except Exception:
         pass
     label = {"sdxl": "SDXL", "sd21": "SD2.1 dpm++2m vparam",
-             "sd15-tae": "SD1.5+TAE"}.get(name, "SD1.5")
+             "sd15-tae": "SD1.5+TAE"}.get(name_base, "SD1.5")
+    if use_q8:
+        label += " int8-weights"
     return {
         "metric": f"{label} {size}px "
                   f"{STEPS}-step cfg{CFG:g} txt2img e2e latency "

@@ -221,6 +221,7 @@ class MLImgSynth:
         self._nfe = 0
         self._wtype_set = False
         self._model_type_set = False
+        self._weights_q8 = False
         # pipeline entry points are serialized; sessions are safe to
         # drive from multiple threads (the reference is documented
         # not thread-safe, include/mlimgsynth.h:9)
@@ -484,6 +485,9 @@ class MLImgSynth:
         else:
             raise MlisError(MlisError.E_OPT_VALUE,
                             f"unknown weight type '{wt}'")
+        # quantized weight types execute linears as weight-only int8
+        # (Pallas dequant-matmul); convs/norms stay in the compute dtype
+        self._weights_q8 = key.startswith("q")
         self.c["weight_type"] = key
         self._wtype_set = True
 
@@ -642,6 +646,9 @@ class MLImgSynth:
             if ps.dtype == jnp.bfloat16 and self._dtype != jnp.bfloat16:
                 spec[k] = B.ParamSpec(ps.shape, ps.kind, self._dtype)
         host = weights_mod.load_params(self._store, spec, self._name_map)
+        if self._weights_q8:
+            n_q = weights_mod.quantize_linear_weights(host, spec)
+            log.info2(f"{submodel}: {n_q} linear weights quantized to int8")
         if self.c["dump_flags"] & 4 and submodel == "unet":  # MLIS_DUMP_GRAPH
             self._dump_graph(spec)
         dev = weights_mod.pack_to_device(host)

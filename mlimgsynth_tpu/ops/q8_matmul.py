@@ -1,0 +1,106 @@
+"""Weight-only int8 matmul: Pallas kernel with in-VMEM dequantization.
+
+The reference computes directly on ggml-quantized weights (q8_0 etc.) to cut
+memory; the TPU-native equivalent keeps weights as int8 in HBM with
+per-[128 x column] float scales and dequantizes tiles in VMEM right before
+the MXU dot.  Weight HBM footprint and bandwidth halve vs bf16; activations
+stay bf16 and accumulation is float32.
+
+Quantization: symmetric per (K-block=128, output-column) group:
+``w = q * scale``, ``q`` int8, ``scale = max|w_block| / 127``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KBLOCK = 128
+
+
+def quantize_weight(w: np.ndarray):
+    """[K, N] float -> (int8 [K, N], f32 scales [K/128, N]).
+
+    K is padded to a multiple of 128 by the caller's layout (model dims
+    always are)."""
+    k, n = w.shape
+    assert k % KBLOCK == 0, (k, n)
+    wb = np.asarray(w, np.float32).reshape(k // KBLOCK, KBLOCK, n)
+    amax = np.abs(wb).max(axis=1, keepdims=True)
+    scale = (amax / 127.0).astype(np.float32)
+    q = np.clip(np.round(wb / np.maximum(scale, 1e-30)), -127, 127)
+    return (q.astype(np.int8).reshape(k, n),
+            scale.reshape(k // KBLOCK, n))
+
+
+def _q8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]                      # [bm, KBLOCK] bf16
+    w = w_ref[...]                      # [KBLOCK, bn] int8
+    s = s_ref[...]                      # [1, bn] f32
+    wd = w.astype(jnp.bfloat16)
+    part = jax.lax.dot_general(
+        x, wd, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] += part * s
+
+    @pl.when(ik == n_kb - 1)
+    def _done():
+        o_ref[...] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def q8_matmul(x, w_q8, w_scale, block_m: int = 256, block_n: int = 512):
+    """x: [..., K] bf16/f32, w_q8: [K, N] int8, w_scale: [K/128, N] f32
+    -> [..., N] in x.dtype."""
+    orig_shape = x.shape
+    k = x.shape[-1]
+    n = w_q8.shape[1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    n_kb = k // KBLOCK
+
+    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    bn = min(block_n, n)
+    m_p = pl.cdiv(m, bm) * bm
+    if m_p != m:
+        x2 = jnp.pad(x2, ((0, m_p - m), (0, 0)))
+    assert n % bn == 0, (n, bn)
+
+    out = pl.pallas_call(
+        functools.partial(_q8_kernel, n_kb=n_kb),
+        grid=(m_p // bm, n // bn, n_kb),
+        in_specs=[
+            pl.BlockSpec((bm, KBLOCK), lambda i, j, ik: (i, ik)),
+            pl.BlockSpec((KBLOCK, bn), lambda i, j, ik: (ik, j)),
+            pl.BlockSpec((1, bn), lambda i, j, ik: (ik, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ik: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )(x2, w_q8, w_scale)
+    return out[:m].reshape(orig_shape[:-1] + (n,))
+
+
+def q8_matmul_xla(x, w_q8, w_scale):
+    """Reference/fallback path: dequantize then matmul (used off-TPU)."""
+    k, n = w_q8.shape
+    w = (w_q8.astype(jnp.float32).reshape(k // KBLOCK, KBLOCK, n)
+         * w_scale[:, None, :]).reshape(k, n)
+    return jnp.dot(x, w.astype(x.dtype))
+
+
+def q8_dot(x, w_q8, w_scale):
+    """Dispatch: Pallas on TPU, XLA dequant elsewhere."""
+    if jax.default_backend() == "tpu" and w_q8.shape[1] % 128 == 0:
+        return q8_matmul(x, w_q8, w_scale)
+    return q8_matmul_xla(x, w_q8, w_scale)

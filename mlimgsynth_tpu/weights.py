@@ -212,3 +212,26 @@ def lora_apply(model_store: TensorStore, model_map: Dict[str, NameRef],
         model_store.cache_set(dst_ref.raw, patched)
         n += 1
     return n
+
+
+def quantize_linear_weights(host_params: Dict[str, np.ndarray],
+                            spec: Dict[str, ParamSpec]) -> int:
+    """Replace eligible linear weights with int8 + scale pairs in place
+    (weight-only quantized execution; see ops/q8_matmul.py).  Returns the
+    number of weights quantized."""
+    from .models.blocks import LINEAR_W
+    from .ops.q8_matmul import KBLOCK, quantize_weight
+    n = 0
+    for name, ps in list(spec.items()):
+        if ps.kind != LINEAR_W or name not in host_params:
+            continue
+        k, _ = ps.shape
+        if k % KBLOCK != 0:
+            continue  # stays in the compute dtype
+        w = np.asarray(host_params[name], np.float32)
+        q, scale = quantize_weight(w)
+        del host_params[name]
+        host_params[name + "_q8"] = q
+        host_params[name + "_scale"] = scale
+        n += 1
+    return n

@@ -1,0 +1,89 @@
+"""Weight-only int8 matmul: kernel vs dequant reference, quant accuracy,
+and quantized end-to-end generation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlimgsynth_tpu.ops import q8_matmul as q8
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    if jax.default_backend() != "tpu":
+        from jax.experimental.pallas import tpu as pltpu
+        ctx = pltpu.force_tpu_interpret_mode()
+        ctx.__enter__()
+        yield
+        ctx.__exit__(None, None, None)
+    else:
+        yield
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((256, 320)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight(w)
+    assert q.dtype == np.int8 and s.shape == (2, 320)
+    wd = (q.astype(np.float32).reshape(2, 128, 320) * s[:, None, :]
+          ).reshape(256, 320)
+    rel = np.abs(wd - w).max() / np.abs(w).max()
+    assert rel < 0.01  # int8 per-block quantization error
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 256, 512), (77, 128, 512),
+                                   (130, 384, 1024)])
+def test_kernel_matches_dequant(m, k, n):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.3)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight(w)
+    qd, sd = jnp.asarray(q), jnp.asarray(s)
+    ref = np.asarray(q8.q8_matmul_xla(x, qd, sd))
+    out = np.asarray(q8.q8_matmul(x, qd, sd, block_m=64, block_n=256))
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=5e-3)
+
+
+def test_batched_input_shape():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 16, 256)).astype(np.float32))
+    w = rng.standard_normal((256, 512)).astype(np.float32)
+    q, s = q8.quantize_weight(w)
+    out = q8.q8_matmul(x, jnp.asarray(q), jnp.asarray(s), block_m=32,
+                       block_n=256)
+    assert out.shape == (2, 16, 512)
+
+
+def test_q8_generation_close_to_fp(tmp_path, monkeypatch):
+    """End-to-end: weight-type q8_0 generates an image close to the fp one."""
+    from mlimgsynth_tpu.api import MLImgSynth
+    from helpers import TINY_MODEL_TYPE, patch_tiny_model_types, \
+        write_tiny_checkpoint
+    ckpt = tmp_path / "tiny.safetensors"
+    write_tiny_checkpoint(ckpt)
+
+    def session(wt):
+        patch_tiny_model_types(monkeypatch)
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(ckpt))
+        s.option_set("model-type", "sd1")
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 2)
+        s.option_set("seed", 11)
+        if wt:
+            s.option_set("weight-type", wt)
+            s._dtype = jnp.float32  # keep f32 compute; only weights int8
+        s.option_set("no-decode", True)  # compare raw latents
+        s.option_set("prompt", "a dog")
+        return s
+
+    ref = session(None).generate()
+    sq = session("q8_0")
+    assert sq._weights_q8
+    out = sq.generate()
+    assert np.isfinite(out).all()
+    assert any(k.endswith("_q8") for k in sq._params["unet"])
+    # int8 weights perturb the latent slightly but not wildly
+    diff = np.abs(out - ref).mean() / max(np.abs(ref).mean(), 1e-6)
+    assert 0 < diff < 0.5, diff
