@@ -70,11 +70,15 @@ def q8_matmul(x, w_q8, w_scale, block_m: int = 256, block_n: int = 512):
     n_kb = k // KBLOCK
 
     bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
-    bn = min(block_n, n)
+    for cand in (block_n, 256, 128):
+        if n % cand == 0:
+            bn = cand
+            break
+    else:
+        bn = n  # small/odd widths run as one block
     m_p = pl.cdiv(m, bm) * bm
     if m_p != m:
         x2 = jnp.pad(x2, ((0, m_p - m), (0, 0)))
-    assert n % bn == 0, (n, bn)
 
     out = pl.pallas_call(
         functools.partial(_q8_kernel, n_kb=n_kb),
