@@ -46,7 +46,7 @@ def _q8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb):
 
     x = x_ref[...]                      # [bm, KBLOCK] bf16
     w = w_ref[...]                      # [KBLOCK, bn] int8
-    s = s_ref[...]                      # [1, bn] f32
+    s = s_ref[0, 0:1, :]                # [1, bn] f32 (sublane-padded input)
     wd = w.astype(jnp.bfloat16)
     part = jax.lax.dot_general(
         x, wd, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -80,18 +80,22 @@ def q8_matmul(x, w_q8, w_scale, block_m: int = 256, block_n: int = 512):
     if m_p != m:
         x2 = jnp.pad(x2, ((0, m_p - m), (0, 0)))
 
+    # TPU blocks need the last two dims >= (8, 128)-aligned; give the
+    # per-k-block scale rows an 8-wide sublane dim
+    scale8 = jnp.broadcast_to(w_scale[:, None, :], (n_kb, 8, n))
+
     out = pl.pallas_call(
         functools.partial(_q8_kernel, n_kb=n_kb),
         grid=(m_p // bm, n // bn, n_kb),
         in_specs=[
             pl.BlockSpec((bm, KBLOCK), lambda i, j, ik: (i, ik)),
             pl.BlockSpec((KBLOCK, bn), lambda i, j, ik: (ik, j)),
-            pl.BlockSpec((1, bn), lambda i, j, ik: (ik, j)),
+            pl.BlockSpec((1, 8, bn), lambda i, j, ik: (ik, 0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, ik: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_p, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-    )(x2, w_q8, w_scale)
+    )(x2, w_q8, scale8)
     return out[:m].reshape(orig_shape[:-1] + (n,))
 
 
