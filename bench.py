@@ -107,12 +107,15 @@ def bench_config(name):
         jnp.zeros((1, 77, unet_p.n_ctx)))
     unet_params = synth_params(spec_u, 0)
     if use_q8:
-        from mlimgsynth_tpu.weights import quantize_linear_weights
+        from mlimgsynth_tpu.weights import pack_to_device, \
+            quantize_linear_weights
+        import ml_dtypes
         host = {k: np.asarray(v, np.float32) for k, v in unet_params.items()}
         n_q = quantize_linear_weights(host, spec_u)
-        unet_params = {k: (jnp.asarray(v) if v.dtype != np.float32
-                           else jnp.asarray(v, dtype))
-                       for k, v in host.items()}
+        host = {k: (v if v.dtype == np.int8 or k.endswith("_scale")
+                    else v.astype(ml_dtypes.bfloat16))
+                for k, v in host.items()}
+        unet_params = pack_to_device(host)
         log(f"[{name}] {n_q} linear weights int8-quantized")
     if use_tae:
         from mlimgsynth_tpu.models import tae as T
