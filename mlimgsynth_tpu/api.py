@@ -824,8 +824,11 @@ class MLImgSynth:
                 np.float32).transpose(0, 3, 1, 2)
         if sample:
             n, _, h, w = mom.shape
-            rand = np.stack([
-                self.rng.randn_shaped((P.ch_z, h, w)) for _ in range(n)])
+            streams = [RngPhilox(self.rng.seed + i, self.rng.offset)
+                       for i in range(n)]
+            rand = np.stack([st.randn_shaped((P.ch_z, h, w))
+                             for st in streams])
+            self.rng.offset = streams[0].offset
             mean = mom[:, :P.ch_z]
             logvar = np.clip(mom[:, P.ch_z:], -30, 20)
             return ((mean + np.exp(logvar * 0.5) * rand)

@@ -76,9 +76,14 @@ def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
     n_batch = latent_shape[0]
     sample_shape = tuple(latent_shape[1:])
 
+    # batch sample i draws from an independent stream seeded (seed + i) so
+    # batch entry i reproduces a single-image run with that seed (matching
+    # the reference's generate.sh seed-increment loop)
+    streams = [RngPhilox(rng.seed + i, rng.offset) for i in range(n_batch)]
+
     def draw():
-        return np.stack([rng.randn_shaped(sample_shape)
-                         for _ in range(n_batch)]).astype(np.float32)
+        out = np.stack([st.randn_shaped(sample_shape) for st in streams])
+        return out.astype(np.float32)
 
     noise0 = draw()
     churn = np.zeros((n_step,) + tuple(latent_shape), np.float32)
@@ -88,6 +93,7 @@ def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
             churn[i] = draw()
         if plan.s_up[i] > 0:
             anc[i] = draw()
+    rng.offset = streams[0].offset  # keep the session stream stateful
     return SamplingPlan(
         sigmas=s.sigmas, n_step=n_step, nfe_per_step=s.nfe_per_step,
         s_hat=plan.s_hat, churn_sigma=plan.churn_sigma, s_down=plan.s_down,

@@ -136,3 +136,20 @@ def test_dump_flags_write_files(ckpt, monkeypatch, tmp_path):
     assert "model.diffusion_model.time_embed.0.weight" in dump
     graph = (tmp_path / "dump-graph.txt").read_text()
     assert "conv_general_dilated" in graph
+
+
+def test_batch_matches_sequential_seeds(ckpt, monkeypatch):
+    """Batch entry i must equal a single run with seed+i (no-decode latents)."""
+    outs = []
+    for seed in (5, 6):
+        s = make_session(ckpt, monkeypatch, no_decode=True)
+        s.option_set("seed", seed)
+        s.option_set("prompt", "a dog")
+        outs.append(s.generate())
+    sb = make_session(ckpt, monkeypatch, batch_size=2, no_decode=True)
+    sb.option_set("seed", 5)
+    sb.option_set("prompt", "a dog")
+    batch = sb.generate()
+    # XLA tiles batch-1 and batch-2 convs differently -> tiny float drift
+    np.testing.assert_allclose(batch[0:1], outs[0], atol=2e-4)
+    np.testing.assert_allclose(batch[1:2], outs[1], atol=2e-4)
