@@ -972,7 +972,9 @@ class MLImgSynth:
         step_cb = None
         if self.callback is not None:
             def step_cb(i, n):
-                self._nfe += plan.nfe_per_step
+                # i is the completed step count (chunked progress may skip
+                # intermediate callbacks)
+                self._nfe = i * plan.nfe_per_step
                 try:
                     self._cb(STAGE_DENOISE, i, n)
                 except Aborted:
