@@ -90,3 +90,44 @@ def test_dpmpp2m_matches_reference_formula():
     out = run_solver(SOLVERS["dpmpp2m"], np.array(sigmas, np.float32),
                      np.array([x], np.float32), dxdt)
     np.testing.assert_allclose(out, [4.25], rtol=1e-6)
+
+
+def test_heun_matches_reference_formula():
+    # hand-computed Heun step (src/solvers.c:100-119):
+    # dxdt(x,s) = x/s; from s=4 to s=2: d0 = 8/4 = 2; x1 = 8 + 2*(-2) = 4
+    # d1 = 4/2 = 2; x = 8 + (2+2)*0.5*(-2) = 4
+    def dxdt(x, s):
+        return x / s
+
+    out = run_solver(SOLVERS["heun"], np.array([4.0, 2.0], np.float32),
+                     np.array([8.0], np.float32), dxdt)
+    np.testing.assert_allclose(out, [4.0], rtol=1e-6)
+
+
+def test_taylor3_matches_reference_formula():
+    # two steps of the reference Taylor3 (src/solvers.c:137-165) with
+    # dxdt(x,s) = s (independent of x): exact integral.
+    # step0 (4->2): dt=-2, dx=4, x=8-8=0; i_step=0 so no corrections;
+    #   dp1=4, dp2=(4-garbage)*0=0, dt_prev=-2
+    # step1 (2->1): dt=-1, dx=2, x=0-2=-2; idtp=1/-2=-0.5, f2=dt^2/2=0.5,
+    #   d2=(2-4)*(-0.5)=1, d3=(1-0)*(-0.5)=-0.5, f3=0 (i_step<2)
+    #   x=-2 + 1*0.5 = -1.5
+    def dxdt(x, s):
+        return s * jnp.ones_like(x)
+
+    out = run_solver(SOLVERS["taylor3"], np.array([4.0, 2.0, 1.0], np.float32),
+                     np.array([8.0], np.float32), dxdt)
+    np.testing.assert_allclose(out, [-1.5], rtol=1e-6)
+
+
+def test_dpmpp2s_matches_reference_formula():
+    # one DPM++(2S) step (src/solvers.c:264-290) with dxdt(x,s)=x/(2s):
+    # from s=4 to s=1: t1=sqrt(4)=2, dt1=-2, dx=8/8=1, x1=8-2=6
+    # dx1 = 6/4 = 1.5, d = 6 - 2*1.5 = 3, a=0.25
+    # x = 0.25*8 + 0.75*3 = 4.25
+    def dxdt(x, s):
+        return x / (2 * s)
+
+    out = run_solver(SOLVERS["dpmpp2s"], np.array([4.0, 1.0], np.float32),
+                     np.array([8.0], np.float32), dxdt)
+    np.testing.assert_allclose(out, [4.25], rtol=1e-6)
