@@ -32,7 +32,7 @@ from .rng import RngPhilox
 from .sampling.sampler import SamplerConfig, make_plan, run_sampler
 from .sampling.solvers import get_solver
 from .utils import image as image_mod
-from .utils.log import LVL_DEBUG, LVL_INFO, g_logger as log
+from .utils.log import LVL_DEBUG, g_logger as log
 
 
 class MlisError(Exception):
@@ -1111,11 +1111,6 @@ _OPTIONS = [
 # ---------------------------------------------------------------------------
 # Jitted stage wrappers (module-level so jax.jit caches across sessions)
 # ---------------------------------------------------------------------------
-
-def _jit_import():
-    import jax
-    return jax
-
 
 @functools.lru_cache(maxsize=None)
 def _make_clip_jit():

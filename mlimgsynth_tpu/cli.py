@@ -92,7 +92,6 @@ SHORT_OPTS = {
 # library option table (reference: main_mlimgsynth.c:243-251)
 CLI_PATH_OPTS = ("input", "imask", "ilatent", "ilmask", "output", "olatent",
                  "port")
-NO_VALUE_OPTS = ("help", "version", "verbose", "quiet", "silent", "debug")
 
 
 class CliState:
