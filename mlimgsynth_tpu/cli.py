@@ -328,6 +328,32 @@ def cmd_check(session, state: CliState) -> int:
     check("tokenizer", lambda: __import__(
         "mlimgsynth_tpu.tokenizer", fromlist=["tokenize"]
         ).tokenize("check"))
+
+    # with a model set, run every submodel once on tiny inputs
+    # (the reference declares this but leaves it unimplemented)
+    if session.c["model"]:
+        def check_clip():
+            emb, _ = session.clip_text_encode("check")
+            assert np.isfinite(emb).all()
+
+        def check_vae():
+            lat = session.image_encode(
+                np.full((1, 3, 64, 64), 0.5, np.float32), sample=False)
+            img = session.image_decode(lat)
+            assert np.isfinite(img).all()
+
+        def check_unet():
+            session.option_set("steps", 1)
+            session.option_set("no-decode", True)
+            session.option_set("image-dim", 64)
+            session.option_set("prompt", "check")
+            lat = session.generate()
+            assert np.isfinite(lat).all()
+            session.option_set("no-decode", False)
+
+        check("model:clip", check_clip)
+        check("model:vae", check_vae)
+        check("model:unet", check_unet)
     ok = all(c[1] for c in checks)
     for name, good, dt in checks:
         print(f"  {name:12s} {'OK' if good else 'FAIL'} {{{dt:.3f}s}}")
