@@ -89,12 +89,26 @@ def flash_attention_compatible(q, k, v, causal: bool = False) -> bool:
     return k.shape[-2] >= 512 and q.shape[-2] >= 512
 
 
+def _env_blocks():
+    import os
+    v = os.environ.get("MLIS_FLASH_BLOCK")
+    if v:
+        bq, bk = (int(x) for x in v.split(","))
+        return bq, bk
+    return DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K
+
+
 @functools.partial(jax.jit,
                    static_argnames=("scale", "causal", "block_q", "block_k"))
 def flash_attention(q, k, v, scale=None, causal: bool = False,
-                    block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K):
-    """q: [B,H,Sq,D], k/v: [B,H,Sk,D] -> [B,H,Sq,D]."""
+                    block_q=None, block_k=None):
+    """q: [B,H,Sq,D], k/v: [B,H,Sk,D] -> [B,H,Sq,D].
+
+    Block sizes default to DEFAULT_BLOCK_Q/K, overridable for tuning with
+    MLIS_FLASH_BLOCK="bq,bk" (read at trace time; set before first use)."""
+    env_bq, env_bk = _env_blocks()
+    block_q = block_q or env_bq
+    block_k = block_k or env_bk
     b, h, sq, d = q.shape
     sk = k.shape[2]
     if scale is None:
