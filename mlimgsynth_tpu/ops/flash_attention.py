@@ -21,8 +21,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+# 1024x1024 blocks measured ~10-13% faster e2e than 512x512 on v5e
+# (SD1.5 0.725->0.650s, SDXL 3.38->2.95s); tune via MLIS_FLASH_BLOCK
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 
 
