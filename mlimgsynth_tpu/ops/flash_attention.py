@@ -21,10 +21,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# 1024x1024 blocks measured ~10-13% faster e2e than 512x512 on v5e
-# (SD1.5 0.725->0.650s, SDXL 3.38->2.95s); tune via MLIS_FLASH_BLOCK
+# Larger blocks measured ~10-15% faster e2e than 512x512 on v5e
+# (SD1.5 0.725->0.632s, SDXL 3.38->2.95s); tune via MLIS_FLASH_BLOCK.
+# Wide heads (dp>128) are clamped to a VMEM budget in flash_attention.
 DEFAULT_BLOCK_Q = 1024
-DEFAULT_BLOCK_K = 1024
+DEFAULT_BLOCK_K = 2048
 NEG_INF = -1e30
 
 
@@ -108,9 +109,6 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
 
     Block sizes default to DEFAULT_BLOCK_Q/K, overridable for tuning with
     MLIS_FLASH_BLOCK="bq,bk" (read at trace time; set before first use)."""
-    env_bq, env_bk = _env_blocks()
-    block_q = block_q or env_bq
-    block_k = block_k or env_bk
     b, h, sq, d = q.shape
     sk = k.shape[2]
     if scale is None:
@@ -119,6 +117,19 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
 
     # pad head dim to a lane-friendly size and seqs to block multiples
     dp = 64 if d <= 64 else (d + 127) // 128 * 128
+
+    # head-dim-aware defaults: wide heads (VAE's single 512-dim head) need
+    # smaller kv blocks to fit the f32 logits + tiles in VMEM; narrow heads
+    # (UNet d<=128) measured fastest at 1024x2048 (docs/BENCH.md)
+    env_bq, env_bk = _env_blocks()
+    if block_q is None:
+        block_q = env_bq
+    if block_k is None:
+        block_k = env_bk if dp <= 128 else min(env_bk, 1024)
+    if dp > 128:
+        # VMEM budget: 4*bq*bk (logits) + tiles must stay well under ~16MB
+        while block_q * block_k * 4 + (block_q + 2 * block_k) * dp * 2                 + block_q * dp * 4 > 10 * 1024 * 1024 and block_k > 256:
+            block_k //= 2
     bq = min(block_q, max(256, 1 << (sq - 1).bit_length()))
     bq = min(bq, block_q)
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
