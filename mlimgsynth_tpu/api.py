@@ -40,10 +40,10 @@ class MlisError(Exception):
     (include/mlimgsynth.h:68-77)."""
     E_UNKNOWN = -1
     E_VERSION = -2
-    E_FILE_NOT_FOUND = -3
-    E_UNK_OPT = -4
+    E_UNK_OPT = -3
+    E_OPT_VALUE = -4
     E_PROMPT_PARSE = -5
-    E_OPT_VALUE = -6
+    E_FILE_NOT_FOUND = -6
     E_NAN = -7
     E_IMAGE = -8
 
@@ -536,6 +536,9 @@ class MLImgSynth:
                 self._name_map = {}
                 return
             raise MlisError(MlisError.E_UNKNOWN, "No model file set")
+        if not os.path.exists(self.c["model"]):
+            raise MlisError(MlisError.E_FILE_NOT_FOUND,
+                            f"model file not found '{self.c['model']}'")
         t0 = time.time()
         store = TensorStore.open(self.c["model"])
         if self.c["tae"]:
@@ -556,9 +559,13 @@ class MLImgSynth:
                        for name, d in _model_types().items()}
         mt, wt = weights_mod.identify_model(store, self._name_map,
                                             width_table)
-        if mt:
+        if mt and not self._model_type_set:
+            # identification must not override an explicit --model-type
             self._model_type_apply(mt)
-        elif not self._model_type_set:
+        elif mt and self._model_type_set and mt != self.c["model_type"]:
+            log.warning(f"model looks like {mt}, keeping user-set "
+                        f"{self.c['model_type']}")
+        elif not mt and not self._model_type_set:
             raise MlisError(-1, "could not detect the model type")
         log.info(f"Model type: {self.c['model_type']}")
         if wt and not self._wtype_set:
@@ -581,8 +588,11 @@ class MLImgSynth:
                     for name in lstore.names():
                         e = lstore.tensors[name]
                         f.write(f"{name}: {e.dtype} {list(e.shape)}\n")
-            n = weights_mod.lora_apply(self._store, self._name_map, lstore,
-                                       mult)
+            try:
+                n = weights_mod.lora_apply(self._store, self._name_map,
+                                           lstore, mult)
+            except FloatingPointError as e:
+                raise MlisError(MlisError.E_NAN, str(e))
             log.debug(f"lora '{path}' patched {n} tensors")
             lstore.close()
         log.info(f"LoRA's applied: {len(self.loras)} "

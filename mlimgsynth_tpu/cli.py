@@ -63,7 +63,7 @@ Sampling:
   -S --seed INT        RNG seed.
   -s --steps INT       Denoising steps with UNet.
   --method NAME        euler, euler_a, heun, taylor3, dpm++2m, dpm++2s,
-                       dpm++2s_a (default taylor3).
+                       dpm++2s_a (default euler).
   --scheduler NAME     uniform (default), karras.
   --s-noise FLOAT      Per-step noise injection (try 1).
   --s-ancestral FLOAT  Ancestral sampling noise level (try 1).

@@ -201,15 +201,23 @@ def lora_apply(model_store: TensorStore, model_map: Dict[str, NameRef],
         elif stem + ".alpha" in lora_map:
             scale = float(lora_store.read(lora_map[stem + ".alpha"], "f32").reshape(-1)[0]) / rank
         scale *= mult
-        base = read_entry(model_store, dst_ref).copy()
         delta = (up.reshape(up.shape[0], -1) @
                  down.reshape(down.shape[0], -1) * scale)
-        patched = base + delta.reshape(base.shape)
-        if not np.isfinite(patched.flat[0]):
+        if dst_ref.split is None:
+            base = read_entry(model_store, dst_ref)
+            full = base + delta.reshape(base.shape)
+        else:
+            # Fused qkv: patch the addressed third of the stacked raw tensor
+            # (reference handles any named tensor, src/lora.c:36-78; our
+            # split entries come from open_clip in_proj splitting).
+            full = model_store.read(dst_ref.raw, "f32").copy()
+            d = full.shape[0] // 3
+            sl = slice(dst_ref.split * d, (dst_ref.split + 1) * d)
+            full[sl] = full[sl] + delta.reshape(full[sl].shape)
+        # full-tensor finite check (reference: src/lora.c:81-87)
+        if not np.isfinite(full).all():
             raise FloatingPointError(f"NaN in LoRA result for {stem}")
-        if dst_ref.split is not None:
-            raise ValueError(f"lora on fused qkv tensor not supported: {stem}")
-        model_store.cache_set(dst_ref.raw, patched)
+        model_store.cache_set(dst_ref.raw, full)
         n += 1
     return n
 

