@@ -186,6 +186,7 @@ class MLImgSynth:
             "steps": 0, "f_t_ini": 1.0, "f_t_end": 0.0,
             "s_noise": 0.0, "s_ancestral": 0.0,
             "n_batch": 1, "vae_tile": 0, "unet_split": False,
+            "tp": 1, "dp": 1,
             "threads": 0, "dump_flags": 0,
             "no_decode": False, "no_prompt_parse": False,
             "model_type": "", "weight_type": "",
@@ -217,6 +218,7 @@ class MLImgSynth:
         self._name_map = None
         self._mt: Optional[ModelTypeDef] = None
         self._params: Dict[str, dict] = {}   # submodel -> device params
+        self._mesh = None                    # jax.sharding.Mesh when tp/dp>1
         self._ready = set()
         self._nfe = 0
         self._wtype_set = False
@@ -346,6 +348,12 @@ class MLImgSynth:
         elif opt == "unet_split":
             c["unet_split"] = bool(_parse_bool(str(args[0]))
                                    if isinstance(args[0], str) else args[0])
+        elif opt in ("tp", "dp"):
+            v = max(1, _int(args[0], 1))
+            if c[opt] != v:
+                c[opt] = v
+                self._params.clear()  # shardings change with the mesh
+                self._ready.discard("backend")
         elif opt == "threads":
             c["threads"] = _int(args[0])
         elif opt == "dump_flags":
@@ -527,6 +535,20 @@ class MLImgSynth:
                 raise MlisError(
                     -1, f"backend '{want}' not available (have {backend})")
         log.info(f"Backend: {backend} ({len(jax.devices())} device(s))")
+        tp, dp = self.c["tp"], self.c["dp"]
+        if tp * dp > 1:
+            from .parallel import mesh as pmesh
+            n = tp * dp
+            if len(jax.devices()) < n:
+                raise MlisError(
+                    MlisError.E_OPT_VALUE,
+                    f"tp={tp} x dp={dp} needs {n} devices, have "
+                    f"{len(jax.devices())}")
+            self._mesh = pmesh.make_mesh(n, tp=tp)
+            log.info(f"Mesh: dp={dp} tp={tp} over {n} devices "
+                     f"(SPMD over ICI; collectives inserted by XLA)")
+        else:
+            self._mesh = None
 
     def _model_load(self):
         if not self.c["model"]:
@@ -662,6 +684,12 @@ class MLImgSynth:
         if self.c["dump_flags"] & 4 and submodel == "unet":  # MLIS_DUMP_GRAPH
             self._dump_graph(spec)
         dev = weights_mod.pack_to_device(host)
+        if self._mesh is not None:
+            # UNet matmuls get Megatron tp shardings; everything else is
+            # replicated over the mesh (dp parallelism comes from batch
+            # sharding of the sampler inputs).
+            from .parallel import mesh as pmesh
+            dev = pmesh.shard_params(dev, self._mesh, tp=(submodel == "unet"))
         self._params[submodel] = dev
         t_load = time.time() - t0
         mem = sum(int(np.prod(ps.shape)) * np.dtype(ps.dtype).itemsize
@@ -995,7 +1023,8 @@ class MLImgSynth:
         latent = run_sampler(params, latent, plan, cond, ncond, label,
                              nlabel, lmask, scfg, mt.unet_p,
                              dtype=self._dtype, step_callback=step_cb,
-                             step_observer=self.step_observer)
+                             step_observer=self.step_observer,
+                             mesh=self._mesh)
         if "unet" in self.stats:
             st = self.stats["unet"]
             st["n_compute"] = st.get("n_compute", 0) + plan.n_step
@@ -1112,7 +1141,8 @@ _OPTIONS = [
     "nprompt", "image_dim", "batch_size", "clip_skip", "cfg_scale", "method",
     "scheduler", "steps", "f_t_ini", "f_t_end", "s_noise", "s_ancestral",
     "image", "image_mask", "no_decode", "tensor_use_flags", "seed",
-    "vae_tile", "unet_split", "threads", "dump_flags", "aux_dir", "callback",
+    "vae_tile", "unet_split", "tp", "dp", "threads", "dump_flags",
+    "aux_dir", "callback",
     "error_handler", "log_level", "model_type", "weight_type",
     "no_prompt_parse",
 ]

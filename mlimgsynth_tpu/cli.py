@@ -58,6 +58,10 @@ Models and backend:
   --vae-tile INT       Tiled VAE encode/decode with NxN pixel tiles.
   --weight-type NAME   Weight dtype (f32, f16/bf16, q8_0, ...).
   --batch-size INT     Images per batch (TPU-native batching).
+  --dp INT             Data-parallel devices: shards the batch over a device
+                       mesh (batch-size must be a multiple; TPU multi-chip).
+  --tp INT             Tensor-parallel devices: Megatron-style sharding of
+                       the UNet attention/FF matmuls over the mesh.
 
 Sampling:
   -S --seed INT        RNG seed.

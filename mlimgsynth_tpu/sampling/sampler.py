@@ -220,14 +220,18 @@ def _nhwc(a):
 def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 nlabel, lmask, cfg: SamplerConfig,
                 unet_p: unet_mod.UnetParams, dtype=jnp.bfloat16,
-                step_callback=None, step_observer=None):
+                step_callback=None, step_observer=None, mesh=None):
     """Run the sampling loop.  ``x_init`` (NCHW f32), ``lmask`` [N,1,h,w] or
     None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW.
 
     With ``step_callback`` the loop runs step-at-a-time (device-resident
     carry); the callback receives (i_step, n_step) after each step and may
     return truthy to abort (reference: MLIS_Callback semantics,
-    include/mlimgsynth.h:452-456)."""
+    include/mlimgsynth.h:452-456).
+
+    With ``mesh`` (a (dp, tp) ``jax.sharding.Mesh``) the batch inputs are
+    sharded over the ``dp`` axis and the (pre-sharded) params' tp shardings
+    propagate through the jitted loop; XLA inserts the ICI collectives."""
     use_cfg = cfg.cfg_scale > 1
     use_mask = lmask is not None
     n = x_init.shape[0]
@@ -251,11 +255,6 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     lmask_d = _nhwc(lmask) if use_mask else jnp.zeros((), jnp.float32)
     x0_keep = x if use_mask else jnp.zeros((), jnp.float32)
 
-    consts = (cond_all, label_all, lmask_d, x0_keep,
-              jnp.asarray(sch.get_log_sigmas()),
-              f32(plan.s_hat), f32(plan.churn_sigma), f32(plan.s_down),
-              f32(plan.s_up), f32(plan.t_next), jnp.float32(cfg.cfg_scale))
-
     noise0 = _nhwc(plan.noise0)
 
     def _noise_stack(arr, active):
@@ -267,6 +266,37 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
 
     churn = _noise_stack(plan.churn_noise, bool(plan.churn_sigma.max() > 0))
     anc = _noise_stack(plan.anc_noise, bool(plan.s_up.max() > 0))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DP_AXIS
+        dp = mesh.shape.get(DP_AXIS, 1)
+
+        def put(a, batch_axis=0):
+            if not hasattr(a, "ndim") or a.ndim <= batch_axis:
+                return a
+            if dp > 1 and a.shape[batch_axis] % dp == 0:
+                axes = [None] * a.ndim
+                axes[batch_axis] = DP_AXIS
+            else:
+                axes = [None] * a.ndim  # replicate (stub / indivisible)
+            return jax.device_put(a, NamedSharding(mesh, P(*axes)))
+
+        x = put(x)
+        cond_all = put(cond_all)
+        if label_all is not None:
+            label_all = put(label_all)
+        lmask_d = put(lmask_d)
+        x0_keep = put(x0_keep)
+        noise0 = put(noise0)
+        churn = put(churn, batch_axis=1)
+        anc = put(anc, batch_axis=1)
+
+    consts = (cond_all, label_all, lmask_d, x0_keep,
+              jnp.asarray(sch.get_log_sigmas()),
+              f32(plan.s_hat), f32(plan.churn_sigma), f32(plan.s_down),
+              f32(plan.s_up), f32(plan.t_next), jnp.float32(cfg.cfg_scale))
+
     sigmas0 = jnp.float32(plan.sigmas[0])
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
               use_mask=use_mask, dtype=dtype)

@@ -86,3 +86,51 @@ def test_sampler_loop_sharded():
     out = run_sampler(sp, x0, plan, np.asarray(c), None, None, None,
                       None, cfg, TINY, dtype=jnp.float32)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_generate_tp_dp_matches_single(tmp_path, monkeypatch):
+    """--tp/--dp through the session API produce the same image as the
+    single-device path (VERDICT r1 item 6: multi-chip in the product path)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from helpers import TINY_MODEL_TYPE, patch_tiny_model_types, \
+        write_tiny_checkpoint
+    from mlimgsynth_tpu.api import MLImgSynth
+
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+    patch_tiny_model_types(monkeypatch)
+
+    def make(tp, dp):
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(ckpt))
+        s.option_set("model-type", "sd1")
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 2)
+        s.option_set("seed", 11)
+        s.option_set("batch-size", 2)
+        s.option_set("tp", tp)
+        s.option_set("dp", dp)
+        s.option_set("prompt", "a shard test")
+        return s
+
+    base = make(1, 1).generate()
+
+    s = make(2, 2)
+    img = s.generate()
+    assert s._mesh is not None and s._mesh.shape == {"dp": 2, "tp": 2}
+    # different reduction orders over the mesh -> small float drift only
+    np.testing.assert_allclose(img, base, atol=2e-3)
+
+    # dp-only path (replicated weights, sharded batch)
+    img_dp = make(1, 2).generate()
+    np.testing.assert_allclose(img_dp, base, atol=2e-3)
+
+
+def test_tp_option_needs_devices(monkeypatch):
+    from mlimgsynth_tpu.api import MLImgSynth, MlisError
+    s = MLImgSynth()
+    s.option_set("tp", 1024)
+    with pytest.raises(MlisError):
+        s._backend_init()
