@@ -1263,7 +1263,110 @@ def _tae_decode_u8_jit(params, lat, **kw):
 
 # ---------------------------------------------------------------------------
 # VAE tiling (reference: sdvae_encode/decode tiling, src/vae.c:222-411)
+#
+# The reference runs a host loop with one device round-trip per tile; here
+# the whole tiled pass is ONE dispatch: a jitted lax.scan over tiles whose
+# body dynamic-slices the tile, runs the codec, and blends the tile's inner
+# region into a device-resident canvas with an iota mask.  Memory stays at
+# one-tile activations (the point of tiling) while dispatch overhead stops
+# scaling with the tile count.
 # ---------------------------------------------------------------------------
+
+def _tile_geometry(full0, full1, n0, n1, k):
+    """Row-major tile origins + inner write boxes (tile-relative), matching
+    the reference's stitch rule: skip the k-margin on non-edge sides
+    (src/vae.c:365-385)."""
+    step0, step1 = n0 - k * 2, n1 - k * 2
+    n_t0 = (full0 + step0 - 1) // step0
+    n_t1 = (full1 + step1 - 1) // step1
+    origins, boxes = [], []
+    for t1 in range(n_t1):
+        i1 = min(t1 * step1, full1 - n1)
+        for t0 in range(n_t0):
+            i0 = min(t0 * step0, full0 - n0)
+            d0 = k if i0 else 0
+            d1 = k if i1 else 0
+            ty1 = n1 - k if i1 + n1 < full1 else n1
+            tx1 = n0 - k if i0 + n0 < full0 else n0
+            origins.append((i1, i0))
+            boxes.append((d1, ty1, d0, tx1))
+    return np.asarray(origins, np.int32), np.asarray(boxes, np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_tiled_vae_jits():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @functools.partial(jax.jit,
+                       static_argnames=("vae_p", "dtype", "tn1", "tn0"))
+    def dec_tiled(params, lat, origins, boxes, *, vae_p, dtype, tn1, tn0):
+        """lat NHWC [n,lh,lw,cz]; origins [T,2] (y,x latent units); boxes
+        [T,4] (ty0,ty1,tx0,tx1 latent units, tile-relative)."""
+        from .models import blocks as B
+        from .models import vae as vae_mod
+        ctx = B.Ctx(params, dtype=dtype)
+        f = vae_p.f_down
+        n, lh, lw, cz = lat.shape
+        img = jnp.zeros((n, lh * f, lw * f, 3), jnp.float32)
+        ys = lax.broadcasted_iota(jnp.int32, (tn1 * f, tn0 * f), 0)
+        xs = lax.broadcasted_iota(jnp.int32, (tn1 * f, tn0 * f), 1)
+
+        def body(img, inp):
+            org, box = inp
+            sub = lax.dynamic_slice(lat, (0, org[0], org[1], 0),
+                                    (n, tn1, tn0, cz))
+            dec = vae_mod.vae_decode_apply(ctx, sub, vae_p).astype(
+                jnp.float32)
+            m = ((ys >= box[0] * f) & (ys < box[1] * f) &
+                 (xs >= box[2] * f) & (xs < box[3] * f))
+            m = m[None, :, :, None].astype(jnp.float32)
+            cur = lax.dynamic_slice(img, (0, org[0] * f, org[1] * f, 0),
+                                    (n, tn1 * f, tn0 * f, 3))
+            img = lax.dynamic_update_slice(
+                img, cur * (1.0 - m) + dec * m, (0, org[0] * f, org[1] * f, 0))
+            return img, None
+
+        img, _ = lax.scan(body, img, (origins, boxes))
+        return img
+
+    @functools.partial(jax.jit,
+                       static_argnames=("vae_p", "dtype", "tn1", "tn0"))
+    def enc_tiled(params, img, origins, boxes, *, vae_p, dtype, tn1, tn0):
+        """img NHWC [n,ih,iw,3]; origins/boxes in image pixels (multiples of
+        f); returns the moments canvas [n, ih/f, iw/f, 2*ch_z]."""
+        from .models import blocks as B
+        from .models import vae as vae_mod
+        ctx = B.Ctx(params, dtype=dtype)
+        f = vae_p.f_down
+        n, ih, iw, _ = img.shape
+        ln1, ln0 = tn1 // f, tn0 // f
+        mom = jnp.zeros((n, ih // f, iw // f, vae_p.ch_z * 2), jnp.float32)
+        ys = lax.broadcasted_iota(jnp.int32, (ln1, ln0), 0)
+        xs = lax.broadcasted_iota(jnp.int32, (ln1, ln0), 1)
+
+        def body(mom, inp):
+            org, box = inp
+            sub = lax.dynamic_slice(img, (0, org[0], org[1], 0),
+                                    (n, tn1, tn0, 3))
+            enc = vae_mod.vae_encode_apply(ctx, sub, vae_p).astype(
+                jnp.float32)
+            m = ((ys >= box[0] // f) & (ys < box[1] // f) &
+                 (xs >= box[2] // f) & (xs < box[3] // f))
+            m = m[None, :, :, None].astype(jnp.float32)
+            cur = lax.dynamic_slice(mom, (0, org[0] // f, org[1] // f, 0),
+                                    (n, ln1, ln0, enc.shape[-1]))
+            mom = lax.dynamic_update_slice(
+                mom, cur * (1.0 - m) + enc * m,
+                (0, org[0] // f, org[1] // f, 0))
+            return mom, None
+
+        mom, _ = lax.scan(body, mom, (origins, boxes))
+        return mom
+
+    return dec_tiled, enc_tiled
+
 
 def _tiled_decode(params, lat: np.ndarray, P, tile_px: int, dtype
                   ) -> np.ndarray:
@@ -1278,30 +1381,13 @@ def _tiled_decode(params, lat: np.ndarray, P, tile_px: int, dtype
             params, lat.transpose(0, 2, 3, 1), vae_p=P, dtype=dtype),
             np.float32)
         return out.transpose(0, 3, 1, 2)
-    step0, step1 = n0 - k * 2, n1 - k * 2
-    n_t0 = (lw + step0 - 1) // step0
-    n_t1 = (lh + step1 - 1) // step1
-    img = np.zeros((n, 3, lh * f, lw * f), np.float32)
-    i_tile, n_tile = 0, n_t0 * n_t1
-    for t1 in range(n_t1):
-        i1 = min(t1 * step1, lh - n1)
-        for t0 in range(n_t0):
-            i0 = min(t0 * step0, lw - n0)
-            i_tile += 1
-            log.info(f"VAE tile {i_tile}/{n_tile}")
-            sub = lat[:, :, i1:i1 + n1, i0:i0 + n0]
-            out = np.asarray(_vae_decode_jit(
-                params, sub.transpose(0, 2, 3, 1), vae_p=P, dtype=dtype),
-                np.float32).transpose(0, 3, 1, 2)
-            d0 = k if i0 else 0
-            d1 = k if i1 else 0
-            img[:, :, (i1 + d1) * f:(i1 + n1 - k) * f if i1 + n1 < lh
-                else (i1 + n1) * f,
-                (i0 + d0) * f:(i0 + n0 - k) * f if i0 + n0 < lw
-                else (i0 + n0) * f] = \
-                out[:, :, d1 * f:(n1 - k) * f if i1 + n1 < lh else n1 * f,
-                    d0 * f:(n0 - k) * f if i0 + n0 < lw else n0 * f]
-    return img
+    origins, boxes = _tile_geometry(lw, lh, n0, n1, k)
+    log.info(f"VAE tiled decode: {len(origins)} tiles of "
+             f"{n0 * f}x{n1 * f}px in one dispatch")
+    out = np.asarray(_make_tiled_vae_jits()[0](
+        params, lat.transpose(0, 2, 3, 1), origins, boxes,
+        vae_p=P, dtype=dtype, tn1=n1, tn0=n0), np.float32)
+    return out.transpose(0, 3, 1, 2)
 
 
 def _tiled_encode(params, img: np.ndarray, P, tile_px: int, dtype
@@ -1317,28 +1403,10 @@ def _tiled_encode(params, img: np.ndarray, P, tile_px: int, dtype
             params, img.transpose(0, 2, 3, 1), vae_p=P, dtype=dtype),
             np.float32)
         return out.transpose(0, 3, 1, 2)
-    step0, step1 = n0 - k * 2, n1 - k * 2
-    n_t0 = (iw + step0 - 1) // step0
-    n_t1 = (ih + step1 - 1) // step1
-    mom = np.zeros((n, P.ch_z * 2, ih // f, iw // f), np.float32)
-    i_tile, n_tile = 0, n_t0 * n_t1
-    for t1 in range(n_t1):
-        i1 = min(t1 * step1, ih - n1)
-        for t0 in range(n_t0):
-            i0 = min(t0 * step0, iw - n0)
-            i_tile += 1
-            log.info(f"VAE tile {i_tile}/{n_tile}")
-            sub = img[:, :, i1:i1 + n1, i0:i0 + n0]
-            out = np.asarray(_vae_encode_jit(
-                params, sub.transpose(0, 2, 3, 1), vae_p=P, dtype=dtype),
-                np.float32).transpose(0, 3, 1, 2)
-            d0 = k if i0 else 0
-            d1 = k if i1 else 0
-            y0 = (i1 + d1) // f
-            x0 = (i0 + d0) // f
-            y1 = (i1 + n1 - k) // f if i1 + n1 < ih else (i1 + n1) // f
-            x1 = (i0 + n0 - k) // f if i0 + n0 < iw else (i0 + n0) // f
-            mom[:, :, y0:y1, x0:x1] = \
-                out[:, :, d1 // f:d1 // f + (y1 - y0),
-                    d0 // f:d0 // f + (x1 - x0)]
-    return mom
+    origins, boxes = _tile_geometry(iw, ih, n0, n1, k)
+    log.info(f"VAE tiled encode: {len(origins)} tiles of "
+             f"{n0}x{n1}px in one dispatch")
+    mom = np.asarray(_make_tiled_vae_jits()[1](
+        params, img.transpose(0, 2, 3, 1), origins, boxes,
+        vae_p=P, dtype=dtype, tn1=n1, tn0=n0), np.float32)
+    return mom.transpose(0, 3, 1, 2)
