@@ -1082,6 +1082,109 @@ class MLImgSynth:
             self.loras = kept
             self._ready.discard("loras")
 
+    # ------------------------------------------------------------------
+    # Batched serving path (TPU-native; the reference is strictly
+    # one-image-per-call, src/mlimgsynth.c:1640-1641)
+    # ------------------------------------------------------------------
+
+    def _parse_prompt_text(self, text: str) -> prompt_mod.PromptText:
+        """Parse a prompt without mutating session state (no lora tags)."""
+        if self.c["no_prompt_parse"]:
+            return prompt_mod.prompt_set_raw(text)
+        try:
+            parsed = prompt_mod.prompt_set_parse(text)
+        except prompt_mod.PromptParseError as e:
+            raise MlisError(MlisError.E_PROMPT_PARSE, str(e))
+        if parsed.loras:
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
+                "<lora:...> tags are not supported in batched requests")
+        return parsed
+
+    def generate_batch(self, requests: List[dict], step_callback=None
+                       ) -> Tuple[np.ndarray, List[str]]:
+        """Run several txt2img requests as ONE device batch.
+
+        Each request dict brings its own ``prompt``/``nprompt``/``seed``;
+        every other sampling option comes from the session state (callers
+        must only merge requests whose shared options match).  Returns
+        (images NCHW [N,3,H,W] in [0,1], per-request infotext list).
+
+        ``step_callback(i_step, n_step) -> bool`` aborts the whole batch
+        when truthy (used for serving cancellation)."""
+        with self._lock:
+            self.setup()
+            c, mt = self.c, self._mt
+            f = mt.vae_p.f_down
+            w, h = c["width"] // f, c["height"] // f
+            n = len(requests)
+            use_cfg = c["cfg_scale"] > 1
+            conds, nconds, labels, nlabels, seeds = [], [], [], [], []
+            for r in requests:
+                pt = self._parse_prompt_text(str(r.get("prompt", "")))
+                cond, label = self._text_cond_encode(pt)
+                ncond = nlabel = None
+                if use_cfg:
+                    npt = self._parse_prompt_text(str(r.get("nprompt", "")))
+                    ncond, nlabel = self._text_cond_encode(npt)
+                    if mt.unet_p.uncond_empty_zero and not r.get("nprompt"):
+                        ncond = np.zeros_like(ncond)
+                conds.append(cond)
+                nconds.append(ncond)
+                labels.append(label)
+                nlabels.append(nlabel)
+                seeds.append(int(r.get("seed", self.rng.seed)))
+            cond = np.concatenate(conds, axis=0)
+            ncond = np.concatenate(nconds, axis=0) if use_cfg else None
+            label = (np.concatenate(labels, axis=0)
+                     if labels[0] is not None else None)
+            nlabel = (np.concatenate(nlabels, axis=0)
+                      if use_cfg and nlabels[0] is not None else None)
+
+            scfg = SamplerConfig(
+                method=c["method"], sched=c["scheduler"], n_step=c["steps"],
+                cfg_scale=c["cfg_scale"], s_ancestral=c["s_ancestral"],
+                s_noise=c["s_noise"], f_t_ini=1.0, f_t_end=0.0)
+            nfe_per_dxdt = 2 if use_cfg else 1
+            latent = np.zeros((n, mt.unet_p.n_ch_in, h, w), np.float32)
+            plan = make_plan(scfg, latent.shape, RngPhilox(seeds[0], 0),
+                             nfe_per_dxdt, seeds=seeds)
+            log.info(f"Generating batch of {n} requests "
+                     f"(seeds {seeds}, steps {plan.n_step})")
+            params = self._get_params("unet")
+            latent = run_sampler(params, latent, plan, cond, ncond, label,
+                                 nlabel, None, scfg, mt.unet_p,
+                                 dtype=self._dtype,
+                                 step_callback=step_callback,
+                                 mesh=self._mesh)
+            if not np.isfinite(latent).all():
+                raise MlisError(MlisError.E_NAN, "NaN found in UNet output")
+            if c["tae"]:
+                u8 = np.asarray(_tae_decode_u8_jit(
+                    self._get_params("tae"), latent.transpose(0, 2, 3, 1),
+                    dtype=self._dtype))
+            else:
+                u8 = np.asarray(_vae_decode_u8_jit(
+                    self._get_params("vae"), latent.transpose(0, 2, 3, 1),
+                    vae_p=mt.vae_p, dtype=self._dtype))
+            imgs = u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+
+            solver_nfe = get_solver(c["method"]).n_fe
+            self._nfe = ((plan.n_step * solver_nfe - (solver_nfe - 1))
+                         * nfe_per_dxdt)
+            infotexts = []
+            save = (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
+                    self.infotext)
+            for i, r in enumerate(requests):
+                c["prompt_raw"] = str(r.get("prompt", ""))
+                c["nprompt_raw"] = str(r.get("nprompt", ""))
+                self.rng.seed = seeds[i]
+                self._infotext_update(w * f, h * f, plan)
+                infotexts.append(self.infotext)
+            (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
+             self.infotext) = save
+            return imgs, infotexts
+
     def _infotext_update(self, w: int, h: int, plan):
         """A1111-compatible 'parameters' text
         (reference: mlis_infotext_update, src/mlimgsynth.c:1592-1632)."""

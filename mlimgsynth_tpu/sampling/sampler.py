@@ -63,11 +63,14 @@ class SamplingPlan:
 
 
 def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
-              nfe_per_dxdt: int = 1) -> SamplingPlan:
+              nfe_per_dxdt: int = 1, seeds=None) -> SamplingPlan:
     """Compute sigma schedule and pre-draw all noise in the reference's exact
     order (initial, then per step: churn draw, post-step ancestral draw —
     src/sampling.c:119-178).  ``latent_shape`` is NCHW; for batch > 1 each
-    sample gets its own sequential Philox draw."""
+    sample gets its own sequential Philox draw.  ``seeds`` (optional list,
+    one per batch element) overrides the default seed+i per-sample streams
+    (used by the serving batch-merge path where requests bring their own
+    seeds)."""
     solver = get_solver(cfg.method)
     s = sch.make_schedule(cfg.n_step, cfg.sched, solver.n_fe, nfe_per_dxdt,
                           cfg.f_t_ini, cfg.f_t_end)
@@ -79,7 +82,10 @@ def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
     # batch sample i draws from an independent stream seeded (seed + i) so
     # batch entry i reproduces a single-image run with that seed (matching
     # the reference's generate.sh seed-increment loop)
-    streams = [RngPhilox(rng.seed + i, rng.offset) for i in range(n_batch)]
+    if seeds is None:
+        seeds = [rng.seed + i for i in range(n_batch)]
+    assert len(seeds) == n_batch, (len(seeds), n_batch)
+    streams = [RngPhilox(sd, rng.offset) for sd in seeds]
 
     def draw():
         out = np.stack([st.randn_shaped(sample_shape) for st in streams])

@@ -2,69 +2,212 @@
 
 A lightweight stdlib server over a persistent session: weights stay in HBM
 and the sampling loop stays compiled across requests, so steady-state
-latency is the bench number (~0.75 s for SD1.5-512 on one v5e).  The
+latency is the bench number (~0.65 s for SD1.5-512 on one v5e).  The
 reference has no serving story (single-shot CLI only).
 
+TPU-native serving features on top of the bare session:
+
+* **request-merging batch queue** — concurrent requests whose shared
+  sampling options match are merged into ONE device batch
+  (``MLImgSynth.generate_batch``), so k concurrent users cost one batched
+  denoise loop instead of k sequential ones;
+* **cancellation** — every request gets a ``request_id``; ``POST /cancel``
+  removes it from the queue, or aborts the running device batch once every
+  request in it is cancelled.
+
 Endpoints:
-  GET  /health            -> {"status": "ok", "model": ..., "backend": ...}
-  GET  /info              -> session config + device info
-  POST /generate          -> image/png (or application/json with latents)
+  GET  /health            -> {"status": "ok", "model": ..., "requests": N}
+  GET  /info              -> session config + device info + queue stats
+  POST /generate          -> image/png (or application/json, see "format")
       body: JSON {"prompt": str, "nprompt": str, "seed": int,
                   "steps": int, "width": int, "height": int,
                   "cfg_scale": float, "method": str, "scheduler": str,
                   "s_ancestral": float, "s_noise": float,
-                  "batch_size": int, "format": "png"|"json"}
+                  "batch_size": int, "format": "png"|"json",
+                  "request_id": str (optional)}
+      format "json" returns {"images": [base64 PNG, ...], "infotexts": ...}.
+  POST /cancel            -> {"status": "dequeued"|"cancelling"|"not found"}
+      body: JSON {"request_id": str}
 
 Run: ./mlimgsynth serve -m MODEL [--port 8188]  or
      python -m mlimgsynth_tpu.server -m MODEL
 """
 from __future__ import annotations
 
+import base64
 import io
 import json
+import os
 import sys
 import threading
 import time
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import List, Optional
 
 import numpy as np
 
-# options a request may override per call
-_REQUEST_OPTS = {
-    "prompt": "prompt", "nprompt": "nprompt", "seed": "seed",
+# options shared by a whole device batch: requests are only merged when all
+# of these match (anything absent falls back to the session default)
+_SHARED_OPTS = {
     "steps": "steps", "cfg_scale": "cfg-scale", "method": "method",
     "scheduler": "scheduler", "s_ancestral": "s-ancestral",
-    "s_noise": "s-noise", "batch_size": "batch-size",
-    "clip_skip": "clip-skip", "f_t_ini": "f-t-ini",
+    "s_noise": "s-noise", "clip_skip": "clip-skip",
 }
+_SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height")
+
+
+class _Pending:
+    """One queued /generate request."""
+    __slots__ = ("req", "shared", "event", "id", "imgs", "infotexts",
+                 "error", "cancelled", "time_s")
+
+    def __init__(self, req: dict):
+        self.req = req
+        self.shared = {k: req.get(k) for k in _SHARED_KEYS}
+        self.event = threading.Event()
+        self.id = str(req.get("request_id") or uuid.uuid4().hex[:12])
+        self.imgs = None
+        self.infotexts: List[str] = []
+        self.error: Optional[str] = None
+        self.cancelled = False
+        self.time_s = 0.0
 
 
 class Server:
-    def __init__(self, session):
+    def __init__(self, session, max_batch: int = 8,
+                 merge_window_s: float = 0.02, start_worker: bool = True):
         self.session = session
-        self.lock = threading.Lock()
+        self.max_batch = max_batch
+        self.merge_window_s = merge_window_s
         self.n_requests = 0
+        self.n_merged = 0
         self.t_total = 0.0
+        self.queue: List[_Pending] = []
+        self.cond = threading.Condition()
+        self.running: List[_Pending] = []
+        self.running_lock = threading.Lock()
+        self.worker = None
+        if start_worker:
+            self.worker = threading.Thread(target=self._worker, daemon=True)
+            self.worker.start()
 
-    def generate(self, req: dict):
+    # -- client side -------------------------------------------------------
+
+    def submit(self, req: dict) -> _Pending:
+        if "prompt" not in req:
+            raise ValueError("missing 'prompt'")
+        p = _Pending(req)
+        with self.cond:
+            self.queue.append(p)
+            self.cond.notify()
+        return p
+
+    def cancel(self, request_id: str) -> str:
+        with self.cond:
+            for p in self.queue:
+                if p.id == request_id and not p.cancelled:
+                    p.cancelled = True
+                    p.error = "cancelled"
+                    self.queue.remove(p)
+                    p.event.set()
+                    return "dequeued"
+        with self.running_lock:
+            for p in self.running:
+                if p.id == request_id and not p.cancelled:
+                    p.cancelled = True
+                    return "cancelling"
+        return "not found"
+
+    # -- worker side ---------------------------------------------------
+
+    def _worker(self):
+        while True:
+            with self.cond:
+                while not self.queue:
+                    self.cond.wait()
+                first = self.queue.pop(0)
+            if self.merge_window_s:
+                # let near-simultaneous requests arrive so they can merge
+                time.sleep(self.merge_window_s)
+            batch = [first]
+            with self.cond:
+                i = 0
+                while len(batch) < self.max_batch and i < len(self.queue):
+                    if self.queue[i].shared == first.shared:
+                        batch.append(self.queue.pop(i))
+                    else:
+                        i += 1
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: List[_Pending]):
         s = self.session
-        with self.lock:
-            t0 = time.time()
-            w = int(req.get("width", 0))
-            h = int(req.get("height", 0))
+        t0 = time.time()
+        with self.running_lock:
+            self.running = batch
+        try:
+            r0 = batch[0].req
+            w = int(r0.get("width", 0))
+            h = int(r0.get("height", 0))
             if w or h:
                 s.option_set("image-dim", w or h, h or w)
-            for key, opt in _REQUEST_OPTS.items():
-                if key in req:
-                    s.option_set(opt, req[key])
-            if "prompt" not in req:
-                raise ValueError("missing 'prompt'")
-            img = s.generate()
+            for key, opt in _SHARED_OPTS.items():
+                if key in r0:
+                    s.option_set(opt, r0[key])
+            entries, slices = [], []
+            for p in batch:
+                k = max(1, int(p.req.get("batch_size", 1)))
+                seed = p.req.get("seed")
+                seed = (int(seed) if seed is not None
+                        else int.from_bytes(os.urandom(6), "big"))
+                start = len(entries)
+                for j in range(k):  # seed+j per image, like generate.sh
+                    entries.append({"prompt": p.req.get("prompt", ""),
+                                    "nprompt": p.req.get("nprompt", ""),
+                                    "seed": seed + j})
+                slices.append((p, slice(start, len(entries))))
+            if len(batch) > 1:
+                sys.stderr.write(
+                    f"[serve] merged {len(batch)} requests into one "
+                    f"device batch of {len(entries)}\n")
+
+            def cb(i_step, n_step):
+                return all(p.cancelled for p in batch)
+
+            imgs, infos = s.generate_batch(entries, step_callback=cb)
             dt = time.time() - t0
-            self.n_requests += 1
+            if all(p.cancelled for p in batch):
+                raise RuntimeError("cancelled")
+            for p, sl in slices:
+                if p.cancelled:
+                    p.error = "cancelled"
+                else:
+                    p.imgs = imgs[sl]
+                    p.infotexts = infos[sl]
+                    p.time_s = dt
+                p.event.set()
+            self.n_requests += len(batch)
+            self.n_merged += len(batch) - 1
             self.t_total += dt
-            return img, s.infotext, dt
+        except Exception as e:  # noqa
+            for p in batch:
+                p.error = p.error or str(e)
+                p.event.set()
+        finally:
+            with self.running_lock:
+                self.running = []
+
+
+def _png_bytes(img_nchw_1: np.ndarray, infotext: str) -> bytes:
+    from PIL import Image
+    from PIL.PngImagePlugin import PngInfo
+    from .utils import image as image_mod
+    arr = image_mod.tensor_to_image_arr(img_nchw_1[None], 0)
+    info = PngInfo()
+    info.add_text("parameters", infotext)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG", pnginfo=info)
+    return buf.getvalue()
 
 
 def make_handler(srv: Server):
@@ -92,43 +235,55 @@ def make_handler(srv: Server):
                        if isinstance(v, (str, int, float, bool))}
                 self._json(200, {"backend": info, "config": cfg,
                                  "requests": srv.n_requests,
+                                 "merged": srv.n_merged,
+                                 "queued": len(srv.queue),
                                  "avg_latency_s": (srv.t_total /
                                                    max(1, srv.n_requests))})
             else:
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except Exception as e:  # noqa
+                self._json(400, {"error": str(e)})
+                return
+            if self.path == "/cancel":
+                self._json(200, {"status": srv.cancel(
+                    str(req.get("request_id", "")))})
+                return
             if self.path != "/generate":
                 self._json(404, {"error": "not found"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
-                img, infotext, dt = srv.generate(req)
+                p = srv.submit(req)
             except Exception as e:  # noqa
                 self._json(400, {"error": str(e)})
                 return
+            p.event.wait()
+            if p.error == "cancelled":
+                self._json(499, {"error": "cancelled", "request_id": p.id})
+                return
+            if p.error:
+                self._json(400, {"error": p.error, "request_id": p.id})
+                return
             if req.get("format") == "json":
                 self._json(200, {
-                    "shape": list(img.shape), "time_s": round(dt, 4),
-                    "infotext": infotext,
-                    "images": [(np.clip(img[i] * 255, 0, 255).astype(np.uint8)
-                                .transpose(1, 2, 0).tolist())
-                               for i in range(0)]})  # shapes only by default
+                    "request_id": p.id,
+                    "shape": list(p.imgs.shape),
+                    "time_s": round(p.time_s, 4),
+                    "infotexts": p.infotexts,
+                    "images": [base64.b64encode(
+                        _png_bytes(p.imgs[i], p.infotexts[i])).decode()
+                        for i in range(p.imgs.shape[0])]})
                 return
-            from .utils import image as image_mod
-            from PIL import Image
-            from PIL.PngImagePlugin import PngInfo
-            buf = io.BytesIO()
-            arr = image_mod.tensor_to_image_arr(img, 0)
-            info = PngInfo()
-            info.add_text("parameters", infotext)
-            Image.fromarray(arr).save(buf, format="PNG", pnginfo=info)
-            body = buf.getvalue()
+            body = _png_bytes(p.imgs[0], p.infotexts[0])
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.send_header("Content-Length", str(len(body)))
-            self.send_header("X-Generation-Time", f"{dt:.3f}")
+            self.send_header("X-Generation-Time", f"{p.time_s:.3f}")
+            self.send_header("X-Request-Id", p.id)
             self.end_headers()
             self.wfile.write(body)
 
@@ -137,6 +292,9 @@ def make_handler(srv: Server):
 
 def serve(session, port: int = 8188, host: str = "127.0.0.1",
           warmup: bool = True):
+    # cancellation needs a step callback; chunked progress keeps the
+    # per-dispatch overhead at 1/chunk of step-at-a-time execution
+    os.environ.setdefault("MLIS_PROGRESS_CHUNK", "4")
     srv = Server(session)
     if warmup and session.c["model"]:
         session.setup()

@@ -30,24 +30,26 @@ def server_url(tmp_path_factory):
         s.option_set("model", str(ckpt))
         s.option_set("image-dim", 64)
         s.option_set("steps", 2)
-        srv = Server(s)
+        srv = Server(s, merge_window_s=0.3)
         httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
         port = httpd.server_address[1]
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
-        yield f"http://127.0.0.1:{port}"
+        yield f"http://127.0.0.1:{port}", srv
         httpd.shutdown()
     finally:
         api_mod._model_types = orig
 
 
 def test_health(server_url):
+    server_url, _ = server_url
     with urllib.request.urlopen(server_url + "/health") as r:
         data = json.loads(r.read())
     assert data["status"] == "ok"
 
 
 def test_generate_png(server_url):
+    server_url, _ = server_url
     req = urllib.request.Request(
         server_url + "/generate",
         data=json.dumps({"prompt": "a cat", "seed": 5}).encode(),
@@ -62,6 +64,7 @@ def test_generate_png(server_url):
 
 
 def test_generate_missing_prompt(server_url):
+    server_url, _ = server_url
     req = urllib.request.Request(server_url + "/generate", data=b"{}",
                                  headers={"Content-Type": "application/json"})
     with pytest.raises(urllib.error.HTTPError) as e:
@@ -70,7 +73,105 @@ def test_generate_missing_prompt(server_url):
 
 
 def test_info(server_url):
+    server_url, _ = server_url
     with urllib.request.urlopen(server_url + "/info") as r:
         data = json.loads(r.read())
     assert data["backend"]["name"] == "cpu"
     assert data["requests"] >= 1
+
+
+def _post(url, path, obj):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        ctype = r.headers["Content-Type"]
+        body = r.read()
+    return ctype, body
+
+
+def test_generate_json_base64(server_url):
+    server_url, _ = server_url
+    ctype, body = _post(server_url, "/generate",
+                        {"prompt": "a dog", "seed": 9, "format": "json",
+                         "batch_size": 2})
+    assert ctype == "application/json"
+    data = json.loads(body)
+    assert len(data["images"]) == 2
+    assert len(data["infotexts"]) == 2
+    assert "Seed: 9" in data["infotexts"][0]
+    assert "Seed: 10" in data["infotexts"][1]  # seed+j per image
+    import base64
+    from PIL import Image
+    img = Image.open(io.BytesIO(base64.b64decode(data["images"][0])))
+    assert img.size == (64, 64)
+
+
+def test_concurrent_requests_share_a_batch(server_url):
+    """Two concurrent compatible requests are merged into one device batch
+    (VERDICT r1 item 9)."""
+    server_url, srv = server_url
+    merged0 = srv.n_merged
+    results = []
+
+    def post(seed):
+        ctype, body = _post(server_url, "/generate",
+                            {"prompt": "a bird", "seed": seed,
+                             "format": "json"})
+        results.append(json.loads(body))
+
+    ts = [threading.Thread(target=post, args=(s,)) for s in (21, 22)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(results) == 2
+    assert srv.n_merged == merged0 + 1  # second request rode the first batch
+
+
+def test_batch_merge_matches_single(server_url):
+    """A merged request's image equals the same request run alone."""
+    server_url, _ = server_url
+    _, body1 = _post(server_url, "/generate",
+                     {"prompt": "a tree", "seed": 77, "format": "json"})
+    img1 = json.loads(body1)["images"][0]
+    _, body2 = _post(server_url, "/generate",
+                     {"prompt": "a tree", "seed": 77, "format": "json"})
+    assert json.loads(body2)["images"][0] == img1
+
+
+def test_cancel_queue_and_running():
+    """Cancellation semantics, deterministically (no worker thread)."""
+    from mlimgsynth_tpu.server import Server, _Pending
+
+    class _FakeSession:
+        pass
+
+    srv = Server(_FakeSession(), start_worker=False)
+    p1 = srv.submit({"prompt": "a", "request_id": "r1"})
+    p2 = srv.submit({"prompt": "b", "request_id": "r2"})
+    assert srv.cancel("r2") == "dequeued"
+    assert p2.event.is_set() and p2.error == "cancelled"
+    assert [q.id for q in srv.queue] == ["r1"]
+    # running request: flagged, aborts via the step callback
+    with srv.cond:
+        srv.queue.remove(p1)  # the worker pops before running
+    with srv.running_lock:
+        srv.running = [p1]
+    assert srv.cancel("r1") == "cancelling"
+    assert p1.cancelled and not p1.event.is_set()
+    assert srv.cancel("nope") == "not found"
+
+
+def test_incompatible_requests_not_merged():
+    from mlimgsynth_tpu.server import Server
+
+    class _FakeSession:
+        pass
+
+    srv = Server(_FakeSession(), start_worker=False)
+    a = srv.submit({"prompt": "x", "steps": 2})
+    b = srv.submit({"prompt": "y", "steps": 3})
+    assert a.shared != b.shared
+    c = srv.submit({"prompt": "z", "steps": 2})
+    assert a.shared == c.shared
