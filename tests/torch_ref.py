@@ -1,0 +1,258 @@
+"""Independent torch mirror of the UNet / VAE compute path.
+
+Parity harness in the spirit of test_clip_parity.py: the JAX models are
+compared against implementations built purely from torch kernels
+(F.conv2d / F.group_norm / F.layer_norm / F.linear /
+F.scaled_dot_product_attention), which are an independent implementation of
+every numeric primitive.  Weights are shared in CHECKPOINT layout
+([out,in] linear, OIHW conv) keyed by internal names: torch consumes them
+natively, the JAX side routes them through the loader's layout transforms —
+so a transcription error in either the math or the layout conversion shows
+up as a mismatch.
+
+(diffusers is not available in this environment; wiring-level parity against
+a real checkpoint is covered separately by tools/latent_trace.py once real
+weights exist — see docs/PARITY.md.)
+"""
+import math
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+
+class TorchRef:
+    """Mirror of mlimgsynth_tpu.models.blocks on torch kernels (NCHW)."""
+
+    def __init__(self, params):
+        # params: {internal_name: np.ndarray in checkpoint layout}
+        self.p = {k: torch.from_numpy(np.asarray(v, np.float32))
+                  for k, v in params.items()}
+
+    # -- primitives ------------------------------------------------------
+
+    def linear(self, pre, x, bias=True):
+        return F.linear(x, self.p[pre + ".weight"],
+                        self.p[pre + ".bias"] if bias else None)
+
+    def conv2d(self, pre, x, stride=1, pad=1, bias=True):
+        w = self.p[pre + ".weight"]
+        b = self.p[pre + ".bias"] if bias else None
+        if not isinstance(pad, int):
+            (ht, hb), (wl, wr) = pad
+            x = F.pad(x, (wl, wr, ht, hb))
+            pad = 0
+        return F.conv2d(x, w, b, stride, pad)
+
+    def group_norm(self, pre, x, n_grp=32, eps=1e-6):
+        return F.group_norm(x, n_grp, self.p[pre + ".weight"],
+                            self.p[pre + ".bias"], eps)
+
+    def layer_norm(self, pre, x, eps=1e-5):
+        return F.layer_norm(x, x.shape[-1:], self.p[pre + ".weight"],
+                            self.p[pre + ".bias"], eps)
+
+    def silu(self, x):
+        return F.silu(x)
+
+    # -- composite blocks --------------------------------------------------
+
+    def resnet(self, pre, x, emb, ch_out):
+        ch_in = x.shape[1]
+        x0 = x
+        x = self.conv2d(pre + ".conv1", F.silu(self.group_norm(
+            pre + ".norm1", x)))
+        if emb is not None:
+            e = self.linear(pre + ".emb_proj", F.silu(emb))
+            x = x + e[:, :, None, None]
+        x = self.conv2d(pre + ".conv2", F.silu(self.group_norm(
+            pre + ".norm2", x)))
+        if ch_in != ch_out:
+            x0 = self.conv2d(pre + ".skip_conv", x0, 1, 0)
+        return x + x0
+
+    def geglu(self, pre, x, d_out):
+        y = self.linear(pre + ".proj", x)
+        xh, g = y[..., :d_out], y[..., d_out:]
+        return xh * F.gelu(g, approximate="tanh")
+
+    def feed_forward(self, pre, x, d_out, mult=4):
+        x = self.geglu(pre + ".net.0", x, x.shape[-1] * mult)
+        return self.linear(pre + ".net.2", x)
+
+    def attn_mhead(self, pre, q, k, v, n_head, bias=False):
+        n, sq, d = q.shape[0], q.shape[1], None
+        sk = k.shape[1]
+        q = self.linear(pre + ".q_proj", q, bias)
+        k = self.linear(pre + ".k_proj", k, bias)
+        v = self.linear(pre + ".v_proj", v, bias)
+        d = q.shape[-1]
+        dh = d // n_head
+        q = q.view(n, sq, n_head, dh).transpose(1, 2)
+        k = k.view(n, sk, n_head, dh).transpose(1, 2)
+        v = v.view(n, sk, n_head, dh).transpose(1, 2)
+        o = F.scaled_dot_product_attention(q, k, v)
+        o = o.transpose(1, 2).reshape(n, sq, d)
+        return self.linear(pre + ".out_proj", o)
+
+    def basic_transformer(self, pre, x, c, n_head):
+        x = x + self.attn_mhead(pre + ".attn1",
+                                self.layer_norm(pre + ".norm1", x),
+                                self.layer_norm(pre + ".norm1", x),
+                                self.layer_norm(pre + ".norm1", x), n_head)
+        xn = self.layer_norm(pre + ".norm2", x)
+        x = x + self.attn_mhead(pre + ".attn2", xn, c, c, n_head)
+        x = x + self.feed_forward(pre + ".ff",
+                                  self.layer_norm(pre + ".norm3", x),
+                                  x.shape[-1])
+        return x
+
+    def timestep_embedding(self, t, dim, max_period=10000.0):
+        half = dim // 2
+        freqs = torch.exp(-math.log(max_period) *
+                          torch.arange(half, dtype=torch.float32) / half)
+        args = t.float()[:, None] * freqs[None, :]
+        return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+
+    def downsample(self, pre, x, vae=False):
+        pad = [(0, 1), (0, 1)] if vae else 1
+        return self.conv2d(pre + ".conv", x, 2, pad)
+
+    def upsample(self, pre, x):
+        x = F.interpolate(x, scale_factor=2, mode="nearest")
+        return self.conv2d(pre + ".conv", x, 1, 1)
+
+    def spatial_transformer(self, pre, x, cond, d_embed, n_head, depth):
+        n, ch_in, h, w = x.shape
+        x0 = x
+        x = self.group_norm(pre + ".norm", x)
+        x = self.conv2d(pre + ".proj_in", x, 1, 0)
+        x = x.permute(0, 2, 3, 1).reshape(n, h * w, d_embed)
+        for i in range(depth):
+            x = self.basic_transformer(f"{pre}.transf.{i}", x, cond, n_head)
+        x = x.reshape(n, h, w, d_embed).permute(0, 3, 1, 2)
+        x = self.conv2d(pre + ".proj_out", x, 1, 0)
+        return x + x0
+
+
+def torch_unet(params, x, t, cond, label, P, pre="unet"):
+    """Full UNet forward on torch kernels.  x NCHW [N,4,H,W]."""
+    R = TorchRef(params)
+
+    def heads(d_embed):
+        n_head = P.n_head or d_embed // P.d_head
+        return n_head
+
+    emb = R.linear(pre + ".time_embed.2", F.silu(R.linear(
+        pre + ".time_embed.0", R.timestep_embedding(t, P.n_ch))))
+    if P.ch_adm_in and label is not None:
+        le = R.linear(pre + ".label_embed.2", F.silu(R.linear(
+            pre + ".label_embed.0", label)))
+        emb = emb + le
+
+    x = R.conv2d(pre + ".in.conv", x)
+    stack = [x]
+    i_blk, ds, ch = 0, 1, P.n_ch
+    n_levels = len(P.ch_mult)
+    for im in range(n_levels):
+        if im:
+            ds *= 2
+            i_blk += 1
+            x = R.downsample(f"{pre}.in.{i_blk}.0", x)
+            stack.append(x)
+        for _ in range(P.n_res_blk):
+            i_blk += 1
+            ch = P.n_ch * P.ch_mult[im]
+            x = R.resnet(f"{pre}.in.{i_blk}.0", x, emb, ch)
+            if ds in P.attn_res:
+                x = R.spatial_transformer(f"{pre}.in.{i_blk}.1", x, cond,
+                                          ch, heads(ch), P.transf_depth[im])
+            stack.append(x)
+
+    im = n_levels - 1
+    ch = P.n_ch * P.ch_mult[im]
+    x = R.resnet(pre + ".mid.0", x, emb, ch)
+    x = R.spatial_transformer(pre + ".mid.1", x, cond, ch, heads(ch),
+                              P.transf_depth[im])
+    x = R.resnet(pre + ".mid.2", x, emb, ch)
+
+    i_oblk = 0
+    for im in range(n_levels - 1, -1, -1):
+        for j in range(P.n_res_blk + 1):
+            h = stack.pop()
+            x = torch.cat([x, h], dim=1)
+            i_sub = 0
+            ch = P.n_ch * P.ch_mult[im]
+            x = R.resnet(f"{pre}.out.{i_oblk}.{i_sub}", x, emb, ch)
+            i_sub += 1
+            if ds in P.attn_res:
+                x = R.spatial_transformer(f"{pre}.out.{i_oblk}.{i_sub}", x,
+                                          cond, ch, heads(ch),
+                                          P.transf_depth[im])
+                i_sub += 1
+            if im != 0 and j == P.n_res_blk:
+                x = R.upsample(f"{pre}.out.{i_oblk}.{i_sub}", x)
+                ds //= 2
+            i_oblk += 1
+    assert not stack
+
+    x = R.conv2d(pre + ".out.conv",
+                 F.silu(R.group_norm(pre + ".out.norm", x)))
+    return x
+
+
+def _vae_attn(R, pre, x):
+    n, c, h, w = x.shape
+    x0 = x
+    x = R.group_norm(pre + ".norm", x)
+    q = R.conv2d(pre + ".q", x, 1, 0).reshape(n, c, h * w).transpose(1, 2)
+    k = R.conv2d(pre + ".k", x, 1, 0).reshape(n, c, h * w).transpose(1, 2)
+    v = R.conv2d(pre + ".v", x, 1, 0).reshape(n, c, h * w).transpose(1, 2)
+    o = F.scaled_dot_product_attention(q[:, None], k[:, None], v[:, None])
+    o = o[:, 0].transpose(1, 2).reshape(n, c, h, w)
+    return R.conv2d(pre + ".proj_out", o, 1, 0) + x0
+
+
+def torch_vae_encode(params, img, P, pre="vae"):
+    """img NCHW [N,3,H,W] in [-1,1] -> moments [N,8,H/8,W/8]."""
+    R = TorchRef(params)
+    x = R.conv2d(pre + ".encoder.conv_in", img)
+    ch_blk = P.ch
+    for i in range(P.n_res):
+        ch_blk_out = P.ch * P.ch_mult[i]
+        for j in range(P.n_res_blk):
+            x = R.resnet(f"{pre}.encoder.down.{i}.block.{j}", x, None,
+                         ch_blk_out)
+            ch_blk = ch_blk_out
+        if i + 1 != P.n_res:
+            x = R.downsample(f"{pre}.encoder.down.{i}.downsample", x,
+                             vae=True)
+    x = R.resnet(pre + ".encoder.mid.block_1", x, None, ch_blk)
+    x = _vae_attn(R, pre + ".encoder.mid.attn_1", x)
+    x = R.resnet(pre + ".encoder.mid.block_2", x, None, ch_blk)
+    x = R.conv2d(pre + ".encoder.conv_out",
+                 F.silu(R.group_norm(pre + ".encoder.norm_out", x)))
+    return R.conv2d(pre + ".quant_conv", x, 1, 0)
+
+
+def torch_vae_decode(params, lat, P, pre="vae"):
+    """lat NCHW [N,4,h,w] (scaled) -> img [N,3,8h,8w] in [-1,1]."""
+    R = TorchRef(params)
+    x = lat * (1.0 / P.scale_factor)
+    x = R.conv2d(pre + ".post_quant_conv", x, 1, 0)
+    ch_blk = P.ch * P.ch_mult[P.n_res - 1]
+    x = R.conv2d(pre + ".decoder.conv_in", x)
+    x = R.resnet(pre + ".decoder.mid.block_1", x, None, ch_blk)
+    x = _vae_attn(R, pre + ".decoder.mid.attn_1", x)
+    x = R.resnet(pre + ".decoder.mid.block_2", x, None, ch_blk)
+    for i in range(P.n_res - 1, -1, -1):
+        ch_blk_out = P.ch * P.ch_mult[i]
+        for j in range(P.n_res_blk + 1):
+            x = R.resnet(f"{pre}.decoder.up.{i}.block.{j}", x, None,
+                         ch_blk_out)
+            ch_blk = ch_blk_out
+        if i != 0:
+            x = R.upsample(f"{pre}.decoder.up.{i}.upsample", x)
+    x = R.conv2d(pre + ".decoder.conv_out",
+                 F.silu(R.group_norm(pre + ".decoder.norm_out", x)))
+    return x
