@@ -164,6 +164,108 @@ def dequant_q6_k(raw: np.ndarray, n_elem: int) -> np.ndarray:
     return out.reshape(-1)[:n_elem]
 
 
+# ---------------------------------------------------------------------------
+# K-quant encoders.  Layouts are the exact inverses of the bit-exact
+# dequantizers above (so ggml can read the output); the scale search is a
+# simple affine/absmax fit rather than ggml's iterative RMSE refinement —
+# valid encodings, slightly higher quantization error than ggml's
+# (reference converter: src/main_tstore_util.c:141-199 via ggml).
+# ---------------------------------------------------------------------------
+
+def _pack_scale_min_k4(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """Inverse of _scale_min_k4: 8 x 6-bit (sc, mn) pairs -> 12 bytes."""
+    sc = sc.astype(np.uint8)
+    mn = mn.astype(np.uint8)
+    out = np.empty(sc.shape[:-1] + (12,), np.uint8)
+    for j in range(4):
+        out[..., j] = (sc[..., j] & 63) | (((sc[..., j + 4] >> 4) & 3) << 6)
+        out[..., j + 4] = (mn[..., j] & 63) | (((mn[..., j + 4] >> 4) & 3)
+                                               << 6)
+        out[..., j + 8] = (sc[..., j + 4] & 0xF) | ((mn[..., j + 4] & 0xF)
+                                                    << 4)
+    return out
+
+
+def _affine_k_scales(x: np.ndarray, qmax: int):
+    """Per-32-element affine fit for q4_K/q5_K: x ~ (d*sc)*q - (dmin*mn).
+    x: [nb, 8, 32].  Returns (d, dmin, sc6, mn6, q)."""
+    m = np.maximum(0.0, -x.min(axis=2))            # [nb, 8] >= 0
+    scale = (x.max(axis=2) + m) / qmax             # [nb, 8] >= 0
+    d = scale.max(axis=1, keepdims=True) / 63.0    # [nb, 1]
+    dmin = m.max(axis=1, keepdims=True) / 63.0
+    sc6 = np.clip(np.round(np.divide(
+        scale, d, out=np.zeros_like(scale), where=d > 0)), 0, 63)
+    mn6 = np.clip(np.round(np.divide(
+        m, dmin, out=np.zeros_like(m), where=dmin > 0)), 0, 63)
+    eff_d = d * sc6                                 # [nb, 8]
+    eff_m = dmin * mn6
+    q = np.clip(np.round(np.divide(
+        x + eff_m[:, :, None], eff_d[:, :, None],
+        out=np.zeros_like(x), where=eff_d[:, :, None] > 0)), 0, qmax)
+    return d[:, 0], dmin[:, 0], sc6, mn6, q.astype(np.uint8)
+
+
+def quant_q4_k(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.float32).reshape(-1, 8, 32)
+    nb = x.shape[0]
+    d, dmin, sc6, mn6, q = _affine_k_scales(x, 15)
+    out = np.empty((nb, 144), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:16] = _pack_scale_min_k4(sc6, mn6)
+    qq = q.reshape(nb, 4, 64)  # 64-element groups: lo nibble then hi nibble
+    out[:, 16:] = (qq[:, :, :32] | (qq[:, :, 32:] << 4)).reshape(nb, 128)
+    return out.reshape(-1)
+
+
+def quant_q5_k(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.float32).reshape(-1, 8, 32)
+    nb = x.shape[0]
+    d, dmin, sc6, mn6, q = _affine_k_scales(x, 31)
+    out = np.empty((nb, 176), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:16] = _pack_scale_min_k4(sc6, mn6)
+    qq = q.reshape(nb, 4, 64)
+    qh = np.zeros((nb, 32), np.uint8)
+    for j in range(4):
+        qh |= ((qq[:, j, :32] >> 4) & 1) << (2 * j)
+        qh |= ((qq[:, j, 32:] >> 4) & 1) << (2 * j + 1)
+    out[:, 16:48] = qh
+    out[:, 48:] = ((qq[:, :, :32] & 0xF) |
+                   ((qq[:, :, 32:] & 0xF) << 4)).reshape(nb, 128)
+    return out.reshape(-1)
+
+
+def quant_q6_k(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.float32).reshape(-1, 16, 16)  # 16 groups of 16
+    nb = x.shape[0]
+    amax = np.abs(x).max(axis=2)                  # [nb, 16]
+    s = amax / 31.0                               # symmetric per-16 scale
+    d = s.max(axis=1, keepdims=True) / 127.0      # [nb, 1]
+    sc = np.clip(np.round(np.divide(
+        s, d, out=np.zeros_like(s), where=d > 0)), -128, 127)
+    eff = d * sc                                  # [nb, 16]
+    q = np.clip(np.round(np.divide(
+        x, eff[:, :, None], out=np.zeros_like(x),
+        where=eff[:, :, None] != 0)), -32, 31) + 32
+    q = q.astype(np.uint8).reshape(nb, QK_K)
+    out = np.empty((nb, 210), np.uint8)
+    for n in range(2):  # 128-element halves
+        base = n * 128
+        q1 = q[:, base:base + 32]
+        q2 = q[:, base + 32:base + 64]
+        q3 = q[:, base + 64:base + 96]
+        q4 = q[:, base + 96:base + 128]
+        out[:, n * 64:n * 64 + 32] = (q1 & 0xF) | ((q3 & 0xF) << 4)
+        out[:, n * 64 + 32:n * 64 + 64] = (q2 & 0xF) | ((q4 & 0xF) << 4)
+        out[:, 128 + n * 32:128 + n * 32 + 32] = (
+            (q1 >> 4) | ((q2 >> 4) << 2) | ((q3 >> 4) << 4) | ((q4 >> 4) << 6))
+    out[:, 192:208] = sc.astype(np.int8).view(np.uint8)
+    out[:, 208:210] = d[:, 0].astype(np.float16)[:, None].view(np.uint8)
+    return out.reshape(-1)
+
+
 DEQUANT = {
     "q8_0": dequant_q8_0,
     "q4_1": dequant_q4_1,
@@ -175,4 +277,7 @@ DEQUANT = {
 QUANT = {
     "q8_0": quant_q8_0,
     "q4_1": quant_q4_1,
+    "q4_k": quant_q4_k,
+    "q5_k": quant_q5_k,
+    "q6_k": quant_q6_k,
 }

@@ -29,7 +29,8 @@ Options:
   -o PATH     Output file (default stdout)
   -n INT      Number of times to repeat the benchmark.
   -t NAME     Tensor name to extract.
-  -T TYPE     Tensor type for convert (f32, f16, bf16, q8_0, q4_1).
+  -T TYPE     Tensor type for convert (f32, f16, bf16, q8_0, q4_1,
+              q4_k, q5_k, q6_k).
 
   -q          Quiet: reduces information output
   -v          Verbose: increases information output

@@ -80,15 +80,28 @@ def test_bf16_roundtrip():
     np.testing.assert_allclose(dec, x, rtol=1e-2)
 
 
-@pytest.mark.parametrize("dt", ["q8_0", "q4_1"])
+@pytest.mark.parametrize("dt", ["q8_0", "q4_1", "q4_k", "q5_k", "q6_k"])
 def test_quant_roundtrip(dt):
     rng = np.random.default_rng(1)
     x = rng.standard_normal(1024).astype(np.float32)
     raw = gquant.QUANT[dt](x)
     assert raw.nbytes == gquant.nbytes(dt, 1024)
     y = gquant.DEQUANT[dt](raw, 1024)
-    tol = {"q8_0": 0.02, "q4_1": 0.2}[dt]
+    tol = {"q8_0": 0.02, "q4_1": 0.2, "q4_k": 0.25, "q5_k": 0.12,
+           "q6_k": 0.08}[dt]
     assert np.abs(y - x).max() < tol
+
+
+@pytest.mark.parametrize("dt", ["q4_k", "q5_k", "q6_k"])
+def test_kquant_edge_blocks(dt):
+    # all-zero, constant-positive, constant-negative super-blocks
+    for x in (np.zeros(256, np.float32),
+              np.full(256, 0.7, np.float32),
+              np.full(256, -0.7, np.float32),
+              np.concatenate([np.zeros(128), np.ones(128)]).astype(
+                  np.float32)):
+        y = gquant.DEQUANT[dt](gquant.QUANT[dt](x), 256)
+        assert np.abs(y - x).max() < 0.05, (dt, np.abs(y - x).max())
 
 
 def test_dequant_q4k_handmade():
