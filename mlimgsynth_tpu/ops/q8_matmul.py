@@ -99,8 +99,93 @@ def q8_matmul(x, w_q8, w_scale, block_m: int = 256, block_n: int = 512):
     return out[:m].reshape(orig_shape[:-1] + (n,))
 
 
+# ---------------------------------------------------------------------------
+# True int8 MXU path: dynamic per-(token, K-block) activation quantization
+# fused into the kernel, int8 x int8 -> int32 MXU dot (2x bf16 MXU
+# throughput on v5e), f32 rescale.  This is the TPU-native counterpart of
+# the reference computing from quantized weights
+# (src/ccompute/tensorstore.c:184-254).
+# ---------------------------------------------------------------------------
+
+def _q8q8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...].astype(jnp.float32)     # [bm, KBLOCK]
+    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)     # [bm, 1]
+    inv = jnp.where(amax > 0, 127.0 / amax, 0.0)
+    xq = jnp.round(x * inv).astype(jnp.int8)
+    w = w_ref[...]                          # [KBLOCK, bn] int8
+    part = jax.lax.dot_general(
+        xq, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    s = s_ref[0, 0:1, :]                    # [1, bn] f32 weight scales
+    acc_ref[:] += part.astype(jnp.float32) * ((amax * (1.0 / 127.0)) * s)
+
+    @pl.when(ik == n_kb - 1)
+    def _done():
+        o_ref[...] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def q8_matmul_int8(x, w_q8, w_scale, block_m: int = 256,
+                   block_n: int = 512):
+    """int8 x int8 MXU matmul with fused dynamic activation quantization.
+    x: [..., K], w_q8: [K, N] int8, w_scale: [K/128, N] f32."""
+    orig_shape = x.shape
+    k = x.shape[-1]
+    n = w_q8.shape[1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    n_kb = k // KBLOCK
+
+    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    for cand in (block_n, 256, 128):
+        if n % cand == 0:
+            bn = cand
+            break
+    else:
+        bn = n
+    m_p = pl.cdiv(m, bm) * bm
+    if m_p != m:
+        x2 = jnp.pad(x2, ((0, m_p - m), (0, 0)))
+    scale8 = jnp.broadcast_to(w_scale[:, None, :], (n_kb, 8, n))
+
+    out = pl.pallas_call(
+        functools.partial(_q8q8_kernel, n_kb=n_kb),
+        grid=(m_p // bm, n // bn, n_kb),
+        in_specs=[
+            pl.BlockSpec((bm, KBLOCK), lambda i, j, ik: (i, ik)),
+            pl.BlockSpec((KBLOCK, bn), lambda i, j, ik: (ik, j)),
+            pl.BlockSpec((1, 8, bn), lambda i, j, ik: (ik, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ik: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )(x2, w_q8, scale8)
+    return out[:m].reshape(orig_shape[:-1] + (n,))
+
+
+def q8_matmul_int8_xla(x, w_q8, w_scale):
+    """XLA emulation of the int8 path (same per-(token, K-block) dynamic
+    activation quantization); used off-TPU and as the kernel's test oracle."""
+    k, n = w_q8.shape
+    orig = x.shape
+    x2 = x.reshape(-1, k // KBLOCK, KBLOCK).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=2, keepdims=True)      # [m, kb, 1]
+    inv = jnp.where(amax > 0, 127.0 / amax, 0.0)
+    xq = jnp.round(x2 * inv).astype(jnp.int32)
+    wq = w_q8.reshape(k // KBLOCK, KBLOCK, n).astype(jnp.int32)
+    part = jnp.einsum("mbk,bkn->mbn", xq, wq).astype(jnp.float32)
+    out = (part * (amax * (1.0 / 127.0)) * w_scale[None]).sum(axis=1)
+    return out.astype(x.dtype).reshape(orig[:-1] + (n,))
+
+
 def q8_matmul_xla(x, w_q8, w_scale):
-    """Reference/fallback path: dequantize then matmul (used off-TPU)."""
+    """Weight-only fallback path: dequantize then matmul (used off-TPU)."""
     k, n = w_q8.shape
     w = (w_q8.astype(jnp.float32).reshape(k // KBLOCK, KBLOCK, n)
          * w_scale[:, None, :]).reshape(k, n)
@@ -108,7 +193,15 @@ def q8_matmul_xla(x, w_q8, w_scale):
 
 
 def q8_dot(x, w_q8, w_scale):
-    """Dispatch: Pallas on TPU, XLA dequant elsewhere."""
-    if jax.default_backend() == "tpu" and w_q8.shape[1] % 128 == 0:
-        return q8_matmul(x, w_q8, w_scale)
-    return q8_matmul_xla(x, w_q8, w_scale)
+    """Dispatch.  MLIS_Q8_MODE selects the execution strategy:
+    ``int8`` (default) = int8 x int8 MXU with dynamic activation quant;
+    ``dq`` = weight-only in-VMEM dequant (memory savings, bf16 MXU).
+    Off-TPU the same modes run as XLA emulations."""
+    import os
+    mode = os.environ.get("MLIS_Q8_MODE", "int8")
+    on_tpu = jax.default_backend() == "tpu" and w_q8.shape[1] % 128 == 0
+    if mode == "int8":
+        return q8_matmul_int8(x, w_q8, w_scale) if on_tpu \
+            else q8_matmul_int8_xla(x, w_q8, w_scale)
+    return q8_matmul(x, w_q8, w_scale) if on_tpu \
+        else q8_matmul_xla(x, w_q8, w_scale)

@@ -87,3 +87,49 @@ def test_q8_generation_close_to_fp(tmp_path, monkeypatch):
     # int8 weights perturb the latent slightly but not wildly
     diff = np.abs(out - ref).mean() / max(np.abs(ref).mean(), 1e-6)
     assert 0 < diff < 0.5, diff
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 256, 512), (77, 128, 512),
+                                   (130, 384, 1024)])
+def test_int8_kernel_matches_xla_emulation(m, k, n):
+    """int8 x int8 Pallas kernel vs the XLA emulation of the same dynamic
+    activation quantization (exact int32 accumulation per block)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.3)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight(w)
+    qd, sd = jnp.asarray(q), jnp.asarray(s)
+    ref = np.asarray(q8.q8_matmul_int8_xla(x, qd, sd))
+    out = np.asarray(q8.q8_matmul_int8(x, qd, sd, block_m=64, block_n=256))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_int8_accuracy_vs_float():
+    """Dynamic activation quantization keeps the matmul within ~1% of the
+    float result (both weight and activation are int8)."""
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((64, 512)).astype(np.float32) * 0.3
+    w = rng.standard_normal((512, 512)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight(w)
+    ref = x @ w
+    out = np.asarray(q8.q8_matmul_int8_xla(
+        jnp.asarray(x), jnp.asarray(q), jnp.asarray(s)))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.02, rel
+
+
+def test_q8_dot_mode_dispatch(monkeypatch):
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
+    w = rng.standard_normal((256, 128)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight(w)
+    qd, sd = jnp.asarray(q), jnp.asarray(s)
+    monkeypatch.setenv("MLIS_Q8_MODE", "int8")
+    a = np.asarray(q8.q8_dot(x, qd, sd))
+    monkeypatch.setenv("MLIS_Q8_MODE", "dq")
+    b = np.asarray(q8.q8_dot(x, qd, sd))
+    # both approximate the float matmul; int8 adds activation-quant error
+    ref = np.asarray(x) @ (np.asarray(q, np.float32).reshape(2, 128, 128)
+                           * np.asarray(s)[:, None, :]).reshape(256, 128)
+    assert np.abs(b - ref).max() < 1e-5
+    assert np.abs(a - ref).max() / np.abs(ref).max() < 0.02
