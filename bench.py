@@ -192,7 +192,9 @@ def bench_config(name):
         return np.asarray(img)
 
     t0 = time.time()
-    img = run(42)
+    os.environ["MLIS_MEM_ANALYSIS"] = "1"   # only on the compile run: the
+    img = run(42)                           # AOT lower adds ~2s host time
+    os.environ.pop("MLIS_MEM_ANALYSIS", None)
     log(f"[{name}] compile+first-run {time.time() - t0:.1f}s; "
         f"finite: {np.isfinite(img).all()}")
 
@@ -203,13 +205,24 @@ def bench_config(name):
         times.append(time.time() - t0)
         log(f"[{name}] run {i}: {times[-1]:.3f}s")
     best = min(times)
+    # Memory: runtime memory_stats are unavailable through the remote TPU
+    # tunnel, so report the compiled sampling-loop executable's footprint
+    # (arguments = weights + noise, temps = activation workspace).
     try:
         st = jax.devices()[0].memory_stats() or {}
         peak = st.get("peak_bytes_in_use", 0)
-        log(f"[{name}] peak HBM {peak / 1024**3:.2f} GiB "
-            f"(reference claims SDXL <= 4 GiB with unet-split+vae-tile)")
+        if peak:
+            log(f"[{name}] peak HBM {peak / 1024**3:.2f} GiB")
     except Exception:
-        pass
+        peak = 0
+    from mlimgsynth_tpu.sampling import sampler as _sampler
+    ma = getattr(_sampler, "LAST_MEMORY_ANALYSIS", None)
+    if ma:
+        log(f"[{name}] compiled loop memory: args "
+            f"{ma['argument_bytes'] / 1024**3:.2f} GiB + temps "
+            f"{ma['temp_bytes'] / 1024**3:.2f} GiB = "
+            f"{ma['peak_estimate_bytes'] / 1024**3:.2f} GiB "
+            f"(reference claims SDXL <= 4 GiB with unet-split+vae-tile)")
     label = {"sdxl": "SDXL", "sd21": "SD2.1 dpm++2m vparam",
              "sd15-tae": "SD1.5+TAE"}.get(name_base, "SD1.5")
     if use_q8:

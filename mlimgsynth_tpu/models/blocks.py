@@ -233,6 +233,18 @@ def feed_forward(ctx: Ctx, pre: str, x, d_out: int, mult: int = 4):
     return linear(ctx, pre + ".net.2", x, d_out)
 
 
+def _attn_use_einsum(ctx: Ctx, pre: str) -> bool:
+    """Head-split-fused projections: instead of project -> reshape ->
+    transpose (which XLA lowers to slow conv-shuffles on TPU for
+    non-128-aligned d_head), emit one dot_general per projection that
+    produces [N, H, S, D] directly.  Opt out with MLIS_ATTN_EINSUM=0.
+    Quantized (int8) projections keep the linear() path."""
+    import os
+    if os.environ.get("MLIS_ATTN_EINSUM", "1") in ("0", "false", "no"):
+        return False
+    return ctx.record or (pre + ".q_proj.weight") in ctx.params
+
+
 def attn_mhead(ctx: Ctx, pre: str, q, k, v, d_out: int, d_embed: int,
                n_head: int, mask: bool = False, bias: bool = False,
                bias_out: bool = True):
@@ -241,6 +253,28 @@ def attn_mhead(ctx: Ctx, pre: str, q, k, v, d_out: int, d_embed: int,
     d_head = d_embed // n_head
     n, sq = q.shape[0], q.shape[1]
     sk = k.shape[1]
+    if _attn_use_einsum(ctx, pre):
+        def proj(x, which):
+            w = ctx.param(f"{pre}.{which}.weight", (x.shape[-1], d_embed),
+                          LINEAR_W).astype(x.dtype)
+            y = jnp.einsum("nsk,khd->nhsd", x,
+                           w.reshape(x.shape[-1], n_head, d_head))
+            if bias:
+                b = ctx.param(f"{pre}.{which}.bias", (d_embed,), VEC)
+                y = y + b.reshape(n_head, 1, d_head).astype(y.dtype)
+            return y
+        q = proj(q, "q_proj")
+        k = proj(k, "k_proj")
+        v = proj(v, "v_proj")
+        o = attention(q, k, v, causal=mask)
+        w_o = ctx.param(pre + ".out_proj.weight", (d_embed, d_out),
+                        LINEAR_W).astype(o.dtype)
+        out = jnp.einsum("nhsd,hdk->nsk", o,
+                         w_o.reshape(n_head, d_head, d_out))
+        if bias_out:
+            b = ctx.param(pre + ".out_proj.bias", (d_out,), VEC)
+            out = out + b.astype(out.dtype)
+        return out
     q = linear(ctx, pre + ".q_proj", q, d_embed, bias)
     k = linear(ctx, pre + ".k_proj", k, d_embed, bias)
     v = linear(ctx, pre + ".v_proj", v, d_embed, bias)

@@ -86,10 +86,17 @@ def _pad_to(x, axis, size):
 
 def flash_attention_compatible(q, k, v, causal: bool = False) -> bool:
     """Use flash when the self-attention is big enough to pay off; short-kv
-    cross-attention (77 text tokens) stays on the fused XLA path."""
+    cross-attention (77 text tokens) can opt in with MLIS_FLASH_CROSS=1
+    (the kernel masks the padded kv tail, so kv=77 runs as one 128-wide
+    block with logits never leaving VMEM)."""
     if q.ndim != 4 or q.shape[-1] > 512:
         return False
-    return k.shape[-2] >= 512 and q.shape[-2] >= 512
+    if k.shape[-2] >= 512 and q.shape[-2] >= 512:
+        return True
+    import os
+    return (q.shape[-2] >= 512 and
+            os.environ.get("MLIS_FLASH_CROSS", "0") not in ("0", "false",
+                                                            "no"))
 
 
 def _env_blocks():

@@ -32,6 +32,9 @@ from ..rng import RngPhilox
 from . import schedule as sch
 from .solvers import SolverClass, get_solver
 
+# Filled by run_sampler under MLIS_MEM_ANALYSIS=1 (bench memory reporting).
+LAST_MEMORY_ANALYSIS = None
+
 
 @dataclass
 class SamplerConfig:
@@ -308,6 +311,26 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
               use_mask=use_mask, dtype=dtype)
 
     if step_callback is None and step_observer is None:
+        import os
+        if os.environ.get("MLIS_MEM_ANALYSIS"):
+            # Compiled-executable memory analysis: runtime memory_stats are
+            # unavailable through remote-attached TPU, but the AOT path
+            # reports the executable's argument/temp footprint (a cache hit
+            # after the first compile, so this is cheap).
+            global LAST_MEMORY_ANALYSIS
+            try:
+                ma = _loop_jit.lower(params, x, consts, noise0, churn, anc,
+                                     sigmas0, **kw).compile().memory_analysis()
+                LAST_MEMORY_ANALYSIS = {
+                    "argument_bytes": ma.argument_size_in_bytes,
+                    "output_bytes": ma.output_size_in_bytes,
+                    "temp_bytes": ma.temp_size_in_bytes,
+                    "peak_estimate_bytes": (ma.argument_size_in_bytes +
+                                            ma.output_size_in_bytes +
+                                            ma.temp_size_in_bytes),
+                }
+            except Exception:  # analysis is informational, never fatal
+                LAST_MEMORY_ANALYSIS = None
         x = _loop_jit(params, x, consts, noise0, churn, anc, sigmas0, **kw)
     else:
         carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep,

@@ -3,7 +3,15 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")  # never dial the TPU relay
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Persistent XLA compile cache: the suite spends most of its wall time
+# recompiling the same tiny-model jits every run; with the cache warm it
+# runs in a fraction of the cold time.
+from mlimgsynth_tpu.utils.compcache import enable as _compcache_enable  # noqa: E402
+
+_compcache_enable()

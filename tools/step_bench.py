@@ -1,0 +1,85 @@
+"""Micro-benchmark: one CFG-batched UNet denoise step, scanned on device.
+
+Times a lax.scan of N identical denoise steps in ONE dispatch and reports
+ms/step — the cleanest per-step number available through the remote TPU
+tunnel (per-dispatch latency amortizes over the scan; the result is fetched
+to host so the timing covers completion, not just dispatch).
+
+Variants via env (read at trace time):
+  MLIS_ATTN_EINSUM=0|1   head-split-fused attention projections
+  MLIS_FLASH_CROSS=0|1   cross-attention through the flash kernel
+  MLIS_FLASH_BLOCK=bq,bk flash block override
+  MLIS_STEP_MODEL=sd15|sdxl|sd15b8   model/batch config
+
+Usage: python tools/step_bench.py [n_scan_steps]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.utils.compcache import enable as _cc
+    _cc()
+    from mlimgsynth_tpu.models import blocks as B
+    from mlimgsynth_tpu.models import unet as U
+    from bench import synth_params
+
+    n_scan = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    which = os.environ.get("MLIS_STEP_MODEL", "sd15")
+    if which.startswith("sdxl"):
+        P, res, n = U.UNET_SDXL, 128, 2
+    elif which == "sd15b8":
+        P, res, n = U.UNET_SD1, 64, 16   # batch-8 images, CFG-doubled
+    else:
+        P, res, n = U.UNET_SD1, 64, 2    # batch-1, CFG-doubled
+    label = (jnp.zeros((1, P.ch_adm_in)) if P.ch_adm_in else None)
+    spec = B.trace_spec(
+        lambda ctx, x, t, c: U.unet_apply(ctx, x, t, c, label, P),
+        jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)), jnp.zeros((1, 77, P.n_ctx)))
+    params = synth_params(spec, 0)
+    lab = (jnp.zeros((n, P.ch_adm_in), jnp.float32) if P.ch_adm_in else None)
+
+    def loop(params, x, t, c):
+        ctx = B.Ctx(params, dtype=jnp.bfloat16)
+
+        def body(x, _):
+            d = U.denoise(ctx, x, jnp.float32(14.6), t, c, lab, P)
+            # keep the carry well-scaled so the scan can't be folded away
+            return x + 0.01 * d.astype(x.dtype), None
+
+        x, _ = jax.lax.scan(body, x, None, length=n_scan)
+        return x
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, res, res, 4)).astype(np.float32))
+    t = jnp.full((n,), 500.0, jnp.float32)
+    c = jnp.asarray(rng.standard_normal((n, 77, P.n_ctx)).astype(np.float32)
+                    * 0.3)
+    fn = jax.jit(loop)
+    t0 = time.time()
+    out = np.asarray(fn(params, x, t, c))   # fetch = true completion
+    print(f"compile+first: {time.time() - t0:.1f}s "
+          f"(finite={np.isfinite(out).all()})", flush=True)
+    times = []
+    for i in range(4):
+        t0 = time.time()
+        out = np.asarray(fn(params, x, t, c))
+        times.append(time.time() - t0)
+    best = min(times)
+    cfg = {k: os.environ.get(k, "") for k in
+           ("MLIS_ATTN_EINSUM", "MLIS_FLASH_CROSS", "MLIS_FLASH_BLOCK",
+            "MLIS_STEP_MODEL")}
+    print(f"RESULT {which} n={n} res={res} steps={n_scan}: "
+          f"{best / n_scan * 1000:.2f} ms/step (total {best:.3f}s, "
+          f"runs {['%.3f' % t for t in times]}) env={cfg}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
