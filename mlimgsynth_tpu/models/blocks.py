@@ -242,7 +242,12 @@ def _attn_use_einsum(ctx: Ctx, pre: str) -> bool:
     import os
     if os.environ.get("MLIS_ATTN_EINSUM", "1") in ("0", "false", "no"):
         return False
-    return ctx.record or (pre + ".q_proj.weight") in ctx.params
+    # ALL four projections must be unquantized: under q8, k/v projections
+    # (K = n_ctx, often 128-divisible) can be int8 while q_proj (K = d_embed)
+    # is not — mixed cases must take the linear() path throughout.
+    return ctx.record or all(
+        f"{pre}.{w}.weight" in ctx.params
+        for w in ("q_proj", "k_proj", "v_proj", "out_proj"))
 
 
 def attn_mhead(ctx: Ctx, pre: str, q, k, v, d_out: int, d_embed: int,

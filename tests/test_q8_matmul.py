@@ -133,3 +133,35 @@ def test_q8_dot_mode_dispatch(monkeypatch):
                            * np.asarray(s)[:, None, :]).reshape(256, 128)
     assert np.abs(b - ref).max() < 1e-5
     assert np.abs(a - ref).max() / np.abs(ref).max() < 0.02
+
+
+def test_attn_mixed_quantization():
+    """Cross-attention where k/v projections are int8 (K divisible by 128)
+    but q/out are not: attn_mhead must fall back to the linear() path for
+    the whole block (regression: KeyError on TPU bench with q8 weights)."""
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.models import blocks as B
+    rng = np.random.default_rng(6)
+    d_model, d_ctx, n_head = 64, 128, 4   # k/v K=128 quantizes; q K=64 not
+    spec = B.trace_spec(
+        lambda ctx, x, c: B.attn_mhead(ctx, "blk.attn2", x, c, c,
+                                       d_model, d_model, n_head),
+        jnp.zeros((1, 16, d_model)), jnp.zeros((1, 7, d_ctx)))
+    host = {k: (rng.standard_normal(
+        (ps.shape[1], ps.shape[0]) if ps.kind == B.LINEAR_W else ps.shape)
+        .astype(np.float32) * 0.05) for k, ps in spec.items()}
+    from mlimgsynth_tpu.weights import _to_layout, quantize_linear_weights
+    host = {k: _to_layout(v, spec[k], k) for k, v in host.items()}
+    full = {k: jnp.asarray(v) for k, v in host.items()}
+    n_q = quantize_linear_weights(host, spec)
+    assert n_q >= 1  # k/v (and not q/out) quantized
+    assert "blk.attn2.q_proj.weight" in host
+    assert "blk.attn2.k_proj.weight_q8" in host
+    qparams = {k: jnp.asarray(v) for k, v in host.items()}
+    x = jnp.asarray(rng.standard_normal((1, 16, d_model)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((1, 7, d_ctx)).astype(np.float32))
+    ref = B.attn_mhead(B.Ctx(full, dtype=jnp.float32), "blk.attn2", x, c, c,
+                       d_model, d_model, n_head)
+    out = B.attn_mhead(B.Ctx(qparams, dtype=jnp.float32), "blk.attn2", x, c,
+                       c, d_model, d_model, n_head)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05)

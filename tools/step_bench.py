@@ -33,6 +33,8 @@ def main():
 
     n_scan = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     which = os.environ.get("MLIS_STEP_MODEL", "sd15")
+    if which == "sd15loop":
+        return loop_bench(n_scan)
     if which.startswith("sdxl"):
         P, res, n = U.UNET_SDXL, 128, 2
     elif which == "sd15b8":
@@ -79,6 +81,49 @@ def main():
     print(f"RESULT {which} n={n} res={res} steps={n_scan}: "
           f"{best / n_scan * 1000:.2f} ms/step (total {best:.3f}s, "
           f"runs {['%.3f' % t for t in times]}) env={cfg}", flush=True)
+
+
+def loop_bench(n_steps):
+    """Time the REAL sampling loop (run_sampler: solver + CFG mixing +
+    sigma_to_t + noise handling) to compare against the raw-step number."""
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.models import blocks as B
+    from mlimgsynth_tpu.models import unet as U
+    from mlimgsynth_tpu.rng import RngPhilox
+    from mlimgsynth_tpu.sampling.sampler import (SamplerConfig, make_plan,
+                                                 run_sampler)
+    from bench import synth_params
+
+    P = U.UNET_SD1
+    spec = B.trace_spec(
+        lambda ctx, x, t, c: U.unet_apply(ctx, x, t, c, None, P),
+        jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)), jnp.zeros((1, 77, P.n_ctx)))
+    params = synth_params(spec, 0)
+    rng = np.random.default_rng(0)
+    cond = rng.standard_normal((1, 77, P.n_ctx)).astype(np.float32) * 0.3
+    uncond = np.zeros_like(cond)
+    cfg = SamplerConfig(method="euler", n_step=n_steps, cfg_scale=7.0)
+
+    def once(seed):
+        plan = make_plan(cfg, (1, 4, 64, 64), RngPhilox(seed=seed),
+                         nfe_per_dxdt=2)
+        return run_sampler(params, np.zeros((1, 4, 64, 64), np.float32),
+                           plan, cond, uncond, None, None, None, cfg, P,
+                           dtype=jnp.bfloat16)
+
+    t0 = time.time()
+    out = once(42)
+    print(f"compile+first: {time.time() - t0:.1f}s "
+          f"(finite={np.isfinite(out).all()})", flush=True)
+    times = []
+    for i in range(4):
+        t0 = time.time()
+        once(42 + i)
+        times.append(time.time() - t0)
+    best = min(times)
+    print(f"RESULT sd15loop steps={n_steps}: {best / n_steps * 1000:.2f} "
+          f"ms/step (total {best:.3f}s incl. host plan+transfers, "
+          f"runs {['%.3f' % t for t in times]})", flush=True)
 
 
 if __name__ == "__main__":
