@@ -4,10 +4,13 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
 primary config (SD1.5 512px 20 steps, baseline target < 1 s on one v5e —
 BASELINE.md); per-config lines go to stderr.
 
-Configs (select with MLIS_BENCH=sd15|sdxl|all, default sd15):
+Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
   sd15: SD1.5 512px, 20 Euler steps, cfg 7      (baseline 1.0 s)
   sdxl: SDXL 1024px, 20 Euler steps, cfg 7, dual text encoders
         (baseline 4.0 s)
+  sd21, sd15-tae: further BASELINE configs
+  suffix -b8: batch-8 throughput (s/image at batch 8)
+  suffix -q8: int8 weights (MLIS_Q8_MODE=int8|dq selects MXU strategy)
 
 Uses a real checkpoint if MLIS_MODEL points at one; otherwise synthesizes
 random weights with the exact architecture (identical compute graph, so
@@ -74,6 +77,10 @@ def bench_config(name):
     use_tae = False
     use_q8 = name.endswith("-q8")
     name_base = name[:-3] if use_q8 else name
+    n_batch = 1
+    if name_base.endswith("-b8"):     # batch-throughput config
+        name_base = name_base[:-3]
+        n_batch = 8
     if name_base == "sdxl":
         size, baseline = 1024, 4.0
         unet_p, clip_p, clip2_p, vae_p = (U.UNET_SDXL, C.CLIP_VIT_L_14,
@@ -177,9 +184,17 @@ def bench_config(name):
     def run(seed):
         emb, label = encode_text(toks)
         nemb, nlabel = encode_text(ntoks)
-        plan = make_plan(cfg, (1, 4, lat, lat), RngPhilox(seed=seed),
+        if n_batch > 1:
+            emb = np.repeat(emb, n_batch, 0)
+            nemb = np.repeat(nemb, n_batch, 0)
+            label = np.repeat(label, n_batch, 0) if label is not None \
+                else None
+            nlabel = np.repeat(nlabel, n_batch, 0) if nlabel is not None \
+                else None
+        plan = make_plan(cfg, (n_batch, 4, lat, lat), RngPhilox(seed=seed),
                          nfe_per_dxdt=2)
-        x = run_sampler(unet_params, np.zeros((1, 4, lat, lat), np.float32),
+        x = run_sampler(unet_params,
+                        np.zeros((n_batch, 4, lat, lat), np.float32),
                         plan, emb, nemb, label, nlabel, None,
                         cfg, unet_p, dtype=dtype)
         if use_tae:
@@ -227,13 +242,15 @@ def bench_config(name):
              "sd15-tae": "SD1.5+TAE"}.get(name_base, "SD1.5")
     if use_q8:
         label += " int8-weights"
+    if n_batch > 1:
+        label += f" batch{n_batch} throughput"
     return {
         "metric": f"{label} {size}px "
                   f"{STEPS}-step cfg{CFG:g} txt2img e2e latency "
                   "(text encode + denoise + decode)",
-        "value": round(best, 4),
+        "value": round(best / n_batch, 4),
         "unit": "s/image",
-        "vs_baseline": round(baseline / best, 3),
+        "vs_baseline": round(baseline / (best / n_batch), 3),
     }
 
 

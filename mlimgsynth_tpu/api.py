@@ -1101,14 +1101,18 @@ class MLImgSynth:
                 "<lora:...> tags are not supported in batched requests")
         return parsed
 
-    def generate_batch(self, requests: List[dict], step_callback=None
+    def generate_batch(self, requests: List[dict], step_callback=None,
+                       init_latents: Optional[np.ndarray] = None
                        ) -> Tuple[np.ndarray, List[str]]:
-        """Run several txt2img requests as ONE device batch.
+        """Run several txt2img (or img2img) requests as ONE device batch.
 
         Each request dict brings its own ``prompt``/``nprompt``/``seed``;
         every other sampling option comes from the session state (callers
         must only merge requests whose shared options match).  Returns
         (images NCHW [N,3,H,W] in [0,1], per-request infotext list).
+
+        ``init_latents`` (NCHW [N,4,h,w], one row per request) enables
+        img2img: combine with the session ``f_t_ini`` option.
 
         ``step_callback(i_step, n_step) -> bool`` aborts the whole batch
         when truthy (used for serving cancellation)."""
@@ -1118,6 +1122,13 @@ class MLImgSynth:
             f = mt.vae_p.f_down
             w, h = c["width"] // f, c["height"] // f
             n = len(requests)
+            if init_latents is not None:
+                if init_latents.shape[0] != n:
+                    raise MlisError(
+                        MlisError.E_OPT_VALUE,
+                        f"init_latents batch {init_latents.shape[0]} != "
+                        f"{n} requests")
+                h, w = init_latents.shape[2], init_latents.shape[3]
             use_cfg = c["cfg_scale"] > 1
             conds, nconds, labels, nlabels, seeds = [], [], [], [], []
             for r in requests:
@@ -1144,9 +1155,14 @@ class MLImgSynth:
             scfg = SamplerConfig(
                 method=c["method"], sched=c["scheduler"], n_step=c["steps"],
                 cfg_scale=c["cfg_scale"], s_ancestral=c["s_ancestral"],
-                s_noise=c["s_noise"], f_t_ini=1.0, f_t_end=0.0)
+                s_noise=c["s_noise"],
+                f_t_ini=c["f_t_ini"] if init_latents is not None else 1.0,
+                f_t_end=c["f_t_end"])
             nfe_per_dxdt = 2 if use_cfg else 1
-            latent = np.zeros((n, mt.unet_p.n_ch_in, h, w), np.float32)
+            latent = (np.asarray(init_latents, np.float32)
+                      if init_latents is not None
+                      else np.zeros((n, mt.unet_p.n_ch_in, h, w),
+                                    np.float32))
             plan = make_plan(scfg, latent.shape, RngPhilox(seeds[0], 0),
                              nfe_per_dxdt, seeds=seeds)
             log.info(f"Generating batch of {n} requests "

@@ -24,7 +24,9 @@ Endpoints:
                   "cfg_scale": float, "method": str, "scheduler": str,
                   "s_ancestral": float, "s_noise": float,
                   "batch_size": int, "format": "png"|"json",
-                  "request_id": str (optional)}
+                  "request_id": str (optional),
+                  "image": base64 PNG/JPEG (img2img init image),
+                  "f_t_ini": float (img2img strength)}
       format "json" returns {"images": [base64 PNG, ...], "infotexts": ...}.
   POST /cancel            -> {"status": "dequeued"|"cancelling"|"not found"}
       body: JSON {"request_id": str}
@@ -52,9 +54,24 @@ import numpy as np
 _SHARED_OPTS = {
     "steps": "steps", "cfg_scale": "cfg-scale", "method": "method",
     "scheduler": "scheduler", "s_ancestral": "s-ancestral",
-    "s_noise": "s-noise", "clip_skip": "clip-skip",
+    "s_noise": "s-noise", "clip_skip": "clip-skip", "f_t_ini": "f-t-ini",
 }
 _SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height")
+
+
+def _shared_of(req: dict) -> dict:
+    d = {k: req.get(k) for k in _SHARED_KEYS}
+    d["_has_image"] = bool(req.get("image"))  # img2img only merges with img2img
+    return d
+
+
+def _decode_image_b64(b64: str) -> "np.ndarray":
+    """base64 PNG/JPEG -> float NCHW [1,3,H,W] in [0,1]."""
+    import io as _io
+    from PIL import Image
+    arr = np.asarray(Image.open(_io.BytesIO(base64.b64decode(b64)))
+                     .convert("RGB"), np.float32) / 255.0
+    return arr.transpose(2, 0, 1)[None]
 
 
 class _Pending:
@@ -64,7 +81,7 @@ class _Pending:
 
     def __init__(self, req: dict):
         self.req = req
-        self.shared = {k: req.get(k) for k in _SHARED_KEYS}
+        self.shared = _shared_of(req)
         self.event = threading.Event()
         self.id = str(req.get("request_id") or uuid.uuid4().hex[:12])
         self.imgs = None
@@ -154,18 +171,27 @@ class Server:
             for key, opt in _SHARED_OPTS.items():
                 if key in r0:
                     s.option_set(opt, r0[key])
-            entries, slices = [], []
+            entries, slices, init_imgs = [], [], []
+            use_img2img = bool(r0.get("image"))
             for p in batch:
                 k = max(1, int(p.req.get("batch_size", 1)))
                 seed = p.req.get("seed")
                 seed = (int(seed) if seed is not None
                         else int.from_bytes(os.urandom(6), "big"))
                 start = len(entries)
+                img_arr = (_decode_image_b64(p.req["image"])
+                           if use_img2img else None)
                 for j in range(k):  # seed+j per image, like generate.sh
                     entries.append({"prompt": p.req.get("prompt", ""),
                                     "nprompt": p.req.get("nprompt", ""),
                                     "seed": seed + j})
+                    if img_arr is not None:
+                        init_imgs.append(img_arr)
                 slices.append((p, slice(start, len(entries))))
+            init_lat = None
+            if use_img2img:
+                # one batched encode for the whole merged batch
+                init_lat = s.image_encode(np.concatenate(init_imgs, 0))
             if len(batch) > 1:
                 sys.stderr.write(
                     f"[serve] merged {len(batch)} requests into one "
@@ -174,7 +200,8 @@ class Server:
             def cb(i_step, n_step):
                 return all(p.cancelled for p in batch)
 
-            imgs, infos = s.generate_batch(entries, step_callback=cb)
+            imgs, infos = s.generate_batch(entries, step_callback=cb,
+                                           init_latents=init_lat)
             dt = time.time() - t0
             if all(p.cancelled for p in batch):
                 raise RuntimeError("cancelled")

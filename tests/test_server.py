@@ -175,3 +175,26 @@ def test_incompatible_requests_not_merged():
     assert a.shared != b.shared
     c = srv.submit({"prompt": "z", "steps": 2})
     assert a.shared == c.shared
+
+
+def test_generate_img2img_b64(server_url):
+    """img2img through the serving path: base64 init image + f_t_ini."""
+    import base64
+    from PIL import Image
+    server_url, _ = server_url
+    rng = __import__("numpy").random.default_rng(0)
+    arr = (rng.random((64, 64, 3)) * 255).astype("uint8")
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    ctype, body = _post(server_url, "/generate",
+                        {"prompt": "a boat", "seed": 5, "format": "json",
+                         "image": b64, "f_t_ini": 0.6})
+    data = json.loads(body)
+    assert len(data["images"]) == 1
+    assert "img2img" in data["infotexts"][0]
+    # different strength -> different merge bucket and different image
+    _, body2 = _post(server_url, "/generate",
+                     {"prompt": "a boat", "seed": 5, "format": "json",
+                      "image": b64, "f_t_ini": 0.3})
+    assert json.loads(body2)["images"][0] != data["images"][0]
