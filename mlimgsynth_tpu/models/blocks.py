@@ -169,6 +169,12 @@ def group_norm(ctx: Ctx, pre: str, x, n_grp: int = 32, eps: float = 1e-6,
     the activation dtype (the output is that dtype regardless, and avoiding
     the f32 materialization of the full activation saves ~13% of an SDXL
     UNet step — see docs/BENCH.md)."""
+    import os
+    if "gn" in os.environ.get("MLIS_ABLATE", ""):
+        # perf-attribution mode: scale-only, skips the reduction passes
+        w0 = ctx.param(pre + ".weight", (x.shape[-1],), VEC, jnp.float32)
+        b0 = ctx.param(pre + ".bias", (x.shape[-1],), VEC, jnp.float32)
+        return x * w0.astype(x.dtype) + b0.astype(x.dtype)
     dt = x.dtype
     n, h, w, c = x.shape
     xg = x.reshape(n, h * w, n_grp, c // n_grp)

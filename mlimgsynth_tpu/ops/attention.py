@@ -46,6 +46,10 @@ def attention_xla(q, k, v, scale=None, causal=False):
 
 def attention(q, k, v, scale=None, causal=False):
     """Dispatch to the Pallas flash kernel on TPU, XLA softmax otherwise."""
+    if "attn" in os.environ.get("MLIS_ABLATE", ""):
+        # perf-attribution mode (tools/step_bench.py): skip the softmax
+        # attention itself, keep projections — NOT for real generation
+        return jnp.broadcast_to(jnp.mean(v, axis=2, keepdims=True), q.shape[:3] + (v.shape[-1],))
     if use_flash():
         from .flash_attention import flash_attention_compatible, flash_attention
         if flash_attention_compatible(q, k, v, causal):
