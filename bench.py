@@ -155,21 +155,23 @@ def bench_config(name):
     cfg = SamplerConfig(method=method, sched="uniform", n_step=STEPS,
                         cfg_scale=CFG)
 
-    def encode_text(tk):
-        emb, _ = _clip_jit(clip_params, np.asarray([tk], np.int32),
-                           np.asarray([n_tok + 1], np.int32), clip_p=clip_p,
+    # cond and uncond ride ONE batched CLIP call (row 0 = prompt, row 1 =
+    # empty): halves the text-encode dispatches per generation
+    tokpair = np.asarray([toks, ntoks], np.int32)
+    featpair = np.asarray([n_tok + 1, 1], np.int32)
+
+    def encode_both():
+        emb, _ = _clip_jit(clip_params, tokpair, featpair, clip_p=clip_p,
                            submodel="clip", clip_skip=1,
                            norm=unet_p.clip_norm, want_feat=False,
                            dtype=dtype)
         emb = np.asarray(emb, np.float32)
-        label = None
+        label = nlabel = None
         if clip2_p is not None:
-            emb2, _ = _clip_jit(clip2_params, np.asarray([tk], np.int32),
-                                np.asarray([n_tok + 1], np.int32),
+            emb2, _ = _clip_jit(clip2_params, tokpair, featpair,
                                 clip_p=clip2_p, submodel="clip2", clip_skip=2,
                                 norm=False, want_feat=False, dtype=dtype)
-            _, feat = _clip_jit(clip2_params, np.asarray([tk], np.int32),
-                                np.asarray([n_tok + 1], np.int32),
+            _, feat = _clip_jit(clip2_params, tokpair, featpair,
                                 clip_p=clip2_p, submodel="clip2", clip_skip=0,
                                 norm=True, want_feat=True, dtype=dtype)
             emb = np.concatenate([emb, np.asarray(emb2, np.float32)], -1)
@@ -178,12 +180,13 @@ def bench_config(name):
             sizes = np.array([size, size, 0, 0, size, size], np.float32)
             se = np.asarray(timestep_embedding(jnp2.asarray(sizes), 256),
                             np.float32).reshape(-1)
-            label = np.concatenate([np.asarray(feat, np.float32)[0], se])[None]
-        return emb, label
+            lab = np.concatenate(
+                [np.asarray(feat, np.float32), np.tile(se, (2, 1))], -1)
+            label, nlabel = lab[0:1], lab[1:2]
+        return emb[0:1], emb[1:2], label, nlabel
 
     def run(seed):
-        emb, label = encode_text(toks)
-        nemb, nlabel = encode_text(ntoks)
+        emb, nemb, label, nlabel = encode_both()
         if n_batch > 1:
             emb = np.repeat(emb, n_batch, 0)
             nemb = np.repeat(nemb, n_batch, 0)
@@ -193,18 +196,16 @@ def bench_config(name):
                 else None
         plan = make_plan(cfg, (n_batch, 4, lat, lat), RngPhilox(seed=seed),
                          nfe_per_dxdt=2)
-        x = run_sampler(unet_params,
-                        np.zeros((n_batch, 4, lat, lat), np.float32),
-                        plan, emb, nemb, label, nlabel, None,
-                        cfg, unet_p, dtype=dtype)
-        if use_tae:
-            from mlimgsynth_tpu.api import _tae_decode_u8_jit
-            img = _tae_decode_u8_jit(vae_params, x.transpose(0, 2, 3, 1),
-                                     dtype=dtype)
-        else:
-            img = _vae_decode_u8_jit(vae_params, x.transpose(0, 2, 3, 1),
-                                     vae_p=vae_p, dtype=dtype)
-        return np.asarray(img)
+        # decode fused into the loop program; skip the latent fetch —
+        # minimizes host round-trips (one dispatch + one u8 image fetch)
+        decode = ("tae", vae_params, None) if use_tae \
+            else ("vae", vae_params, vae_p)
+        _, img = run_sampler(unet_params,
+                             np.zeros((n_batch, 4, lat, lat), np.float32),
+                             plan, emb, nemb, label, nlabel, None,
+                             cfg, unet_p, dtype=dtype, decode=decode,
+                             want_latent=False)
+        return img
 
     t0 = time.time()
     os.environ["MLIS_MEM_ANALYSIS"] = "1"   # only on the compile run: the

@@ -1019,12 +1019,29 @@ class MLImgSynth:
                     return True
                 return False
 
+        # Fused decode: when nothing needs to observe the loop and the
+        # decode is untiled, run loop + VAE/TAE + u8 quantize as ONE
+        # compiled program (one dispatch + one image fetch per generation).
+        decode_spec = None
+        if (step_cb is None and self.step_observer is None
+                and not c["no_decode"] and c["vae_tile"] <= 0
+                and not c["unet_split"]):  # unet_split = staged residency
+            if c["tae"]:
+                decode_spec = ("tae", self._get_params("tae"), None)
+            else:
+                decode_spec = ("vae", self._get_params("vae"), mt.vae_p)
+
         t_comp = time.time()
-        latent = run_sampler(params, latent, plan, cond, ncond, label,
-                             nlabel, lmask, scfg, mt.unet_p,
-                             dtype=self._dtype, step_callback=step_cb,
-                             step_observer=self.step_observer,
-                             mesh=self._mesh)
+        u8 = None
+        out = run_sampler(params, latent, plan, cond, ncond, label,
+                          nlabel, lmask, scfg, mt.unet_p,
+                          dtype=self._dtype, step_callback=step_cb,
+                          step_observer=self.step_observer,
+                          mesh=self._mesh, decode=decode_spec)
+        if decode_spec is not None:
+            latent, u8 = out
+        else:
+            latent = out
         if "unet" in self.stats:
             st = self.stats["unet"]
             st["n_compute"] = st.get("n_compute", 0) + plan.n_step
@@ -1047,7 +1064,11 @@ class MLImgSynth:
 
         # decode
         if not c["no_decode"]:
-            if c["tae"]:
+            if u8 is not None:  # fused into the loop program above
+                self.tensors["image"] = \
+                    u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+                self._cb(STAGE_IMAGE_DECODE, 1, 1)
+            elif c["tae"]:
                 u8 = np.asarray(_tae_decode_u8_jit(
                     self._get_params("tae"), latent.transpose(0, 2, 3, 1),
                     dtype=self._dtype))
@@ -1059,7 +1080,8 @@ class MLImgSynth:
                 u8 = np.asarray(_vae_decode_u8_jit(
                     self._get_params("vae"), latent.transpose(0, 2, 3, 1),
                     vae_p=mt.vae_p, dtype=self._dtype))
-                self.tensors["image"] =                     u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+                self.tensors["image"] = \
+                    u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
                 self._cb(STAGE_IMAGE_DECODE, 1, 1)
             else:
                 self.tensors["image"] = self.image_decode(latent)

@@ -194,11 +194,13 @@ def q8_matmul_xla(x, w_q8, w_scale):
 
 def q8_dot(x, w_q8, w_scale):
     """Dispatch.  MLIS_Q8_MODE selects the execution strategy:
-    ``int8`` (default) = int8 x int8 MXU with dynamic activation quant;
-    ``dq`` = weight-only in-VMEM dequant (memory savings, bf16 MXU).
-    Off-TPU the same modes run as XLA emulations."""
+    ``dq`` (default) = weight-only in-VMEM dequant, bf16 MXU dot;
+    ``int8`` = int8 x int8 MXU with fused dynamic activation quant.
+    Measured on v5e (docs/BENCH.md): dq 0.837 s vs int8 0.937 s SD1.5
+    e2e — the bf16 dot + XLA fusions beat the int8 MXU at these shapes,
+    so dq is the default.  Off-TPU the same modes run as XLA emulations."""
     import os
-    mode = os.environ.get("MLIS_Q8_MODE", "int8")
+    mode = os.environ.get("MLIS_Q8_MODE", "dq")
     on_tpu = jax.default_backend() == "tpu" and w_q8.shape[1] % 128 == 0
     if mode == "int8":
         return q8_matmul_int8(x, w_q8, w_scale) if on_tpu \

@@ -167,9 +167,11 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype"))
+    static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
+                     "decode_kind", "vae_p"))
 def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
-              *, method, unet_p, use_cfg, use_mask, dtype):
+              decode_params=None, *, method, unet_p, use_cfg, use_mask,
+              dtype, decode_kind=None, vae_p=None):
     solver, body = _make_body(params, consts, method=method, unet_p=unet_p,
                               use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
     lmask, x0_keep = consts[2], consts[3]
@@ -182,7 +184,30 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
     (x, _, _), _ = jax.lax.scan(
         body, (x, sigmas0, state),
         (jnp.arange(n_step), churn_noise, anc_noise))
-    return x
+    if decode_kind is None:
+        return x
+    # Fused final decode: loop + VAE/TAE + uint8 quantize in ONE program —
+    # one dispatch and one (4x smaller) device->host fetch per generation
+    # instead of loop/decode/fetch round-trips (each round-trip costs
+    # ~25-30 ms on remote-attached TPU).
+    img = _decode_u8(decode_params, x, decode_kind, vae_p, dtype)
+    return x, img
+
+
+def _decode_u8(decode_params, x, decode_kind, vae_p, dtype):
+    from ..models import blocks as B2
+    ctx = B2.Ctx(decode_params, dtype=dtype)
+    if decode_kind == "vae":
+        from ..models import vae as vae_mod
+        img = vae_mod.vae_decode_apply(ctx, x, vae_p).astype(jnp.float32)
+        img = (img + 1.0) * (255.0 / 2.0)
+    elif decode_kind == "tae":
+        from ..models import tae as tae_mod
+        img = tae_mod.tae_decode_apply(ctx, x, tae_mod.TAE_SD1).astype(
+            jnp.float32) * 255.0
+    else:
+        raise ValueError(decode_kind)
+    return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
 
 
 @functools.partial(
@@ -229,9 +254,15 @@ def _nhwc(a):
 def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 nlabel, lmask, cfg: SamplerConfig,
                 unet_p: unet_mod.UnetParams, dtype=jnp.bfloat16,
-                step_callback=None, step_observer=None, mesh=None):
+                step_callback=None, step_observer=None, mesh=None,
+                decode=None, want_latent=True):
     """Run the sampling loop.  ``x_init`` (NCHW f32), ``lmask`` [N,1,h,w] or
-    None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW.
+    None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW —
+    or ``(latent NCHW, u8 image NHWC)`` when ``decode`` is given.
+
+    ``decode=(kind, params, vae_p)`` with kind "vae"|"tae" fuses the final
+    image decode + uint8 quantize into the SAME compiled program as the
+    loop: one dispatch, one (4x smaller) fetch per generation.
 
     With ``step_callback`` the loop runs step-at-a-time (device-resident
     carry); the callback receives (i_step, n_step) after each step and may
@@ -309,6 +340,13 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     sigmas0 = jnp.float32(plan.sigmas[0])
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
               use_mask=use_mask, dtype=dtype)
+    decode_params = None
+    if decode is not None and step_callback is None and \
+            step_observer is None:
+        kind, decode_params, vae_p = decode
+        kw.update(decode_kind=kind, vae_p=vae_p)
+    else:
+        decode = None
 
     if step_callback is None and step_observer is None:
         import os
@@ -320,7 +358,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             global LAST_MEMORY_ANALYSIS
             try:
                 ma = _loop_jit.lower(params, x, consts, noise0, churn, anc,
-                                     sigmas0, **kw).compile().memory_analysis()
+                                     sigmas0, decode_params,
+                                     **kw).compile().memory_analysis()
                 LAST_MEMORY_ANALYSIS = {
                     "argument_bytes": ma.argument_size_in_bytes,
                     "output_bytes": ma.output_size_in_bytes,
@@ -331,7 +370,16 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 }
             except Exception:  # analysis is informational, never fatal
                 LAST_MEMORY_ANALYSIS = None
-        x = _loop_jit(params, x, consts, noise0, churn, anc, sigmas0, **kw)
+        out = _loop_jit(params, x, consts, noise0, churn, anc, sigmas0,
+                        decode_params, **kw)
+        if decode is not None:
+            xl, img = out
+            # each fetch is a host round-trip; skip the latent when the
+            # caller doesn't need it (want_latent=False)
+            lat = (np.asarray(xl, np.float32).transpose(0, 3, 1, 2)
+                   if want_latent else None)
+            return lat, np.asarray(img)
+        x = out
     else:
         carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep,
                           method=method, use_mask=use_mask)

@@ -19,6 +19,6 @@ def enable():
         os.makedirs(path, exist_ok=True)
         import jax
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # cache is an optimization, never fatal
         pass
