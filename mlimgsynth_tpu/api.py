@@ -759,28 +759,39 @@ class MLImgSynth:
         log.info(f"Prompt: {len(toks)} tokens")
         return toks, wts
 
-    def _clip_encode(self, toks: List[int], weights: Optional[List[float]],
-                     submodel: str, want_feat: bool, norm: bool,
-                     clip_skip: int):
-        """Encode wrapped tokens; apply per-token emphasis weights
-        (reference: mlis_clip_tokens_encode, src/mlimgsynth.c:1424-1467)."""
-        import jax.numpy as jnp
+    def _clip_encode_rows(self, rows, weights_rows, submodel: str,
+                          want_feat: bool, norm: bool, clip_skip: int):
+        """Encode several token lists as ONE batched CLIP call; apply
+        per-token emphasis weights per row (reference:
+        mlis_clip_tokens_encode, src/mlimgsynth.c:1424-1467 — which runs
+        once per prompt; batching rows halves the text-encode dispatches
+        for CFG and amortizes them across merged serving requests)."""
         P = self._mt.clip_p if submodel == "clip" else self._mt.clip2_p
-        wrapped = tok_mod.wrap_tokens(P, toks)
+        wrapped = np.asarray([tok_mod.wrap_tokens(P, t) for t in rows],
+                             np.int32)
+        fidx = np.asarray([len(t) + 1 for t in rows], np.int32)
         params = self._get_params(submodel)
-        n_tok = len(toks)
         embed, feat = _clip_jit(
-            params, np.asarray([wrapped], np.int32),
-            np.asarray([n_tok + 1], np.int32), clip_p=P, submodel=submodel,
+            params, wrapped, fidx, clip_p=P, submodel=submodel,
             clip_skip=clip_skip, norm=norm, want_feat=want_feat,
             dtype=self._dtype)
         embed = np.asarray(embed, np.float32)
-        if weights is not None and n_tok:
-            w = np.ones(embed.shape[1], np.float32)
-            w[1:n_tok + 1] = weights
-            embed = embed * w[None, :, None]
+        if weights_rows is not None:
+            wmat = np.ones(embed.shape[:2], np.float32)
+            for i, (toks, wts) in enumerate(zip(rows, weights_rows)):
+                if wts and len(toks):
+                    wmat[i, 1:len(toks) + 1] = wts
+            embed = embed * wmat[:, :, None]
         return embed, (np.asarray(feat, np.float32) if feat is not None
                        else None)
+
+    def _clip_encode(self, toks: List[int], weights: Optional[List[float]],
+                     submodel: str, want_feat: bool, norm: bool,
+                     clip_skip: int):
+        embed, feat = self._clip_encode_rows(
+            [toks], None if weights is None else [weights], submodel,
+            want_feat, norm, clip_skip)
+        return embed, feat
 
     def clip_text_encode(self, text: str, submodel: str = "clip",
                          want_feat: bool = False, norm: bool = True):
@@ -791,27 +802,39 @@ class MLImgSynth:
         return self._clip_encode(toks, None, submodel, want_feat, norm,
                                  self.c["clip_skip"] if not want_feat else 0)
 
-    def _text_cond_encode(self, pt: prompt_mod.PromptText):
-        """Full conditioning, incl. SDXL dual-encoder + size labels
-        (reference: mlis_text_cond_encode, src/mlimgsynth.c:1486-1563)."""
+    def _text_cond_encode_rows(self, pts: List[prompt_mod.PromptText]):
+        """Full conditioning for several prompts in batched encoder calls,
+        incl. SDXL dual-encoder + size labels (reference:
+        mlis_text_cond_encode, src/mlimgsynth.c:1486-1563).  Returns
+        (cond [n,77,d], label [n,ch_adm_in] or None)."""
         mt = self._mt
         norm = mt.unet_p.clip_norm
-        toks, wts = self._prompt_tokens(pt)
-        cond, _ = self._clip_encode(toks, wts, "clip", False, norm,
-                                    self.c["clip_skip"])
+        rows, wrows = [], []
+        for pt in pts:
+            toks, wts = self._prompt_tokens(pt)
+            rows.append(toks)
+            wrows.append(wts)
+        cond, _ = self._clip_encode_rows(rows, wrows, "clip", False, norm,
+                                         self.c["clip_skip"])
         label = None
         if mt.unet_p.cond_label:
-            emb2, _ = self._clip_encode(toks, wts, "clip2", False, norm,
-                                        self.c["clip_skip"])
+            emb2, _ = self._clip_encode_rows(rows, wrows, "clip2", False,
+                                             norm, self.c["clip_skip"])
             cond = np.concatenate([cond, emb2], axis=-1)
-            _, feat = self._clip_encode(toks, None, "clip2", True, True, 0)
+            _, feat = self._clip_encode_rows(rows, None, "clip2", True,
+                                             True, 0)
             h, w = self.c["height"], self.c["width"]
             sizes = np.array([h, w, 0, 0, h, w], np.float32)
             from .models.blocks import timestep_embedding
             import jax.numpy as jnp
             se = np.asarray(timestep_embedding(jnp.asarray(sizes), 256),
                             np.float32).reshape(-1)
-            label = np.concatenate([feat[0], se])[None]
+            label = np.concatenate(
+                [feat, np.tile(se, (len(pts), 1))], axis=-1)
+        return cond, label
+
+    def _text_cond_encode(self, pt: prompt_mod.PromptText):
+        cond, label = self._text_cond_encode_rows([pt])
         return cond, label
 
     # ------------------------------------------------------------------
@@ -960,12 +983,18 @@ class MLImgSynth:
 
         # conditioning
         if not (c["tuflags"] & TUF_CONDITIONING):
-            cond, label = self._text_cond_encode(self.prompt)
             ncond = nlabel = None
             if c["cfg_scale"] > 1:
-                ncond, nlabel = self._text_cond_encode(self.nprompt)
+                # prompt + nprompt ride one batched encoder call
+                both, lboth = self._text_cond_encode_rows(
+                    [self.prompt, self.nprompt])
+                cond, ncond = both[0:1], both[1:2]
+                label = lboth[0:1] if lboth is not None else None
+                nlabel = lboth[1:2] if lboth is not None else None
                 if mt.unet_p.uncond_empty_zero and not c["nprompt_raw"]:
                     ncond = np.zeros_like(ncond)
+            else:
+                cond, label = self._text_cond_encode(self.prompt)
             self.tensors["cond"], self.tensors["label"] = cond, label
             self.tensors["ncond"], self.tensors["nlabel"] = ncond, nlabel
             self._cb(STAGE_COND_ENCODE, 1, 1)
@@ -1152,27 +1181,21 @@ class MLImgSynth:
                         f"{n} requests")
                 h, w = init_latents.shape[2], init_latents.shape[3]
             use_cfg = c["cfg_scale"] > 1
-            conds, nconds, labels, nlabels, seeds = [], [], [], [], []
-            for r in requests:
-                pt = self._parse_prompt_text(str(r.get("prompt", "")))
-                cond, label = self._text_cond_encode(pt)
-                ncond = nlabel = None
-                if use_cfg:
-                    npt = self._parse_prompt_text(str(r.get("nprompt", "")))
-                    ncond, nlabel = self._text_cond_encode(npt)
-                    if mt.unet_p.uncond_empty_zero and not r.get("nprompt"):
-                        ncond = np.zeros_like(ncond)
-                conds.append(cond)
-                nconds.append(ncond)
-                labels.append(label)
-                nlabels.append(nlabel)
-                seeds.append(int(r.get("seed", self.rng.seed)))
-            cond = np.concatenate(conds, axis=0)
-            ncond = np.concatenate(nconds, axis=0) if use_cfg else None
-            label = (np.concatenate(labels, axis=0)
-                     if labels[0] is not None else None)
-            nlabel = (np.concatenate(nlabels, axis=0)
-                      if use_cfg and nlabels[0] is not None else None)
+            # ALL requests' prompts ride one batched encoder call (ditto
+            # nprompts): 2 text-encode dispatches per merged batch total
+            pts = [self._parse_prompt_text(str(r.get("prompt", "")))
+                   for r in requests]
+            seeds = [int(r.get("seed", self.rng.seed)) for r in requests]
+            cond, label = self._text_cond_encode_rows(pts)
+            ncond = nlabel = None
+            if use_cfg:
+                npts = [self._parse_prompt_text(str(r.get("nprompt", "")))
+                        for r in requests]
+                ncond, nlabel = self._text_cond_encode_rows(npts)
+                if mt.unet_p.uncond_empty_zero:
+                    for i, r in enumerate(requests):
+                        if not r.get("nprompt"):
+                            ncond[i] = 0.0
 
             scfg = SamplerConfig(
                 method=c["method"], sched=c["scheduler"], n_step=c["steps"],
