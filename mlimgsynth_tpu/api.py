@@ -549,6 +549,8 @@ class MLImgSynth:
                      f"(SPMD over ICI; collectives inserted by XLA)")
         else:
             self._mesh = None
+        from .ops import attention as attn_mod
+        attn_mod.FORCE_XLA = self._mesh is not None
 
     def _model_load(self):
         if not self.c["model"]:
@@ -1185,7 +1187,11 @@ class MLImgSynth:
             # nprompts): 2 text-encode dispatches per merged batch total
             pts = [self._parse_prompt_text(str(r.get("prompt", "")))
                    for r in requests]
-            seeds = [int(r.get("seed", self.rng.seed)) for r in requests]
+            # seedless entries get seed+i (matching generate()'s per-row
+            # streams) so they don't share one noise stream
+            seeds = [int(r["seed"]) if r.get("seed") is not None
+                     else self.rng.seed + i
+                     for i, r in enumerate(requests)]
             cond, label = self._text_cond_encode_rows(pts)
             ncond = nlabel = None
             if use_cfg:
@@ -1236,14 +1242,16 @@ class MLImgSynth:
             infotexts = []
             save = (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
                     self.infotext)
-            for i, r in enumerate(requests):
-                c["prompt_raw"] = str(r.get("prompt", ""))
-                c["nprompt_raw"] = str(r.get("nprompt", ""))
-                self.rng.seed = seeds[i]
-                self._infotext_update(w * f, h * f, plan)
-                infotexts.append(self.infotext)
-            (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
-             self.infotext) = save
+            try:
+                for i, r in enumerate(requests):
+                    c["prompt_raw"] = str(r.get("prompt", ""))
+                    c["nprompt_raw"] = str(r.get("nprompt", ""))
+                    self.rng.seed = seeds[i]
+                    self._infotext_update(w * f, h * f, plan)
+                    infotexts.append(self.infotext)
+            finally:
+                (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
+                 self.infotext) = save
             return imgs, infotexts
 
     def _infotext_update(self, w: int, h: int, plan):
@@ -1357,15 +1365,11 @@ def _make_vae_jits():
 
     @functools.partial(jax.jit, static_argnames=("vae_p", "dtype"))
     def dec_u8(params, lat, *, vae_p, dtype):
-        # fused [-1,1] -> [0,1] -> uint8 on device: 4x less host transfer
-        import jax.numpy as jnp
-        from .models import blocks as B
-        from .models import vae as vae_mod
-        ctx = B.Ctx(params, dtype=dtype)
-        img = vae_mod.vae_decode_apply(ctx, lat, vae_p)
-        img = (img.astype(jnp.float32) + 1.0) * (255.0 / 2.0)
-        # C-cast truncation semantics (reference: mlis_tensor_to_image)
-        return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
+        # decode + [-1,1] -> uint8 on device (4x less host transfer);
+        # shared with the fused-loop path so the quantize semantics can
+        # never diverge (C-cast truncation, ref: mlis_tensor_to_image)
+        from .sampling.sampler import _decode_u8
+        return _decode_u8(params, lat, "vae", vae_p, dtype)
 
     return enc, dec, dec_u8
 
@@ -1402,13 +1406,8 @@ def _make_tae_jits():
 
     @functools.partial(jax.jit, static_argnames=("dtype",))
     def dec_u8(params, lat, *, dtype):
-        import jax.numpy as jnp
-        from .models import blocks as B
-        from .models import tae as tae_mod
-        ctx = B.Ctx(params, dtype=dtype)
-        img = tae_mod.tae_decode_apply(ctx, lat, tae_mod.TAE_SD1)
-        return jnp.clip(img.astype(jnp.float32) * 255.0, 0.0,
-                        255.0).astype(jnp.uint8)
+        from .sampling.sampler import _decode_u8
+        return _decode_u8(params, lat, "tae", None, dtype)
 
     return enc, dec, dec_u8
 

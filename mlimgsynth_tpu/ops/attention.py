@@ -16,8 +16,17 @@ import jax.numpy as jnp
 
 _FLASH_ENV = "MLIS_FLASH_ATTENTION"
 
+# Set by the session when a multi-chip mesh is active: Mosaic custom calls
+# cannot be auto-partitioned by GSPMD, so sharded runs use the XLA softmax
+# path (revisit with an explicit shard_map'ed kernel once >1 real chip is
+# available).  Read at trace time; mesh-sharded inputs force a fresh trace
+# (shardings are part of the jit cache key), so the flag takes effect.
+FORCE_XLA = False
+
 
 def use_flash() -> bool:
+    if FORCE_XLA:
+        return False
     v = os.environ.get(_FLASH_ENV, "auto")
     if v in ("0", "false", "no"):
         return False

@@ -166,5 +166,9 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, dp), jnp.float32),
         ],
+        # bh and q-blocks are independent; only the k loop carries state —
+        # lets Mosaic double-buffer/pipeline across the parallel dims
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(qp, kp, vp)
     return out[:, :sq, :d].reshape(b, h, sq, d)

@@ -59,9 +59,18 @@ _SHARED_OPTS = {
 _SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height")
 
 
+def _image_b64_size(b64: str):
+    """(w, h) of a base64 image from its header (no pixel decode)."""
+    import io as _io
+    from PIL import Image
+    return Image.open(_io.BytesIO(base64.b64decode(b64))).size
+
+
 def _shared_of(req: dict) -> dict:
     d = {k: req.get(k) for k in _SHARED_KEYS}
-    d["_has_image"] = bool(req.get("image"))  # img2img only merges with img2img
+    # img2img only merges with img2img of the SAME init-image size
+    d["_image_size"] = (_image_b64_size(req["image"])
+                        if req.get("image") else None)
     return d
 
 
@@ -97,6 +106,15 @@ class Server:
         self.session = session
         self.max_batch = max_batch
         self.merge_window_s = merge_window_s
+        # launch-time option values: requests that OMIT a shared option get
+        # these, not whatever the previous batch happened to set
+        try:
+            self.defaults = {opt: session.option_get(opt)
+                             for opt in _SHARED_OPTS.values()}
+            self.defaults_dim = (session.c["width"], session.c["height"])
+        except Exception:
+            self.defaults = {}
+            self.defaults_dim = None
         self.n_requests = 0
         self.n_merged = 0
         self.t_total = 0.0
@@ -114,7 +132,13 @@ class Server:
     def submit(self, req: dict) -> _Pending:
         if "prompt" not in req:
             raise ValueError("missing 'prompt'")
-        p = _Pending(req)
+        p = _Pending(req)  # _shared_of validates the image header too
+        size = p.shared["_image_size"]
+        if size is not None and (size[0] % 64 or size[1] % 64):
+            # fail fast with a clean error instead of a doomed UNet compile
+            raise ValueError(
+                f"init image size {size[0]}x{size[1]} must be a multiple "
+                "of 64")
         with self.cond:
             self.queue.append(p)
             self.cond.notify()
@@ -144,6 +168,11 @@ class Server:
                 while not self.queue:
                     self.cond.wait()
                 first = self.queue.pop(0)
+            # visible to cancel() immediately: a popped request must never
+            # be in neither list (cancel would report 'not found' and the
+            # request would run anyway)
+            with self.running_lock:
+                self.running = [first]
             if self.merge_window_s:
                 # let near-simultaneous requests arrive so they can merge
                 time.sleep(self.merge_window_s)
@@ -168,9 +197,15 @@ class Server:
             h = int(r0.get("height", 0))
             if w or h:
                 s.option_set("image-dim", w or h, h or w)
+            elif self.defaults_dim and any(self.defaults_dim):
+                s.option_set("image-dim", *self.defaults_dim)
             for key, opt in _SHARED_OPTS.items():
                 if key in r0:
                     s.option_set(opt, r0[key])
+                elif opt in self.defaults and self.defaults[opt] is not None:
+                    # omitted option = launch default, not the previous
+                    # batch's leftover value
+                    s.option_set(opt, self.defaults[opt])
             entries, slices, init_imgs = [], [], []
             use_img2img = bool(r0.get("image"))
             for p in batch:

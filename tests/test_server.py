@@ -198,3 +198,51 @@ def test_generate_img2img_b64(server_url):
                      {"prompt": "a boat", "seed": 5, "format": "json",
                       "image": b64, "f_t_ini": 0.3})
     assert json.loads(body2)["images"][0] != data["images"][0]
+
+
+def test_img2img_size_is_a_merge_key():
+    """Different init-image sizes must never merge into one batch."""
+    import base64
+    from PIL import Image
+    from mlimgsynth_tpu.server import Server
+
+    def b64_img(size):
+        buf = io.BytesIO()
+        Image.new("RGB", (size, size)).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    class _FakeSession:
+        c = {"width": 0, "height": 0}
+
+        def option_get(self, name):
+            return None
+
+    srv = Server(_FakeSession(), start_worker=False)
+    a = srv.submit({"prompt": "x", "image": b64_img(64)})
+    b = srv.submit({"prompt": "y", "image": b64_img(128)})
+    assert a.shared != b.shared
+    # bad size fails fast with a clean error, not a doomed compile
+    with pytest.raises(ValueError, match="multiple"):
+        srv.submit({"prompt": "z", "image": b64_img(100)})
+
+
+def test_omitted_shared_option_resets_to_launch_default(server_url):
+    """A request omitting 'steps' gets the launch default, not the value a
+    previous request set (review finding: order-dependent results)."""
+    server_url, _ = server_url
+    _, body1 = _post(server_url, "/generate",
+                     {"prompt": "a", "seed": 1, "steps": 3, "format": "json"})
+    assert "Steps: 3" in json.loads(body1)["infotexts"][0]
+    _, body2 = _post(server_url, "/generate",
+                     {"prompt": "a", "seed": 1, "format": "json"})
+    # fixture launches the session with steps=2
+    assert "Steps: 2" in json.loads(body2)["infotexts"][0]
+
+
+def test_seedless_batch_entries_differ(server_url):
+    """generate_batch gives seedless entries independent noise streams."""
+    import jax.numpy as jnp
+    server_url, srv = server_url
+    imgs, infos = srv.session.generate_batch(
+        [{"prompt": "a cat"}, {"prompt": "a cat"}])
+    assert not np.allclose(imgs[0], imgs[1])
