@@ -1155,7 +1155,8 @@ class MLImgSynth:
         return parsed
 
     def generate_batch(self, requests: List[dict], step_callback=None,
-                       init_latents: Optional[np.ndarray] = None
+                       init_latents: Optional[np.ndarray] = None,
+                       init_lmask: Optional[np.ndarray] = None
                        ) -> Tuple[np.ndarray, List[str]]:
         """Run several txt2img (or img2img) requests as ONE device batch.
 
@@ -1166,6 +1167,8 @@ class MLImgSynth:
 
         ``init_latents`` (NCHW [N,4,h,w], one row per request) enables
         img2img: combine with the session ``f_t_ini`` option.
+        ``init_lmask`` (NCHW [N,1,h,w] latent masks) additionally enables
+        inpainting (requires ``init_latents``).
 
         ``step_callback(i_step, n_step) -> bool`` aborts the whole batch
         when truthy (used for serving cancellation)."""
@@ -1219,8 +1222,11 @@ class MLImgSynth:
             log.info(f"Generating batch of {n} requests "
                      f"(seeds {seeds}, steps {plan.n_step})")
             params = self._get_params("unet")
+            if init_lmask is not None and init_latents is None:
+                raise MlisError(MlisError.E_OPT_VALUE,
+                                "inpainting masks need init images")
             latent = run_sampler(params, latent, plan, cond, ncond, label,
-                                 nlabel, None, scfg, mt.unet_p,
+                                 nlabel, init_lmask, scfg, mt.unet_p,
                                  dtype=self._dtype,
                                  step_callback=step_callback,
                                  mesh=self._mesh)
@@ -1241,8 +1247,9 @@ class MLImgSynth:
                          * nfe_per_dxdt)
             infotexts = []
             save = (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
-                    self.infotext)
+                    self.infotext, self.tensors.get("lmask"))
             try:
+                self.tensors["lmask"] = init_lmask  # Mode: inpaint label
                 for i, r in enumerate(requests):
                     c["prompt_raw"] = str(r.get("prompt", ""))
                     c["nprompt_raw"] = str(r.get("nprompt", ""))
@@ -1251,7 +1258,7 @@ class MLImgSynth:
                     infotexts.append(self.infotext)
             finally:
                 (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
-                 self.infotext) = save
+                 self.infotext, self.tensors["lmask"]) = save
             return imgs, infotexts
 
     def _infotext_update(self, w: int, h: int, plan):

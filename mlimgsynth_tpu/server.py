@@ -26,6 +26,7 @@ Endpoints:
                   "batch_size": int, "format": "png"|"json",
                   "request_id": str (optional),
                   "image": base64 PNG/JPEG (img2img init image),
+                  "mask": base64 grayscale image (inpainting; with image),
                   "f_t_ini": float (img2img strength)}
       format "json" returns {"images": [base64 PNG, ...], "infotexts": ...}.
   POST /cancel            -> {"status": "dequeued"|"cancelling"|"not found"}
@@ -68,18 +69,23 @@ def _image_b64_size(b64: str):
 
 def _shared_of(req: dict) -> dict:
     d = {k: req.get(k) for k in _SHARED_KEYS}
-    # img2img only merges with img2img of the SAME init-image size
+    # img2img only merges with img2img of the SAME init-image size;
+    # ditto inpainting (mask presence is part of the key)
     d["_image_size"] = (_image_b64_size(req["image"])
                         if req.get("image") else None)
+    d["_has_mask"] = bool(req.get("mask"))
     return d
 
 
-def _decode_image_b64(b64: str) -> "np.ndarray":
-    """base64 PNG/JPEG -> float NCHW [1,3,H,W] in [0,1]."""
+def _decode_image_b64(b64: str, gray: bool = False) -> "np.ndarray":
+    """base64 PNG/JPEG -> float NCHW [1,3|1,H,W] in [0,1]."""
     import io as _io
     from PIL import Image
-    arr = np.asarray(Image.open(_io.BytesIO(base64.b64decode(b64)))
-                     .convert("RGB"), np.float32) / 255.0
+    img = Image.open(_io.BytesIO(base64.b64decode(b64)))
+    if gray:
+        arr = np.asarray(img.convert("L"), np.float32) / 255.0
+        return arr[None, None]
+    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
     return arr.transpose(2, 0, 1)[None]
 
 
@@ -139,6 +145,11 @@ class Server:
             raise ValueError(
                 f"init image size {size[0]}x{size[1]} must be a multiple "
                 "of 64")
+        if req.get("mask"):
+            if size is None:
+                raise ValueError("'mask' (inpainting) needs 'image'")
+            if _image_b64_size(req["mask"]) != size:
+                raise ValueError("mask size must match the init image")
         with self.cond:
             self.queue.append(p)
             self.cond.notify()
@@ -206,8 +217,9 @@ class Server:
                     # omitted option = launch default, not the previous
                     # batch's leftover value
                     s.option_set(opt, self.defaults[opt])
-            entries, slices, init_imgs = [], [], []
+            entries, slices, init_imgs, init_masks = [], [], [], []
             use_img2img = bool(r0.get("image"))
+            use_mask = bool(r0.get("mask"))
             for p in batch:
                 k = max(1, int(p.req.get("batch_size", 1)))
                 seed = p.req.get("seed")
@@ -216,17 +228,27 @@ class Server:
                 start = len(entries)
                 img_arr = (_decode_image_b64(p.req["image"])
                            if use_img2img else None)
+                mask_arr = (_decode_image_b64(p.req["mask"], gray=True)
+                            if use_mask else None)
                 for j in range(k):  # seed+j per image, like generate.sh
                     entries.append({"prompt": p.req.get("prompt", ""),
                                     "nprompt": p.req.get("nprompt", ""),
                                     "seed": seed + j})
                     if img_arr is not None:
                         init_imgs.append(img_arr)
+                    if mask_arr is not None:
+                        init_masks.append(mask_arr)
                 slices.append((p, slice(start, len(entries))))
-            init_lat = None
+            init_lat = init_lmask = None
             if use_img2img:
+                # VAE latent sampling draws from the session rng; re-seed
+                # from the request so identical requests reproduce exactly
+                if r0.get("seed") is not None:
+                    s.option_set("seed", int(r0["seed"]))
                 # one batched encode for the whole merged batch
                 init_lat = s.image_encode(np.concatenate(init_imgs, 0))
+            if use_mask:
+                init_lmask = s.mask_encode(np.concatenate(init_masks, 0))
             if len(batch) > 1:
                 sys.stderr.write(
                     f"[serve] merged {len(batch)} requests into one "
@@ -236,7 +258,8 @@ class Server:
                 return all(p.cancelled for p in batch)
 
             imgs, infos = s.generate_batch(entries, step_callback=cb,
-                                           init_latents=init_lat)
+                                           init_latents=init_lat,
+                                           init_lmask=init_lmask)
             dt = time.time() - t0
             if all(p.cancelled for p in batch):
                 raise RuntimeError("cancelled")

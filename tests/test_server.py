@@ -246,3 +246,52 @@ def test_seedless_batch_entries_differ(server_url):
     imgs, infos = srv.session.generate_batch(
         [{"prompt": "a cat"}, {"prompt": "a cat"}])
     assert not np.allclose(imgs[0], imgs[1])
+
+
+def test_generate_inpaint_b64(server_url):
+    """Inpainting through the serving path: image + mask, masked region
+    regenerated, unmasked region preserved."""
+    import base64
+    from PIL import Image
+    server_url, _ = server_url
+    np_ = __import__("numpy")
+    rng = np_.random.default_rng(1)
+    arr = (rng.random((64, 64, 3)) * 255).astype("uint8")
+
+    def b64(a, mode="RGB"):
+        buf = io.BytesIO()
+        Image.fromarray(a, mode).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    mask = np_.zeros((64, 64), "uint8")
+    mask[:32] = 255  # regenerate the top half only
+    _, body = _post(server_url, "/generate",
+                    {"prompt": "a moon", "seed": 5, "format": "json",
+                     "image": b64(arr), "mask": b64(mask, "L"),
+                     "f_t_ini": 0.8})
+    data = json.loads(body)
+    assert "Mode: inpaint" in data["infotexts"][0]
+    # (pixel-region preservation is meaningless with random tiny-VAE
+    # weights — latent-level mask semantics are covered by the api
+    # inpaint tests; here we check the serving plumbing end-to-end)
+    # deterministic: the same inpaint request reproduces exactly
+    _, body_again = _post(server_url, "/generate",
+                          {"prompt": "a moon", "seed": 5, "format": "json",
+                           "image": b64(arr), "mask": b64(mask, "L"),
+                           "f_t_ini": 0.8})
+    assert json.loads(body_again)["images"][0] == data["images"][0]
+    # and the mask changes the output vs plain img2img
+    _, body_nomask = _post(server_url, "/generate",
+                           {"prompt": "a moon", "seed": 5, "format": "json",
+                            "image": b64(arr), "f_t_ini": 0.8})
+    assert json.loads(body_nomask)["images"][0] != data["images"][0]
+
+    # mask without image is a clean error
+    import urllib.error
+    req = urllib.request.Request(
+        server_url + "/generate",
+        data=json.dumps({"prompt": "x", "mask": b64(mask, "L")}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
