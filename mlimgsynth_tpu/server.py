@@ -27,7 +27,8 @@ Endpoints:
                   "request_id": str (optional),
                   "image": base64 PNG/JPEG (img2img init image),
                   "mask": base64 grayscale image (inpainting; with image),
-                  "f_t_ini": float (img2img strength)}
+                  "f_t_ini": float (img2img strength),
+                  "model": str (multi-model serving: name from launch)}
       format "json" returns {"images": [base64 PNG, ...], "infotexts": ...}.
   POST /cancel            -> {"status": "dequeued"|"cancelling"|"not found"}
       body: JSON {"request_id": str}
@@ -57,7 +58,7 @@ _SHARED_OPTS = {
     "scheduler": "scheduler", "s_ancestral": "s-ancestral",
     "s_noise": "s-noise", "clip_skip": "clip-skip", "f_t_ini": "f-t-ini",
 }
-_SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height")
+_SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height", "model")
 
 
 def _image_b64_size(b64: str):
@@ -107,20 +108,32 @@ class _Pending:
 
 
 class Server:
+    """``session`` may be a single MLImgSynth or a {name: session} dict
+    (multi-model serving: requests route by their "model" key; the first
+    entry is the default).  Weights of every session stay resident in HBM,
+    so k models cost k weight sets but zero swap latency."""
+
     def __init__(self, session, max_batch: int = 8,
                  merge_window_s: float = 0.02, start_worker: bool = True):
-        self.session = session
+        if isinstance(session, dict):
+            self.sessions = dict(session)
+        else:
+            self.sessions = {"default": session}
+        self.default_model = next(iter(self.sessions))
+        self.session = self.sessions[self.default_model]
         self.max_batch = max_batch
         self.merge_window_s = merge_window_s
         # launch-time option values: requests that OMIT a shared option get
         # these, not whatever the previous batch happened to set
-        try:
-            self.defaults = {opt: session.option_get(opt)
-                             for opt in _SHARED_OPTS.values()}
-            self.defaults_dim = (session.c["width"], session.c["height"])
-        except Exception:
-            self.defaults = {}
-            self.defaults_dim = None
+        self.defaults, self.defaults_dim = {}, {}
+        for name, ses in self.sessions.items():
+            try:
+                self.defaults[name] = {opt: ses.option_get(opt)
+                                       for opt in _SHARED_OPTS.values()}
+                self.defaults_dim[name] = (ses.c["width"], ses.c["height"])
+            except Exception:
+                self.defaults[name] = {}
+                self.defaults_dim[name] = None
         self.n_requests = 0
         self.n_merged = 0
         self.t_total = 0.0
@@ -138,6 +151,10 @@ class Server:
     def submit(self, req: dict) -> _Pending:
         if "prompt" not in req:
             raise ValueError("missing 'prompt'")
+        if req.get("model") and req["model"] not in self.sessions:
+            raise ValueError(
+                f"unknown model '{req['model']}' "
+                f"(have: {', '.join(self.sessions)})")
         p = _Pending(req)  # _shared_of validates the image header too
         size = p.shared["_image_size"]
         if size is not None and (size[0] % 64 or size[1] % 64):
@@ -198,25 +215,28 @@ class Server:
             self._run_batch(batch)
 
     def _run_batch(self, batch: List[_Pending]):
-        s = self.session
         t0 = time.time()
         with self.running_lock:
             self.running = batch
         try:
             r0 = batch[0].req
+            model = r0.get("model") or self.default_model
+            s = self.sessions[model]
+            defaults = self.defaults.get(model, {})
+            defaults_dim = self.defaults_dim.get(model)
             w = int(r0.get("width", 0))
             h = int(r0.get("height", 0))
             if w or h:
                 s.option_set("image-dim", w or h, h or w)
-            elif self.defaults_dim and any(self.defaults_dim):
-                s.option_set("image-dim", *self.defaults_dim)
+            elif defaults_dim and any(defaults_dim):
+                s.option_set("image-dim", *defaults_dim)
             for key, opt in _SHARED_OPTS.items():
                 if key in r0:
                     s.option_set(opt, r0[key])
-                elif opt in self.defaults and self.defaults[opt] is not None:
+                elif defaults.get(opt) is not None:
                     # omitted option = launch default, not the previous
                     # batch's leftover value
-                    s.option_set(opt, self.defaults[opt])
+                    s.option_set(opt, defaults[opt])
             entries, slices, init_imgs, init_masks = [], [], [], []
             use_img2img = bool(r0.get("image"))
             use_mask = bool(r0.get("mask"))
@@ -313,6 +333,7 @@ def make_handler(srv: Server):
                 self._json(200, {"status": "ok",
                                  "model": srv.session.c["model"],
                                  "model_type": srv.session.c["model_type"],
+                                 "models": list(srv.sessions),
                                  "requests": srv.n_requests})
             elif self.path == "/info":
                 info = srv.session.backend_info()
@@ -381,8 +402,10 @@ def serve(session, port: int = 8188, host: str = "127.0.0.1",
     # per-dispatch overhead at 1/chunk of step-at-a-time execution
     os.environ.setdefault("MLIS_PROGRESS_CHUNK", "4")
     srv = Server(session)
-    if warmup and session.c["model"]:
-        session.setup()
+    if warmup:
+        for ses in srv.sessions.values():
+            if ses.c["model"]:
+                ses.setup()
     httpd = ThreadingHTTPServer((host, port), make_handler(srv))
     sys.stderr.write(f"[serve] listening on http://{host}:{port}\n")
     httpd.serve_forever()
@@ -393,17 +416,26 @@ def main(argv: Optional[list] = None) -> int:
     from .api import MLImgSynth
     from .utils.compcache import enable
     ap = argparse.ArgumentParser()
-    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-m", "--model", required=True, action="append",
+                    help="model file; repeatable as NAME=PATH for "
+                         "multi-model serving")
     ap.add_argument("--port", type=int, default=8188)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--weight-type", default="")
     args = ap.parse_args(argv)
     enable()
-    s = MLImgSynth()
-    s.option_set("model", args.model)
-    if args.weight_type:
-        s.option_set("weight-type", args.weight_type)
-    serve(s, port=args.port, host=args.host)
+    sessions = {}
+    for i, spec in enumerate(args.model):
+        name, _, path = spec.rpartition("=")
+        name = name or (os.path.splitext(os.path.basename(path))[0]
+                        if len(args.model) > 1 else "default")
+        s = MLImgSynth()
+        s.option_set("model", path)
+        if args.weight_type:
+            s.option_set("weight-type", args.weight_type)
+        sessions[name or f"model{i}"] = s
+    serve(sessions if len(sessions) > 1 else next(iter(sessions.values())),
+          port=args.port, host=args.host)
     return 0
 
 

@@ -295,3 +295,40 @@ def test_generate_inpaint_b64(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_multi_model_routing(tmp_path, monkeypatch):
+    """Requests route to the session named by their 'model' key."""
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.api import MLImgSynth
+    from mlimgsynth_tpu.server import Server
+    from helpers import TINY_MODEL_TYPE, patch_tiny_model_types, \
+        write_tiny_checkpoint
+    patch_tiny_model_types(monkeypatch)
+
+    def mk(path, seed):
+        write_tiny_checkpoint(path, seed=seed)
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(path))
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 2)
+        return s
+
+    srv = Server({"a": mk(tmp_path / "a.st", 0),
+                  "b": mk(tmp_path / "b.st", 1)}, merge_window_s=0)
+    pa = srv.submit({"prompt": "x", "seed": 3, "model": "a"})
+    pa.event.wait(600)
+    pb = srv.submit({"prompt": "x", "seed": 3, "model": "b"})
+    pb.event.wait(600)
+    pd = srv.submit({"prompt": "x", "seed": 3})  # default = first entry
+    pd.event.wait(600)
+    assert pa.error is None and pb.error is None and pd.error is None
+    assert not np.allclose(pa.imgs, pb.imgs)   # different weights
+    np.testing.assert_array_equal(pa.imgs, pd.imgs)  # default routes to 'a'
+    # unknown model rejected at submit
+    with pytest.raises(ValueError, match="unknown model"):
+        srv.submit({"prompt": "x", "model": "zzz"})
+    # different models never merge
+    assert srv.submit({"prompt": "q", "model": "a"}).shared != \
+        srv.submit({"prompt": "q", "model": "b"}).shared
