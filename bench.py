@@ -78,9 +78,11 @@ def bench_config(name):
     use_q8 = name.endswith("-q8")
     name_base = name[:-3] if use_q8 else name
     n_batch = 1
-    if name_base.endswith("-b8"):     # batch-throughput config
-        name_base = name_base[:-3]
-        n_batch = 8
+    import re as _re
+    m = _re.search(r"-b(\d+)$", name_base)   # batch-throughput config
+    if m:
+        n_batch = int(m.group(1))
+        name_base = name_base[:m.start()]
     if name_base == "sdxl":
         size, baseline = 1024, 4.0
         unet_p, clip_p, clip2_p, vae_p = (U.UNET_SDXL, C.CLIP_VIT_L_14,
