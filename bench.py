@@ -187,7 +187,28 @@ def bench_config(name):
             label, nlabel = lab[0:1], lab[1:2]
         return emb[0:1], emb[1:2], label, nlabel
 
+    # single-encoder models additionally fuse the CLIP forward into the
+    # loop program: the whole generation is ONE dispatch + ONE u8 fetch
+    fuse_encode = clip2_p is None
+    tokrows = np.repeat(tokpair, n_batch, axis=0)  # [cond xN ; uncond xN]
+    wrows = np.ones(tokrows.shape, np.float32)
+
     def run(seed):
+        plan = make_plan(cfg, (n_batch, 4, lat, lat), RngPhilox(seed=seed),
+                         nfe_per_dxdt=2)
+        # decode fused into the loop program; skip the latent fetch —
+        # minimizes host round-trips
+        decode = ("tae", vae_params, None) if use_tae \
+            else ("vae", vae_params, vae_p)
+        if fuse_encode:
+            encode = (clip_params, tokrows, wrows, clip_p, 1,
+                      unet_p.clip_norm)
+            _, img, _ = run_sampler(
+                unet_params, np.zeros((n_batch, 4, lat, lat), np.float32),
+                plan, None, None, None, None, None, cfg, unet_p,
+                dtype=dtype, decode=decode, want_latent=False,
+                encode=encode)
+            return img
         emb, nemb, label, nlabel = encode_both()
         if n_batch > 1:
             emb = np.repeat(emb, n_batch, 0)
@@ -196,12 +217,6 @@ def bench_config(name):
                 else None
             nlabel = np.repeat(nlabel, n_batch, 0) if nlabel is not None \
                 else None
-        plan = make_plan(cfg, (n_batch, 4, lat, lat), RngPhilox(seed=seed),
-                         nfe_per_dxdt=2)
-        # decode fused into the loop program; skip the latent fetch —
-        # minimizes host round-trips (one dispatch + one u8 image fetch)
-        decode = ("tae", vae_params, None) if use_tae \
-            else ("vae", vae_params, vae_p)
         _, img = run_sampler(unet_params,
                              np.zeros((n_batch, 4, lat, lat), np.float32),
                              plan, emb, nemb, label, nlabel, None,

@@ -839,6 +839,22 @@ class MLImgSynth:
         cond, label = self._text_cond_encode_rows([pt])
         return cond, label
 
+    def _cond_token_rows(self, pts: List[prompt_mod.PromptText]):
+        """Wrapped token rows + emphasis-weight rows for the fused-encode
+        path (CLIP forward runs inside the loop program)."""
+        P = self._mt.clip_p
+        toks_rows, wrows = [], []
+        for pt in pts:
+            toks, wts = self._prompt_tokens(pt)
+            wrapped = tok_mod.wrap_tokens(P, toks)
+            wmat = np.ones(len(wrapped), np.float32)
+            if wts and len(toks):
+                wmat[1:len(toks) + 1] = wts
+            toks_rows.append(wrapped)
+            wrows.append(wmat)
+        return (np.asarray(toks_rows, np.int32),
+                np.asarray(wrows, np.float32))
+
     # ------------------------------------------------------------------
     # Image encode/decode (reference: mlis_image_encode/decode)
     # ------------------------------------------------------------------
@@ -983,8 +999,26 @@ class MLImgSynth:
         if lmask is not None:
             log.info("In-painting with mask")
 
-        # conditioning
-        if not (c["tuflags"] & TUF_CONDITIONING):
+        # conditioning.  On the single-dispatch path of single-encoder
+        # models, the CLIP forward fuses INTO the loop program
+        # (encode_spec below) and only tokens are prepared here.
+        fuse_encode = (self.callback is None and self.step_observer is None
+                       and not c["no_decode"] and c["vae_tile"] <= 0
+                       and not c["unet_split"] and self._mesh is None
+                       and not mt.unet_p.cond_label
+                       and not (c["tuflags"] & TUF_CONDITIONING))
+        encode_spec = None
+        if fuse_encode:
+            pts = [self.prompt] + ([self.nprompt] if c["cfg_scale"] > 1
+                                   else [])
+            tokens, wmat = self._cond_token_rows(pts)
+            if n_batch > 1:  # [cond x n ; uncond x n] row layout
+                tokens = np.repeat(tokens, n_batch, axis=0)
+                wmat = np.repeat(wmat, n_batch, axis=0)
+            encode_spec = (self._get_params("clip"), tokens, wmat,
+                           mt.clip_p, c["clip_skip"], mt.unet_p.clip_norm)
+            cond = ncond = label = nlabel = None
+        elif not (c["tuflags"] & TUF_CONDITIONING):
             ncond = nlabel = None
             if c["cfg_scale"] > 1:
                 # prompt + nprompt ride one batched encoder call
@@ -1000,24 +1034,25 @@ class MLImgSynth:
             self.tensors["cond"], self.tensors["label"] = cond, label
             self.tensors["ncond"], self.tensors["nlabel"] = ncond, nlabel
             self._cb(STAGE_COND_ENCODE, 1, 1)
-        cond = self.tensors["cond"]
-        ncond = self.tensors["ncond"]
-        label, nlabel = self.tensors["label"], self.tensors["nlabel"]
-        if log.check(LVL_DEBUG):
-            from .utils.tensorstat import stat_line
-            log.debug(stat_line(cond, "cond"))
-            log.debug(stat_line(label, "label"))
-            if c["cfg_scale"] > 1:
-                log.debug(stat_line(ncond, "uncond"))
-                log.debug(stat_line(nlabel, "unlabel"))
-        if cond.shape[0] < n_batch:
-            cond = np.repeat(cond, n_batch, axis=0)
-            ncond = np.repeat(ncond, n_batch, axis=0) if ncond is not None \
-                else None
-            label = np.repeat(label, n_batch, axis=0) if label is not None \
-                else None
-            nlabel = np.repeat(nlabel, n_batch, axis=0) \
-                if nlabel is not None else None
+        if not fuse_encode:
+            cond = self.tensors["cond"]
+            ncond = self.tensors["ncond"]
+            label, nlabel = self.tensors["label"], self.tensors["nlabel"]
+            if log.check(LVL_DEBUG):
+                from .utils.tensorstat import stat_line
+                log.debug(stat_line(cond, "cond"))
+                log.debug(stat_line(label, "label"))
+                if c["cfg_scale"] > 1:
+                    log.debug(stat_line(ncond, "uncond"))
+                    log.debug(stat_line(nlabel, "unlabel"))
+            if cond.shape[0] < n_batch:
+                cond = np.repeat(cond, n_batch, axis=0)
+                ncond = np.repeat(ncond, n_batch, axis=0) \
+                    if ncond is not None else None
+                label = np.repeat(label, n_batch, axis=0) \
+                    if label is not None else None
+                nlabel = np.repeat(nlabel, n_batch, axis=0) \
+                    if nlabel is not None else None
 
         # sampling
         scfg = SamplerConfig(
@@ -1068,8 +1103,16 @@ class MLImgSynth:
                           nlabel, lmask, scfg, mt.unet_p,
                           dtype=self._dtype, step_callback=step_cb,
                           step_observer=self.step_observer,
-                          mesh=self._mesh, decode=decode_spec)
-        if decode_spec is not None:
+                          mesh=self._mesh, decode=decode_spec,
+                          encode=encode_spec)
+        if encode_spec is not None:
+            latent, u8, cond_dev = out
+            # lazy device arrays: fetched only if a caller reads the slots
+            n = latent.shape[0]
+            self.tensors["cond"] = cond_dev[:n]
+            self.tensors["ncond"] = (cond_dev[n:] if c["cfg_scale"] > 1
+                                     else None)
+        elif decode_spec is not None:
             latent, u8 = out
         else:
             latent = out

@@ -168,10 +168,25 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
-                     "decode_kind", "vae_p"))
+                     "decode_kind", "vae_p", "clip_p", "clip_skip", "norm"))
 def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
-              decode_params=None, *, method, unet_p, use_cfg, use_mask,
-              dtype, decode_kind=None, vae_p=None):
+              decode_params=None, encode=None, *, method, unet_p, use_cfg,
+              use_mask, dtype, decode_kind=None, vae_p=None, clip_p=None,
+              clip_skip=0, norm=True):
+    cond_out = None
+    if encode is not None:
+        # Fused text encode: CLIP runs in the SAME program as the loop
+        # (and decode) — txt2img becomes one dispatch + one fetch.
+        # tokens rows are laid out like cond_all ([cond xN, uncond xN]);
+        # wmat carries the per-token A1111 emphasis weights.
+        from ..models import blocks as B2
+        from ..models import clip as clip_mod
+        clip_params, tokens, wmat = encode
+        ctx_c = B2.Ctx(clip_params, dtype=dtype)
+        emb, _ = clip_mod.clip_text_apply(ctx_c, tokens, clip_p,
+                                          clip_skip=clip_skip, norm=norm)
+        cond_out = emb.astype(jnp.float32) * wmat[:, :, None]
+        consts = (cond_out,) + consts[1:]
     solver, body = _make_body(params, consts, method=method, unet_p=unet_p,
                               use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
     lmask, x0_keep = consts[2], consts[3]
@@ -185,13 +200,13 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
         body, (x, sigmas0, state),
         (jnp.arange(n_step), churn_noise, anc_noise))
     if decode_kind is None:
-        return x
+        return (x, cond_out) if encode is not None else x
     # Fused final decode: loop + VAE/TAE + uint8 quantize in ONE program —
     # one dispatch and one (4x smaller) device->host fetch per generation
     # instead of loop/decode/fetch round-trips (each round-trip costs
     # ~25-30 ms on remote-attached TPU).
     img = _decode_u8(decode_params, x, decode_kind, vae_p, dtype)
-    return x, img
+    return (x, img, cond_out) if encode is not None else (x, img)
 
 
 def _decode_u8(decode_params, x, decode_kind, vae_p, dtype):
@@ -255,7 +270,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 nlabel, lmask, cfg: SamplerConfig,
                 unet_p: unet_mod.UnetParams, dtype=jnp.bfloat16,
                 step_callback=None, step_observer=None, mesh=None,
-                decode=None, want_latent=True):
+                decode=None, want_latent=True, encode=None):
     """Run the sampling loop.  ``x_init`` (NCHW f32), ``lmask`` [N,1,h,w] or
     None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW —
     or ``(latent NCHW, u8 image NHWC)`` when ``decode`` is given.
@@ -279,18 +294,32 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
 
     x = _nhwc(x_init)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
-    cond = f32(cond)
-    uncond = f32(uncond) if uncond is not None else cond
-    if unet_p.ch_adm_in:
-        label_d = f32(label)
-        nlabel_d = f32(nlabel) if nlabel is not None else label_d
-    if use_cfg:
-        cond_all = jnp.concatenate([cond, uncond], axis=0)
-        label_all = (jnp.concatenate([label_d, nlabel_d], axis=0)
-                     if unet_p.ch_adm_in else None)
+    enc_args = None
+    if encode is not None:
+        # fused text-encode: the caller supplies tokens laid out like
+        # cond_all ([cond rows xN, uncond rows xN]); conditioning is
+        # computed inside the loop program (single-encoder models only)
+        assert (step_callback is None and step_observer is None
+                and mesh is None and not unet_p.ch_adm_in), \
+            "fused encode needs the single-dispatch path"
+        clip_params, tokens, wmat = encode[:3]
+        enc_args = (clip_params, jnp.asarray(tokens, jnp.int32),
+                    jnp.asarray(wmat, jnp.float32))
+        cond_all = jnp.zeros((0,), jnp.float32)  # replaced inside the jit
+        label_all = None
     else:
-        cond_all = cond
-        label_all = label_d if unet_p.ch_adm_in else None
+        cond = f32(cond)
+        uncond = f32(uncond) if uncond is not None else cond
+        if unet_p.ch_adm_in:
+            label_d = f32(label)
+            nlabel_d = f32(nlabel) if nlabel is not None else label_d
+        if use_cfg:
+            cond_all = jnp.concatenate([cond, uncond], axis=0)
+            label_all = (jnp.concatenate([label_d, nlabel_d], axis=0)
+                         if unet_p.ch_adm_in else None)
+        else:
+            cond_all = cond
+            label_all = label_d if unet_p.ch_adm_in else None
 
     lmask_d = _nhwc(lmask) if use_mask else jnp.zeros((), jnp.float32)
     x0_keep = x if use_mask else jnp.zeros((), jnp.float32)
@@ -347,6 +376,9 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         kw.update(decode_kind=kind, vae_p=vae_p)
     else:
         decode = None
+    if encode is not None:
+        clip_p, clip_skip, norm_flag = encode[3:]
+        kw.update(clip_p=clip_p, clip_skip=clip_skip, norm=norm_flag)
 
     if step_callback is None and step_observer is None:
         import os
@@ -358,7 +390,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             global LAST_MEMORY_ANALYSIS
             try:
                 ma = _loop_jit.lower(params, x, consts, noise0, churn, anc,
-                                     sigmas0, decode_params,
+                                     sigmas0, decode_params, enc_args,
                                      **kw).compile().memory_analysis()
                 LAST_MEMORY_ANALYSIS = {
                     "argument_bytes": ma.argument_size_in_bytes,
@@ -371,14 +403,24 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             except Exception:  # analysis is informational, never fatal
                 LAST_MEMORY_ANALYSIS = None
         out = _loop_jit(params, x, consts, noise0, churn, anc, sigmas0,
-                        decode_params, **kw)
-        if decode is not None:
-            xl, img = out
+                        decode_params, enc_args, **kw)
+        if decode is not None or encode is not None:
+            parts = out if isinstance(out, tuple) else (out,)
+            xl = parts[0]
+            img = parts[1] if decode is not None else None
+            cond_dev = parts[-1] if encode is not None else None
             # each fetch is a host round-trip; skip the latent when the
-            # caller doesn't need it (want_latent=False)
+            # caller doesn't need it (want_latent=False); the fused-encode
+            # conditioning stays a LAZY device array (fetched only if the
+            # caller ever reads it)
             lat = (np.asarray(xl, np.float32).transpose(0, 3, 1, 2)
                    if want_latent else None)
-            return lat, np.asarray(img)
+            res = [lat]
+            if decode is not None:
+                res.append(np.asarray(img))
+            if encode is not None:
+                res.append(cond_dev)
+            return tuple(res) if len(res) > 1 else res[0]
         x = out
     else:
         carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep,

@@ -166,3 +166,32 @@ def test_error_codes_match_header():
     assert len(codes) >= 8
     for name, val in codes.items():
         assert getattr(MlisError, name) == int(val), name
+
+
+def test_fused_pipeline_matches_stepwise(ckpt, monkeypatch):
+    """The single-dispatch fused path (CLIP + loop + decode in one program)
+    must produce the same image as the step-at-a-time path with separate
+    encode/decode dispatches."""
+    patch_tiny_model_types(monkeypatch)
+
+    def make():
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(ckpt))
+        s.option_set("model-type", "sd1")
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 3)
+        s.option_set("seed", 19)
+        s.option_set("prompt", "a (fused:1.3) test")
+        return s
+
+    fused = make().generate()           # no callback -> fused path
+    s2 = make()
+    s2.option_set("callback", lambda ses, prg: 0)  # forces stepwise path
+    stepwise = s2.generate()
+    np.testing.assert_allclose(fused, stepwise, atol=2e-5)
+    # fused path still exposes the conditioning tensors (lazily)
+    s3 = make()
+    s3.generate()
+    assert s3.tensors["cond"] is not None
+    assert np.asarray(s3.tensors["cond"]).shape[1] == 77
