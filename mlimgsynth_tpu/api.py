@@ -999,12 +999,16 @@ class MLImgSynth:
         if lmask is not None:
             log.info("In-painting with mask")
 
+        # Single-dispatch eligibility: nothing observes the loop, the
+        # decode is untiled, and weights are not staged (unet_split).
+        single_dispatch = (self.callback is None
+                           and self.step_observer is None
+                           and not c["no_decode"] and c["vae_tile"] <= 0
+                           and not c["unet_split"])
         # conditioning.  On the single-dispatch path of single-encoder
         # models, the CLIP forward fuses INTO the loop program
         # (encode_spec below) and only tokens are prepared here.
-        fuse_encode = (self.callback is None and self.step_observer is None
-                       and not c["no_decode"] and c["vae_tile"] <= 0
-                       and not c["unet_split"] and self._mesh is None
+        fuse_encode = (single_dispatch and self._mesh is None
                        and not mt.unet_p.cond_label
                        and not (c["tuflags"] & TUF_CONDITIONING))
         encode_spec = None
@@ -1085,13 +1089,11 @@ class MLImgSynth:
                     return True
                 return False
 
-        # Fused decode: when nothing needs to observe the loop and the
-        # decode is untiled, run loop + VAE/TAE + u8 quantize as ONE
-        # compiled program (one dispatch + one image fetch per generation).
+        # Fused decode: on the single-dispatch path, run loop + VAE/TAE +
+        # u8 quantize as ONE compiled program (one dispatch + one image
+        # fetch per generation).
         decode_spec = None
-        if (step_cb is None and self.step_observer is None
-                and not c["no_decode"] and c["vae_tile"] <= 0
-                and not c["unet_split"]):  # unet_split = staged residency
+        if single_dispatch:
             if c["tae"]:
                 decode_spec = ("tae", self._get_params("tae"), None)
             else:

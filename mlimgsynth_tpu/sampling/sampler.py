@@ -19,6 +19,7 @@ they are transposed to NHWC for the device loop internally.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -294,7 +295,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
 
     x = _nhwc(x_init)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
-    enc_args = None
+    enc_args = enc_static = None
     if encode is not None:
         # fused text-encode: the caller supplies tokens laid out like
         # cond_all ([cond rows xN, uncond rows xN]); conditioning is
@@ -302,7 +303,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         assert (step_callback is None and step_observer is None
                 and mesh is None and not unet_p.ch_adm_in), \
             "fused encode needs the single-dispatch path"
-        clip_params, tokens, wmat = encode[:3]
+        clip_params, tokens, wmat, *enc_static = encode
         enc_args = (clip_params, jnp.asarray(tokens, jnp.int32),
                     jnp.asarray(wmat, jnp.float32))
         cond_all = jnp.zeros((0,), jnp.float32)  # replaced inside the jit
@@ -377,11 +378,10 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     else:
         decode = None
     if encode is not None:
-        clip_p, clip_skip, norm_flag = encode[3:]
+        clip_p, clip_skip, norm_flag = enc_static
         kw.update(clip_p=clip_p, clip_skip=clip_skip, norm=norm_flag)
 
     if step_callback is None and step_observer is None:
-        import os
         if os.environ.get("MLIS_MEM_ANALYSIS"):
             # Compiled-executable memory analysis: runtime memory_stats are
             # unavailable through remote-attached TPU, but the AOT path
@@ -425,7 +425,6 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     else:
         carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep,
                           method=method, use_mask=use_mask)
-        import os
         chunk = max(1, int(os.environ.get("MLIS_PROGRESS_CHUNK", "1")))
         if step_observer is not None:
             chunk = 1  # observers need every step

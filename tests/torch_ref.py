@@ -81,7 +81,7 @@ class TorchRef:
         return self.linear(pre + ".net.2", x)
 
     def attn_mhead(self, pre, q, k, v, n_head, bias=False):
-        n, sq, d = q.shape[0], q.shape[1], None
+        n, sq = q.shape[0], q.shape[1]
         sk = k.shape[1]
         q = self.linear(pre + ".q_proj", q, bias)
         k = self.linear(pre + ".k_proj", k, bias)
@@ -96,10 +96,8 @@ class TorchRef:
         return self.linear(pre + ".out_proj", o)
 
     def basic_transformer(self, pre, x, c, n_head):
-        x = x + self.attn_mhead(pre + ".attn1",
-                                self.layer_norm(pre + ".norm1", x),
-                                self.layer_norm(pre + ".norm1", x),
-                                self.layer_norm(pre + ".norm1", x), n_head)
+        xn = self.layer_norm(pre + ".norm1", x)
+        x = x + self.attn_mhead(pre + ".attn1", xn, xn, xn, n_head)
         xn = self.layer_norm(pre + ".norm2", x)
         x = x + self.attn_mhead(pre + ".attn2", xn, c, c, n_head)
         x = x + self.feed_forward(pre + ".ff",
