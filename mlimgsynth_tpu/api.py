@@ -1270,21 +1270,20 @@ class MLImgSynth:
             if init_lmask is not None and init_latents is None:
                 raise MlisError(MlisError.E_OPT_VALUE,
                                 "inpainting masks need init images")
-            latent = run_sampler(params, latent, plan, cond, ncond, label,
-                                 nlabel, init_lmask, scfg, mt.unet_p,
-                                 dtype=self._dtype,
-                                 step_callback=step_callback,
-                                 mesh=self._mesh)
+            # decode rides the final chunk's dispatch even on this
+            # cancellable (step-callback) path
+            decode_spec = (("tae", self._get_params("tae"), None)
+                           if c["tae"] else
+                           ("vae", self._get_params("vae"), mt.vae_p))
+            latent, u8 = run_sampler(params, latent, plan, cond, ncond,
+                                     label, nlabel, init_lmask, scfg,
+                                     mt.unet_p, dtype=self._dtype,
+                                     step_callback=step_callback,
+                                     mesh=self._mesh, decode=decode_spec)
+            if u8 is None:  # aborted by the callback before the last chunk
+                raise Aborted("generation cancelled")
             if not np.isfinite(latent).all():
                 raise MlisError(MlisError.E_NAN, "NaN found in UNet output")
-            if c["tae"]:
-                u8 = np.asarray(_tae_decode_u8_jit(
-                    self._get_params("tae"), latent.transpose(0, 2, 3, 1),
-                    dtype=self._dtype))
-            else:
-                u8 = np.asarray(_vae_decode_u8_jit(
-                    self._get_params("vae"), latent.transpose(0, 2, 3, 1),
-                    vae_p=mt.vae_p, dtype=self._dtype))
             imgs = u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
 
             solver_nfe = get_solver(c["method"]).n_fe

@@ -43,9 +43,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
     q = q_ref[0]            # [bq, d]
     k = k_ref[0]            # [bk, d]
+    # scale folded with log2(e): softmax runs in base-2 (exp2 is the
+    # native TPU transcendental; exp = exp2 with a base change)
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # [bq, bk]
+        preferred_element_type=jnp.float32) * (scale * 1.4426950408889634)
 
     # mask padded kv columns (and the causal triangle if requested)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
@@ -59,8 +61,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     m_prev = m_scr[:]                      # [bq, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)        # [bq, 1]
-    p = jnp.exp(s - m_new)                 # [bq, bk]
+    alpha = jnp.exp2(m_prev - m_new)       # [bq, 1]
+    p = jnp.exp2(s - m_new)                # [bq, bk]
 
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_scr[:] = m_new

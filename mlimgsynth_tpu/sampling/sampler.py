@@ -239,18 +239,25 @@ def _step_jit(params, carry, i, c_noise, a_noise, consts,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype"))
+    static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
+                     "decode_kind", "vae_p"))
 def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
-               *, method, unet_p, use_cfg, use_mask, dtype):
+               decode_params=None, *, method, unet_p, use_cfg, use_mask,
+               dtype, decode_kind=None, vae_p=None):
     """Scan a fixed-size chunk of steps from an arbitrary carry: progress
-    callbacks fire between chunks with 1/chunk the dispatch overhead."""
+    callbacks fire between chunks with 1/chunk the dispatch overhead.
+    With ``decode_kind`` (the FINAL chunk of a run), the image decode +
+    u8 quantize rides the same dispatch."""
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
     k = c_noise_chunk.shape[0]
     carry, _ = jax.lax.scan(
         body, carry,
         (i0 + jnp.arange(k), c_noise_chunk, a_noise_chunk))
-    return carry
+    if decode_kind is None:
+        return carry
+    return carry, _decode_u8(decode_params, carry[0], decode_kind, vae_p,
+                             dtype)
 
 
 @functools.partial(
@@ -370,16 +377,18 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     sigmas0 = jnp.float32(plan.sigmas[0])
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
               use_mask=use_mask, dtype=dtype)
+    kw_loop = dict(kw)
     decode_params = None
-    if decode is not None and step_callback is None and \
-            step_observer is None:
+    if decode is not None and step_observer is None:
+        # fused decode works on BOTH paths: inside _loop_jit, or riding
+        # the final chunk of the stepwise/cancellable path
         kind, decode_params, vae_p = decode
-        kw.update(decode_kind=kind, vae_p=vae_p)
+        kw_loop.update(decode_kind=kind, vae_p=vae_p)
     else:
         decode = None
     if encode is not None:
         clip_p, clip_skip, norm_flag = enc_static
-        kw.update(clip_p=clip_p, clip_skip=clip_skip, norm=norm_flag)
+        kw_loop.update(clip_p=clip_p, clip_skip=clip_skip, norm=norm_flag)
 
     if step_callback is None and step_observer is None:
         if os.environ.get("MLIS_MEM_ANALYSIS"):
@@ -391,7 +400,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             try:
                 ma = _loop_jit.lower(params, x, consts, noise0, churn, anc,
                                      sigmas0, decode_params, enc_args,
-                                     **kw).compile().memory_analysis()
+                                     **kw_loop).compile().memory_analysis()
                 LAST_MEMORY_ANALYSIS = {
                     "argument_bytes": ma.argument_size_in_bytes,
                     "output_bytes": ma.output_size_in_bytes,
@@ -403,7 +412,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             except Exception:  # analysis is informational, never fatal
                 LAST_MEMORY_ANALYSIS = None
         out = _loop_jit(params, x, consts, noise0, churn, anc, sigmas0,
-                        decode_params, enc_args, **kw)
+                        decode_params, enc_args, **kw_loop)
         if decode is not None or encode is not None:
             parts = out if isinstance(out, tuple) else (out,)
             xl = parts[0]
@@ -429,9 +438,15 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         if step_observer is not None:
             chunk = 1  # observers need every step
         i = 0
+        img_u8 = None
         while i < plan.n_step:
             k = min(chunk, plan.n_step - i)
-            if k == 1:
+            final = decode is not None and i + k == plan.n_step
+            if final:  # decode rides the last chunk's dispatch
+                carry, img_u8 = _chunk_jit(params, carry, jnp.int32(i),
+                                           churn[i:i + k], anc[i:i + k],
+                                           consts, decode_params, **kw_loop)
+            elif k == 1:
                 carry = _step_jit(params, carry, jnp.int32(i), churn[i],
                                   anc[i], consts, **kw)
             else:
@@ -445,4 +460,9 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             if step_callback is not None and step_callback(i, plan.n_step):
                 break
         x = carry[0]
+        if decode is not None:
+            lat = (np.asarray(x, np.float32).transpose(0, 3, 1, 2)
+                   if want_latent else None)
+            # img_u8 is None when the callback aborted before the end
+            return lat, (np.asarray(img_u8) if img_u8 is not None else None)
     return np.asarray(x, np.float32).transpose(0, 3, 1, 2)

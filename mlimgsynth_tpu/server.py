@@ -296,7 +296,8 @@ class Server:
             self.t_total += dt
         except Exception as e:  # noqa
             for p in batch:
-                p.error = p.error or str(e)
+                p.error = p.error or ("cancelled" if p.cancelled
+                                      else str(e))
                 p.event.set()
         finally:
             with self.running_lock:
