@@ -550,7 +550,10 @@ class MLImgSynth:
         else:
             self._mesh = None
         from .ops import attention as attn_mod
-        attn_mod.FORCE_XLA = self._mesh is not None
+        # flash under a mesh runs through an explicit shard_map (Mosaic
+        # custom calls can't be GSPMD-partitioned); non-dividing shapes
+        # fall back to the XLA softmax path inside attention()
+        attn_mod.MESH = self._mesh
 
     def _model_load(self):
         if not self.c["model"]:

@@ -274,6 +274,33 @@ def attn_mhead(ctx: Ctx, pre: str, q, k, v, d_out: int, d_embed: int,
                 b = ctx.param(f"{pre}.{which}.bias", (d_embed,), VEC)
                 y = y + b.reshape(n_head, 1, d_head).astype(y.dtype)
             return y
+
+        # Transposed-kernel path: project v directly to [N,H,D,Sk] and
+        # consume the [N,H,D,Sq] output — the kernel's layout change folds
+        # into these einsums for free (see ops/flash_attention.py).  Gate
+        # mirrors flash_attention_compatible: big non-causal self-attention.
+        from ..ops.attention import attention_t, use_flash, use_flash_t
+        if (not mask and sq >= 512 and sk >= 512 and d_head <= 512
+                and use_flash() and use_flash_t()):
+            q = proj(q, "q_proj")
+            k = proj(k, "k_proj")
+            w_v = ctx.param(f"{pre}.v_proj.weight", (v.shape[-1], d_embed),
+                            LINEAR_W).astype(v.dtype)
+            vt = jnp.einsum("nsk,khd->nhds", v,
+                            w_v.reshape(v.shape[-1], n_head, d_head))
+            if bias:
+                b = ctx.param(f"{pre}.v_proj.bias", (d_embed,), VEC)
+                vt = vt + b.reshape(n_head, d_head, 1).astype(vt.dtype)
+            ot = attention_t(q, k, vt)
+            w_o = ctx.param(pre + ".out_proj.weight", (d_embed, d_out),
+                            LINEAR_W).astype(ot.dtype)
+            out = jnp.einsum("nhds,hdk->nsk", ot,
+                             w_o.reshape(n_head, d_head, d_out))
+            if bias_out:
+                b = ctx.param(pre + ".out_proj.bias", (d_out,), VEC)
+                out = out + b.astype(out.dtype)
+            return out
+
         q = proj(q, "q_proj")
         k = proj(k, "k_proj")
         v = proj(v, "v_proj")

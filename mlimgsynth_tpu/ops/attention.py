@@ -16,11 +16,16 @@ import jax.numpy as jnp
 
 _FLASH_ENV = "MLIS_FLASH_ATTENTION"
 
-# Set by the session when a multi-chip mesh is active: Mosaic custom calls
-# cannot be auto-partitioned by GSPMD, so sharded runs use the XLA softmax
-# path (revisit with an explicit shard_map'ed kernel once >1 real chip is
-# available).  Read at trace time; mesh-sharded inputs force a fresh trace
-# (shardings are part of the jit cache key), so the flag takes effect.
+# Set by the session when a multi-chip mesh is active.  Mosaic custom calls
+# cannot be auto-partitioned by GSPMD, so sharded runs route the flash kernel
+# through an explicit shard_map over (dp, tp) — each device runs the kernel
+# on its local (batch, heads) block; shapes that don't divide the mesh fall
+# back to the XLA softmax path, which GSPMD partitions itself.  Read at trace
+# time; mesh-sharded inputs force a fresh trace (shardings are part of the
+# jit cache key), so the setting takes effect per session setup.
+MESH = None
+
+# Back-compat escape hatch: force the XLA softmax path everywhere.
 FORCE_XLA = False
 
 
@@ -33,6 +38,27 @@ def use_flash() -> bool:
     if v in ("1", "true", "yes"):
         return True
     return jax.default_backend() == "tpu"
+
+
+def _mesh_divides(b: int, h: int) -> bool:
+    from ..parallel.mesh import DP_AXIS, TP_AXIS
+    dp = MESH.shape.get(DP_AXIS, 1)
+    tp = MESH.shape.get(TP_AXIS, 1)
+    return b % dp == 0 and h % tp == 0
+
+
+def _shard_map_bhsd(fn, *args):
+    """Run ``fn`` per-device over MESH with every arg/result sharded
+    (dp, tp, None, None) — batch over data-parallel, heads over
+    tensor-parallel.  Pallas kernels are legal inside shard_map (the body is
+    a per-device program), which is how the flash kernel runs multi-chip."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DP_AXIS, TP_AXIS
+    spec = P(DP_AXIS, TP_AXIS, None, None)
+    f = jax.shard_map(fn, mesh=MESH, in_specs=(spec,) * len(args),
+                      out_specs=spec, check_vma=False)
+    return f(*args)
 
 
 def attention_xla(q, k, v, scale=None, causal=False):
@@ -62,5 +88,41 @@ def attention(q, k, v, scale=None, causal=False):
     if use_flash():
         from .flash_attention import flash_attention_compatible, flash_attention
         if flash_attention_compatible(q, k, v, causal):
-            return flash_attention(q, k, v, scale=scale, causal=causal)
+            fn = functools.partial(flash_attention, scale=scale, causal=causal)
+            if MESH is not None:
+                if _mesh_divides(q.shape[0], q.shape[1]):
+                    return _shard_map_bhsd(fn, q, k, v)
+            else:
+                return fn(q, k, v)
     return attention_xla(q, k, v, scale=scale, causal=causal)
+
+
+def use_flash_t() -> bool:
+    """Transposed-v flash kernel (d_head on MXU sublanes instead of lanes —
+    see ops/flash_attention.py).  Toggle with MLIS_FLASH_T (default pending
+    hardware A/B — see docs/BENCH.md)."""
+    return os.environ.get("MLIS_FLASH_T", "0") not in ("0", "false", "no")
+
+
+def attention_t(q, k, vt, scale=None):
+    """Transposed-v attention: q,k [B,H,S,D], vt [B,H,D,Sk] -> [B,H,D,Sq].
+
+    Flash path uses the transposed-layout kernel; the fallback transposes
+    around :func:`attention_xla`.  The caller folds both transposes into the
+    v-projection / out-projection einsums, so only the kernel layout differs.
+    """
+    if "attn" in os.environ.get("MLIS_ABLATE", ""):
+        mean_vt = jnp.mean(vt, axis=3, keepdims=True)
+        return jnp.broadcast_to(mean_vt, vt.shape[:3] + (q.shape[2],))
+    if use_flash():
+        from .flash_attention import (flash_attention_compatible,
+                                      flash_attention_t)
+        if flash_attention_compatible(q, k, k, False):
+            fn = functools.partial(flash_attention_t, scale=scale)
+            if MESH is not None:
+                if _mesh_divides(q.shape[0], q.shape[1]):
+                    return _shard_map_bhsd(fn, q, k, vt)
+            else:
+                return fn(q, k, vt)
+    o = attention_xla(q, k, vt.swapaxes(-1, -2), scale=scale)
+    return o.swapaxes(-1, -2)

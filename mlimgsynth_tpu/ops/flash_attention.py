@@ -30,8 +30,8 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  scale: float, kv_len: int, block_k: int, causal: bool,
-                  q_len: int, block_q: int):
+                  kv_len: int, block_k: int, causal: bool,
+                  q_len: int, block_q: int, mask_tail: bool):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -41,22 +41,31 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]            # [bq, d]
+    q = q_ref[0]            # [bq, d]  (pre-scaled by scale*log2(e))
     k = k_ref[0]            # [bk, d]
-    # scale folded with log2(e): softmax runs in base-2 (exp2 is the
-    # native TPU transcendental; exp = exp2 with a base change)
+    # softmax runs in base-2 (exp2 is the native TPU transcendental); the
+    # scale*log2(e) factor is folded into q OUTSIDE the kernel — one cheap
+    # [sq,d] pass instead of a [bq,bk] VPU pass per k block
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * (scale * 1.4426950408889634)
+        preferred_element_type=jnp.float32)
 
-    # mask padded kv columns (and the causal triangle if requested)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
-    mask = col < kv_len
     if causal:
+        # causal triangle + padded kv columns, every block
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
             + pl.program_id(1) * block_q
-        mask = jnp.logical_and(mask, col <= row + (kv_len - q_len))
-    s = jnp.where(mask, s, NEG_INF)
+        mask = jnp.logical_and(col < kv_len, col <= row + (kv_len - q_len))
+        s = jnp.where(mask, s, NEG_INF)
+    elif mask_tail:
+        # only the LAST k block has padded columns; interior blocks skip
+        # the iota/compare/select passes entirely (VPU savings per block)
+        def _mask(s):
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + ik * block_k)
+            return jnp.where(col < kv_len, s, NEG_INF)
+
+        s = jax.lax.cond(ik == nk - 1, _mask, lambda s: s, s)
 
     m_prev = m_scr[:]                      # [bq, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -145,14 +154,15 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
     sq_p = pl.cdiv(sq, bq) * bq
     sk_p = pl.cdiv(sk, bk) * bk
 
+    q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
     qp = _pad_to(_pad_to(q.reshape(b * h, sq, d), 2, dp), 1, sq_p)
     kp = _pad_to(_pad_to(k.reshape(b * h, sk, d), 2, dp), 1, sk_p)
     vp = _pad_to(_pad_to(v.reshape(b * h, sk, d), 2, dp), 1, sk_p)
 
     grid = (b * h, sq_p // bq, sk_p // bk)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_len=sk, block_k=bk, causal=causal,
-        q_len=sq, block_q=bq)
+        _flash_kernel, kv_len=sk, block_k=bk, causal=causal,
+        q_len=sq, block_q=bq, mask_tail=(sk_p != sk))
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -174,3 +184,136 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(qp, kp, vp)
     return out[:, :sq, :d].reshape(b, h, sq, d)
+
+
+# ---------------------------------------------------------------------------
+# Transposed-layout variant: v and the output live as [d, seq].
+#
+# Rationale (docs/BENCH.md round-2 attribution): with the natural layout the
+# PV matmul  p[bq,bk] @ v[bk,d]  puts d_head on the MXU lane axis, which pads
+# to 128 — 40/128 (SD1) or 64/128 (SDXL) useful output columns.  Computing
+# the transpose instead,  accT[d,bq] = vT[d,bk] @ p[bk,bq],  makes d_head the
+# MXU *streaming* (sublane) dim which only pads to the 8/16-row tile, and the
+# lane axis is the full q block.  The QK contraction padding (d -> 128 depth)
+# is intrinsic to the head size and unchanged.  The caller supplies v already
+# transposed ([B,H,D,Sk]) and consumes the transposed output ([B,H,D,Sq]) —
+# both ends fold into the surrounding projection einsums for free
+# (models/blocks.py attn_mhead).
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                    kv_len: int, block_k: int, causal: bool,
+                    q_len: int, block_q: int, mask_tail: bool):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]            # [bq, d]  (pre-scaled by scale*log2(e))
+    k = k_ref[0]            # [bk, d]
+    # sT[bk, bq]: kv on sublanes, q on lanes
+    st = jax.lax.dot_general(
+        k, q, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ik * block_k
+        col = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1) \
+            + pl.program_id(1) * block_q
+        mask = jnp.logical_and(row < kv_len, row <= col + (kv_len - q_len))
+        st = jnp.where(mask, st, NEG_INF)
+    elif mask_tail:
+        def _mask(st):
+            row = (jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+                   + ik * block_k)
+            return jnp.where(row < kv_len, st, NEG_INF)
+
+        st = jax.lax.cond(ik == nk - 1, _mask, lambda st: st, st)
+
+    m_prev = m_scr[:]                       # [1, bq]
+    m_cur = jnp.max(st, axis=0, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)        # [1, bq]
+    p = jnp.exp2(st - m_new)                # [bk, bq]
+
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    m_scr[:] = m_new
+    # accT[d, bq] = vT[d, bk] @ p[bk, bq]: d streams on sublanes (no 128 pad)
+    pvt = jax.lax.dot_general(
+        vt_ref[0], p.astype(vt_ref.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + pvt
+
+    @pl.when(ik == nk - 1)
+    def _done():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "causal", "block_q", "block_k"))
+def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
+                      block_q=None, block_k=None):
+    """Transposed-v flash attention.
+
+    q: [B,H,Sq,D], k: [B,H,Sk,D], vt: [B,H,D,Sk] -> [B,H,D,Sq].
+    Same online softmax as :func:`flash_attention`; the PV product and the
+    output are transposed so d_head sits on MXU sublanes instead of lanes.
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    assert vt.shape == (b, h, d, sk), (vt.shape, (b, h, d, sk))
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    scale = float(scale)
+
+    # d pads only to the sublane tile (16 covers bf16/f32 operands)
+    dp = (d + 15) // 16 * 16
+
+    env_bq, env_bk = _env_blocks()
+    if block_q is None:
+        block_q = env_bq
+    if block_k is None:
+        block_k = env_bk
+    # VMEM budget: f32 sT/p + q/k tiles + f32 acc must fit comfortably
+    while block_q * block_k * 4 + (block_q + 2 * block_k) * dp * 2 \
+            + block_q * dp * 4 > 10 * 1024 * 1024 and block_k > 256:
+        block_k //= 2
+    bq = min(block_q, max(256, 1 << (sq - 1).bit_length()))
+    bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    sq_p = pl.cdiv(sq, bq) * bq
+    sk_p = pl.cdiv(sk, bk) * bk
+
+    q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
+    qp = _pad_to(_pad_to(q.reshape(b * h, sq, d), 2, dp), 1, sq_p)
+    kp = _pad_to(_pad_to(k.reshape(b * h, sk, d), 2, dp), 1, sk_p)
+    vtp = _pad_to(_pad_to(vt.reshape(b * h, d, sk), 1, dp), 2, sk_p)
+
+    grid = (b * h, sq_p // bq, sk_p // bk)
+    kernel = functools.partial(
+        _flash_kernel_t, kv_len=sk, block_k=bk, causal=causal,
+        q_len=sq, block_q=bq, mask_tail=(sk_p != sk))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, dp, bk), lambda bh, iq, ik: (bh, 0, ik)),
+        ],
+        out_specs=pl.BlockSpec((1, dp, bq), lambda bh, iq, ik: (bh, 0, iq)),
+        out_shape=jax.ShapeDtypeStruct((b * h, dp, sq_p), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, bq), jnp.float32),
+            pltpu.VMEM((1, bq), jnp.float32),
+            pltpu.VMEM((dp, bq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(qp, kp, vtp)
+    return out[:, :d, :sq].reshape(b, h, d, sq)

@@ -66,6 +66,60 @@ def test_bf16_inputs():
                                np.asarray(ref, np.float32), atol=3e-2)
 
 
+@pytest.mark.parametrize("sq,sk,d", [
+    (512, 512, 64),
+    (1024, 1024, 40),    # SD1 d_head=40 (pads to 48 sublanes only)
+    (513, 512, 64),      # ragged q
+    (512, 600, 64),      # ragged kv (tail-block masking path)
+    (768, 768, 128),
+])
+def test_transposed_matches_xla(sq, sk, d):
+    q = rand(1, 2, sq, d, seed=1) * 0.5
+    k = rand(1, 2, sk, d, seed=2) * 0.5
+    v = rand(1, 2, sk, d, seed=3)
+    out_t = fa.flash_attention_t(q, k, v.swapaxes(-1, -2),
+                                 block_q=256, block_k=256)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_t.swapaxes(-1, -2)),
+                               np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_transposed_causal_matches_xla():
+    q = rand(1, 1, 512, 64, seed=1) * 0.5
+    k = rand(1, 1, 512, 64, seed=2) * 0.5
+    v = rand(1, 1, 512, 64, seed=3)
+    out_t = fa.flash_attention_t(q, k, v.swapaxes(-1, -2), causal=True,
+                                 block_q=256, block_k=256)
+    ref = attention_xla(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out_t.swapaxes(-1, -2)),
+                               np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_transposed_bf16():
+    q = rand(1, 2, 512, 40, seed=1).astype(jnp.bfloat16)
+    k = rand(1, 2, 512, 40, seed=2).astype(jnp.bfloat16)
+    v = rand(1, 2, 512, 40, seed=3).astype(jnp.bfloat16)
+    out_t = fa.flash_attention_t(q, k, v.swapaxes(-1, -2),
+                                 block_q=256, block_k=256)
+    assert out_t.dtype == jnp.bfloat16
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_t.swapaxes(-1, -2), np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_attention_t_dispatch_fallback():
+    """attention_t falls back to the XLA path (transposing around it) when
+    flash is unavailable (e.g. CPU backend with default env)."""
+    from mlimgsynth_tpu.ops import attention as am
+    q = rand(1, 2, 512, 40, seed=1) * 0.5
+    k = rand(1, 2, 512, 40, seed=2) * 0.5
+    v = rand(1, 2, 512, 40, seed=3)
+    out = am.attention_t(q, k, v.swapaxes(-1, -2))
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out.swapaxes(-1, -2)),
+                               np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
 def test_compatibility_gate():
     # short-kv cross attention stays on XLA
     assert not fa.flash_attention_compatible(

@@ -134,3 +134,53 @@ def test_tp_option_needs_devices(monkeypatch):
     s.option_set("tp", 1024)
     with pytest.raises(MlisError):
         s._backend_init()
+
+
+def test_mesh_shard_map_flash(monkeypatch):
+    """Under an active mesh, attention() runs the flash kernel inside a
+    shard_map over (dp, tp): batch over dp, heads over tp.  Must match the
+    unsharded XLA reference.  Pallas runs in interpret mode on CPU
+    (force_tpu_interpret_mode deadlocks under shard_map, so pallas_call is
+    patched to interpret=True instead)."""
+    from jax.experimental import pallas as pl
+
+    from mlimgsynth_tpu.ops import attention as am
+    from mlimgsynth_tpu.ops import flash_attention as fa
+
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            kw.pop("compiler_params", None)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(fa.pl, "pallas_call", interp)
+    monkeypatch.setenv("MLIS_FLASH_ATTENTION", "1")   # force flash on CPU
+    mesh = pmesh.make_mesh(8, tp=4)
+    monkeypatch.setattr(am, "MESH", mesh)
+
+    def rand(*shape, seed=0):
+        return jnp.asarray(np.random.default_rng(seed)
+                           .standard_normal(shape).astype(np.float32))
+
+    from mlimgsynth_tpu.ops.attention import attention_xla
+    q = rand(2, 8, 512, 40, seed=1) * 0.5
+    k = rand(2, 8, 512, 40, seed=2) * 0.5
+    v = rand(2, 8, 512, 40, seed=3)
+    out = am.attention(q, k, v)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+    # transposed variant through the same mesh path
+    out_t = am.attention_t(q, k, v.swapaxes(-1, -2))
+    np.testing.assert_allclose(np.asarray(out_t.swapaxes(-1, -2)),
+                               np.asarray(ref), atol=2e-3, rtol=2e-3)
+    # non-dividing head count falls back to XLA (and still matches)
+    q3 = rand(2, 3, 512, 40, seed=4) * 0.5
+    k3 = rand(2, 3, 512, 40, seed=5) * 0.5
+    v3 = rand(2, 3, 512, 40, seed=6)
+    out3 = am.attention(q3, k3, v3)
+    np.testing.assert_allclose(np.asarray(out3),
+                               np.asarray(attention_xla(q3, k3, v3)),
+                               atol=2e-3, rtol=2e-3)
