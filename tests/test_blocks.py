@@ -161,3 +161,46 @@ def test_spec_trace():
     assert spec["b.weight"].shape == (1, 1, 8, 4)
     assert spec["b.weight"].kind == B.CONV_W
     assert spec["a.bias"].kind == B.VEC
+
+
+def test_attn_mhead_transposed_path_matches(monkeypatch):
+    """The MLIS_FLASH_T wiring in attn_mhead (vT projection einsum +
+    transposed kernel + transposed out-projection einsum) must produce the
+    same result as the standard einsum path.  Pallas runs interpreted on
+    CPU (pallas_call patched to interpret=True)."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    from mlimgsynth_tpu.ops import flash_attention as fa
+
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            kw.pop("compiler_params", None)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(fa.pl, "pallas_call", interp)
+
+    d_model, n_head, s = 80, 2, 512
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, s, d_model)).astype(np.float32)
+                    * 0.3)
+    spec = B.trace_spec(
+        lambda ctx, x: B.attn_mhead(ctx, "blk.attn1", x, x, x,
+                                    d_model, d_model, n_head), x)
+    params = {k: jnp.asarray(
+        rng.standard_normal(ps.shape).astype(np.float32) * 0.05)
+        for k, ps in spec.items()}
+
+    monkeypatch.setenv("MLIS_FLASH_T", "0")
+    base = B.attn_mhead(B.Ctx(params), "blk.attn1", x, x, x,
+                        d_model, d_model, n_head)
+
+    monkeypatch.setenv("MLIS_FLASH_T", "1")
+    monkeypatch.setenv("MLIS_FLASH_ATTENTION", "1")
+    out = B.attn_mhead(B.Ctx(params), "blk.attn1", x, x, x,
+                       d_model, d_model, n_head)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=2e-3, rtol=2e-3)
