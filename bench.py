@@ -170,12 +170,11 @@ def bench_config(name):
         emb = np.asarray(emb, np.float32)
         label = nlabel = None
         if clip2_p is not None:
-            emb2, _ = _clip_jit(clip2_params, tokpair, featpair,
-                                clip_p=clip2_p, submodel="clip2", clip_skip=2,
-                                norm=False, want_feat=False, dtype=dtype)
-            _, feat = _clip_jit(clip2_params, tokpair, featpair,
-                                clip_p=clip2_p, submodel="clip2", clip_skip=0,
-                                norm=True, want_feat=True, dtype=dtype)
+            # one bigG pass returns both skip-2 embeddings and the feature
+            emb2, feat = _clip_jit(clip2_params, tokpair, featpair,
+                                   clip_p=clip2_p, submodel="clip2",
+                                   clip_skip=2, norm=False, want_feat=True,
+                                   dtype=dtype)
             emb = np.concatenate([emb, np.asarray(emb2, np.float32)], -1)
             from mlimgsynth_tpu.models.blocks import timestep_embedding
             import jax.numpy as jnp2

@@ -823,11 +823,13 @@ class MLImgSynth:
                                          self.c["clip_skip"])
         label = None
         if mt.unet_p.cond_label:
-            emb2, _ = self._clip_encode_rows(rows, wrows, "clip2", False,
-                                             norm, self.c["clip_skip"])
+            # ONE clip2 (bigG) pass yields both the skip-layer embedding and
+            # the full-stack projected feature (clip_text_apply captures the
+            # skip hidden mid-stack): one dispatch + half the encoder cost
+            # vs running the tower twice
+            emb2, feat = self._clip_encode_rows(rows, wrows, "clip2", True,
+                                                norm, self.c["clip_skip"])
             cond = np.concatenate([cond, emb2], axis=-1)
-            _, feat = self._clip_encode_rows(rows, None, "clip2", True,
-                                             True, 0)
             h, w = self.c["height"], self.c["width"]
             sizes = np.array([h, w, 0, 0, h, w], np.float32)
             from .models.blocks import timestep_embedding

@@ -58,11 +58,20 @@ def clip_text_apply(ctx: B.Ctx, tokens, P: ClipParams, clip_skip: int = 0,
     """
     tpre = pre + ".text"
     x = clip_embeddings(ctx, tpre + ".embed", tokens, P).astype(ctx.dtype)
-    n_layer = P.n_layer
-    if clip_skip > 1:
-        n_layer -= clip_skip - 1
-    for i in range(n_layer):
+    n_eff = P.n_layer - (clip_skip - 1) if clip_skip > 1 else P.n_layer
+    # With both clip_skip and a feature request (SDXL's clip2), ONE pass
+    # through the full stack serves both outputs: the skip-layer hidden is
+    # captured mid-stack and the feat head reads the full-depth output
+    # (ref: the reference computes these as two separate graph builds,
+    # src/clip.c:395-446; fusing halves the bigG encoder cost).
+    n_run = P.n_layer if feat_tok_idx is not None else n_eff
+    x_skip = x if n_eff == 0 else None
+    for i in range(n_run):
         x = clip_layer(ctx, f"{tpre}.encoder.layers.{i}", x, P, mask=True)
+        if i + 1 == n_eff:
+            x_skip = x
+    if x_skip is None:          # n_eff > n_run cannot happen; guard anyway
+        x_skip = x
     feat = None
     if feat_tok_idx is not None:
         # feat path always uses the full stack + final norm (src/clip.c:446)
@@ -70,6 +79,7 @@ def clip_text_apply(ctx: B.Ctx, tokens, P: ClipParams, clip_skip: int = 0,
         p = ctx.param(tpre + ".text_proj", (P.d_embed, P.d_embed), B.MAT)
         rows = xn[jnp.arange(xn.shape[0]), feat_tok_idx]  # [N, d_embed]
         feat = jnp.dot(rows.astype(jnp.float32), p.astype(jnp.float32))
+    x = x_skip
     if norm:
         x = B.layer_norm(ctx, tpre + ".ln_final", x)
     return x, feat

@@ -99,9 +99,10 @@ def attention(q, k, v, scale=None, causal=False):
 
 def use_flash_t() -> bool:
     """Transposed-v flash kernel (d_head on MXU sublanes instead of lanes —
-    see ops/flash_attention.py).  Toggle with MLIS_FLASH_T (default pending
-    hardware A/B — see docs/BENCH.md)."""
-    return os.environ.get("MLIS_FLASH_T", "0") not in ("0", "false", "no")
+    see ops/flash_attention.py).  Default ON: measured 22.5->20.0 ms/step
+    SD1.5 and 113.6->107.6 SDXL on v5e (docs/BENCH.md); numerics checked
+    on-device by tools/flash_check.py.  Opt out with MLIS_FLASH_T=0."""
+    return os.environ.get("MLIS_FLASH_T", "1") not in ("0", "false", "no")
 
 
 def attention_t(q, k, vt, scale=None):

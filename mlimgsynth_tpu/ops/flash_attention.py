@@ -29,17 +29,12 @@ DEFAULT_BLOCK_K = 2048
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
                   kv_len: int, block_k: int, causal: bool,
-                  q_len: int, block_q: int, mask_tail: bool):
+                  q_len: int, block_q: int, mask_tail: bool, d_sum: int,
+                  single_k: bool):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
-
-    @pl.when(ik == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]            # [bq, d]  (pre-scaled by scale*log2(e))
     k = k_ref[0]            # [bk, d]
@@ -67,23 +62,46 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
         s = jax.lax.cond(ik == nk - 1, _mask, lambda s: s, s)
 
+    # v carries a ones column at index d_sum (appended by the wrapper), so
+    # the PV matmul also produces the softmax denominator Sum(p) on the MXU
+    # — the separate [bq,bk] VPU sum pass is gone.  The l recurrence is the
+    # same alpha rescale as the accumulator, so it rides along exactly.
+    if single_k:
+        # whole kv in one block: no online-softmax carry state at all
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m).astype(v_ref.dtype)
+        pv = jax.lax.dot_general(
+            p, v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0] = (pv / pv[:, d_sum:d_sum + 1]).astype(o_ref.dtype)
+        return
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     m_prev = m_scr[:]                      # [bq, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)       # [bq, 1]
-    p = jnp.exp2(s - m_new)                # [bq, bk]
+    # p materializes directly in the v dtype (bf16 on the hot path): halves
+    # the bytes of the PV input.  (f32 inputs keep f32 p: correctness-mode
+    # numerics unchanged.)
+    p = jnp.exp2(s - m_new).astype(v_ref.dtype)    # [bq, bk]
 
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_scr[:] = m_new
     pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0],
+        p, v_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc_scr[:] = acc_scr[:] * alpha + pv
 
     @pl.when(ik == nk - 1)
     def _done():
-        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        acc = acc_scr[:]
+        o_ref[0] = (acc / acc[:, d_sum:d_sum + 1]).astype(o_ref.dtype)
 
 
 def _pad_to(x, axis, size):
@@ -157,26 +175,31 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
     q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
     qp = _pad_to(_pad_to(q.reshape(b * h, sq, d), 2, dp), 1, sq_p)
     kp = _pad_to(_pad_to(k.reshape(b * h, sk, d), 2, dp), 1, sk_p)
-    vp = _pad_to(_pad_to(v.reshape(b * h, sk, d), 2, dp), 1, sk_p)
+    # ones column at index d: the PV matmul computes the softmax denominator
+    # on the MXU (see kernel).  dv <= 128 extra lanes are physically free.
+    vr = v.reshape(b * h, sk, d)
+    vr = jnp.concatenate([vr, jnp.ones(vr.shape[:2] + (1,), vr.dtype)], 2)
+    dv = d + 1
+    vp = _pad_to(vr, 1, sk_p)
 
     grid = (b * h, sq_p // bq, sk_p // bk)
     kernel = functools.partial(
         _flash_kernel, kv_len=sk, block_k=bk, causal=causal,
-        q_len=sq, block_q=bq, mask_tail=(sk_p != sk))
+        q_len=sq, block_q=bq, mask_tail=(sk_p != sk), d_sum=d,
+        single_k=(sk_p == bk))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
             pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, bk, dv), lambda bh, iq, ik: (bh, ik, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+        out_specs=pl.BlockSpec((1, bq, dv), lambda bh, iq, ik: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dv), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, dp), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
         ],
         # bh and q-blocks are independent; only the k loop carries state —
         # lets Mosaic double-buffer/pipeline across the parallel dims
@@ -202,17 +225,12 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr, *,
+def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, acc_scr, *,
                     kv_len: int, block_k: int, causal: bool,
-                    q_len: int, block_q: int, mask_tail: bool):
+                    q_len: int, block_q: int, mask_tail: bool, d_sum: int,
+                    single_k: bool):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
-
-    @pl.when(ik == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]            # [bq, d]  (pre-scaled by scale*log2(e))
     k = k_ref[0]            # [bk, d]
@@ -235,24 +253,43 @@ def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
         st = jax.lax.cond(ik == nk - 1, _mask, lambda st: st, st)
 
+    # vT carries a ones row at index d_sum: the PV matmul produces the
+    # softmax denominator on the MXU (no separate VPU sum pass)
+    if single_k:
+        m = jnp.max(st, axis=0, keepdims=True)
+        p = jnp.exp2(st - m).astype(vt_ref.dtype)
+        pvt = jax.lax.dot_general(
+            vt_ref[0], p,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0] = (pvt / pvt[d_sum:d_sum + 1, :]).astype(o_ref.dtype)
+        return
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     m_prev = m_scr[:]                       # [1, bq]
     m_cur = jnp.max(st, axis=0, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)        # [1, bq]
-    p = jnp.exp2(st - m_new)                # [bk, bq]
+    # p materializes directly in the v dtype (bf16 on the hot path): halves
+    # the bytes of the PV input; f32 inputs keep f32 p
+    p = jnp.exp2(st - m_new).astype(vt_ref.dtype)  # [bk, bq]
 
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
     m_scr[:] = m_new
     # accT[d, bq] = vT[d, bk] @ p[bk, bq]: d streams on sublanes (no 128 pad)
     pvt = jax.lax.dot_general(
-        vt_ref[0], p.astype(vt_ref.dtype),
+        vt_ref[0], p,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc_scr[:] = acc_scr[:] * alpha + pvt
 
     @pl.when(ik == nk - 1)
     def _done():
-        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        acc = acc_scr[:]
+        o_ref[0] = (acc / acc[d_sum:d_sum + 1, :]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -292,26 +329,31 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
     q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
     qp = _pad_to(_pad_to(q.reshape(b * h, sq, d), 2, dp), 1, sq_p)
     kp = _pad_to(_pad_to(k.reshape(b * h, sk, d), 2, dp), 1, sk_p)
-    vtp = _pad_to(_pad_to(vt.reshape(b * h, d, sk), 1, dp), 2, sk_p)
+    # ones row at index d: PV also produces the softmax denominator (kernel)
+    vtr = vt.reshape(b * h, d, sk)
+    vtr = jnp.concatenate(
+        [vtr, jnp.ones((b * h, 1, sk), vtr.dtype)], 1)
+    dv = (d + 1 + 15) // 16 * 16            # sublane-tile padded rows
+    vtp = _pad_to(_pad_to(vtr, 1, dv), 2, sk_p)
 
     grid = (b * h, sq_p // bq, sk_p // bk)
     kernel = functools.partial(
         _flash_kernel_t, kv_len=sk, block_k=bk, causal=causal,
-        q_len=sq, block_q=bq, mask_tail=(sk_p != sk))
+        q_len=sq, block_q=bq, mask_tail=(sk_p != sk), d_sum=d,
+        single_k=(sk_p == bk))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
             pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec((1, dp, bk), lambda bh, iq, ik: (bh, 0, ik)),
+            pl.BlockSpec((1, dv, bk), lambda bh, iq, ik: (bh, 0, ik)),
         ],
-        out_specs=pl.BlockSpec((1, dp, bq), lambda bh, iq, ik: (bh, 0, iq)),
-        out_shape=jax.ShapeDtypeStruct((b * h, dp, sq_p), q.dtype),
+        out_specs=pl.BlockSpec((1, dv, bq), lambda bh, iq, ik: (bh, 0, iq)),
+        out_shape=jax.ShapeDtypeStruct((b * h, dv, sq_p), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((1, bq), jnp.float32),
-            pltpu.VMEM((1, bq), jnp.float32),
-            pltpu.VMEM((dp, bq), jnp.float32),
+            pltpu.VMEM((dv, bq), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
