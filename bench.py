@@ -186,11 +186,24 @@ def bench_config(name):
             label, nlabel = lab[0:1], lab[1:2]
         return emb[0:1], emb[1:2], label, nlabel
 
-    # single-encoder models additionally fuse the CLIP forward into the
-    # loop program: the whole generation is ONE dispatch + ONE u8 fetch
-    fuse_encode = clip2_p is None
+    # ALL model families fuse the CLIP forward(s) into the loop program:
+    # the whole generation is ONE dispatch + ONE u8 fetch (SDXL fuses the
+    # bigG tower + feature head + size labels too).  MLIS_BENCH_FUSE=0
+    # A/Bs the separate-dispatch path.
+    fuse_encode = os.environ.get("MLIS_BENCH_FUSE", "1") != "0"
     tokrows = np.repeat(tokpair, n_batch, axis=0)  # [cond xN ; uncond xN]
     wrows = np.ones(tokrows.shape, np.float32)
+    enc_extra = ()
+    if clip2_p is not None:
+        tok2pair = np.asarray([tok.wrap_tokens(clip2_p, tok.tokenize(prompt)),
+                               tok.wrap_tokens(clip2_p, [])], np.int32)
+        tok2rows = np.repeat(tok2pair, n_batch, axis=0)
+        fidxrows = np.repeat(featpair, n_batch, axis=0)
+        from mlimgsynth_tpu.models.blocks import timestep_embedding
+        sizes = np.array([size, size, 0, 0, size, size], np.float32)
+        size_emb = np.asarray(timestep_embedding(jnp.asarray(sizes), 256),
+                              np.float32).reshape(-1)
+        enc_extra = (clip2_params, tok2rows, fidxrows, size_emb, clip2_p)
 
     def run(seed):
         plan = make_plan(cfg, (n_batch, 4, lat, lat), RngPhilox(seed=seed),
@@ -200,8 +213,9 @@ def bench_config(name):
         decode = ("tae", vae_params, None) if use_tae \
             else ("vae", vae_params, vae_p)
         if fuse_encode:
-            encode = (clip_params, tokrows, wrows, clip_p, 1,
-                      unet_p.clip_norm)
+            skip = 2 if clip2_p is not None else 1
+            encode = (clip_params, tokrows, wrows, clip_p, skip,
+                      unet_p.clip_norm) + enc_extra
             _, img, _ = run_sampler(
                 unet_params, np.zeros((n_batch, 4, lat, lat), np.float32),
                 plan, None, None, None, None, None, cfg, unet_p,

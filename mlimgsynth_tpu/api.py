@@ -844,11 +844,14 @@ class MLImgSynth:
         cond, label = self._text_cond_encode_rows([pt])
         return cond, label
 
-    def _cond_token_rows(self, pts: List[prompt_mod.PromptText]):
+    def _cond_token_rows(self, pts: List[prompt_mod.PromptText],
+                         submodel: str = "clip", want_fidx: bool = False):
         """Wrapped token rows + emphasis-weight rows for the fused-encode
-        path (CLIP forward runs inside the loop program)."""
-        P = self._mt.clip_p
-        toks_rows, wrows = [], []
+        path (CLIP forward runs inside the loop program).  With
+        ``want_fidx`` returns feature-token indices instead of weights
+        (the SDXL clip2 feature head reads the end-token position)."""
+        P = self._mt.clip_p if submodel == "clip" else self._mt.clip2_p
+        toks_rows, wrows, fidx = [], [], []
         for pt in pts:
             toks, wts = self._prompt_tokens(pt)
             wrapped = tok_mod.wrap_tokens(P, toks)
@@ -857,6 +860,10 @@ class MLImgSynth:
                 wmat[1:len(toks) + 1] = wts
             toks_rows.append(wrapped)
             wrows.append(wmat)
+            fidx.append(len(toks) + 1)
+        if want_fidx:
+            return (np.asarray(toks_rows, np.int32),
+                    np.asarray(fidx, np.int32))
         return (np.asarray(toks_rows, np.int32),
                 np.asarray(wrows, np.float32))
 
@@ -1010,22 +1017,44 @@ class MLImgSynth:
                            and self.step_observer is None
                            and not c["no_decode"] and c["vae_tile"] <= 0
                            and not c["unet_split"])
-        # conditioning.  On the single-dispatch path of single-encoder
-        # models, the CLIP forward fuses INTO the loop program
-        # (encode_spec below) and only tokens are prepared here.
+        # conditioning.  On the single-dispatch path, the CLIP forward(s)
+        # fuse INTO the loop program (encode_spec below) and only tokens
+        # are prepared here.  SDXL additionally fuses the bigG tower, the
+        # feature head, and the size-label concat (one dispatch per txt2img
+        # for every model family).
         fuse_encode = (single_dispatch and self._mesh is None
-                       and not mt.unet_p.cond_label
                        and not (c["tuflags"] & TUF_CONDITIONING))
         encode_spec = None
         if fuse_encode:
             pts = [self.prompt] + ([self.nprompt] if c["cfg_scale"] > 1
                                    else [])
             tokens, wmat = self._cond_token_rows(pts)
+            if (mt.unet_p.uncond_empty_zero and c["cfg_scale"] > 1
+                    and not c["nprompt_raw"]):
+                # zero uncond embedding rows via the weight matrix
+                # (reference: src/mlimgsynth.c:1702)
+                wmat[1] = 0.0
             if n_batch > 1:  # [cond x n ; uncond x n] row layout
                 tokens = np.repeat(tokens, n_batch, axis=0)
                 wmat = np.repeat(wmat, n_batch, axis=0)
             encode_spec = (self._get_params("clip"), tokens, wmat,
                            mt.clip_p, c["clip_skip"], mt.unet_p.clip_norm)
+            if mt.unet_p.cond_label:
+                tokens2, fidx = self._cond_token_rows(pts, submodel="clip2",
+                                                      want_fidx=True)
+                if n_batch > 1:
+                    tokens2 = np.repeat(tokens2, n_batch, axis=0)
+                    fidx = np.repeat(fidx, n_batch, axis=0)
+                h_, w_ = self.c["height"], self.c["width"]
+                from .models.blocks import timestep_embedding
+                import jax.numpy as jnp
+                sizes = np.array([h_, w_, 0, 0, h_, w_], np.float32)
+                size_emb = np.asarray(
+                    timestep_embedding(jnp.asarray(sizes), 256),
+                    np.float32).reshape(-1)
+                encode_spec = encode_spec + (
+                    self._get_params("clip2"), tokens2, fidx, size_emb,
+                    mt.clip2_p)
             cond = ncond = label = nlabel = None
         elif not (c["tuflags"] & TUF_CONDITIONING):
             ncond = nlabel = None
@@ -1113,12 +1142,16 @@ class MLImgSynth:
                           mesh=self._mesh, decode=decode_spec,
                           encode=encode_spec)
         if encode_spec is not None:
-            latent, u8, cond_dev = out
+            latent, u8, (cond_dev, lab_dev) = out
             # lazy device arrays: fetched only if a caller reads the slots
             n = latent.shape[0]
             self.tensors["cond"] = cond_dev[:n]
             self.tensors["ncond"] = (cond_dev[n:] if c["cfg_scale"] > 1
                                      else None)
+            if lab_dev is not None:   # SDXL size labels computed in-loop
+                self.tensors["label"] = lab_dev[:n]
+                self.tensors["nlabel"] = (lab_dev[n:] if c["cfg_scale"] > 1
+                                          else None)
         elif decode_spec is not None:
             latent, u8 = out
         else:

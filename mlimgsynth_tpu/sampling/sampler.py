@@ -169,25 +169,49 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
-                     "decode_kind", "vae_p", "clip_p", "clip_skip", "norm"))
+                     "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
+                     "clip2_p"))
 def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
               decode_params=None, encode=None, *, method, unet_p, use_cfg,
               use_mask, dtype, decode_kind=None, vae_p=None, clip_p=None,
-              clip_skip=0, norm=True):
-    cond_out = None
+              clip_skip=0, norm=True, clip2_p=None):
+    cond_out = lab_out = None
     if encode is not None:
         # Fused text encode: CLIP runs in the SAME program as the loop
         # (and decode) — txt2img becomes one dispatch + one fetch.
         # tokens rows are laid out like cond_all ([cond xN, uncond xN]);
-        # wmat carries the per-token A1111 emphasis weights.
+        # wmat carries the per-token A1111 emphasis weights (an all-zero
+        # uncond row implements SDXL's uncond_empty_zero).
         from ..models import blocks as B2
         from ..models import clip as clip_mod
-        clip_params, tokens, wmat = encode
-        ctx_c = B2.Ctx(clip_params, dtype=dtype)
-        emb, _ = clip_mod.clip_text_apply(ctx_c, tokens, clip_p,
-                                          clip_skip=clip_skip, norm=norm)
-        cond_out = emb.astype(jnp.float32) * wmat[:, :, None]
-        consts = (cond_out,) + consts[1:]
+        if clip2_p is None:
+            clip_params, tokens, wmat = encode
+            ctx_c = B2.Ctx(clip_params, dtype=dtype)
+            emb, _ = clip_mod.clip_text_apply(ctx_c, tokens, clip_p,
+                                              clip_skip=clip_skip, norm=norm)
+            cond_out = emb.astype(jnp.float32) * wmat[:, :, None]
+            consts = (cond_out,) + consts[1:]
+        else:
+            # SDXL dual-encoder: clip-L + bigG embeddings concat per token;
+            # the size label = bigG feature + timestep-embedded sizes
+            # (reference: mlis_text_cond_encode, src/mlimgsynth.c:1501-1563)
+            (clip_params, tokens, wmat, clip2_params, tokens2, fidx,
+             size_emb) = encode
+            ctx1 = B2.Ctx(clip_params, dtype=dtype)
+            emb1, _ = clip_mod.clip_text_apply(ctx1, tokens, clip_p,
+                                               clip_skip=clip_skip, norm=norm)
+            ctx2 = B2.Ctx(clip2_params, dtype=dtype)
+            emb2, feat = clip_mod.clip_text_apply(
+                ctx2, tokens2, clip2_p, clip_skip=clip_skip, norm=norm,
+                feat_tok_idx=fidx, pre="clip2")
+            emb = jnp.concatenate([emb1, emb2], axis=-1).astype(jnp.float32)
+            cond_out = emb * wmat[:, :, None]
+            lab_out = jnp.concatenate(
+                [feat.astype(jnp.float32),
+                 jnp.broadcast_to(size_emb[None, :],
+                                  (feat.shape[0], size_emb.shape[0]))],
+                axis=-1)
+            consts = (cond_out, lab_out) + consts[2:]
     solver, body = _make_body(params, consts, method=method, unet_p=unet_p,
                               use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
     lmask, x0_keep = consts[2], consts[3]
@@ -201,13 +225,13 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
         body, (x, sigmas0, state),
         (jnp.arange(n_step), churn_noise, anc_noise))
     if decode_kind is None:
-        return (x, cond_out) if encode is not None else x
+        return (x, cond_out, lab_out) if encode is not None else x
     # Fused final decode: loop + VAE/TAE + uint8 quantize in ONE program —
     # one dispatch and one (4x smaller) device->host fetch per generation
     # instead of loop/decode/fetch round-trips (each round-trip costs
     # ~25-30 ms on remote-attached TPU).
     img = _decode_u8(decode_params, x, decode_kind, vae_p, dtype)
-    return (x, img, cond_out) if encode is not None else (x, img)
+    return (x, img, cond_out, lab_out) if encode is not None else (x, img)
 
 
 def _decode_u8(decode_params, x, decode_kind, vae_p, dtype):
@@ -303,16 +327,28 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     x = _nhwc(x_init)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     enc_args = enc_static = None
+    enc_static2 = None
     if encode is not None:
         # fused text-encode: the caller supplies tokens laid out like
         # cond_all ([cond rows xN, uncond rows xN]); conditioning is
-        # computed inside the loop program (single-encoder models only)
+        # computed inside the loop program.  Single-encoder models pass 6
+        # entries; SDXL passes 11 (clip2 params/tokens/feat-idx/size-emb).
         assert (step_callback is None and step_observer is None
-                and mesh is None and not unet_p.ch_adm_in), \
+                and mesh is None), \
             "fused encode needs the single-dispatch path"
-        clip_params, tokens, wmat, *enc_static = encode
+        assert not unet_p.ch_adm_in or len(encode) > 6, \
+            "cond_label models need the dual-encoder encode spec"
+        clip_params, tokens, wmat = encode[:3]
+        enc_static = encode[3:6]
         enc_args = (clip_params, jnp.asarray(tokens, jnp.int32),
                     jnp.asarray(wmat, jnp.float32))
+        if len(encode) > 6:
+            clip2_params, tokens2, fidx, size_emb, clip2_p_s = encode[6:]
+            enc_args = enc_args + (
+                clip2_params, jnp.asarray(tokens2, jnp.int32),
+                jnp.asarray(fidx, jnp.int32),
+                jnp.asarray(size_emb, jnp.float32))
+            enc_static2 = clip2_p_s
         cond_all = jnp.zeros((0,), jnp.float32)  # replaced inside the jit
         label_all = None
     else:
@@ -388,7 +424,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         decode = None
     if encode is not None:
         clip_p, clip_skip, norm_flag = enc_static
-        kw_loop.update(clip_p=clip_p, clip_skip=clip_skip, norm=norm_flag)
+        kw_loop.update(clip_p=clip_p, clip_skip=clip_skip, norm=norm_flag,
+                       clip2_p=enc_static2)
 
     if step_callback is None and step_observer is None:
         if os.environ.get("MLIS_MEM_ANALYSIS"):
@@ -417,7 +454,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             parts = out if isinstance(out, tuple) else (out,)
             xl = parts[0]
             img = parts[1] if decode is not None else None
-            cond_dev = parts[-1] if encode is not None else None
+            cond_dev = parts[-2] if encode is not None else None
+            lab_dev = parts[-1] if encode is not None else None
             # each fetch is a host round-trip; skip the latent when the
             # caller doesn't need it (want_latent=False); the fused-encode
             # conditioning stays a LAZY device array (fetched only if the
@@ -428,7 +466,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             if decode is not None:
                 res.append(np.asarray(img))
             if encode is not None:
-                res.append(cond_dev)
+                res.append((cond_dev, lab_dev))
             return tuple(res) if len(res) > 1 else res[0]
         x = out
     else:

@@ -195,3 +195,42 @@ def test_fused_pipeline_matches_stepwise(ckpt, monkeypatch):
     s3.generate()
     assert s3.tensors["cond"] is not None
     assert np.asarray(s3.tensors["cond"]).shape[1] == 77
+
+def test_sdxl_fused_pipeline_matches_stepwise(tmp_path, monkeypatch):
+    """SDXL's fused single-dispatch path (clip-L + bigG + feature head +
+    size labels + loop + decode in ONE program) must match the stepwise
+    path that encodes conditioning on the host."""
+    from helpers import TINY_MODEL_TYPE_XL, write_checkpoint_sdxl
+    ckpt = tmp_path / "xl3.safetensors"
+    write_checkpoint_sdxl(ckpt)
+    patch_tiny_model_types(monkeypatch, {"sdxl": TINY_MODEL_TYPE_XL})
+
+    def make():
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(ckpt))
+        s.option_set("model-type", "sdxl")
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 3)
+        s.option_set("seed", 23)
+        s.option_set("cfg-scale", 5)
+        s.option_set("prompt", "an (sdxl:1.2) test")
+        s.option_set("nprompt", "blurry")
+        return s
+
+    fused = make().generate()
+    s2 = make()
+    s2.option_set("callback", lambda ses, prg: 0)  # forces stepwise path
+    stepwise = s2.generate()
+    np.testing.assert_allclose(fused, stepwise, atol=2e-5)
+
+    # empty nprompt: uncond_empty_zero rides the weight matrix in-loop and
+    # must still match the host path (which zeroes ncond explicitly)
+    sa = make()
+    sa.option_set("nprompt", "")
+    fused0 = sa.generate()
+    assert np.all(np.asarray(sa.tensors["ncond"]) == 0)
+    sb = make()
+    sb.option_set("nprompt", "")
+    sb.option_set("callback", lambda ses, prg: 0)
+    np.testing.assert_allclose(fused0, sb.generate(), atol=2e-5)
