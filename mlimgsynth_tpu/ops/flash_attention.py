@@ -22,17 +22,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Larger blocks measured ~10-15% faster e2e than 512x512 on v5e
-# (SD1.5 0.725->0.632s, SDXL 3.38->2.95s); tune via MLIS_FLASH_BLOCK.
-# Wide heads (dp>128) are clamped to a VMEM budget in flash_attention.
-DEFAULT_BLOCK_Q = 1024
+# (SD1.5 0.725->0.632s, SDXL 3.38->2.95s); the round-2 sweep found
+# 2048x2048 best by ~1% over 1024x2048 on both SD1.5 and SDXL (docs/
+# BENCH.md).  Tune via MLIS_FLASH_BLOCK.  Wide heads (dp>128) are
+# clamped to a VMEM budget in the wrappers.
+DEFAULT_BLOCK_Q = 2048
 DEFAULT_BLOCK_K = 2048
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                   kv_len: int, block_k: int, causal: bool,
                   q_len: int, block_q: int, mask_tail: bool, d_sum: int,
-                  single_k: bool):
+                  single_k: bool, mxu_sum: bool):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -62,10 +64,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
 
         s = jax.lax.cond(ik == nk - 1, _mask, lambda s: s, s)
 
-    # v carries a ones column at index d_sum (appended by the wrapper), so
-    # the PV matmul also produces the softmax denominator Sum(p) on the MXU
-    # — the separate [bq,bk] VPU sum pass is gone.  The l recurrence is the
-    # same alpha rescale as the accumulator, so it rides along exactly.
+    # With mxu_sum, v carries a ones column at index d_sum (appended by the
+    # wrapper), so the PV matmul also produces the softmax denominator
+    # Sum(p) on the MXU — the separate [bq,bk] VPU sum pass is gone.  The l
+    # recurrence is the same alpha rescale as the accumulator, so it rides
+    # along exactly.  mxu_sum is only enabled when d % 128 != 0: the extra
+    # column then lives in lane padding that exists anyway; for 128-multiple
+    # heads (e.g. the VAE's d=512) it would widen the padded output by a
+    # whole 128-lane tile (observed scoped-VMEM OOM at SDXL-1024 decode),
+    # so those shapes keep the VPU sum.
     if single_k:
         # whole kv in one block: no online-softmax carry state at all
         m = jnp.max(s, axis=1, keepdims=True)
@@ -74,13 +81,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
             p, v_ref[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o_ref[0] = (pv / pv[:, d_sum:d_sum + 1]).astype(o_ref.dtype)
+        if mxu_sum:
+            l = pv[:, d_sum:d_sum + 1]
+        else:
+            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+        o_ref[0] = (pv / l).astype(o_ref.dtype)
         return
 
     @pl.when(ik == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        if not mxu_sum:
+            l_scr[:] = jnp.zeros_like(l_scr)
 
     m_prev = m_scr[:]                      # [bq, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -92,6 +105,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
     p = jnp.exp2(s - m_new).astype(v_ref.dtype)    # [bq, bk]
 
     m_scr[:] = m_new
+    if not mxu_sum:
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(
+            p, axis=1, keepdims=True, dtype=jnp.float32)
     pv = jax.lax.dot_general(
         p, v_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -101,7 +117,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
     @pl.when(ik == nk - 1)
     def _done():
         acc = acc_scr[:]
-        o_ref[0] = (acc / acc[:, d_sum:d_sum + 1]).astype(o_ref.dtype)
+        l = (acc[:, d_sum:d_sum + 1] if mxu_sum else l_scr[:])
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 def _pad_to(x, axis, size):
@@ -151,21 +168,25 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
         scale = 1.0 / math.sqrt(d)
     scale = float(scale)
 
-    # pad head dim to a lane-friendly size and seqs to block multiples
+    # pad head dim to a lane-friendly size and seqs to block multiples.
+    # Keep buffers MINIMAL: XLA sometimes places the kernel's output buffer
+    # in scoped VMEM (S(1)); linear sizes near the 16MB scoped limit OOM
+    # the compile (observed at [16,4096,128] and [1,16384,513] bf16), so
+    # never grow the output beyond these long-proven shapes.
     dp = 64 if d <= 64 else (d + 127) // 128 * 128
 
-    # head-dim-aware defaults: wide heads (VAE's single 512-dim head) need
-    # smaller kv blocks to fit the f32 logits + tiles in VMEM; narrow heads
-    # (UNet d<=128) measured fastest at 1024x2048 (docs/BENCH.md)
     env_bq, env_bk = _env_blocks()
     if block_q is None:
         block_q = env_bq
     if block_k is None:
         block_k = env_bk if dp <= 128 else min(env_bk, 1024)
-    if dp > 128:
-        # VMEM budget: 4*bq*bk (logits) + tiles must stay well under ~16MB
-        while block_q * block_k * 4 + (block_q + 2 * block_k) * dp * 2                 + block_q * dp * 4 > 10 * 1024 * 1024 and block_k > 256:
-            block_k //= 2
+    # VMEM budget (unconditional, like the transposed kernel): the f32
+    # logits tile is 4*bq*bk — at 2048x2048 that alone is 16MB and the
+    # compile OOMs XLA's scoped-vmem stack ("It should not be possible to
+    # run out of scoped vmem"), so kv blocks shrink until the kernel fits
+    while block_q * block_k * 4 + (block_q + 2 * block_k) * dp * 2 \
+            + block_q * dp * 4 > 10 * 1024 * 1024 and block_k > 256:
+        block_k //= 2
     bq = min(block_q, max(256, 1 << (sq - 1).bit_length()))
     bq = min(bq, block_q)
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
@@ -175,18 +196,22 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
     q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
     qp = _pad_to(_pad_to(q.reshape(b * h, sq, d), 2, dp), 1, sq_p)
     kp = _pad_to(_pad_to(k.reshape(b * h, sk, d), 2, dp), 1, sk_p)
-    # ones column at index d: the PV matmul computes the softmax denominator
-    # on the MXU (see kernel).  dv <= 128 extra lanes are physically free.
+    # MXU softmax denominator: a ones column at index d, only when it fits
+    # inside the existing dp padding (never grows any buffer).  The default
+    # UNet path uses the transposed kernel, so shapes without spare padding
+    # here (d==64, d==512) just keep the VPU sum.
+    mxu_sum = d < dp
     vr = v.reshape(b * h, sk, d)
-    vr = jnp.concatenate([vr, jnp.ones(vr.shape[:2] + (1,), vr.dtype)], 2)
-    dv = d + 1
-    vp = _pad_to(vr, 1, sk_p)
+    dv = d + 1 if mxu_sum else dp
+    if mxu_sum:
+        vr = jnp.concatenate([vr, jnp.ones(vr.shape[:2] + (1,), vr.dtype)], 2)
+    vp = _pad_to(_pad_to(vr, 2, dv), 1, sk_p)
 
     grid = (b * h, sq_p // bq, sk_p // bk)
     kernel = functools.partial(
         _flash_kernel, kv_len=sk, block_k=bk, causal=causal,
         q_len=sq, block_q=bq, mask_tail=(sk_p != sk), d_sum=d,
-        single_k=(sk_p == bk))
+        single_k=(sk_p == bk), mxu_sum=mxu_sum)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -198,6 +223,7 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
         out_specs=pl.BlockSpec((1, bq, dv), lambda bh, iq, ik: (bh, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dv), q.dtype),
         scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, dv), jnp.float32),
         ],

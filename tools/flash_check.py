@@ -58,6 +58,18 @@ def main():
             print(f"{label:28s} [{name:3s}] finite={bool(fin)} "
                   f"maxabs={err:.4f} rel={rel:.4f} {'OK' if ok else 'BAD'}",
                   flush=True)
+    # SDXL-1024 VAE mid attention (seq 16384, single d=512 head): too big
+    # for the O(S^2) XLA reference, so finite-only — this is the shape that
+    # exposed the scoped-VMEM OOM when the padded output grew past a
+    # 128-lane tile (kernel mxu_sum gating)
+    q = jnp.asarray(rng.standard_normal((1, 1, 16384, 512))
+                    .astype(np.float32) * 0.1).astype(jnp.bfloat16)
+    o = np.asarray(fa.flash_attention(q, q, q), np.float32)
+    fin = np.isfinite(o).all()
+    bad += not fin
+    print(f"{'SDXL-1024 VAE attn (finite)':28s} [std] finite={bool(fin)} "
+          f"{'OK' if fin else 'BAD'}", flush=True)
+
     print("RESULT", "FAIL" if bad else "PASS", flush=True)
     sys.exit(1 if bad else 0)
 
