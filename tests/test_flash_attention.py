@@ -132,3 +132,39 @@ def test_compatibility_gate():
     assert not fa.flash_attention_compatible(
         jnp.zeros((1, 12, 77, 64)), jnp.zeros((1, 12, 77, 64)),
         jnp.zeros((1, 12, 77, 64)), causal=True)
+
+
+def test_vmem_budget_clamp(monkeypatch):
+    """Kernel VMEM (f32 logits + operand tiles + f32 acc) must stay under
+    ~10MB for every shape the models use: unclamped blocks OOM XLA's
+    scoped-vmem stack at compile time (docs/BENCH.md round-2).  Captures
+    the actual grid/block sizes by intercepting pallas_call."""
+    captured = {}
+    orig = fa.pl.pallas_call
+
+    def capture(kernel, *a, grid=None, in_specs=None, **kw):
+        captured["q"] = in_specs[0].block_shape
+        captured["k"] = in_specs[1].block_shape
+        captured["v"] = in_specs[2].block_shape
+        kw["interpret"] = jax.default_backend() != "tpu"
+        if kw["interpret"]:
+            kw.pop("compiler_params", None)
+        return orig(kernel, *a, grid=grid, in_specs=in_specs, **kw)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", capture)
+    shapes = [
+        (2, 8, 4096, 40),     # SD1.5
+        (2, 10, 4096, 64),    # SDXL L1
+        (1, 1, 4096, 512),    # VAE mid (wide head)
+    ]
+    for b, h, s, d in shapes:
+        q = rand(b, h, s, d, seed=1).astype(jnp.bfloat16) * 0.3
+        for fn, v in ((fa.flash_attention, q),
+                      (fa.flash_attention_t, q.swapaxes(-1, -2))):
+            captured.clear()
+            fn(q, q, v)
+            (_, a1, a2), (_, b1, b2) = captured["q"], captured["k"]
+            bq, dp = a1, a2
+            bk = b1
+            vmem = (bq * bk * 4 + (bq + 2 * bk) * dp * 2 + bq * dp * 4)
+            assert vmem <= 10 * 1024 * 1024, (fn.__name__, b, h, s, d, vmem)
