@@ -8,7 +8,8 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
   sd15: SD1.5 512px, 20 Euler steps, cfg 7      (baseline 1.0 s)
   sdxl: SDXL 1024px, 20 Euler steps, cfg 7, dual text encoders
         (baseline 4.0 s)
-  sd21, sd15-tae: further BASELINE configs
+  sd21, sd15-tae, sd15-i2i: further BASELINE configs (sd15-i2i =
+        config 4: img2img f_t_ini 0.75 + circular alpha-mask inpainting)
   suffix -b8: batch-8 throughput (s/image at batch 8)
   suffix -q8: int8 weights (MLIS_Q8_MODE=int8|dq selects MXU strategy)
 
@@ -83,6 +84,12 @@ def bench_config(name):
     if m:
         n_batch = int(m.group(1))
         name_base = name_base[:m.start()]
+    # BASELINE config 4: img2img (f_t_ini 0.75) + alpha-mask inpainting.
+    # (LoRA merging is a load-time cost on the host path, not part of the
+    # per-image latency; it is covered by tests/test_api_models.py.)
+    use_i2i = name_base == "sd15-i2i"
+    if use_i2i:
+        name_base = "sd15"
     if name_base == "sdxl":
         size, baseline = 1024, 4.0
         unet_p, clip_p, clip2_p, vae_p = (U.UNET_SDXL, C.CLIP_VIT_L_14,
@@ -136,6 +143,12 @@ def bench_config(name):
             lambda ctx, x: V.vae_decode_apply(ctx, x, vae_p),
             jnp.zeros((1, 8, 8, 4)))
     vae_params = synth_params(spec_v, 1)
+    venc_params = None
+    if use_i2i:
+        spec_ve = B.trace_spec(
+            lambda ctx, x: V.vae_encode_apply(ctx, x, vae_p),
+            jnp.zeros((1, 64, 64, 3)))
+        venc_params = synth_params(spec_ve, 4)
     spec_c = B.trace_spec(
         lambda ctx, toks: C.clip_text_apply(ctx, toks, clip_p),
         jnp.zeros((1, 77), jnp.int32))
@@ -155,7 +168,29 @@ def bench_config(name):
     ntoks = tok.wrap_tokens(clip_p, [])
     n_tok = len(tok.tokenize(prompt))
     cfg = SamplerConfig(method=method, sched="uniform", n_step=STEPS,
-                        cfg_scale=CFG)
+                        cfg_scale=CFG, f_t_ini=(0.75 if use_i2i else 1.0))
+
+    init_latent = np.zeros((n_batch, 4, lat, lat), np.float32)
+    lmask = None
+    if use_i2i:
+        # synthetic init image + circular alpha mask (the runtime path of
+        # BASELINE config 4): encode rides a separate dispatch like the
+        # session's image_encode, so it is part of the measured e2e
+        from mlimgsynth_tpu.api import _vae_encode_jit
+        from mlimgsynth_tpu.utils import image as image_mod
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+        init_img = np.stack([xx, yy, 0.5 * (xx + yy)])[None]  # [1,3,H,W]
+        r2 = (xx - 0.5) ** 2 + (yy - 0.5) ** 2
+        mask = (r2 < 0.3 ** 2).astype(np.float32)[None, None]  # [1,1,H,W]
+        lmask = np.repeat(image_mod.mask_downsize(mask, 8), n_batch, 0)
+
+        def encode_init():
+            x = init_img * 2.0 - 1.0
+            mom = np.asarray(_vae_encode_jit(
+                venc_params, x.transpose(0, 2, 3, 1), vae_p=vae_p,
+                dtype=dtype), np.float32).transpose(0, 3, 1, 2)
+            mean = mom[:, :vae_p.ch_z] * vae_p.scale_factor
+            return np.repeat(mean, n_batch, 0).astype(np.float32)
 
     # cond and uncond ride ONE batched CLIP call (row 0 = prompt, row 1 =
     # empty): halves the text-encode dispatches per generation
@@ -206,6 +241,7 @@ def bench_config(name):
         enc_extra = (clip2_params, tok2rows, fidxrows, size_emb, clip2_p)
 
     def run(seed):
+        x0 = encode_init() if use_i2i else init_latent
         plan = make_plan(cfg, (n_batch, 4, lat, lat), RngPhilox(seed=seed),
                          nfe_per_dxdt=2)
         # decode fused into the loop program; skip the latent fetch —
@@ -217,9 +253,8 @@ def bench_config(name):
             encode = (clip_params, tokrows, wrows, clip_p, skip,
                       unet_p.clip_norm) + enc_extra
             _, img, _ = run_sampler(
-                unet_params, np.zeros((n_batch, 4, lat, lat), np.float32),
-                plan, None, None, None, None, None, cfg, unet_p,
-                dtype=dtype, decode=decode, want_latent=False,
+                unet_params, x0, plan, None, None, None, None, lmask,
+                cfg, unet_p, dtype=dtype, decode=decode, want_latent=False,
                 encode=encode)
             return img
         emb, nemb, label, nlabel = encode_both()
@@ -230,9 +265,8 @@ def bench_config(name):
                 else None
             nlabel = np.repeat(nlabel, n_batch, 0) if nlabel is not None \
                 else None
-        _, img = run_sampler(unet_params,
-                             np.zeros((n_batch, 4, lat, lat), np.float32),
-                             plan, emb, nemb, label, nlabel, None,
+        _, img = run_sampler(unet_params, x0,
+                             plan, emb, nemb, label, nlabel, lmask,
                              cfg, unet_p, dtype=dtype, decode=decode,
                              want_latent=False)
         return img
@@ -271,6 +305,8 @@ def bench_config(name):
             f"(reference claims SDXL <= 4 GiB with unet-split+vae-tile)")
     label = {"sdxl": "SDXL", "sd21": "SD2.1 dpm++2m vparam",
              "sd15-tae": "SD1.5+TAE"}.get(name_base, "SD1.5")
+    if use_i2i:
+        label += " img2img+inpaint"
     if use_q8:
         label += " int8-weights"
     if n_batch > 1:

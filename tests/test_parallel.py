@@ -120,12 +120,14 @@ def test_generate_tp_dp_matches_single(tmp_path, monkeypatch):
     s = make(2, 2)
     img = s.generate()
     assert s._mesh is not None and s._mesh.shape == {"dp": 2, "tp": 2}
-    # different reduction orders over the mesh -> small float drift only
-    np.testing.assert_allclose(img, base, atol=2e-3)
+    # different reduction orders over the mesh -> small float drift; the
+    # output is uint8-quantized, so drift near a rounding boundary shows as
+    # exactly one 1/255 level on isolated pixels — allow one level
+    np.testing.assert_allclose(img, base, atol=1.5 / 255)
 
     # dp-only path (replicated weights, sharded batch)
     img_dp = make(1, 2).generate()
-    np.testing.assert_allclose(img_dp, base, atol=2e-3)
+    np.testing.assert_allclose(img_dp, base, atol=1.5 / 255)
 
 
 def test_tp_option_needs_devices(monkeypatch):
