@@ -121,6 +121,41 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+def _scoped_vmem(bq, bk, dp, dv, itemsize):
+    """Model of the kernel's contribution to XLA's scoped-VMEM stack,
+    calibrated against observed compile OOMs and passes: double-buffered
+    operand/output block windows + declared f32 scratch + the [bq,bk]
+    matmul operands that DO materialize in VMEM (the f32 QK product and
+    the low-precision p fed to the PV matmul)."""
+    windows = 2 * (bq * dp + bk * dp + bk * dv + bq * dv) * itemsize
+    scratch = bq * dv * 4 + 2 * bq * 4        # acc + m/l
+    logits = bq * bk * (4 + itemsize)         # sT (f32) + p (input dtype)
+    return windows + scratch + logits
+
+
+def _clamp_blocks(bq, bk, dp, dv, itemsize, out_bytes):
+    """Keep the kernel's scoped-VMEM use + any S(1)-promoted output inside
+    XLA's ~16MB scoped stack; exceeding it is a hard compile error ("It
+    should not be possible to run out of scoped vmem").  Calibration
+    points (all observed on v5e):
+
+    * (2048,1024) blocks at d<=64: model 15.0M -> compiles (the proven
+      hot config for SD1.5/SDXL, standalone and in-loop);
+    * (2048,2048) at d=40: fails standalone at 19.32M reported;
+    * wide-head (2048,256) d=512: fails at 16.16M reported;
+    * outputs whose linear size is 10-18M can additionally be promoted
+      into the stack (S(1); 13.1M SD2-768 and 16.8M VAE-1024 cases) ->
+      subtract them from the budget."""
+    budget = int(15.5 * 1024 * 1024)
+    if 10 * 1024 * 1024 <= out_bytes < 18 * 1024 * 1024:
+        budget = max(budget - out_bytes, 1024 * 1024)
+    while _scoped_vmem(bq, bk, dp, dv, itemsize) > budget and bk > 256:
+        bk //= 2
+    while _scoped_vmem(bq, bk, dp, dv, itemsize) > budget and bq > 512:
+        bq //= 2
+    return bq, bk
+
+
 def _pad_to(x, axis, size):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -180,16 +215,13 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
         block_q = env_bq
     if block_k is None:
         block_k = env_bk if dp <= 128 else min(env_bk, 1024)
-    # VMEM budget (unconditional, like the transposed kernel): the f32
-    # logits tile is 4*bq*bk — at 2048x2048 that alone is 16MB and the
-    # compile OOMs XLA's scoped-vmem stack ("It should not be possible to
-    # run out of scoped vmem"), so kv blocks shrink until the kernel fits
-    while block_q * block_k * 4 + (block_q + 2 * block_k) * dp * 2 \
-            + block_q * dp * 4 > 10 * 1024 * 1024 and block_k > 256:
-        block_k //= 2
     bq = min(block_q, max(256, 1 << (sq - 1).bit_length()))
     bq = min(bq, block_q)
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    dv0 = d + 1 if d < dp else dp           # actual output minor (below)
+    it = q.dtype.itemsize
+    bq, bk = _clamp_blocks(
+        bq, bk, dp, dv0, it, b * h * pl.cdiv(sq, bq) * bq * dv0 * it)
     sq_p = pl.cdiv(sq, bq) * bq
     sk_p = pl.cdiv(sk, bk) * bk
 
@@ -343,12 +375,12 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
         block_q = env_bq
     if block_k is None:
         block_k = env_bk
-    # VMEM budget: f32 sT/p + q/k tiles + f32 acc must fit comfortably
-    while block_q * block_k * 4 + (block_q + 2 * block_k) * dp * 2 \
-            + block_q * dp * 4 > 10 * 1024 * 1024 and block_k > 256:
-        block_k //= 2
     bq = min(block_q, max(256, 1 << (sq - 1).bit_length()))
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    dv0 = (d + 1 + 15) // 16 * 16
+    it = q.dtype.itemsize
+    bq, bk = _clamp_blocks(
+        bq, bk, dp, dv0, it, b * h * dv0 * pl.cdiv(sq, bq) * bq * it)
     sq_p = pl.cdiv(sq, bq) * bq
     sk_p = pl.cdiv(sk, bk) * bk
 
