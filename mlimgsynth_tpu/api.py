@@ -1017,12 +1017,14 @@ class MLImgSynth:
                            and self.step_observer is None
                            and not c["no_decode"] and c["vae_tile"] <= 0
                            and not c["unet_split"])
-        # conditioning.  On the single-dispatch path, the CLIP forward(s)
-        # fuse INTO the loop program (encode_spec below) and only tokens
-        # are prepared here.  SDXL additionally fuses the bigG tower, the
-        # feature head, and the size-label concat (one dispatch per txt2img
-        # for every model family).
-        fuse_encode = (single_dispatch and self._mesh is None
+        # conditioning.  The CLIP forward(s) fuse INTO the loop program
+        # (encode_spec below) and only tokens are prepared here — on the
+        # single-dispatch path AND on the cancellable (step-callback) path,
+        # where the encode rides the first chunk's dispatch.  SDXL
+        # additionally fuses the bigG tower, the feature head, and the
+        # size-label concat.
+        fuse_encode = (self.step_observer is None and self._mesh is None
+                       and not c["unet_split"]
                        and not (c["tuflags"] & TUF_CONDITIONING))
         encode_spec = None
         if fuse_encode:
@@ -1056,6 +1058,9 @@ class MLImgSynth:
                     self._get_params("clip2"), tokens2, fidx, size_emb,
                     mt.clip2_p)
             cond = ncond = label = nlabel = None
+            # the encode compute rides the first loop dispatch; the stage
+            # event still fires for callback clients (reference contract)
+            self._cb(STAGE_COND_ENCODE, 1, 1)
         elif not (c["tuflags"] & TUF_CONDITIONING):
             ncond = nlabel = None
             if c["cfg_scale"] > 1:
@@ -1123,11 +1128,13 @@ class MLImgSynth:
                     return True
                 return False
 
-        # Fused decode: on the single-dispatch path, run loop + VAE/TAE +
-        # u8 quantize as ONE compiled program (one dispatch + one image
-        # fetch per generation).
+        # Fused decode: run loop + VAE/TAE + u8 quantize in ONE compiled
+        # program.  On the single-dispatch path that makes the whole
+        # generation one dispatch + one image fetch; on the cancellable
+        # (step-callback) path the decode rides the final chunk's dispatch.
         decode_spec = None
-        if single_dispatch:
+        if (self.step_observer is None and not c["no_decode"]
+                and c["vae_tile"] <= 0 and not c["unet_split"]):
             if c["tae"]:
                 decode_spec = ("tae", self._get_params("tae"), None)
             else:
@@ -1142,7 +1149,10 @@ class MLImgSynth:
                           mesh=self._mesh, decode=decode_spec,
                           encode=encode_spec)
         if encode_spec is not None:
-            latent, u8, (cond_dev, lab_dev) = out
+            if decode_spec is not None:
+                latent, u8, (cond_dev, lab_dev) = out
+            else:
+                latent, (cond_dev, lab_dev) = out
             # lazy device arrays: fetched only if a caller reads the slots
             n = latent.shape[0]
             self.tensors["cond"] = cond_dev[:n]
@@ -1278,16 +1288,49 @@ class MLImgSynth:
             seeds = [int(r["seed"]) if r.get("seed") is not None
                      else self.rng.seed + i
                      for i, r in enumerate(requests)]
-            cond, label = self._text_cond_encode_rows(pts)
-            ncond = nlabel = None
-            if use_cfg:
-                npts = [self._parse_prompt_text(str(r.get("nprompt", "")))
-                        for r in requests]
-                ncond, nlabel = self._text_cond_encode_rows(npts)
+            cond = ncond = label = nlabel = None
+            npts = ([self._parse_prompt_text(str(r.get("nprompt", "")))
+                     for r in requests] if use_cfg else [])
+            fuse_encode = self._mesh is None and not c["unet_split"]
+            encode_spec = None
+            if fuse_encode:
+                # text encode rides the batch's FIRST chunk dispatch; rows
+                # follow the loop's [cond xN ; uncond xN] layout
+                rows_pts = pts + npts
+                tokens, wmat = self._cond_token_rows(rows_pts)
+                if use_cfg and mt.unet_p.uncond_empty_zero:
+                    for i, r in enumerate(requests):
+                        if not r.get("nprompt"):
+                            wmat[n + i] = 0.0
+                encode_spec = (self._get_params("clip"), tokens, wmat,
+                               mt.clip_p, c["clip_skip"],
+                               mt.unet_p.clip_norm)
+                if mt.unet_p.cond_label:
+                    tokens2, fidx = self._cond_token_rows(
+                        rows_pts, submodel="clip2", want_fidx=True)
+                    h_, w_ = c["height"], c["width"]
+                    from .models.blocks import timestep_embedding
+                    import jax.numpy as jnp
+                    sizes = np.array([h_, w_, 0, 0, h_, w_], np.float32)
+                    size_emb = np.asarray(
+                        timestep_embedding(jnp.asarray(sizes), 256),
+                        np.float32).reshape(-1)
+                    encode_spec = encode_spec + (
+                        self._get_params("clip2"), tokens2, fidx, size_emb,
+                        mt.clip2_p)
+            elif use_cfg:
+                # prompts AND nprompts ride the same batched encoder
+                # call(s): one dispatch per tower for the whole merged batch
+                both, lboth = self._text_cond_encode_rows(pts + npts)
+                cond, ncond = both[:n], both[n:]
+                label = lboth[:n] if lboth is not None else None
+                nlabel = lboth[n:] if lboth is not None else None
                 if mt.unet_p.uncond_empty_zero:
                     for i, r in enumerate(requests):
                         if not r.get("nprompt"):
                             ncond[i] = 0.0
+            else:
+                cond, label = self._text_cond_encode_rows(pts)
 
             scfg = SamplerConfig(
                 method=c["method"], sched=c["scheduler"], n_step=c["steps"],
@@ -1313,11 +1356,16 @@ class MLImgSynth:
             decode_spec = (("tae", self._get_params("tae"), None)
                            if c["tae"] else
                            ("vae", self._get_params("vae"), mt.vae_p))
-            latent, u8 = run_sampler(params, latent, plan, cond, ncond,
-                                     label, nlabel, init_lmask, scfg,
-                                     mt.unet_p, dtype=self._dtype,
-                                     step_callback=step_callback,
-                                     mesh=self._mesh, decode=decode_spec)
+            out = run_sampler(params, latent, plan, cond, ncond,
+                              label, nlabel, init_lmask, scfg,
+                              mt.unet_p, dtype=self._dtype,
+                              step_callback=step_callback,
+                              mesh=self._mesh, decode=decode_spec,
+                              encode=encode_spec)
+            if encode_spec is not None:
+                latent, u8, _cond_pair = out
+            else:
+                latent, u8 = out
             if u8 is None:  # aborted by the callback before the last chunk
                 raise Aborted("generation cancelled")
             if not np.isfinite(latent).all():

@@ -166,6 +166,47 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
     return solver, body
 
 
+def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
+    """Fused text encode: CLIP runs in the SAME program as the (first chunk
+    of the) loop.  Token rows are laid out like cond_all ([cond xN, uncond
+    xN]); wmat carries the per-token A1111 emphasis weights (an all-zero
+    uncond row implements SDXL's uncond_empty_zero).  Returns the consts
+    tuple with the computed conditioning (and, for SDXL, size labels)
+    substituted, plus the raw conditioning arrays for the caller."""
+    from ..models import blocks as B2
+    from ..models import clip as clip_mod
+    lab_out = None
+    if clip2_p is None:
+        clip_params, tokens, wmat = encode
+        ctx_c = B2.Ctx(clip_params, dtype=dtype)
+        emb, _ = clip_mod.clip_text_apply(ctx_c, tokens, clip_p,
+                                          clip_skip=clip_skip, norm=norm)
+        cond_out = emb.astype(jnp.float32) * wmat[:, :, None]
+        consts = (cond_out,) + consts[1:]
+    else:
+        # SDXL dual-encoder: clip-L + bigG embeddings concat per token;
+        # the size label = bigG feature + timestep-embedded sizes
+        # (reference: mlis_text_cond_encode, src/mlimgsynth.c:1501-1563)
+        (clip_params, tokens, wmat, clip2_params, tokens2, fidx,
+         size_emb) = encode
+        ctx1 = B2.Ctx(clip_params, dtype=dtype)
+        emb1, _ = clip_mod.clip_text_apply(ctx1, tokens, clip_p,
+                                           clip_skip=clip_skip, norm=norm)
+        ctx2 = B2.Ctx(clip2_params, dtype=dtype)
+        emb2, feat = clip_mod.clip_text_apply(
+            ctx2, tokens2, clip2_p, clip_skip=clip_skip, norm=norm,
+            feat_tok_idx=fidx, pre="clip2")
+        emb = jnp.concatenate([emb1, emb2], axis=-1).astype(jnp.float32)
+        cond_out = emb * wmat[:, :, None]
+        lab_out = jnp.concatenate(
+            [feat.astype(jnp.float32),
+             jnp.broadcast_to(size_emb[None, :],
+                              (feat.shape[0], size_emb.shape[0]))],
+            axis=-1)
+        consts = (cond_out, lab_out) + consts[2:]
+    return consts, cond_out, lab_out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
@@ -177,41 +218,8 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
               clip_skip=0, norm=True, clip2_p=None):
     cond_out = lab_out = None
     if encode is not None:
-        # Fused text encode: CLIP runs in the SAME program as the loop
-        # (and decode) — txt2img becomes one dispatch + one fetch.
-        # tokens rows are laid out like cond_all ([cond xN, uncond xN]);
-        # wmat carries the per-token A1111 emphasis weights (an all-zero
-        # uncond row implements SDXL's uncond_empty_zero).
-        from ..models import blocks as B2
-        from ..models import clip as clip_mod
-        if clip2_p is None:
-            clip_params, tokens, wmat = encode
-            ctx_c = B2.Ctx(clip_params, dtype=dtype)
-            emb, _ = clip_mod.clip_text_apply(ctx_c, tokens, clip_p,
-                                              clip_skip=clip_skip, norm=norm)
-            cond_out = emb.astype(jnp.float32) * wmat[:, :, None]
-            consts = (cond_out,) + consts[1:]
-        else:
-            # SDXL dual-encoder: clip-L + bigG embeddings concat per token;
-            # the size label = bigG feature + timestep-embedded sizes
-            # (reference: mlis_text_cond_encode, src/mlimgsynth.c:1501-1563)
-            (clip_params, tokens, wmat, clip2_params, tokens2, fidx,
-             size_emb) = encode
-            ctx1 = B2.Ctx(clip_params, dtype=dtype)
-            emb1, _ = clip_mod.clip_text_apply(ctx1, tokens, clip_p,
-                                               clip_skip=clip_skip, norm=norm)
-            ctx2 = B2.Ctx(clip2_params, dtype=dtype)
-            emb2, feat = clip_mod.clip_text_apply(
-                ctx2, tokens2, clip2_p, clip_skip=clip_skip, norm=norm,
-                feat_tok_idx=fidx, pre="clip2")
-            emb = jnp.concatenate([emb1, emb2], axis=-1).astype(jnp.float32)
-            cond_out = emb * wmat[:, :, None]
-            lab_out = jnp.concatenate(
-                [feat.astype(jnp.float32),
-                 jnp.broadcast_to(size_emb[None, :],
-                                  (feat.shape[0], size_emb.shape[0]))],
-                axis=-1)
-            consts = (cond_out, lab_out) + consts[2:]
+        consts, cond_out, lab_out = _fused_encode(
+            encode, consts, dtype, clip_p, clip_skip, norm, clip2_p)
     solver, body = _make_body(params, consts, method=method, unet_p=unet_p,
                               use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
     lmask, x0_keep = consts[2], consts[3]
@@ -264,24 +272,35 @@ def _step_jit(params, carry, i, c_noise, a_noise, consts,
 @functools.partial(
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
-                     "decode_kind", "vae_p"))
+                     "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
+                     "clip2_p"))
 def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
-               decode_params=None, *, method, unet_p, use_cfg, use_mask,
-               dtype, decode_kind=None, vae_p=None):
+               decode_params=None, encode=None, *, method, unet_p, use_cfg,
+               use_mask, dtype, decode_kind=None, vae_p=None, clip_p=None,
+               clip_skip=0, norm=True, clip2_p=None):
     """Scan a fixed-size chunk of steps from an arbitrary carry: progress
     callbacks fire between chunks with 1/chunk the dispatch overhead.
     With ``decode_kind`` (the FINAL chunk of a run), the image decode +
-    u8 quantize rides the same dispatch."""
+    u8 quantize rides the same dispatch; with ``encode`` (the FIRST chunk),
+    the text encode does — the cancellable path then spends zero extra
+    dispatches on encode/decode."""
+    cond_out = lab_out = None
+    if encode is not None:
+        consts, cond_out, lab_out = _fused_encode(
+            encode, consts, dtype, clip_p, clip_skip, norm, clip2_p)
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
     k = c_noise_chunk.shape[0]
     carry, _ = jax.lax.scan(
         body, carry,
         (i0 + jnp.arange(k), c_noise_chunk, a_noise_chunk))
-    if decode_kind is None:
-        return carry
-    return carry, _decode_u8(decode_params, carry[0], decode_kind, vae_p,
-                             dtype)
+    out = (carry,)
+    if decode_kind is not None:
+        out = out + (_decode_u8(decode_params, carry[0], decode_kind, vae_p,
+                                dtype),)
+    if encode is not None:
+        out = out + (cond_out, lab_out)
+    return out[0] if len(out) == 1 else out
 
 
 @functools.partial(
@@ -333,9 +352,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         # cond_all ([cond rows xN, uncond rows xN]); conditioning is
         # computed inside the loop program.  Single-encoder models pass 6
         # entries; SDXL passes 11 (clip2 params/tokens/feat-idx/size-emb).
-        assert (step_callback is None and step_observer is None
-                and mesh is None), \
-            "fused encode needs the single-dispatch path"
+        assert step_observer is None and mesh is None, \
+            "fused encode: no step observer / mesh"
         assert not unet_p.ch_adm_in or len(encode) > 6, \
             "cond_label models need the dual-encoder encode spec"
         clip_params, tokens, wmat = encode[:3]
@@ -477,13 +495,38 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             chunk = 1  # observers need every step
         i = 0
         img_u8 = None
+        cond_dev = lab_dev = None
+        enc_first = enc_args     # text encode rides the FIRST chunk
         while i < plan.n_step:
             k = min(chunk, plan.n_step - i)
             final = decode is not None and i + k == plan.n_step
-            if final:  # decode rides the last chunk's dispatch
-                carry, img_u8 = _chunk_jit(params, carry, jnp.int32(i),
-                                           churn[i:i + k], anc[i:i + k],
-                                           consts, decode_params, **kw_loop)
+            if enc_first is not None:
+                kwf = dict(kw, clip_p=kw_loop.get("clip_p"),
+                           clip_skip=kw_loop.get("clip_skip", 0),
+                           norm=kw_loop.get("norm", True),
+                           clip2_p=kw_loop.get("clip2_p"))
+                if final:
+                    kwf.update(decode_kind=kw_loop["decode_kind"],
+                               vae_p=kw_loop["vae_p"])
+                out = _chunk_jit(params, carry, jnp.int32(i),
+                                 churn[i:i + k], anc[i:i + k], consts,
+                                 decode_params if final else None,
+                                 enc_first, **kwf)
+                if final:
+                    carry, img_u8, cond_dev, lab_dev = out
+                else:
+                    carry, cond_dev, lab_dev = out
+                # subsequent chunks take the device-resident conditioning
+                consts = (cond_dev,
+                          lab_dev if lab_dev is not None else consts[1]) \
+                    + consts[2:]
+                enc_first = None
+            elif final:  # decode rides the last chunk's dispatch
+                carry, img_u8 = _chunk_jit(
+                    params, carry, jnp.int32(i), churn[i:i + k],
+                    anc[i:i + k], consts, decode_params,
+                    **dict(kw, decode_kind=kw_loop["decode_kind"],
+                           vae_p=kw_loop["vae_p"]))
             elif k == 1:
                 carry = _step_jit(params, carry, jnp.int32(i), churn[i],
                                   anc[i], consts, **kw)
@@ -498,9 +541,15 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             if step_callback is not None and step_callback(i, plan.n_step):
                 break
         x = carry[0]
-        if decode is not None:
+        if decode is not None or encode is not None:
             lat = (np.asarray(x, np.float32).transpose(0, 3, 1, 2)
                    if want_latent else None)
-            # img_u8 is None when the callback aborted before the end
-            return lat, (np.asarray(img_u8) if img_u8 is not None else None)
+            res = [lat]
+            if decode is not None:
+                # img_u8 is None when the callback aborted before the end
+                res.append(np.asarray(img_u8) if img_u8 is not None
+                           else None)
+            if encode is not None:
+                res.append((cond_dev, lab_dev))
+            return tuple(res)
     return np.asarray(x, np.float32).transpose(0, 3, 1, 2)

@@ -234,3 +234,33 @@ def test_sdxl_fused_pipeline_matches_stepwise(tmp_path, monkeypatch):
     sb.option_set("nprompt", "")
     sb.option_set("callback", lambda ses, prg: 0)
     np.testing.assert_allclose(fused0, sb.generate(), atol=2e-5)
+
+def test_chunked_encode_matches_host_encode(ckpt, monkeypatch):
+    """The cancellable (step-callback) path fuses text-encode into the
+    first chunk; it must match the host-encode path (forced via
+    unet_split, which keeps encode on the host for stage-wise weight
+    residency)."""
+    patch_tiny_model_types(monkeypatch)
+
+    def make(**opts):
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(ckpt))
+        s.option_set("model-type", "sd1")
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 3)
+        s.option_set("seed", 31)
+        s.option_set("prompt", "a (chunked:1.2) encode test")
+        for k, v in opts.items():
+            s.option_set(k.replace("_", "-"), v)
+        return s
+
+    s1 = make()
+    s1.option_set("callback", lambda ses, prg: 0)   # chunked, fused encode
+    chunked = s1.generate()
+    assert np.asarray(s1.tensors["cond"]).shape[1] == 77  # slots populated
+
+    s2 = make(unet_split=1)
+    s2.option_set("callback", lambda ses, prg: 0)   # chunked, HOST encode
+    host = s2.generate()
+    np.testing.assert_allclose(chunked, host, atol=2e-5)
