@@ -1011,12 +1011,6 @@ class MLImgSynth:
         if lmask is not None:
             log.info("In-painting with mask")
 
-        # Single-dispatch eligibility: nothing observes the loop, the
-        # decode is untiled, and weights are not staged (unet_split).
-        single_dispatch = (self.callback is None
-                           and self.step_observer is None
-                           and not c["no_decode"] and c["vae_tile"] <= 0
-                           and not c["unet_split"])
         # conditioning.  The CLIP forward(s) fuse INTO the loop program
         # (encode_spec below) and only tokens are prepared here — on the
         # single-dispatch path AND on the cancellable (step-callback) path,
