@@ -143,11 +143,13 @@ def _clamp_blocks(bq, bk, dp, dv, itemsize, out_bytes):
       hot config for SD1.5/SDXL, standalone and in-loop);
     * (2048,2048) at d=40: fails standalone at 19.32M reported;
     * wide-head (2048,256) d=512: fails at 16.16M reported;
-    * outputs whose linear size is 10-18M can additionally be promoted
-      into the stack (S(1); 13.1M SD2-768 and 16.8M VAE-1024 cases) ->
-      subtract them from the budget."""
+    * outputs up to at least 20M linear can additionally be promoted
+      into the stack (S(1); observed at 5.4M, 13.1M, 16.8M and 20M —
+      padding the output BIGGER to dodge promotion does NOT work) ->
+      subtract them from the budget.  25M+ outputs (SDXL L1) have
+      compiled unpromoted across many runs; treated as safe."""
     budget = int(15.5 * 1024 * 1024)
-    if 10 * 1024 * 1024 <= out_bytes < 18 * 1024 * 1024:
+    if 10 * 1024 * 1024 <= out_bytes < 21.5 * 1024 * 1024:
         budget = max(budget - out_bytes, 1024 * 1024)
     while _scoped_vmem(bq, bk, dp, dv, itemsize) > budget and bk > 256:
         bk //= 2
@@ -379,8 +381,8 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     dv0 = (d + 1 + 15) // 16 * 16
     it = q.dtype.itemsize
-    bq, bk = _clamp_blocks(
-        bq, bk, dp, dv0, it, b * h * dv0 * pl.cdiv(sq, bq) * bq * it)
+    out0 = b * h * dv0 * pl.cdiv(sq, bq) * bq * it
+    bq, bk = _clamp_blocks(bq, bk, dp, dv0, it, out0)
     sq_p = pl.cdiv(sq, bq) * bq
     sk_p = pl.cdiv(sk, bk) * bk
 
@@ -391,7 +393,7 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
     vtr = vt.reshape(b * h, d, sk)
     vtr = jnp.concatenate(
         [vtr, jnp.ones((b * h, 1, sk), vtr.dtype)], 1)
-    dv = (d + 1 + 15) // 16 * 16            # sublane-tile padded rows
+    dv = dv0                                # sublane-tile padded rows
     vtp = _pad_to(_pad_to(vtr, 1, dv), 2, sk_p)
 
     grid = (b * h, sq_p // bq, sk_p // bk)
