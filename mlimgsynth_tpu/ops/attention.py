@@ -84,9 +84,11 @@ def attention(q, k, v, scale=None, causal=False):
     if "attn" in os.environ.get("MLIS_ABLATE", ""):
         # perf-attribution mode (tools/step_bench.py): skip the softmax
         # attention itself, keep projections — NOT for real generation
-        return jnp.broadcast_to(jnp.mean(v, axis=2, keepdims=True), q.shape[:3] + (v.shape[-1],))
+        mean_v = jnp.mean(v, axis=2, keepdims=True)
+        return jnp.broadcast_to(mean_v, q.shape[:3] + (v.shape[-1],))
     if use_flash():
-        from .flash_attention import flash_attention_compatible, flash_attention
+        from .flash_attention import (flash_attention,
+                                      flash_attention_compatible)
         if flash_attention_compatible(q, k, v, causal):
             fn = functools.partial(flash_attention, scale=scale, causal=causal)
             if MESH is not None:
