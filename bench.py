@@ -329,7 +329,19 @@ def main():
     which = os.environ.get("MLIS_BENCH", "sd15")
     configs = (["sd15", "sdxl", "sd21", "sd15-tae"] if which == "all"
                else which.split(","))
-    results = [bench_config(c) for c in configs]
+    results = []
+    for c in configs:
+        try:
+            results.append(bench_config(c))
+        except Exception as e:
+            # XLA's scoped-VMEM output promotion is nondeterministic
+            # (docs/BENCH.md): an identical program can OOM the compile on
+            # one attempt and pass on the next.  Retry once.
+            if "vmem" in str(e).lower() or "scoped" in str(e).lower():
+                log(f"[{c}] scoped-vmem compile roulette; retrying once")
+                results.append(bench_config(c))
+            else:
+                raise
     for r in results[1:]:
         log(json.dumps(r))
     print(json.dumps(results[0]))
