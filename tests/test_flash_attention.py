@@ -140,16 +140,14 @@ def test_vmem_budget_clamp(monkeypatch):
     scoped-vmem stack at compile time (docs/BENCH.md round-2).  Captures
     the actual grid/block sizes by intercepting pallas_call."""
     captured = {}
-    orig = fa.pl.pallas_call
 
-    def capture(kernel, *a, grid=None, in_specs=None, **kw):
+    def capture(kernel, *a, grid=None, in_specs=None, out_shape=None, **kw):
         captured["q"] = in_specs[0].block_shape
         captured["k"] = in_specs[1].block_shape
         captured["v"] = in_specs[2].block_shape
-        kw["interpret"] = jax.default_backend() != "tpu"
-        if kw["interpret"]:
-            kw.pop("compiler_params", None)
-        return orig(kernel, *a, grid=grid, in_specs=in_specs, **kw)
+        # block geometry is fully decided before the call — skip executing
+        # the kernel (interpret mode at these shapes costs a minute)
+        return lambda *operands: jnp.zeros(out_shape.shape, out_shape.dtype)
 
     monkeypatch.setattr(fa.pl, "pallas_call", capture)
     shapes = [
