@@ -90,6 +90,77 @@ def _decode_image_b64(b64: str, gray: bool = False) -> "np.ndarray":
     return arr.transpose(2, 0, 1)[None]
 
 
+
+# Minimal web UI served at GET / — the reference lists "API server and
+# minimal web UI" under Future plans (reference: README.md); the server
+# half lives above, this is the UI half.  Single self-contained page:
+# posts JSON to /generate (format "json"), renders the base64 images and
+# infotexts, and can cancel the in-flight request.
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>mlimgsynth-tpu</title><style>
+ body{font-family:system-ui,sans-serif;margin:2rem auto;max-width:64rem;
+      padding:0 1rem;background:#111;color:#ddd}
+ h1{font-size:1.2rem;font-weight:600}
+ form{display:grid;grid-template-columns:repeat(6,1fr);gap:.5rem}
+ textarea{grid-column:1/-1;background:#1c1c1c;color:#ddd;border:1px solid
+          #333;border-radius:4px;padding:.5rem;min-height:3rem}
+ label{font-size:.75rem;color:#999;display:flex;flex-direction:column}
+ input,select{background:#1c1c1c;color:#ddd;border:1px solid #333;
+              border-radius:4px;padding:.35rem}
+ button{grid-column:span 2;padding:.5rem;border:0;border-radius:4px;
+        background:#3b6ef5;color:#fff;font-weight:600;cursor:pointer}
+ button.cancel{background:#555}
+ #status{margin:.75rem 0;color:#999;font-size:.85rem;white-space:pre-wrap}
+ #out{display:flex;flex-wrap:wrap;gap:.75rem}
+ #out figure{margin:0}
+ #out img{max-width:24rem;border-radius:4px}
+ #out figcaption{font-size:.7rem;color:#888;max-width:24rem;
+                 white-space:pre-wrap}
+</style></head><body>
+<h1>mlimgsynth-tpu</h1>
+<form id="f">
+ <textarea id="prompt" placeholder="prompt">a photograph of an astronaut riding a horse</textarea>
+ <textarea id="nprompt" placeholder="negative prompt"></textarea>
+ <label>steps<input id="steps" type="number" value="20"></label>
+ <label>cfg<input id="cfg" type="number" step="0.5" value="7"></label>
+ <label>seed<input id="seed" type="number" value="42"></label>
+ <label>width<input id="w" type="number" step="64" value="512"></label>
+ <label>height<input id="h" type="number" step="64" value="512"></label>
+ <label>batch<input id="batch" type="number" value="1"></label>
+ <button type="submit">Generate</button>
+ <button type="button" class="cancel" id="cancel">Cancel</button>
+</form>
+<div id="status"></div><div id="out"></div>
+<script>
+const $=id=>document.getElementById(id);let reqId=null;
+$("f").addEventListener("submit",async ev=>{ev.preventDefault();
+ reqId=Math.random().toString(36).slice(2,14);
+ const body={prompt:$("prompt").value,nprompt:$("nprompt").value,
+  steps:+$("steps").value,cfg_scale:+$("cfg").value,seed:+$("seed").value,
+  width:+$("w").value,height:+$("h").value,batch_size:+$("batch").value,
+  format:"json",request_id:reqId};
+ $("status").textContent="generating…";$("out").innerHTML="";
+ const t0=performance.now();
+ try{
+  const r=await fetch("/generate",{method:"POST",
+   headers:{"Content-Type":"application/json"},body:JSON.stringify(body)});
+  const j=await r.json();
+  if(!r.ok){$("status").textContent="error: "+(j.error||r.status);return}
+  const dt=((performance.now()-t0)/1000).toFixed(2);
+  $("status").textContent=j.images.length+" image(s) in "+dt+" s";
+  j.images.forEach((b64,i)=>{const fig=document.createElement("figure");
+   const img=new Image();img.src="data:image/png;base64,"+b64;
+   const cap=document.createElement("figcaption");
+   cap.textContent=(j.infotexts||[])[i]||"";
+   fig.append(img,cap);$("out").append(fig);});
+ }catch(e){$("status").textContent="error: "+e}});
+$("cancel").addEventListener("click",async()=>{if(!reqId)return;
+ const r=await fetch("/cancel",{method:"POST",
+  headers:{"Content-Type":"application/json"},
+  body:JSON.stringify({request_id:reqId})});
+ $("status").textContent="cancel: "+JSON.stringify(await r.json());});
+</script></body></html>"""
+
 class _Pending:
     """One queued /generate request."""
     __slots__ = ("req", "shared", "event", "id", "imgs", "infotexts",
@@ -330,7 +401,14 @@ def make_handler(srv: Server):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/health":
+            if self.path in ("/", "/index.html"):
+                body = _INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/health":
                 self._json(200, {"status": "ok",
                                  "model": srv.session.c["model"],
                                  "model_type": srv.session.c["model_type"],

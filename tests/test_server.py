@@ -332,3 +332,15 @@ def test_multi_model_routing(tmp_path, monkeypatch):
     # different models never merge
     assert srv.submit({"prompt": "q", "model": "a"}).shared != \
         srv.submit({"prompt": "q", "model": "b"}).shared
+
+
+def test_index_page(server_url):
+    """GET / serves the minimal web UI (reference README future-plans item:
+    'API server and minimal web UI')."""
+    import urllib.request
+    server_url, _ = server_url
+    with urllib.request.urlopen(server_url + "/", timeout=30) as r:
+        body = r.read().decode()
+        assert r.headers["Content-Type"].startswith("text/html")
+    assert "/generate" in body and "/cancel" in body
+    assert "mlimgsynth-tpu" in body
