@@ -267,3 +267,33 @@ def test_model_type_user_override(tmp_path, monkeypatch):
     s.option_set("model-type", "sdxl")  # deliberately not what the probe says
     s._model_load()
     assert s.c["model_type"] == "sdxl"
+
+
+def test_sdxl_generate_batch_matches_singles(tmp_path, monkeypatch):
+    """generate_batch on an SDXL-type model (dual-encoder fused encode with
+    per-request prompts, feature head, size labels, uncond zeroing) must
+    reproduce per-request generate() runs."""
+    ckpt = tmp_path / "xlb.safetensors"
+    write_checkpoint_sdxl(ckpt)
+
+    def mk():
+        s = make_session(ckpt, "sdxl", monkeypatch,
+                         {"sdxl": TINY_MODEL_TYPE_XL})
+        s.option_set("cfg-scale", 5)
+        return s
+
+    s = mk()
+    reqs = [{"prompt": "a cat", "seed": 3},
+            {"prompt": "a (dog:1.3)", "nprompt": "blurry", "seed": 4}]
+    imgs, infos = s.generate_batch(reqs)
+    assert imgs.shape == (2, 3, 64, 64) and np.isfinite(imgs).all()
+    assert "a cat" in infos[0] and "dog" in infos[1]
+
+    for i, r in enumerate(reqs):
+        si = mk()
+        si.option_set("prompt", r["prompt"])
+        if r.get("nprompt"):
+            si.option_set("nprompt", r["nprompt"])
+        si.option_set("seed", r["seed"])
+        single = si.generate()
+        np.testing.assert_allclose(imgs[i:i + 1], single, atol=1.5 / 255)
