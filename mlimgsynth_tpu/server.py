@@ -475,8 +475,22 @@ def make_handler(srv: Server):
     return Handler
 
 
+def warmup_generate(session) -> float:
+    """Compile the serving path (chunked loop + fused first-chunk encode +
+    last-chunk decode) for the session's default size/steps by running one
+    throwaway generation through generate_batch with a no-op cancellation
+    callback — the exact program requests will hit.  Returns seconds spent.
+    First compiles take minutes on remote-attached TPU; doing it before
+    accepting traffic keeps the first user request at steady-state latency
+    (the persistent compile cache makes later process starts cheap)."""
+    t0 = time.time()
+    session.generate_batch([{"prompt": "warmup", "seed": 0}],
+                           step_callback=lambda i, n: False)
+    return time.time() - t0
+
+
 def serve(session, port: int = 8188, host: str = "127.0.0.1",
-          warmup: bool = True):
+          warmup: bool = True, warmup_gen: bool = False):
     # cancellation needs a step callback; chunked progress keeps the
     # per-dispatch overhead at 1/chunk of step-at-a-time execution
     os.environ.setdefault("MLIS_PROGRESS_CHUNK", "4")
@@ -485,6 +499,11 @@ def serve(session, port: int = 8188, host: str = "127.0.0.1",
         for ses in srv.sessions.values():
             if ses.c["model"]:
                 ses.setup()
+    if warmup_gen:
+        for name, ses in srv.sessions.items():
+            if ses.c["model"]:
+                dt = warmup_generate(ses)
+                sys.stderr.write(f"[serve] warmed '{name}' in {dt:.1f}s\n")
     httpd = ThreadingHTTPServer((host, port), make_handler(srv))
     sys.stderr.write(f"[serve] listening on http://{host}:{port}\n")
     httpd.serve_forever()
@@ -501,6 +520,10 @@ def main(argv: Optional[list] = None) -> int:
     ap.add_argument("--port", type=int, default=8188)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--weight-type", default="")
+    ap.add_argument("--warmup-gen", action="store_true",
+                    help="run one throwaway generation per model before "
+                         "accepting traffic (compiles the serving program "
+                         "for the default size/steps)")
     args = ap.parse_args(argv)
     enable()
     sessions = {}
@@ -514,7 +537,7 @@ def main(argv: Optional[list] = None) -> int:
             s.option_set("weight-type", args.weight_type)
         sessions[name or f"model{i}"] = s
     serve(sessions if len(sessions) > 1 else next(iter(sessions.values())),
-          port=args.port, host=args.host)
+          port=args.port, host=args.host, warmup_gen=args.warmup_gen)
     return 0
 
 

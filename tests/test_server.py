@@ -344,3 +344,12 @@ def test_index_page(server_url):
         assert r.headers["Content-Type"].startswith("text/html")
     assert "/generate" in body and "/cancel" in body
     assert "mlimgsynth-tpu" in body
+
+
+def test_warmup_generate(server_url):
+    """warmup_generate compiles the serving path via one throwaway run."""
+    from mlimgsynth_tpu.server import warmup_generate
+    _, srv = server_url
+    ses = next(iter(srv.sessions.values()))
+    dt = warmup_generate(ses)
+    assert dt >= 0.0
