@@ -1,15 +1,27 @@
-"""Pallas TPU flash-attention kernel.
+"""Pallas TPU flash-attention kernels.
 
 Replaces the reference's full-softmax attention (src/ggml_extend.c:200-222;
-its flash path is disabled as broken, Makefile:42-45) with an online-softmax
-tiled kernel: O(S) memory instead of O(S^2), logits never leave VMEM.  This
+its flash path is disabled as broken, Makefile:42-45) with online-softmax
+tiled kernels: O(S) memory instead of O(S^2), logits never leave VMEM.  This
 is what makes SDXL-1024 self-attention (S=16384, 20+ heads) fit and fly on a
 single chip without the reference's --vae-tile/--unet-split workarounds.
 
-Standard flash structure: grid (batch*heads, q_blocks, k_blocks) with the
-k-loop as the minor (sequential) grid axis; running max / sum / accumulator
-live in VMEM scratch across k iterations.  Accumulation is float32; q/k/v are
-consumed in their input dtype (bf16 on the hot path).
+Two kernels share the same structure — grid (batch*heads, q_blocks,
+k_blocks) with the k-loop as the minor (sequential) axis, running max /
+accumulator in VMEM scratch, f32 accumulation:
+
+* ``flash_attention``   — natural [seq, d] layout;
+* ``flash_attention_t`` — transposed v/output ([d, seq]); the DEFAULT for
+  the UNet (via attn_mhead): d_head streams on MXU sublanes, so SD1's d=40
+  and SDXL's d=64 heads pay no 128-lane output padding.
+
+Shared tricks: softmax in base-2 with scale*log2(e) folded into q; kv-pad
+masking only on the tail k block; the softmax denominator produced by the
+MXU via a ones column/row riding existing padding; a no-carry fast path
+when the whole kv fits one block; block sizes clamped against a calibrated
+model of XLA's scoped-VMEM stack (see ``_clamp_blocks`` — overflow is a
+hard, sometimes nondeterministic, compile error).  Numerics are validated
+on device by tools/flash_check.py.
 """
 from __future__ import annotations
 
