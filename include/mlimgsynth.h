@@ -239,14 +239,51 @@ void mlis_tensor_resize_like(MLIS_Tensor* t, const MLIS_Tensor* src);
 void mlis_tensor_copy(MLIS_Tensor* t, const MLIS_Tensor* src);
 float mlis_tensor_similarity(const MLIS_Tensor* a, const MLIS_Tensor* b);
 
-/* Enum string conversions */
+/* Enum string conversions.
+ * _str returns the canonical lower-case name ("???" if out of range);
+ * _desc returns a pretty description; _fromz parses a name
+ * case/hyphen-insensitively ("DPM++2M" == "dpmpp2m") returning the id or
+ * -1 (reference: include/mlimgsynth.h:490-509). */
 const char* mlis_stage_str(MLIS_Stage x);
+const char* mlis_stage_desc(MLIS_Stage x);  /* Pretty description */
+MLIS_Stage mlis_stage_fromz(const char* s);
+
 const char* mlis_method_str(MLIS_Method x);
-const char* mlis_sched_str(MLIS_Scheduler x);
-const char* mlis_model_type_str(MLIS_ModelType x);
 MLIS_Method mlis_method_fromz(const char* s);
+
+const char* mlis_sched_str(MLIS_Scheduler x);
 MLIS_Scheduler mlis_sched_fromz(const char* s);
+
+const char* mlis_loglvl_str(MLIS_LogLvl x);
+MLIS_LogLvl mlis_loglvl_fromz(const char* s);
+
+const char* mlis_model_type_str(MLIS_ModelType x);
+const char* mlis_model_type_desc(MLIS_ModelType x);
 MLIS_ModelType mlis_model_type_fromz(const char* s);
+
+const char* mlis_option_str(MLIS_Option x);
+MLIS_Option mlis_option_fromz(const char* s);
+
+/* Compatibility alias: the reference header's progress-callback example
+ * (include/mlimgsynth.h:17) calls mlis_state_str on the progress stage;
+ * provided so that code written against that example links. */
+const char* mlis_state_str(MLIS_Stage x);
+
+/* Iteration over the four dimensions of a tensor T (innermost first).
+ * Declares L##p (flat index) and L##0..L##3 (per-dim indices).
+ * Example:
+ *   MLIS_Tensor ten = {0};
+ *   mlis_tensor_resize(&ten, 32, 32, 32, 32);
+ *   mlis_tensor_for(ten, i) { ten.d[ip] = i0 + i1 + i2 + i3; }
+ */
+#define mlis_tensor_for(T, L) \
+	for (int L##p=0, L##0=0, L##1=0, L##2=0, L##3=0, \
+		L##0n=(T).n[0], L##1n=(T).n[1], L##2n=(T).n[2], L##3n=(T).n[3]; \
+		(L##0 < L##0n) || \
+		(L##0=0, L##1++, L##1 < L##1n) || \
+		(L##1=0, L##2++, L##2 < L##2n) || \
+		(L##2=0, L##3++, L##3 < L##3n) ; \
+		++L##0, ++L##p)
 
 #ifdef __cplusplus
 }

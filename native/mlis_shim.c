@@ -225,18 +225,8 @@ int mlis_option_get(MLIS_Ctx *S, MLIS_Option id, ...)
 
 static const char* opt_name(MLIS_Option id)
 {
-	static const char *names[] = {
-		"none", "backend", "model", "tae", "lora-dir", "lora",
-		"lora-clear", "prompt", "nprompt", "image-dim", "batch-size",
-		"clip-skip", "cfg-scale", "method", "scheduler", "steps",
-		"f-t-ini", "f-t-end", "s-noise", "s-ancestral", "image",
-		"image-mask", "no-decode", "tensor-use-flags", "seed", "vae-tile",
-		"unet-split", "threads", "dump-flags", "aux-dir", "callback",
-		"error-handler", "log-level", "model-type", "weight-type",
-		"no-prompt-parse",
-	};
 	if (id < 0 || id > MLIS_OPT__LAST) return NULL;
-	return names[id];
+	return mlis_option_str(id);
 }
 
 int mlis_option_set(MLIS_Ctx *S, MLIS_Option id, ...)
@@ -544,12 +534,53 @@ float mlis_tensor_similarity(const MLIS_Tensor *a, const MLIS_Tensor *b)
 
 /* ---- enum strings ------------------------------------------------------- */
 
+/* Name tables mirror the reference's canonical spellings
+ * (reference: src/mlimgsynth.c:215-293) so round-tripping through
+ * option_set_str / infotext matches byte-for-byte. */
 static const char *g_stage_names[] = {
 	"idle", "cond_encode", "image_encode", "image_decode", "denoise"};
+static const char *g_stage_descs[] = {
+	"Idle", "Conditioning encoding", "Image encoding", "Image decoding",
+	"Denoising"};
 static const char *g_method_names[] = {
 	"none", "euler", "heun", "taylor3", "dpmpp2m", "dpmpp2s"};
 static const char *g_sched_names[] = {"none", "uniform", "karras"};
 static const char *g_model_type_names[] = {"none", "sd1", "sd2", "sdxl"};
+static const char *g_model_type_descs[] = {
+	"None", "Stable Diffusion 1.x", "Stable Diffusion 2.x",
+	"Stable Diffusion XL"};
+static const char *g_option_names[] = {
+	"none", "backend", "model", "tae", "lora_dir", "lora", "lora_clear",
+	"prompt", "nprompt", "image_dim", "batch_size", "clip_skip", "cfg_scale",
+	"method", "scheduler", "steps", "f_t_ini", "f_t_end", "s_noise",
+	"s_ancestral", "image", "image_mask", "no_decode", "tensor_use_flags",
+	"seed", "vae_tile", "unet_split", "threads", "dump_flags", "aux_dir",
+	"callback", "error_handler", "log_level", "model_type", "weight_type",
+	"no_prompt_parse"};
+static const struct { const char *name; int id; } g_loglvl_attr[] = {
+	{ "none",    MLIS_LOGLVL_NONE },
+	{ "error",   MLIS_LOGLVL_ERROR },
+	{ "warning", MLIS_LOGLVL_WARNING },
+	{ "info",    MLIS_LOGLVL_INFO },
+	{ "verbose", MLIS_LOGLVL_VERBOSE },
+	{ "debug",   MLIS_LOGLVL_DEBUG },
+	{ "max",     MLIS_LOGLVL_MAX },
+};
+
+/* Case-insensitive id compare treating '-' as '_' and '+' as 'p' (so
+ * "DPM++2M" parses as dpmpp2m), matching the reference's documented
+ * option-name semantics. */
+static int str_id_eq(const char *s, const char *name)
+{
+	for (;; ++s, ++name) {
+		int c = (unsigned char)*s;
+		if ('A' <= c && c <= 'Z') c += 'a' - 'A';
+		else if (c == '-') c = '_';
+		else if (c == '+') c = 'p';
+		if (c != (unsigned char)*name) return 0;
+		if (!c) return 1;
+	}
+}
 
 #define ENUM_STR(fn, arr, T) \
 const char* fn(T x) { \
@@ -559,14 +590,36 @@ const char* fn(T x) { \
 #define ENUM_FROMZ(fn, arr, T) \
 T fn(const char *s) { \
 	for (size_t i = 0; i < sizeof(arr)/sizeof(arr[0]); ++i) \
-		if (!strcmp(s, arr[i])) return (T)i; \
+		if (str_id_eq(s, arr[i])) return (T)i; \
 	return (T)-1; \
 }
 
 ENUM_STR(mlis_stage_str, g_stage_names, MLIS_Stage)
+ENUM_STR(mlis_stage_desc, g_stage_descs, MLIS_Stage)
 ENUM_STR(mlis_method_str, g_method_names, MLIS_Method)
 ENUM_STR(mlis_sched_str, g_sched_names, MLIS_Scheduler)
 ENUM_STR(mlis_model_type_str, g_model_type_names, MLIS_ModelType)
+ENUM_STR(mlis_model_type_desc, g_model_type_descs, MLIS_ModelType)
+ENUM_STR(mlis_option_str, g_option_names, MLIS_Option)
+ENUM_FROMZ(mlis_stage_fromz, g_stage_names, MLIS_Stage)
 ENUM_FROMZ(mlis_method_fromz, g_method_names, MLIS_Method)
 ENUM_FROMZ(mlis_sched_fromz, g_sched_names, MLIS_Scheduler)
 ENUM_FROMZ(mlis_model_type_fromz, g_model_type_names, MLIS_ModelType)
+ENUM_FROMZ(mlis_option_fromz, g_option_names, MLIS_Option)
+
+const char* mlis_loglvl_str(MLIS_LogLvl x)
+{
+	for (size_t i = 0; i < sizeof(g_loglvl_attr)/sizeof(g_loglvl_attr[0]); ++i)
+		if ((int)x == g_loglvl_attr[i].id) return g_loglvl_attr[i].name;
+	return "???";
+}
+
+MLIS_LogLvl mlis_loglvl_fromz(const char *s)
+{
+	for (size_t i = 0; i < sizeof(g_loglvl_attr)/sizeof(g_loglvl_attr[0]); ++i)
+		if (str_id_eq(s, g_loglvl_attr[i].name))
+			return (MLIS_LogLvl)g_loglvl_attr[i].id;
+	return (MLIS_LogLvl)-1;
+}
+
+const char* mlis_state_str(MLIS_Stage x) { return mlis_stage_str(x); }

@@ -33,6 +33,33 @@ int main(int argc, char **argv)
 	/* enums */
 	CHECK(!strcmp(mlis_method_str(MLIS_METHOD_EULER), "euler"), "method str");
 	CHECK(mlis_method_fromz("dpmpp2m") == MLIS_METHOD_DPMPP2M, "method fromz");
+	CHECK(mlis_method_fromz("DPM++2M") == MLIS_METHOD_DPMPP2M,
+		"method fromz dpm++ alias");
+	CHECK(!strcmp(mlis_stage_desc(MLIS_STAGE_DENOISE), "Denoising"),
+		"stage desc");
+	CHECK(mlis_stage_fromz("image-decode") == MLIS_STAGE_IMAGE_DECODE,
+		"stage fromz hyphen");
+	CHECK(!strcmp(mlis_loglvl_str(MLIS_LOGLVL_INFO), "info"), "loglvl str");
+	CHECK(mlis_loglvl_fromz("DEBUG") == MLIS_LOGLVL_DEBUG, "loglvl fromz");
+	CHECK(!strcmp(mlis_model_type_desc(MLIS_MODEL_TYPE_SDXL),
+		"Stable Diffusion XL"), "model type desc");
+	CHECK(!strcmp(mlis_option_str(MLIS_OPT_CFG_SCALE), "cfg_scale"),
+		"option str");
+	CHECK(mlis_option_fromz("CFG-Scale") == MLIS_OPT_CFG_SCALE,
+		"option fromz");
+	CHECK(mlis_option_fromz("nonsense") == (MLIS_Option)-1,
+		"option fromz unknown -> -1");
+	CHECK(!strcmp(mlis_state_str(MLIS_STAGE_DENOISE), "denoise"),
+		"state str alias");
+	{
+		/* mlis_tensor_for: flat index must walk innermost-first */
+		MLIS_Tensor t = {0};
+		mlis_tensor_resize(&t, 2, 3, 2, 1);
+		mlis_tensor_for(t, i) { t.d[ip] = (float)(i0 + 10*i1 + 100*i2); }
+		CHECK(t.d[0] == 0.0f && t.d[1] == 1.0f && t.d[2] == 10.0f &&
+			t.d[11] == 121.0f, "mlis_tensor_for order");
+		mlis_tensor_free(&t);
+	}
 
 	/* options */
 	CHECK(mlis_option_set(ctx, MLIS_OPT_IMAGE_DIM, 64, 64) >= 0, "image-dim");

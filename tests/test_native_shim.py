@@ -43,3 +43,19 @@ def test_shim_generate(shim, tmp_path):
     assert "TEST OK" in r.stdout, r.stdout + r.stderr
     assert "ok: generate" in r.stdout
     assert "ok: per-step callbacks" in r.stdout
+
+
+REF_DEMO = "/root/reference/src/demo_mlimgsynth.c"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DEMO),
+                    reason="reference checkout not available")
+def test_reference_demo_compiles_unchanged(shim):
+    """ABI completeness: the reference project's own demo_mlimgsynth.c must
+    compile and link UNCHANGED against include/mlimgsynth.h +
+    lib/libmlimgsynth.so (it uses mlis_tensor_for, mlis_stage_str, varargs
+    options, tensor slots — reference: src/demo_mlimgsynth.c:44-99)."""
+    r = subprocess.run(["make", "-C", os.path.join(REPO, "native"),
+                        "ref_demo"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert os.path.exists(os.path.join(REPO, "native", "ref_demo"))
