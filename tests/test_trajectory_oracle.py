@@ -1,0 +1,131 @@
+"""End-to-end trajectory oracle: full generates vs an independent torch stack.
+
+For every solver x schedule x noise-mode combination, a full tiny denoise
+trajectory runs twice from the same Philox noise:
+
+  * JAX stack: run_sampler (the production lax.scan body, f32) with a
+    step observer collecting per-step latents;
+  * torch stack: tests/torch_sampler.py, transcribed directly from the
+    reference C (src/sampling.c, src/solvers.c, src/unet.c:460-498) with the
+    UNet forward on pure torch kernels (tests/torch_ref.py).
+
+Per-step latents must match — this is the only cross-implementation check of
+the *composed* sampler machinery (sigma tables, schedule arithmetic, CFG
+mixing, churn/ancestral noise order, solver updates), closing VERDICT r2
+item 1.  Module-level forwards are covered by
+test_unet_vae_parity/test_clip_parity; the Philox stream by test_rng.
+"""
+import numpy as np
+import pytest
+import torch
+
+from helpers import TINY_UNET, TINY_UNET_V, TINY_UNET_XL
+from mlimgsynth_tpu.models import blocks as B
+from mlimgsynth_tpu.models import unet as unet_mod
+from mlimgsynth_tpu.rng import RngPhilox
+from mlimgsynth_tpu.sampling import sampler as S
+from mlimgsynth_tpu.testing import _random_for_spec
+from mlimgsynth_tpu.weights import _to_layout
+
+import torch_sampler as TS
+
+import jax.numpy as jnp
+
+
+def _params_for(P, seed):
+    if P.ch_adm_in:
+        spec = B.trace_spec(
+            lambda ctx, x, t, c, l: unet_mod.unet_apply(ctx, x, t, c, l, P),
+            jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 7, P.n_ctx)), jnp.zeros((1, P.ch_adm_in)))
+    else:
+        spec = B.trace_spec(
+            lambda ctx, x, t, c: unet_mod.unet_apply(ctx, x, t, c, None, P),
+            jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 7, P.n_ctx)))
+    rng = np.random.default_rng(seed)
+    ckpt, model = {}, {}
+    for name, ps in spec.items():
+        arr = _random_for_spec(rng, ps, 0.08)
+        ckpt[name] = arr
+        model[name] = jnp.asarray(_to_layout(arr.copy(), ps, name))
+    return ckpt, model
+
+
+_CACHE = {}
+
+
+def params_for(which):
+    if which not in _CACHE:
+        P = {"sd1": TINY_UNET, "sd2v": TINY_UNET_V,
+             "sdxl": TINY_UNET_XL}[which]
+        _CACHE[which] = (P,) + _params_for(P, seed=hash(which) % 1000)
+    return _CACHE[which]
+
+
+# (model, method, sched, n_step, cfg, s_ancestral, s_noise, f_t_ini, img2img,
+#  mask)
+CASES = [
+    ("sd1",  "euler",   "uniform", 5, 7.0, 0.0, 0.0, 1.0, False, False),
+    ("sd1",  "heun",    "uniform", 5, 7.0, 0.0, 0.0, 1.0, False, False),
+    ("sd1",  "taylor3", "uniform", 5, 1.0, 0.0, 0.0, 1.0, False, False),
+    ("sd1",  "dpmpp2s", "karras",  5, 7.0, 1.0, 0.0, 1.0, False, False),
+    ("sd1",  "euler",   "uniform", 5, 7.0, 0.0, 1.0, 1.0, False, False),
+    ("sd2v", "dpmpp2m", "karras",  5, 7.0, 1.0, 0.0, 1.0, False, False),
+    ("sdxl", "euler",   "uniform", 5, 7.0, 0.0, 0.0, 1.0, False, False),
+    ("sd1",  "euler",   "karras",  7, 7.0, 0.0, 0.0, 0.7, True,  False),
+    ("sd1",  "euler",   "uniform", 4, 7.0, 1.0, 0.0, 0.8, True,  True),
+]
+
+
+@pytest.mark.parametrize(
+    "which,method,sched,n_step,cfg,anc,churn,fti,i2i,mask", CASES,
+    ids=["-".join(map(str, c[:3])) + (f"-anc{c[5]}" if c[5] else "")
+         + (f"-churn{c[6]}" if c[6] else "") + (f"-i2i{c[7]}" if c[8] else "")
+         + ("-mask" if c[9] else "") for c in CASES])
+def test_trajectory_matches_torch(which, method, sched, n_step, cfg, anc,
+                                  churn, fti, i2i, mask):
+    P, ckpt, model = params_for(which)
+    drng = np.random.default_rng(99)
+    cond = drng.standard_normal((1, 7, P.n_ctx)).astype(np.float32) * 0.3
+    uncond = drng.standard_normal((1, 7, P.n_ctx)).astype(np.float32) * 0.3
+    label = nlabel = None
+    if P.ch_adm_in:
+        label = drng.standard_normal((1, P.ch_adm_in)).astype(np.float32) * 0.3
+        nlabel = drng.standard_normal(
+            (1, P.ch_adm_in)).astype(np.float32) * 0.3
+    x0 = (drng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+          if i2i else np.zeros((1, 4, 8, 8), np.float32))
+    lmask = None
+    if mask:
+        lmask = (drng.random((1, 1, 8, 8)) > 0.5).astype(np.float32)
+
+    # --- torch stack (independent C transcription) ---
+    traj_t, sigmas_t = TS.torch_sample(
+        ckpt, P, x0, torch.from_numpy(cond),
+        torch.from_numpy(uncond) if cfg > 1 else None,
+        torch.from_numpy(label) if label is not None else None,
+        torch.from_numpy(nlabel) if nlabel is not None else None,
+        rng=RngPhilox(42), n_step=n_step, method=method, sched=sched,
+        cfg_scale=cfg, s_ancestral=anc, s_noise=churn, f_t_ini=fti,
+        lmask=lmask[:, 0] if lmask is not None else None)
+
+    # --- JAX stack (production scan body, f32) ---
+    scfg = S.SamplerConfig(method=method, sched=sched, n_step=n_step,
+                           cfg_scale=cfg, s_ancestral=anc, s_noise=churn,
+                           f_t_ini=fti)
+    plan = S.make_plan(scfg, x0.shape, RngPhilox(42),
+                       nfe_per_dxdt=2 if cfg > 1 else 1)
+    np.testing.assert_allclose(plan.sigmas, sigmas_t, rtol=2e-6,
+                               err_msg="sigma schedule mismatch")
+    got = []
+    S.run_sampler(model, x0, plan, cond, uncond if cfg > 1 else None,
+                  label, nlabel, lmask, scfg, P, dtype=jnp.float32,
+                  step_observer=lambda i, lat: got.append(lat.copy()))
+
+    assert len(got) == len(traj_t) == plan.n_step
+    for i, (a, b) in enumerate(zip(got, traj_t)):
+        # bound = measured max |diff| across all cases 3.0e-5 (3x headroom)
+        np.testing.assert_allclose(
+            a, b, atol=1e-4, rtol=1e-4,
+            err_msg=f"step {i} latent mismatch ({which}/{method}/{sched})")

@@ -1,0 +1,311 @@
+"""Independent torch transcription of the reference sampler machinery.
+
+This is the end-to-end trajectory ORACLE (VERDICT r2 item 1): sigma tables,
+uniform/Karras schedules, c_in / v-param scalings, CFG mixing, churn and
+ancestral noise order, and all five solvers, transcribed directly from the
+reference C sources —
+
+  * sigma table + t<->sigma interpolation:  src/unet.c:283-334
+  * schedule construction + step loop:      src/sampling.c:28-185
+  * input/output scalings:                  src/unet.c:460-498
+  * CFG combination:                        src/mlimgsynth.c:1571-1587
+  * solvers (euler/heun/taylor3/2m/2s):     src/solvers.c:82-296
+
+— NOT from mlimgsynth_tpu's own schedule.py / solvers.py / sampler.py, so a
+transcription error in either stack shows up as a trajectory mismatch.
+The UNet forward is tests/torch_ref.torch_unet (pure torch kernels, itself
+independently parity-tested).  Noise comes from mlimgsynth_tpu.rng.RngPhilox,
+which is golden-tested against the reference Philox on fixed vectors, so
+sharing it does not couple the two sampler implementations.
+
+Everything here is eager float32 torch — no JAX imports.
+"""
+import math
+
+import numpy as np
+import torch
+
+from torch_ref import torch_unet
+
+
+# ---- sigma table + interpolation (src/unet.c:283-334) ----------------------
+
+def make_log_sigmas(n_step_train=1000, linear_start=0.00085,
+                    linear_end=0.0120):
+    """Beta-linear log-sigma table; double-precision accumulation into a
+    float32 table, exactly like unet_params_init (src/unet.c:283-303)."""
+    b = math.sqrt(linear_start)
+    e = math.sqrt(linear_end)
+    f = (e - b) / (n_step_train - 1)
+    out = np.empty(n_step_train, np.float32)
+    alpha_cumprod = 1.0
+    for i in range(n_step_train):
+        beta = b + f * i
+        alpha_cumprod *= 1.0 - beta * beta
+        out[i] = math.log(math.sqrt((1.0 - alpha_cumprod) / alpha_cumprod))
+    return out
+
+
+def t_to_sigma(log_sigmas, t):
+    """linear_interp + exp (src/unet.c:305-312, 329-334)."""
+    n = len(log_sigmas)
+    ti = min(max(int(t), 0), n - 1)
+    v1 = log_sigmas[ti]
+    v2 = log_sigmas[ti + 1] if ti + 1 < n else v1
+    return math.exp(v1 * (ti + 1 - t) + v2 * (t - ti))
+
+
+def sigma_to_t(log_sigmas, sigma):
+    """bisect_right + linear_est (src/unet.c:314-328)."""
+    v = math.log(sigma)
+    n = len(log_sigmas)
+    lo, hi = 0, n
+    while lo < hi:                     # first index with vec[i] > v
+        mid = (lo + hi) // 2
+        if log_sigmas[mid] > v:
+            hi = mid
+        else:
+            lo = mid + 1
+    idx = lo - 1
+    if idx + 1 >= n:
+        return float(n - 1)
+    idx = max(idx, 0)
+    v1, v2 = log_sigmas[idx], log_sigmas[idx + 1]
+    return idx + (v - v1) / (v2 - v1)
+
+
+# ---- schedule construction (src/sampling.c:28-96) ---------------------------
+
+def make_sigmas(log_sigmas, n_step, sched="uniform", solver_n_fe=1,
+                f_t_ini=1.0, f_t_end=0.0, n_step_train=1000):
+    if n_step < 1:
+        n_step = 20
+    if solver_n_fe > 1:
+        n_step = (n_step + solver_n_fe - 1) // solver_n_fe
+    if not (f_t_ini > 0):
+        f_t_ini = 1.0
+    n_step = int(n_step * (f_t_ini - f_t_end) + 0.5)
+    if n_step < 1:
+        n_step = 1
+
+    t_ini = (n_step_train - 1) * f_t_ini
+    t_end = (n_step_train - 1) * f_t_end
+    sigmas = np.zeros(n_step + 1, np.float32)
+    if sched == "uniform":
+        b = t_ini
+        f = (t_end - t_ini) / (n_step - 1) if n_step > 1 else 0.0
+        for i in range(n_step):
+            sigmas[i] = t_to_sigma(log_sigmas, b + i * f)
+    elif sched == "karras":
+        smin = t_to_sigma(log_sigmas, t_end)
+        smax = t_to_sigma(log_sigmas, t_ini)
+        p = 7.0
+        sminp = smin ** (1 / p)
+        smaxp = smax ** (1 / p)
+        b = smaxp
+        f = (sminp - smaxp) / (n_step - 1) if n_step > 1 else 0.0
+        for i in range(n_step):
+            sigmas[i] = (b + i * f) ** p
+    else:
+        raise ValueError(sched)
+    return sigmas
+
+
+# ---- denoiser: c_in / v-param / CFG (src/unet.c:460-498, mlimgsynth.c:1571) -
+
+class TorchDenoiser:
+    """dxdt callback: eps-space derivative with k-diffusion scalings."""
+
+    def __init__(self, params, P, cond, label, uncond, nlabel, cfg_scale,
+                 log_sigmas):
+        self.params = params
+        self.P = P
+        self.cond = cond
+        self.label = label
+        self.uncond = uncond
+        self.nlabel = nlabel
+        self.cfg_scale = cfg_scale
+        self.log_sigmas = log_sigmas
+        self.nfe = 0
+
+    def _run(self, x, sigma, cond, label):
+        t = sigma_to_t(self.log_sigmas, sigma)
+        c_in = 1.0 / math.sqrt(sigma * sigma + 1.0)
+        tt = torch.full((x.shape[0],), t, dtype=torch.float32)
+        dx = torch_unet(self.params, x * c_in, tt, cond, label, self.P)
+        self.nfe += 1
+        if self.P.vparam:
+            c_skip = sigma / (sigma * sigma + 1.0)
+            c_out = 1.0 / math.sqrt(sigma * sigma + 1.0)
+            dx = dx * c_out + x * c_skip
+        return dx
+
+    def dxdt(self, x, sigma):
+        dx = self._run(x, sigma, self.cond, self.label)
+        f = self.cfg_scale
+        if f > 1:
+            dxu = self._run(x, sigma, self.uncond, self.nlabel)
+            dx = dx * f + dxu * (1.0 - f)
+        return dx
+
+
+# ---- solvers (src/solvers.c:82-296) -----------------------------------------
+
+class TorchSolver:
+    """Transcribes the Solver struct: persistent t / i_step and the tmp-slot
+    state that the C reuses across steps (dt_prev/dp1/dp2 for taylor3,
+    h_last/dprev for dpmpp2m live in tmp slots that persist)."""
+
+    def __init__(self, method, dxdt):
+        self.method = method
+        self.dxdt = dxdt
+        self.t = 0.0
+        self.i_step = 0
+        self.dt_prev = 0.0
+        self.dp1 = None
+        self.dp2 = None
+        self.h_last = 0.0
+        self.dprev = None
+        self.n_fe = {"euler": 1, "heun": 2, "taylor3": 1,
+                     "dpmpp2m": 1, "dpmpp2s": 2}[method]
+
+    def step(self, t, x):
+        x = getattr(self, "_step_" + self.method)(t, x)
+        self.t = t
+        self.i_step += 1
+        return x
+
+    def _step_euler(self, t, x):
+        dt = t - self.t
+        return x + self.dxdt(x, self.t) * dt
+
+    def _step_heun(self, t, x):
+        dt = t - self.t
+        dx = self.dxdt(x, self.t)
+        x1 = x + dx * dt
+        if not (t > 0):            # last step: just euler
+            return x1
+        d1 = self.dxdt(x1, t)
+        return x + (dx + d1) * (0.5 * dt)
+
+    def _step_taylor3(self, t, x):
+        dt = t - self.t
+        dx = self.dxdt(x, self.t)
+        x = x + dx * dt
+        idtp = 1.0 / self.dt_prev if self.i_step >= 1 else 0.0
+        f2 = dt * dt / 2 if self.i_step >= 1 else 0.0
+        f3 = dt * dt * dt / 6 if self.i_step >= 2 else 0.0
+        dp1 = self.dp1 if self.dp1 is not None else torch.zeros_like(x)
+        dp2 = self.dp2 if self.dp2 is not None else torch.zeros_like(x)
+        d2 = (dx - dp1) * idtp
+        d3 = (d2 - dp2) * idtp
+        x = x + d2 * f2 + d3 * f3
+        self.dp1, self.dp2, self.dt_prev = dx, d2, dt
+        return x
+
+    def _step_dpmpp2m(self, t, x):
+        a = t / self.t
+        # C: log(0) quietly yields -inf; h is then unused because c is
+        # forced to 0 on the last step
+        h = -math.log(a) if a > 0 else math.inf
+        c = h / (2 * self.h_last) if self.h_last else 0.0
+        if self.i_step == 0 or not (t > 0):
+            c = 0.0
+        dx = self.dxdt(x, self.t)
+        d0 = x - self.t * dx
+        dprev = self.dprev if self.dprev is not None else torch.zeros_like(x)
+        d = (1 + c) * d0 - c * dprev
+        x = a * x + (1 - a) * d
+        self.dprev = d0
+        self.h_last = h
+        return x
+
+    def _step_dpmpp2s(self, t, x):
+        dx = self.dxdt(x, self.t)
+        if not (t > 0):            # last step: just euler
+            return x + dx * (t - self.t)
+        t1 = math.sqrt(t * self.t)
+        dt1 = t1 - self.t
+        a = t / self.t
+        x1 = x + dx * dt1
+        dx1 = self.dxdt(x1, t1)
+        d = x1 - t1 * dx1
+        return a * x + (1 - a) * d
+
+
+# ---- sampling loop (src/sampling.c:98-185) -----------------------------------
+
+def torch_sample(params, P, x0, cond, uncond=None, label=None, nlabel=None,
+                 *, rng, n_step, method="euler", sched="uniform",
+                 cfg_scale=7.0, s_ancestral=0.0, s_noise=0.0,
+                 f_t_ini=1.0, f_t_end=0.0, lmask=None):
+    """Full denoise trajectory; returns the list of per-step latents (NCHW
+    numpy f32, one after each dnsamp_step) plus the sigma schedule.
+
+    ``x0`` is the initial latent (zeros for txt2img, encoded image for
+    img2img) as NCHW numpy; ``rng`` is an RngPhilox whose draw points follow
+    dnsamp_noise_add exactly (initial, churn, post-step ancestral —
+    src/sampling.c:119-178)."""
+    log_sigmas = make_log_sigmas(P.n_step_train)
+    n_fe = {"euler": 1, "heun": 2, "taylor3": 1, "dpmpp2m": 1,
+            "dpmpp2s": 2}[method]
+    sigmas = make_sigmas(log_sigmas, n_step, sched, n_fe, f_t_ini, f_t_end,
+                         P.n_step_train)
+    n_step = len(sigmas) - 1
+
+    den = TorchDenoiser(params, P, cond, label, uncond, nlabel, cfg_scale,
+                        log_sigmas)
+    sol = TorchSolver(method, den.dxdt)
+    sol.t = float(sigmas[0])
+
+    x = torch.from_numpy(np.asarray(x0, np.float32)).clone()
+    x_keep = x.clone() if lmask is not None else None
+    m = torch.from_numpy(np.asarray(lmask, np.float32)) \
+        if lmask is not None else None
+
+    def noise_add(x, sigma):
+        n = rng.randn_shaped(tuple(x.shape)).astype(np.float32)
+        return x + torch.from_numpy(n) * sigma
+
+    def mask_apply(x):
+        return x_keep * m + x * (1.0 - m)
+
+    traj = []
+    for s in range(n_step):
+        s_up = 0.0
+        s_down = float(sigmas[s + 1])
+
+        if s == 0:
+            x = noise_add(x, float(sigmas[0]))
+            if m is not None:
+                x = mask_apply(x)
+
+        if s_noise > 0 and s > 0:
+            s_curr = float(sigmas[s])
+            s_hat = s_curr * math.sqrt(2) * s_noise
+            extra = math.sqrt(s_hat * s_hat - s_curr * s_curr)
+            x = noise_add(x, extra)
+            if m is not None:
+                x = mask_apply(x)
+            sol.t = s_hat
+
+        if s_ancestral > 0:
+            s1 = float(sigmas[s])
+            s2 = float(sigmas[s + 1])
+            s_up = math.sqrt((s2 * s2) * (s1 * s1 - s2 * s2) / (s1 * s1))
+            s_up *= s_ancestral
+            s_up = min(s_up, s2)
+            s_down = math.sqrt(s2 * s2 - s_up * s_up)
+
+        with torch.no_grad():
+            x = sol.step(s_down, x)
+
+        if s_up > 0 and s + 1 != n_step:
+            x = noise_add(x, s_up)
+            sol.t = float(sigmas[s + 1])
+
+        if m is not None:
+            x = mask_apply(x)
+
+        traj.append(x.numpy().copy())
+    return traj, sigmas
