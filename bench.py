@@ -327,8 +327,8 @@ def main():
     _cc()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     which = os.environ.get("MLIS_BENCH", "sd15")
-    configs = (["sd15", "sdxl", "sd21", "sd15-tae"] if which == "all"
-               else which.split(","))
+    configs = (["sd15", "sdxl", "sd21", "sd15-tae", "sd15-i2i"]
+               if which == "all" else which.split(","))
     results = []
     for c in configs:
         try:

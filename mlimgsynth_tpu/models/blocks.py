@@ -147,13 +147,13 @@ def layer_norm(ctx: Ctx, pre: str, x, eps: float = 1e-5,
     Like :func:`group_norm`: float32 statistics, activation-dtype
     normalization arithmetic (no f32 materialization of the activations)."""
     dt = x.dtype
-    # E[x^2]-mean^2 form: the two reductions have no data dependency, so XLA
-    # fuses them into ONE pass over x (mean-then-var forces two).  f32
-    # accumulation; cancellation error ~eps_f32*(1+mean^2/var) ~ 1e-6.
+    # Two-pass variance: E[x^2]-mean^2 would fuse into one read of x but its
+    # cancellation error grows with mean^2/var, which SD VAE decoder
+    # activations are known to push >>1; the shifted form is exact-mean
+    # robust and measured e2e-neutral (docs/BENCH.md).
     mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-    meansq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
-                      keepdims=True)
-    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    var = jnp.mean(jnp.square(x.astype(jnp.float32) - mean), axis=-1,
+                   keepdims=True)
     xf = (x - mean.astype(dt)) * jax.lax.rsqrt(var + eps).astype(dt)
     if affine:
         w = ctx.param(pre + ".weight", (x.shape[-1],), VEC, jnp.float32)
@@ -182,12 +182,11 @@ def group_norm(ctx: Ctx, pre: str, x, n_grp: int = 32, eps: float = 1e-6,
     dt = x.dtype
     n, h, w, c = x.shape
     xg = x.reshape(n, h * w, n_grp, c // n_grp)
-    # single-pass statistics (see layer_norm): mean and E[x^2] fuse into one
-    # read of x; f32 accumulation keeps the cancellation error ~1e-6
+    # two-pass shifted variance (see layer_norm): robust when mean^2/var >> 1
+    # (VAE decoder activations), measured e2e-neutral vs the one-pass form
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
-    meansq = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 3),
-                      keepdims=True)
-    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    var = jnp.mean(jnp.square(xg.astype(jnp.float32) - mean), axis=(1, 3),
+                   keepdims=True)
     xg = ((xg - mean.astype(dt)) *
           jax.lax.rsqrt(var + eps).astype(dt))
     xf = xg.reshape(n, h, w, c)

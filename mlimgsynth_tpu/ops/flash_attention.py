@@ -167,6 +167,15 @@ def _clamp_blocks(bq, bk, dp, dv, itemsize, out_bytes):
         bk //= 2
     while _scoped_vmem(bq, bk, dp, dv, itemsize) > budget and bq > 512:
         bq //= 2
+    est = _scoped_vmem(bq, bk, dp, dv, itemsize)
+    if est > budget:
+        # shrink loops bottomed out: the launch may hit the nondeterministic
+        # scoped-VMEM compile OOM — make that attributable (ADVICE r2)
+        from ..utils.log import g_logger
+        g_logger.warning(
+            f"flash blocks ({bq},{bk}) d=({dp},{dv}) still estimate "
+            f"{est / 2**20:.1f}MiB scoped VMEM > {budget / 2**20:.1f}MiB "
+            f"budget; compile may OOM")
     return bq, bk
 
 

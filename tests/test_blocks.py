@@ -79,6 +79,34 @@ def test_group_norm_vs_torch():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_norms_large_mean_robust():
+    """Cancellation robustness (ADVICE r2): VAE decoder activations reach
+    large magnitudes where mean^2/var >> 1; one-pass E[x^2]-mean^2 variance
+    underestimates badly there.  Compare against float64 ground truth at
+    offset 300, std 1 (mean^2/var ~ 1e5) — torch's own F.group_norm shows
+    ~4e-2 error on this input (it uses the one-pass form), so it is not a
+    valid oracle here; f64 is."""
+    base = rand(2, 6, 6, 32, seed=3) + 300.0
+    w, b = rand(32, seed=1), rand(32, seed=2)
+    ctx = ctx_with({"g.weight": w, "g.bias": b,
+                    "n.weight": w, "n.bias": b})
+
+    def f64_norm(x64, axes, eps):
+        m = x64.mean(axis=axes, keepdims=True)
+        v = ((x64 - m) ** 2).mean(axis=axes, keepdims=True)
+        return (x64 - m) / np.sqrt(v + eps)
+
+    got = np.asarray(B.group_norm(ctx, "g", jnp.asarray(base), n_grp=8,
+                                  eps=1e-6))
+    xg = base.astype(np.float64).reshape(2, 36, 8, 4)
+    ref = (f64_norm(xg, (1, 3), 1e-6).reshape(2, 6, 6, 32) * w + b)
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+    got = np.asarray(B.layer_norm(ctx, "n", jnp.asarray(base[0, 0])))
+    ref = f64_norm(base[0, 0].astype(np.float64), -1, 1e-5) * w + b
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
 def test_activations_vs_torch():
     x = rand(100)
     xt = torch.from_numpy(x)

@@ -11,4 +11,4 @@ run() {
 
 run "MLIS_DECODE=vae python tools/decode_bench.py 10"
 run "MLIS_DECODE=vaexl python tools/decode_bench.py 6"
-run "MLIS_BENCH=sd15,sdxl,sd21,sd15-tae,sd15-b8 python bench.py"
+run "MLIS_BENCH=sd15,sdxl,sd21,sd15-tae,sd15-i2i,sd15-b8 python bench.py"
