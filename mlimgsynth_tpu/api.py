@@ -420,6 +420,19 @@ class MLImgSynth:
         pt.chunks = parsed.chunks
         pt.loras = parsed.loras
 
+    def _aux_find(self, path: str) -> str:
+        """Resolve an auxiliary file (TAE weights, lora) through ``aux_dir``
+        when it does not exist relative to the cwd.  Implements the search
+        the reference declares for its aux path ("Path to auxiliary file",
+        src/mlimgsynth.c:378 and the mlis_file_find sketch :711-737); its CLI
+        seeds aux_dir from the binary location (main_mlimgsynth.c:642-652),
+        ours does the same."""
+        if path and not os.path.exists(path) and self.c["aux_dir"]:
+            cand = os.path.join(self.c["aux_dir"], path)
+            if os.path.exists(cand):
+                return cand
+        return path
+
     def _lora_find(self, name: str) -> str:
         """(reference: mlis_lora_path_find, src/mlimgsynth.c:631-668)."""
         if os.path.exists(name):
@@ -429,6 +442,9 @@ class MLImgSynth:
             name + ".safetensors"
         if os.path.exists(path):
             return path
+        aux = self._aux_find(path)
+        if aux != path and os.path.exists(aux):
+            return aux
         raise MlisError(MlisError.E_FILE_NOT_FOUND,
                         f"lora model file not found '{path}'")
 
@@ -569,7 +585,7 @@ class MLImgSynth:
         t0 = time.time()
         store = TensorStore.open(self.c["model"])
         if self.c["tae"]:
-            store.read_file(self.c["tae"], prefix="tae.")
+            store.read_file(self._aux_find(self.c["tae"]), prefix="tae.")
         self._store = store
         if self.c["dump_flags"] & 1:  # MLIS_DUMP_MODEL
             with open("dump-tensors-model.txt", "w") as f:

@@ -409,6 +409,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .utils.compcache import enable as _cc
     _cc()
     session = MLImgSynth()
+    # Default the auxiliary directory to the one holding the launcher, like
+    # the reference CLI (main_mlimgsynth.c:642-652); an explicit --aux-dir
+    # in state.opts overrides it below.
+    import os as _os
+    bin_dir = _os.path.dirname(_os.path.abspath(sys.argv[0] or "."))
+    session.option_set_str("aux-dir", bin_dir)
     try:
         for name, value in state.opts:
             session.option_set_str(name, value)

@@ -107,6 +107,28 @@ def test_tae_swap_in(tmp_path, monkeypatch):
     assert "VAE: tae" in s.infotext
 
 
+def test_aux_dir_resolves_relative_tae(tmp_path, monkeypatch):
+    """aux_dir (VERDICT r2 item 9): a relative --tae path that does not
+    exist in the cwd is looked up under aux_dir, matching the search the
+    reference declares for its auxiliary path (src/mlimgsynth.c:378,711-737;
+    the CLI seeds aux_dir from the binary dir, main_mlimgsynth.c:642-652)."""
+    from mlimgsynth_tpu.models import tae as tae_mod
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+    aux = tmp_path / "auxfiles"
+    aux.mkdir()
+    tae_p = write_tiny_tae(aux / "taesd.safetensors")
+    monkeypatch.setattr(tae_mod, "TAE_SD1", tae_p)
+    monkeypatch.chdir(tmp_path)  # cwd does NOT contain taesd.safetensors
+    s = make_session(ckpt, "sd1", monkeypatch, {"sd1": TINY_MODEL_TYPE})
+    s.option_set("aux-dir", str(aux))
+    s.option_set("tae", "taesd.safetensors")
+    s.option_set("prompt", "a test")
+    img = s.generate()
+    assert img.shape == (1, 3, 64, 64)
+    assert "VAE: tae" in s.infotext
+
+
 def test_lora_apply_changes_output(tmp_path, monkeypatch):
     ckpt = tmp_path / "sd1.safetensors"
     write_tiny_checkpoint(ckpt)
