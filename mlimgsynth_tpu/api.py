@@ -1259,7 +1259,8 @@ class MLImgSynth:
 
     def generate_batch(self, requests: List[dict], step_callback=None,
                        init_latents: Optional[np.ndarray] = None,
-                       init_lmask: Optional[np.ndarray] = None
+                       init_lmask: Optional[np.ndarray] = None,
+                       preview_callback=None, preview_chunk: int = 0
                        ) -> Tuple[np.ndarray, List[str]]:
         """Run several txt2img (or img2img) requests as ONE device batch.
 
@@ -1274,7 +1275,14 @@ class MLImgSynth:
         inpainting (requires ``init_latents``).
 
         ``step_callback(i_step, n_step) -> bool`` aborts the whole batch
-        when truthy (used for serving cancellation)."""
+        when truthy (used for serving cancellation).
+
+        ``preview_callback(i_step, n_step, imgs_u8_nhwc)`` streams a
+        preview frame after every chunk of ``preview_chunk`` steps (default:
+        the cancellable path's chunk size): TAE-decoded when the session has
+        a TAE, else the ~free linear latent->RGB approximation.  The
+        preview decode is fused into the chunk dispatch, so previews cost
+        zero extra dispatches over the plain cancellable path."""
         with self._lock:
             self.setup()
             c, mt = self.c, self._mt
@@ -1366,12 +1374,20 @@ class MLImgSynth:
             decode_spec = (("tae", self._get_params("tae"), None)
                            if c["tae"] else
                            ("vae", self._get_params("vae"), mt.vae_p))
+            preview_spec = None
+            if preview_callback is not None:
+                pv = (("tae", self._get_params("tae"), None) if c["tae"]
+                      else ("latent", {}, None))
+                n_total = plan.n_step
+                preview_spec = pv + (
+                    lambda i, imgs: preview_callback(i, n_total, imgs),)
             out = run_sampler(params, latent, plan, cond, ncond,
                               label, nlabel, init_lmask, scfg,
                               mt.unet_p, dtype=self._dtype,
                               step_callback=step_callback,
                               mesh=self._mesh, decode=decode_spec,
-                              encode=encode_spec)
+                              encode=encode_spec, preview=preview_spec,
+                              chunk_size=preview_chunk or None)
             if encode_spec is not None:
                 latent, u8, _cond_pair = out
             else:

@@ -253,6 +253,16 @@ def _decode_u8(decode_params, x, decode_kind, vae_p, dtype):
         from ..models import tae as tae_mod
         img = tae_mod.tae_decode_apply(ctx, x, tae_mod.TAE_SD1).astype(
             jnp.float32) * 255.0
+    elif decode_kind == "latent":
+        # cheap linear latent->RGB approximation (for streaming previews
+        # when no TAE is loaded): latent-resolution u8 image, ~free to
+        # compute, fused into the chunk dispatch like the real decodes
+        m = jnp.asarray([[0.298, 0.207, 0.208],
+                         [0.187, 0.286, 0.173],
+                         [-0.158, 0.189, 0.264],
+                         [-0.184, -0.271, -0.473]], jnp.float32)
+        img = jnp.einsum("nhwc,cd->nhwd", x[..., :4].astype(jnp.float32), m)
+        img = (img + 1.0) * (255.0 / 2.0)
     else:
         raise ValueError(decode_kind)
     return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
@@ -321,7 +331,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 nlabel, lmask, cfg: SamplerConfig,
                 unet_p: unet_mod.UnetParams, dtype=jnp.bfloat16,
                 step_callback=None, step_observer=None, mesh=None,
-                decode=None, want_latent=True, encode=None):
+                decode=None, want_latent=True, encode=None, preview=None,
+                chunk_size=None):
     """Run the sampling loop.  ``x_init`` (NCHW f32), ``lmask`` [N,1,h,w] or
     None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW —
     or ``(latent NCHW, u8 image NHWC)`` when ``decode`` is given.
@@ -337,7 +348,15 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
 
     With ``mesh`` (a (dp, tp) ``jax.sharding.Mesh``) the batch inputs are
     sharded over the ``dp`` axis and the (pre-sharded) params' tp shardings
-    propagate through the jitted loop; XLA inserts the ICI collectives."""
+    propagate through the jitted loop; XLA inserts the ICI collectives.
+
+    ``preview=(kind, params, vae_p, observer)`` (chunked/step_callback path
+    only) fuses an extra image decode into EVERY chunk dispatch — kind
+    "tae" for real preview frames or "latent" for the ~free linear
+    latent->RGB approximation — and calls ``observer(i_step, img_u8_nhwc)``
+    after each chunk (the final chunk's frame is the real ``decode``
+    output).  Streaming previews therefore cost zero extra dispatches over
+    the cancellable path."""
     use_cfg = cfg.cfg_scale > 1
     use_mask = lmask is not None
     n = x_init.shape[0]
@@ -445,7 +464,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         kw_loop.update(clip_p=clip_p, clip_skip=clip_skip, norm=norm_flag,
                        clip2_p=enc_static2)
 
-    if step_callback is None and step_observer is None:
+    if step_callback is None and step_observer is None and preview is None:
         if os.environ.get("MLIS_MEM_ANALYSIS"):
             # Compiled-executable memory analysis: runtime memory_stats are
             # unavailable through remote-attached TPU, but the AOT path
@@ -490,9 +509,13 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     else:
         carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep,
                           method=method, use_mask=use_mask)
-        chunk = max(1, int(os.environ.get("MLIS_PROGRESS_CHUNK", "1")))
+        chunk = max(1, int(chunk_size if chunk_size is not None else
+                           os.environ.get("MLIS_PROGRESS_CHUNK", "1")))
         if step_observer is not None:
             chunk = 1  # observers need every step
+        pv_kind = pv_params = pv_vae_p = pv_observer = None
+        if preview is not None:
+            pv_kind, pv_params, pv_vae_p, pv_observer = preview
         i = 0
         img_u8 = None
         cond_dev = lab_dev = None
@@ -500,22 +523,29 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         while i < plan.n_step:
             k = min(chunk, plan.n_step - i)
             final = decode is not None and i + k == plan.n_step
+            frame = None         # this chunk's fused preview/decode image
             if enc_first is not None:
                 kwf = dict(kw, clip_p=kw_loop.get("clip_p"),
                            clip_skip=kw_loop.get("clip_skip", 0),
                            norm=kw_loop.get("norm", True),
                            clip2_p=kw_loop.get("clip2_p"))
+                dparams = None
                 if final:
                     kwf.update(decode_kind=kw_loop["decode_kind"],
                                vae_p=kw_loop["vae_p"])
+                    dparams = decode_params
+                elif pv_kind is not None:
+                    kwf.update(decode_kind=pv_kind, vae_p=pv_vae_p)
+                    dparams = pv_params
                 out = _chunk_jit(params, carry, jnp.int32(i),
                                  churn[i:i + k], anc[i:i + k], consts,
-                                 decode_params if final else None,
-                                 enc_first, **kwf)
-                if final:
-                    carry, img_u8, cond_dev, lab_dev = out
+                                 dparams, enc_first, **kwf)
+                if final or pv_kind is not None:
+                    carry, frame, cond_dev, lab_dev = out
                 else:
                     carry, cond_dev, lab_dev = out
+                if final:
+                    img_u8 = frame
                 # subsequent chunks take the device-resident conditioning
                 consts = (cond_dev,
                           lab_dev if lab_dev is not None else consts[1]) \
@@ -527,6 +557,13 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                     anc[i:i + k], consts, decode_params,
                     **dict(kw, decode_kind=kw_loop["decode_kind"],
                            vae_p=kw_loop["vae_p"]))
+                frame = img_u8
+            elif pv_kind is not None:
+                # preview decode rides every chunk's dispatch
+                carry, frame = _chunk_jit(
+                    params, carry, jnp.int32(i), churn[i:i + k],
+                    anc[i:i + k], consts, pv_params,
+                    **dict(kw, decode_kind=pv_kind, vae_p=pv_vae_p))
             elif k == 1:
                 carry = _step_jit(params, carry, jnp.int32(i), churn[i],
                                   anc[i], consts, **kw)
@@ -535,6 +572,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                                    churn[i:i + k], anc[i:i + k], consts,
                                    **kw)
             i += k
+            if pv_observer is not None and frame is not None:
+                pv_observer(i, np.asarray(frame))
             if step_observer is not None:
                 step_observer(i, np.asarray(
                     carry[0], np.float32).transpose(0, 3, 1, 2))

@@ -13,7 +13,13 @@ TPU-native serving features on top of the bare session:
   denoise loop instead of k sequential ones;
 * **cancellation** — every request gets a ``request_id``; ``POST /cancel``
   removes it from the queue, or aborts the running device batch once every
-  request in it is cancelled.
+  request in it is cancelled;
+* **streaming previews** — ``"preview": true`` requests ride the chunked
+  cancellable path with an extra image decode fused into EVERY chunk
+  dispatch (TAE when loaded, else a ~free linear latent->RGB
+  approximation); clients poll ``GET /preview?request_id=...`` while
+  ``POST /generate`` blocks.  Zero extra dispatches over plain
+  cancellation.
 
 Endpoints:
   GET  /health            -> {"status": "ok", "model": ..., "requests": N}
@@ -28,8 +34,14 @@ Endpoints:
                   "image": base64 PNG/JPEG (img2img init image),
                   "mask": base64 grayscale image (inpainting; with image),
                   "f_t_ini": float (img2img strength),
-                  "model": str (multi-model serving: name from launch)}
+                  "model": str (multi-model serving: name from launch),
+                  "preview": bool (enable streaming previews),
+                  "preview_every": int (steps per preview frame; default =
+                  the cancellable path's chunk size)}
       format "json" returns {"images": [base64 PNG, ...], "infotexts": ...}.
+  GET  /preview?request_id=ID -> {"state": "queued"|"running",
+                  "step": int, "n_step": int, "images": [base64 PNG, ...]}
+      (latest frame; 404 once the request finished or was never seen)
   POST /cancel            -> {"status": "dequeued"|"cancelling"|"not found"}
       body: JSON {"request_id": str}
 
@@ -58,7 +70,8 @@ _SHARED_OPTS = {
     "scheduler": "scheduler", "s_ancestral": "s-ancestral",
     "s_noise": "s-noise", "clip_skip": "clip-skip", "f_t_ini": "f-t-ini",
 }
-_SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height", "model")
+_SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height", "model",
+                                      "preview", "preview_every")
 
 
 def _image_b64_size(b64: str):
@@ -127,24 +140,38 @@ _INDEX_HTML = """<!doctype html>
  <label>width<input id="w" type="number" step="64" value="512"></label>
  <label>height<input id="h" type="number" step="64" value="512"></label>
  <label>batch<input id="batch" type="number" value="1"></label>
+ <label>preview<input id="preview" type="checkbox" checked></label>
  <button type="submit">Generate</button>
  <button type="button" class="cancel" id="cancel">Cancel</button>
 </form>
 <div id="status"></div><div id="out"></div>
 <script>
-const $=id=>document.getElementById(id);let reqId=null;
+const $=id=>document.getElementById(id);let reqId=null;let pvTimer=null;
+function pollPreview(){pvTimer=setInterval(async()=>{if(!reqId)return;
+ try{const r=await fetch("/preview?request_id="+reqId);
+  if(!r.ok)return;const j=await r.json();
+  if(j.images&&j.images.length){
+   let img=$("pv");if(!img){img=new Image();img.id="pv";
+    img.style.imageRendering="pixelated";img.style.maxWidth="24rem";
+    $("out").append(img);}
+   img.src="data:image/png;base64,"+j.images[0];
+   $("status").textContent="step "+j.step+"/"+j.n_step;}
+ }catch(e){}},400);}
 $("f").addEventListener("submit",async ev=>{ev.preventDefault();
  reqId=Math.random().toString(36).slice(2,14);
  const body={prompt:$("prompt").value,nprompt:$("nprompt").value,
   steps:+$("steps").value,cfg_scale:+$("cfg").value,seed:+$("seed").value,
   width:+$("w").value,height:+$("h").value,batch_size:+$("batch").value,
-  format:"json",request_id:reqId};
+  preview:$("preview").checked,format:"json",request_id:reqId};
  $("status").textContent="generating…";$("out").innerHTML="";
+ if(body.preview)pollPreview();
  const t0=performance.now();
  try{
   const r=await fetch("/generate",{method:"POST",
    headers:{"Content-Type":"application/json"},body:JSON.stringify(body)});
   const j=await r.json();
+  if(pvTimer){clearInterval(pvTimer);pvTimer=null;}
+  $("out").innerHTML="";
   if(!r.ok){$("status").textContent="error: "+(j.error||r.status);return}
   const dt=((performance.now()-t0)/1000).toFixed(2);
   $("status").textContent=j.images.length+" image(s) in "+dt+" s";
@@ -153,7 +180,8 @@ $("f").addEventListener("submit",async ev=>{ev.preventDefault();
    const cap=document.createElement("figcaption");
    cap.textContent=(j.infotexts||[])[i]||"";
    fig.append(img,cap);$("out").append(fig);});
- }catch(e){$("status").textContent="error: "+e}});
+ }catch(e){if(pvTimer){clearInterval(pvTimer);pvTimer=null;}
+  $("status").textContent="error: "+e}});
 $("cancel").addEventListener("click",async()=>{if(!reqId)return;
  const r=await fetch("/cancel",{method:"POST",
   headers:{"Content-Type":"application/json"},
@@ -164,7 +192,7 @@ $("cancel").addEventListener("click",async()=>{if(!reqId)return;
 class _Pending:
     """One queued /generate request."""
     __slots__ = ("req", "shared", "event", "id", "imgs", "infotexts",
-                 "error", "cancelled", "time_s")
+                 "error", "cancelled", "time_s", "preview")
 
     def __init__(self, req: dict):
         self.req = req
@@ -176,6 +204,10 @@ class _Pending:
         self.error: Optional[str] = None
         self.cancelled = False
         self.time_s = 0.0
+        # latest streaming-preview frame {"step","n_step","images":[b64..]}
+        # (written by the worker thread, read by GET /preview pollers; the
+        # whole dict is replaced atomically so no lock is needed)
+        self.preview: Optional[dict] = None
 
 
 class Server:
@@ -242,6 +274,18 @@ class Server:
             self.queue.append(p)
             self.cond.notify()
         return p
+
+    def preview_of(self, request_id: str):
+        """(state, frame_dict|None) for GET /preview polling."""
+        with self.running_lock:
+            for p in self.running:
+                if p.id == request_id:
+                    return "running", p.preview
+        with self.cond:
+            for p in self.queue:
+                if p.id == request_id:
+                    return "queued", None
+        return "not found", None
 
     def cancel(self, request_id: str) -> str:
         with self.cond:
@@ -348,9 +392,26 @@ class Server:
             def cb(i_step, n_step):
                 return all(p.cancelled for p in batch)
 
-            imgs, infos = s.generate_batch(entries, step_callback=cb,
-                                           init_latents=init_lat,
-                                           init_lmask=init_lmask)
+            pv_cb = None
+            if r0.get("preview"):
+                # streaming previews: store the latest frame per request;
+                # clients poll GET /preview?request_id=... while /generate
+                # blocks.  Frames are tiny PNGs (TAE res, or latent res for
+                # the linear approximation) encoded on this worker thread.
+                def pv_cb(i_step, n_step, imgs_u8):
+                    for p, sl in slices:
+                        if p.cancelled:
+                            continue
+                        frames = imgs_u8[sl]
+                        p.preview = {
+                            "step": int(i_step), "n_step": int(n_step),
+                            "images": [_u8_png_b64(frames[j])
+                                       for j in range(frames.shape[0])]}
+
+            imgs, infos = s.generate_batch(
+                entries, step_callback=cb, init_latents=init_lat,
+                init_lmask=init_lmask, preview_callback=pv_cb,
+                preview_chunk=int(r0.get("preview_every", 0) or 0))
             dt = time.time() - t0
             if all(p.cancelled for p in batch):
                 raise RuntimeError("cancelled")
@@ -373,6 +434,14 @@ class Server:
         finally:
             with self.running_lock:
                 self.running = []
+
+
+def _u8_png_b64(img_u8_hwc: np.ndarray) -> str:
+    """uint8 [H,W,C] preview frame -> base64 PNG string."""
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(np.asarray(img_u8_hwc)).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
 
 
 def _png_bytes(img_nchw_1: np.ndarray, infotext: str) -> bytes:
@@ -414,6 +483,17 @@ def make_handler(srv: Server):
                                  "model_type": srv.session.c["model_type"],
                                  "models": list(srv.sessions),
                                  "requests": srv.n_requests})
+            elif self.path.startswith("/preview"):
+                from urllib.parse import parse_qs, urlparse
+                q = parse_qs(urlparse(self.path).query)
+                rid = (q.get("request_id") or [""])[0]
+                state, frame = srv.preview_of(rid)
+                if state == "not found":
+                    self._json(404, {"error": "not found",
+                                     "request_id": rid})
+                else:
+                    self._json(200, {"request_id": rid, "state": state,
+                                     **(frame or {})})
             elif self.path == "/info":
                 info = srv.session.backend_info()
                 cfg = {k: v for k, v in srv.session.c.items()

@@ -353,3 +353,67 @@ def test_warmup_generate(server_url):
     ses = next(iter(srv.sessions.values()))
     dt = warmup_generate(ses)
     assert dt >= 0.0
+
+
+def test_streaming_preview(server_url):
+    """'preview': true streams per-chunk frames via GET /preview while
+    /generate blocks (VERDICT r2 item 7).  No TAE on the tiny session, so
+    frames are the latent->RGB approximation at latent resolution (8x8)."""
+    import base64
+    import time as _time
+    from PIL import Image
+    server_url, srv = server_url
+    rid = "pvtest1"
+    frames = []
+
+    def poll():
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        server_url + f"/preview?request_id={rid}",
+                        timeout=10) as r:
+                    j = json.loads(r.read())
+                if j.get("images"):
+                    frames.append(j)
+            except Exception:
+                pass  # 404 after completion ends the poller via the flag
+            if done.is_set():
+                return
+            _time.sleep(0.05)
+
+    done = threading.Event()
+    t = threading.Thread(target=poll)
+    t.start()
+    req = urllib.request.Request(
+        server_url + "/generate",
+        data=json.dumps({"prompt": "a dog", "seed": 11, "steps": 4,
+                         "preview": True, "preview_every": 1,
+                         "format": "json", "request_id": rid}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        out = json.loads(r.read())
+    done.set()
+    t.join()
+    assert out["images"], "final image missing"
+    assert frames, "no preview frames observed during generation"
+    last = frames[-1]
+    assert 1 <= last["step"] <= last["n_step"] == 4
+    img = Image.open(io.BytesIO(base64.b64decode(last["images"][0])))
+    assert img.size == (8, 8)  # latent-resolution approximation
+
+    # finished requests are gone from /preview
+    try:
+        with urllib.request.urlopen(
+                server_url + f"/preview?request_id={rid}", timeout=10) as r:
+            assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_preview_is_a_merge_key():
+    """preview and non-preview requests never share a device batch."""
+    from mlimgsynth_tpu.server import _shared_of
+    a = _shared_of({"prompt": "x", "preview": True})
+    b = _shared_of({"prompt": "x"})
+    assert a != b
