@@ -552,7 +552,9 @@ class MLImgSynth:
                     -1, f"backend '{want}' not available (have {backend})")
         log.info(f"Backend: {backend} ({len(jax.devices())} device(s))")
         tp, dp = self.c["tp"], self.c["dp"]
-        if tp * dp > 1:
+        # MLIS_FORCE_MESH=1 builds the mesh even at tp=dp=1: lets the
+        # shard_map'ed kernel path run single-chip (tools/mesh_flash_smoke)
+        if tp * dp > 1 or os.environ.get("MLIS_FORCE_MESH"):
             from .parallel import mesh as pmesh
             n = tp * dp
             if len(jax.devices()) < n:

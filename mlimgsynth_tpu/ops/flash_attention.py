@@ -145,6 +145,27 @@ def _scoped_vmem(bq, bk, dp, dv, itemsize):
     return windows + scratch + logits
 
 
+# S(1) output-promotion danger window (calibrated, see _clamp_blocks):
+# outputs in [10M, 21.5M) risk being placed in the scoped-VMEM stack on top
+# of the kernel's own blocks.  _danger_chunks splits the leading batch*heads
+# axis so every pallas_call's output lands BELOW the window (the proven-safe
+# regime of the SD1.5 hot shapes), keeping full-speed blocks without the
+# nondeterministic compile roulette.
+DANGER_LO = 10 * 1024 * 1024
+DANGER_HI = int(21.5 * 1024 * 1024)
+
+
+def _danger_chunks(bh: int, per_row_bytes: int, out_bytes: int):
+    """None, or a list of (start, end) slices of the bh axis such that each
+    chunk's output is < DANGER_LO bytes."""
+    if not (DANGER_LO <= out_bytes < DANGER_HI) or bh < 2:
+        return None
+    rows_max = max(1, (DANGER_LO - 1) // per_row_bytes)
+    n = -(-bh // rows_max)          # ceil
+    rows = -(-bh // n)              # even-ish chunking
+    return [(i, min(i + rows, bh)) for i in range(0, bh, rows)]
+
+
 def _clamp_blocks(bq, bk, dp, dv, itemsize, out_bytes):
     """Keep the kernel's scoped-VMEM use + any S(1)-promoted output inside
     XLA's ~16MB scoped stack; exceeding it is a hard compile error ("It
@@ -159,9 +180,13 @@ def _clamp_blocks(bq, bk, dp, dv, itemsize, out_bytes):
       into the stack (S(1); observed at 5.4M, 13.1M, 16.8M and 20M —
       padding the output BIGGER to dodge promotion does NOT work) ->
       subtract them from the budget.  25M+ outputs (SDXL L1) have
-      compiled unpromoted across many runs; treated as safe."""
+      compiled unpromoted across many runs; treated as safe.
+
+    Callers first try _danger_chunks (bh-axis split below the window);
+    this budget subtraction remains as the fallback for shapes that
+    cannot be split (bh == 1 or huge single rows)."""
     budget = int(15.5 * 1024 * 1024)
-    if 10 * 1024 * 1024 <= out_bytes < 21.5 * 1024 * 1024:
+    if DANGER_LO <= out_bytes < DANGER_HI:
         budget = max(budget - out_bytes, 1024 * 1024)
     while _scoped_vmem(bq, bk, dp, dv, itemsize) > budget and bk > 256:
         bk //= 2
@@ -243,8 +268,11 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     dv0 = d + 1 if d < dp else dp           # actual output minor (below)
     it = q.dtype.itemsize
-    bq, bk = _clamp_blocks(
-        bq, bk, dp, dv0, it, b * h * pl.cdiv(sq, bq) * bq * dv0 * it)
+    per_row = pl.cdiv(sq, bq) * bq * dv0 * it
+    out0 = b * h * per_row
+    chunks = _danger_chunks(b * h, per_row, out0)
+    out_max = (max(e - s for s, e in chunks) * per_row if chunks else out0)
+    bq, bk = _clamp_blocks(bq, bk, dp, dv0, it, out_max)
     sq_p = pl.cdiv(sq, bq) * bq
     sk_p = pl.cdiv(sk, bk) * bk
 
@@ -262,31 +290,41 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
         vr = jnp.concatenate([vr, jnp.ones(vr.shape[:2] + (1,), vr.dtype)], 2)
     vp = _pad_to(_pad_to(vr, 2, dv), 1, sk_p)
 
-    grid = (b * h, sq_p // bq, sk_p // bk)
     kernel = functools.partial(
         _flash_kernel, kv_len=sk, block_k=bk, causal=causal,
         q_len=sq, block_q=bq, mask_tail=(sk_p != sk), d_sum=d,
         single_k=(sk_p == bk), mxu_sum=mxu_sum)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec((1, bk, dv), lambda bh, iq, ik: (bh, ik, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, dv), lambda bh, iq, ik: (bh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dv), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, dv), jnp.float32),
-        ],
-        # bh and q-blocks are independent; only the k loop carries state —
-        # lets Mosaic double-buffer/pipeline across the parallel dims
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(qp, kp, vp)
+
+    def run(qc, kc, vc):
+        return pl.pallas_call(
+            kernel,
+            grid=(qc.shape[0], sq_p // bq, sk_p // bk),
+            in_specs=[
+                pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
+                pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
+                pl.BlockSpec((1, bk, dv), lambda bh, iq, ik: (bh, ik, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, dv),
+                                   lambda bh, iq, ik: (bh, iq, 0)),
+            out_shape=jax.ShapeDtypeStruct((qc.shape[0], sq_p, dv), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, dv), jnp.float32),
+            ],
+            # bh and q-blocks are independent; only the k loop carries
+            # state — lets Mosaic double-buffer/pipeline the parallel dims
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(qc, kc, vc)
+
+    if chunks is None:
+        out = run(qp, kp, vp)
+    else:
+        # deterministic S(1) escape: each chunk's output is below the
+        # promotion window, so full-speed blocks always compile
+        out = jnp.concatenate(
+            [run(qp[s:e], kp[s:e], vp[s:e]) for s, e in chunks], axis=0)
     return out[:, :sq, :d].reshape(b, h, sq, d)
 
 
@@ -402,8 +440,11 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     dv0 = (d + 1 + 15) // 16 * 16
     it = q.dtype.itemsize
-    out0 = b * h * dv0 * pl.cdiv(sq, bq) * bq * it
-    bq, bk = _clamp_blocks(bq, bk, dp, dv0, it, out0)
+    per_row = dv0 * pl.cdiv(sq, bq) * bq * it
+    out0 = b * h * per_row
+    chunks = _danger_chunks(b * h, per_row, out0)
+    out_max = (max(e - s for s, e in chunks) * per_row if chunks else out0)
+    bq, bk = _clamp_blocks(bq, bk, dp, dv0, it, out_max)
     sq_p = pl.cdiv(sq, bq) * bq
     sk_p = pl.cdiv(sk, bk) * bk
 
@@ -417,26 +458,35 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
     dv = dv0                                # sublane-tile padded rows
     vtp = _pad_to(_pad_to(vtr, 1, dv), 2, sk_p)
 
-    grid = (b * h, sq_p // bq, sk_p // bk)
     kernel = functools.partial(
         _flash_kernel_t, kv_len=sk, block_k=bk, causal=causal,
         q_len=sq, block_q=bq, mask_tail=(sk_p != sk), d_sum=d,
         single_k=(sk_p == bk))
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec((1, dv, bk), lambda bh, iq, ik: (bh, 0, ik)),
-        ],
-        out_specs=pl.BlockSpec((1, dv, bq), lambda bh, iq, ik: (bh, 0, iq)),
-        out_shape=jax.ShapeDtypeStruct((b * h, dv, sq_p), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((1, bq), jnp.float32),
-            pltpu.VMEM((dv, bq), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(qp, kp, vtp)
+
+    def run(qc, kc, vc):
+        return pl.pallas_call(
+            kernel,
+            grid=(qc.shape[0], sq_p // bq, sk_p // bk),
+            in_specs=[
+                pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
+                pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
+                pl.BlockSpec((1, dv, bk), lambda bh, iq, ik: (bh, 0, ik)),
+            ],
+            out_specs=pl.BlockSpec((1, dv, bq),
+                                   lambda bh, iq, ik: (bh, 0, iq)),
+            out_shape=jax.ShapeDtypeStruct((qc.shape[0], dv, sq_p), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((1, bq), jnp.float32),
+                pltpu.VMEM((dv, bq), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(qc, kc, vc)
+
+    if chunks is None:
+        out = run(qp, kp, vtp)
+    else:
+        # deterministic S(1) escape (see _danger_chunks)
+        out = jnp.concatenate(
+            [run(qp[s:e], kp[s:e], vtp[s:e]) for s, e in chunks], axis=0)
     return out[:, :d, :sq].reshape(b, h, d, sq)

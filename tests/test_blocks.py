@@ -79,6 +79,22 @@ def test_group_norm_vs_torch():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_fused_upsample_matches_unfused(monkeypatch):
+    """MLIS_FUSED_UPSAMPLE=1 (one lhs-dilated conv with a pre-summed 4x4
+    kernel) must equal nearest-up + 3x3 conv to fp tolerance — the
+    composition is exact mathematically."""
+    x = rand(2, 8, 8, 16, seed=4)
+    w = rand(3, 3, 16, 12, seed=5) * 0.1
+    b = rand(12, seed=6) * 0.1
+    ctx = ctx_with({"u.conv.weight": w, "u.conv.bias": b})
+    monkeypatch.delenv("MLIS_FUSED_UPSAMPLE", raising=False)
+    ref = np.asarray(B.upsample(ctx, "u", jnp.asarray(x), 12))
+    monkeypatch.setenv("MLIS_FUSED_UPSAMPLE", "1")
+    got = np.asarray(B.upsample(ctx, "u", jnp.asarray(x), 12))
+    assert got.shape == (2, 16, 16, 12)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_norms_large_mean_robust():
     """Cancellation robustness (ADVICE r2): VAE decoder activations reach
     large magnitudes where mean^2/var >> 1; one-pass E[x^2]-mean^2 variance

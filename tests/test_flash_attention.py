@@ -134,6 +134,67 @@ def test_compatibility_gate():
         jnp.zeros((1, 12, 77, 64)), causal=True)
 
 
+def test_danger_chunks_math():
+    """Outputs in the S(1) promotion window split along bh so every chunk
+    lands below DANGER_LO; outside the window no split happens."""
+    per = 2 * 1024 * 1024
+    assert fa._danger_chunks(4, per, 4 * per) is None  # 8M: below window
+    ch = fa._danger_chunks(10, per, 10 * per)          # 20M: in window
+    assert ch is not None
+    assert ch[0][0] == 0 and ch[-1][1] == 10
+    for s, e in ch:
+        assert (e - s) * per < fa.DANGER_LO
+        assert e > s
+    # contiguous cover
+    for (s1, e1), (s2, e2) in zip(ch, ch[1:]):
+        assert e1 == s2
+    # above the window: treated safe, no split
+    assert fa._danger_chunks(32, per, 32 * per) is None
+    # bh == 1 cannot split
+    assert fa._danger_chunks(1, 12 * per, 12 * per) is None
+
+
+def test_danger_split_keeps_full_blocks(monkeypatch):
+    """The SD2-768 L0 shape (output 14.2M, previously clamped) now splits
+    into sub-window chunks and keeps the full-speed (2048,1024) blocks."""
+    calls = []
+
+    def capture(kernel, *a, grid=None, in_specs=None, out_shape=None, **kw):
+        calls.append((grid, in_specs[0].block_shape, out_shape))
+        return lambda *operands: jnp.zeros(out_shape.shape, out_shape.dtype)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", capture)
+    b, h, s, d = 2, 5, 9216, 64           # SD2-768 level-0 self-attention
+    q = rand(b, h, s, d, seed=2).astype(jnp.bfloat16) * 0.3
+    fa.flash_attention_t(q, q, q.swapaxes(-1, -2))
+    assert len(calls) >= 2, "danger-window shape did not split"
+    it = 2
+    total_rows = 0
+    for grid, qblk, out_shape in calls:
+        out_bytes = int(np.prod(out_shape.shape)) * it
+        assert out_bytes < fa.DANGER_LO, out_bytes
+        assert qblk[1] == 2048, f"blocks clamped to {qblk} despite split"
+        total_rows += out_shape.shape[0]
+    assert total_rows == b * h
+
+
+def test_danger_split_numerics(monkeypatch):
+    """Splitting must be numerically invisible: shrink the window so a
+    small shape splits, compare against the XLA reference."""
+    monkeypatch.setattr(fa, "DANGER_LO", 64 * 1024)
+    monkeypatch.setattr(fa, "DANGER_HI", 64 * 1024 * 1024)
+    from mlimgsynth_tpu.ops.attention import attention_xla
+    q = rand(2, 4, 640, 64, seed=3) * 0.3
+    k = rand(2, 4, 640, 64, seed=4) * 0.3
+    v = rand(2, 4, 640, 64, seed=5) * 0.3
+    assert fa._danger_chunks(8, 640 * 80 * 4, 8 * 640 * 80 * 4) is not None
+    got = np.asarray(fa.flash_attention(q, k, v))
+    ref = np.asarray(attention_xla(q, k, v))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    got_t = np.asarray(fa.flash_attention_t(q, k, v.swapaxes(-1, -2)))
+    np.testing.assert_allclose(got_t.swapaxes(-1, -2), ref, atol=2e-5)
+
+
 def test_vmem_budget_clamp(monkeypatch):
     """Kernel VMEM (f32 logits + operand tiles + f32 acc) must stay under
     ~10MB for every shape the models use: unclamped blocks OOM XLA's

@@ -18,7 +18,8 @@ import numpy as np  # noqa: E402
 SHAPES = [
     # (b, h, sq, sk, d, label)
     (2, 8, 4096, 4096, 40, "SD1.5 L0 self"),
-    (2, 10, 4096, 4096, 64, "SDXL L1 self"),
+    (2, 10, 4096, 4096, 64, "SDXL L1 self (danger-split)"),
+    (2, 5, 9216, 9216, 64, "SD2-768 L0 self (danger-split)"),
     (2, 20, 1024, 1024, 64, "SDXL L2 self (single-k)"),
     (2, 8, 1024, 1024, 80, "SD2-ish"),
     (1, 1, 4096, 4096, 512, "VAE mid attn (wide head)"),

@@ -28,6 +28,24 @@ def main():
 
     which = sys.argv[1] if len(sys.argv) > 1 else "sd15"
     pat = sys.argv[2] if len(sys.argv) > 2 else None
+    if which == "vae":
+        # VAE decode census (VERDICT r2 item 2/8 decision data)
+        from mlimgsynth_tpu.models import vae as V
+        spec = B.trace_spec(
+            lambda ctx, x: V.vae_decode_apply(ctx, x, V.VAE_SD1),
+            jnp.zeros((1, 8, 8, 4)))
+        params = {k: jax.ShapeDtypeStruct(ps.shape, ps.dtype)
+                  for k, ps in spec.items()}
+
+        def decode(params, x):
+            ctx = B.Ctx(params, dtype=jnp.bfloat16)
+            return V.vae_decode_apply(ctx, x, V.VAE_SD1)
+
+        txt = jax.jit(decode).lower(
+            params, jax.ShapeDtypeStruct((1, 64, 64, 4), np.float32)
+        ).compile().as_text()
+        _census(txt, pat)
+        return
     if which == "sdxl":
         P, res, n = U.UNET_SDXL, 128, 2
     else:
@@ -53,6 +71,10 @@ def main():
     if lab is not None:
         args.append(lab)
     txt = jax.jit(step).lower(*args).compile().as_text()
+    _census(txt, pat)
+
+
+def _census(txt, pat=None):
     print(f"optimized HLO: {len(txt.splitlines())} lines", flush=True)
 
     ops = Counter()
