@@ -209,15 +209,18 @@ def downsample(ctx: Ctx, pre: str, x, ch_out: int, vae: bool = False):
 def upsample(ctx: Ctx, pre: str, x, ch_out: int):
     """ref: mlb_upsample (src/mlblock_nn.c:118-126). Nearest 2x then conv.
 
-    With MLIS_FUSED_UPSAMPLE=1 the nearest-neighbor duplication and the 3x3
-    conv collapse into ONE lhs-dilated conv with a pre-summed 4x4 kernel
+    Default: the nearest-neighbor duplication and the 3x3 conv collapse
+    into ONE lhs-dilated conv with a pre-summed 4x4 kernel
     (K4[s,t] = sum_{a,b in {0,1}} W[s-a,t-b]): nearest-up is linear, so the
     composition is exact up to fp summation order, but XLA's phase
     decomposition then computes 4 MACs/output instead of 9 (4/9 the FLOPs)
-    and the 2x-upsampled intermediate never touches HBM."""
+    and the 2x-upsampled intermediate never touches HBM.  Measured VAE-512
+    decode 24.6 -> 20.8 ms on v5e (docs/BENCH.md r3).  Opt out with
+    MLIS_FUSED_UPSAMPLE=0."""
     import os
     ch_in = x.shape[-1]
-    if os.environ.get("MLIS_FUSED_UPSAMPLE", "0") in ("1", "true", "yes"):
+    if os.environ.get("MLIS_FUSED_UPSAMPLE", "1") not in ("0", "false",
+                                                          "no"):
         w = ctx.param(pre + ".conv.weight", (3, 3, ch_in, ch_out), CONV_W)
         w = w.astype(jnp.float32)
         w4 = jnp.zeros((4, 4, ch_in, ch_out), jnp.float32)

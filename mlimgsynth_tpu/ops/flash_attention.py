@@ -135,73 +135,102 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
 def _scoped_vmem(bq, bk, dp, dv, itemsize):
     """Model of the kernel's contribution to XLA's scoped-VMEM stack,
-    calibrated against observed compile OOMs and passes: double-buffered
-    operand/output block windows + declared f32 scratch + the [bq,bk]
-    matmul operands that DO materialize in VMEM (the f32 QK product and
-    the low-precision p fed to the PV matmul)."""
+    calibrated against compiler-reported stack sizes on v5e:
+
+    * SD2 L1 in-loop t-kernel (2048,1024) dp=64 dv=80 + promoted 6.55M
+      output -> "17.39M" reported => kernel alone 10.84M; this model
+      gives 10.82M (windows 1.77 + scratch 0.66 + f32 logits 8.39);
+    * (2048,2048) d=40 std kernel fails at "19.32M" => model 18.9M;
+    * wide-head (2048,256) d=512 fails at "16.16M" => model 15.7M.
+
+    The low-precision exp2 product p reuses the f32 logits allocation (it
+    never appears as a separate term in the compiler reports), so only
+    the f32 [bq,bk] product is counted."""
     windows = 2 * (bq * dp + bk * dp + bk * dv + bq * dv) * itemsize
     scratch = bq * dv * 4 + 2 * bq * 4        # acc + m/l
-    logits = bq * bk * (4 + itemsize)         # sT (f32) + p (input dtype)
+    logits = bq * bk * 4                      # f32 QK product
     return windows + scratch + logits
 
 
-# S(1) output-promotion danger window (calibrated, see _clamp_blocks):
-# outputs in [10M, 21.5M) risk being placed in the scoped-VMEM stack on top
-# of the kernel's own blocks.  _danger_chunks splits the leading batch*heads
-# axis so every pallas_call's output lands BELOW the window (the proven-safe
-# regime of the SD1.5 hot shapes), keeping full-speed blocks without the
-# nondeterministic compile roulette.
-DANGER_LO = 10 * 1024 * 1024
-DANGER_HI = int(21.5 * 1024 * 1024)
+# XLA's scoped-VMEM stack is 16.0M; keep ~1M headroom for the 0.4-0.5M the
+# compiler reports above this model at the observed failing shapes.
+VMEM_BUDGET = int(15.0 * 1024 * 1024)
 
 
-def _danger_chunks(bh: int, per_row_bytes: int, out_bytes: int):
-    """None, or a list of (start, end) slices of the bh axis such that each
-    chunk's output is < DANGER_LO bytes."""
-    if not (DANGER_LO <= out_bytes < DANGER_HI) or bh < 2:
-        return None
-    rows_max = max(1, (DANGER_LO - 1) // per_row_bytes)
-    n = -(-bh // rows_max)          # ceil
-    rows = -(-bh // n)              # even-ish chunking
-    return [(i, min(i + rows, bh)) for i in range(0, bh, rows)]
+def _plan_flash(bq, bk, dp, dv, it, bh, sq, causal):
+    """Block sizes + output chunking under the ALWAYS-PROMOTED policy.
+
+    XLA sometimes places a pallas_call's output in the scoped-VMEM stack
+    (S(1)) on top of the kernel's own blocks, and which outputs get
+    promoted is not predictable (observed at 6.55M, 13.1M, 16.8M and 20M;
+    other same-sized outputs stay in HBM, and the round-2 calibration's
+    "safe below 10M" window was refuted by a promoted 6.55M chunk).  The
+    only deterministic-safe regime is to assume EVERY output is promoted:
+    pick blocks and split the output (batch*heads axis first, then the q
+    axis) until _scoped_vmem(blocks) + chunk_bytes <= VMEM_BUDGET holds
+    for every call.
+
+    Returns (bq, bk, sq_p, bh_rows, q_step): callers loop over bh slices
+    of ``bh_rows`` rows (0 = no bh split) and q slices of ``q_step``
+    padded rows (0 = no q split)."""
+    def fits(bq_, bk_, extra):
+        return _scoped_vmem(bq_, bk_, dp, dv, it) + extra <= VMEM_BUDGET
+
+    # shrink blocks until at least a single-q-block single-row chunk fits
+    bk_init = bk
+    while not fits(bq, bk, bq * dv * it):
+        if bk > 256:
+            bk //= 2
+        elif bq > 512:
+            bq //= 2
+        else:
+            break
+    # the shrink order halves bk before bq: regrow bk if a later bq cut
+    # left headroom (wide-head shapes land on (1024,512) not (1024,256))
+    while bk < bk_init and fits(bq, bk * 2, bq * dv * it):
+        bk *= 2
+    sq_p = pl.cdiv(sq, bq) * bq
+    per_row = sq_p * dv * it
+    allowed = VMEM_BUDGET - _scoped_vmem(bq, bk, dp, dv, it)
+    if bh * per_row <= allowed:
+        return bq, bk, sq_p, 0, 0             # whole output fits
+    rows = int(allowed // per_row)
+    if rows >= 1:
+        return bq, bk, sq_p, rows, 0          # bh-axis chunks
+    if not causal:
+        # single rows are still too big: additionally chunk the q axis
+        # (output rows are independent; invalid for causal, whose mask
+        # offsets restart per call)
+        nblk = max(1, int(allowed // (bq * dv * it)))
+        return bq, bk, sq_p, 1, nblk * bq
+    from ..utils.log import g_logger
+    g_logger.warning(
+        f"flash blocks ({bq},{bk}) d=({dp},{dv}): causal output "
+        f"{per_row / 2**20:.1f}MiB/row cannot be chunked; compile may OOM")
+    return bq, bk, sq_p, 0, 0
 
 
-def _clamp_blocks(bq, bk, dp, dv, itemsize, out_bytes):
-    """Keep the kernel's scoped-VMEM use + any S(1)-promoted output inside
-    XLA's ~16MB scoped stack; exceeding it is a hard compile error ("It
-    should not be possible to run out of scoped vmem").  Calibration
-    points (all observed on v5e):
+def _chunk_ranges(n, step):
+    return [(i, min(i + step, n)) for i in range(0, n, step)]
 
-    * (2048,1024) blocks at d<=64: model 15.0M -> compiles (the proven
-      hot config for SD1.5/SDXL, standalone and in-loop);
-    * (2048,2048) at d=40: fails standalone at 19.32M reported;
-    * wide-head (2048,256) d=512: fails at 16.16M reported;
-    * outputs up to at least 20M linear can additionally be promoted
-      into the stack (S(1); observed at 5.4M, 13.1M, 16.8M and 20M —
-      padding the output BIGGER to dodge promotion does NOT work) ->
-      subtract them from the budget.  25M+ outputs (SDXL L1) have
-      compiled unpromoted across many runs; treated as safe.
 
-    Callers first try _danger_chunks (bh-axis split below the window);
-    this budget subtraction remains as the fallback for shapes that
-    cannot be split (bh == 1 or huge single rows)."""
-    budget = int(15.5 * 1024 * 1024)
-    if DANGER_LO <= out_bytes < DANGER_HI:
-        budget = max(budget - out_bytes, 1024 * 1024)
-    while _scoped_vmem(bq, bk, dp, dv, itemsize) > budget and bk > 256:
-        bk //= 2
-    while _scoped_vmem(bq, bk, dp, dv, itemsize) > budget and bq > 512:
-        bq //= 2
-    est = _scoped_vmem(bq, bk, dp, dv, itemsize)
-    if est > budget:
-        # shrink loops bottomed out: the launch may hit the nondeterministic
-        # scoped-VMEM compile OOM — make that attributable (ADVICE r2)
-        from ..utils.log import g_logger
-        g_logger.warning(
-            f"flash blocks ({bq},{bk}) d=({dp},{dv}) still estimate "
-            f"{est / 2**20:.1f}MiB scoped VMEM > {budget / 2**20:.1f}MiB "
-            f"budget; compile may OOM")
-    return bq, bk
+def _run_chunked(run, qp, kp, vp, bh_rows, q_step, q_axis):
+    """Execute ``run`` over the bh/q output chunks chosen by _plan_flash
+    and stitch the results.  q slices apply to qp's axis 1 (padded seq);
+    outputs concatenate along axis 0 (bh) and ``q_axis`` (the output's q
+    dimension, which differs between the plain and transposed kernels)."""
+    bh = qp.shape[0]
+    bh_ranges = _chunk_ranges(bh, bh_rows) if bh_rows else [(0, bh)]
+    q_ranges = _chunk_ranges(qp.shape[1], q_step) if q_step else None
+    outs = []
+    for s, e in bh_ranges:
+        if q_ranges is None:
+            outs.append(run(qp[s:e], kp[s:e], vp[s:e]))
+        else:
+            parts = [run(qp[s:e, i:j], kp[s:e], vp[s:e])
+                     for i, j in q_ranges]
+            outs.append(jnp.concatenate(parts, axis=q_axis))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def _pad_to(x, axis, size):
@@ -268,12 +297,8 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     dv0 = d + 1 if d < dp else dp           # actual output minor (below)
     it = q.dtype.itemsize
-    per_row = pl.cdiv(sq, bq) * bq * dv0 * it
-    out0 = b * h * per_row
-    chunks = _danger_chunks(b * h, per_row, out0)
-    out_max = (max(e - s for s, e in chunks) * per_row if chunks else out0)
-    bq, bk = _clamp_blocks(bq, bk, dp, dv0, it, out_max)
-    sq_p = pl.cdiv(sq, bq) * bq
+    bq, bk, sq_p, bh_rows, q_step = _plan_flash(
+        bq, bk, dp, dv0, it, b * h, sq, causal)
     sk_p = pl.cdiv(sk, bk) * bk
 
     q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
@@ -298,7 +323,7 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
     def run(qc, kc, vc):
         return pl.pallas_call(
             kernel,
-            grid=(qc.shape[0], sq_p // bq, sk_p // bk),
+            grid=(qc.shape[0], qc.shape[1] // bq, sk_p // bk),
             in_specs=[
                 pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
                 pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
@@ -306,7 +331,8 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
             ],
             out_specs=pl.BlockSpec((1, bq, dv),
                                    lambda bh, iq, ik: (bh, iq, 0)),
-            out_shape=jax.ShapeDtypeStruct((qc.shape[0], sq_p, dv), q.dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (qc.shape[0], qc.shape[1], dv), q.dtype),
             scratch_shapes=[
                 pltpu.VMEM((bq, 1), jnp.float32),
                 pltpu.VMEM((bq, 1), jnp.float32),
@@ -318,13 +344,7 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
         )(qc, kc, vc)
 
-    if chunks is None:
-        out = run(qp, kp, vp)
-    else:
-        # deterministic S(1) escape: each chunk's output is below the
-        # promotion window, so full-speed blocks always compile
-        out = jnp.concatenate(
-            [run(qp[s:e], kp[s:e], vp[s:e]) for s, e in chunks], axis=0)
+    out = _run_chunked(run, qp, kp, vp, bh_rows, q_step, q_axis=1)
     return out[:, :sq, :d].reshape(b, h, sq, d)
 
 
@@ -440,12 +460,8 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     dv0 = (d + 1 + 15) // 16 * 16
     it = q.dtype.itemsize
-    per_row = dv0 * pl.cdiv(sq, bq) * bq * it
-    out0 = b * h * per_row
-    chunks = _danger_chunks(b * h, per_row, out0)
-    out_max = (max(e - s for s, e in chunks) * per_row if chunks else out0)
-    bq, bk = _clamp_blocks(bq, bk, dp, dv0, it, out_max)
-    sq_p = pl.cdiv(sq, bq) * bq
+    bq, bk, sq_p, bh_rows, q_step = _plan_flash(
+        bq, bk, dp, dv0, it, b * h, sq, causal)
     sk_p = pl.cdiv(sk, bk) * bk
 
     q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
@@ -466,7 +482,7 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
     def run(qc, kc, vc):
         return pl.pallas_call(
             kernel,
-            grid=(qc.shape[0], sq_p // bq, sk_p // bk),
+            grid=(qc.shape[0], qc.shape[1] // bq, sk_p // bk),
             in_specs=[
                 pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
                 pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
@@ -474,7 +490,8 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
             ],
             out_specs=pl.BlockSpec((1, dv, bq),
                                    lambda bh, iq, ik: (bh, 0, iq)),
-            out_shape=jax.ShapeDtypeStruct((qc.shape[0], dv, sq_p), q.dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (qc.shape[0], dv, qc.shape[1]), q.dtype),
             scratch_shapes=[
                 pltpu.VMEM((1, bq), jnp.float32),
                 pltpu.VMEM((dv, bq), jnp.float32),
@@ -483,10 +500,5 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
         )(qc, kc, vc)
 
-    if chunks is None:
-        out = run(qp, kp, vtp)
-    else:
-        # deterministic S(1) escape (see _danger_chunks)
-        out = jnp.concatenate(
-            [run(qp[s:e], kp[s:e], vtp[s:e]) for s, e in chunks], axis=0)
+    out = _run_chunked(run, qp, kp, vtp, bh_rows, q_step, q_axis=2)
     return out[:, :d, :sq].reshape(b, h, d, sq)

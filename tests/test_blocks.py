@@ -87,9 +87,9 @@ def test_fused_upsample_matches_unfused(monkeypatch):
     w = rand(3, 3, 16, 12, seed=5) * 0.1
     b = rand(12, seed=6) * 0.1
     ctx = ctx_with({"u.conv.weight": w, "u.conv.bias": b})
-    monkeypatch.delenv("MLIS_FUSED_UPSAMPLE", raising=False)
+    monkeypatch.setenv("MLIS_FUSED_UPSAMPLE", "0")
     ref = np.asarray(B.upsample(ctx, "u", jnp.asarray(x), 12))
-    monkeypatch.setenv("MLIS_FUSED_UPSAMPLE", "1")
+    monkeypatch.setenv("MLIS_FUSED_UPSAMPLE", "1")  # the default
     got = np.asarray(B.upsample(ctx, "u", jnp.asarray(x), 12))
     assert got.shape == (2, 16, 16, 12)
     np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -134,29 +134,32 @@ def test_compatibility_gate():
         jnp.zeros((1, 12, 77, 64)), causal=True)
 
 
-def test_danger_chunks_math():
-    """Outputs in the S(1) promotion window split along bh so every chunk
-    lands below DANGER_LO; outside the window no split happens."""
-    per = 2 * 1024 * 1024
-    assert fa._danger_chunks(4, per, 4 * per) is None  # 8M: below window
-    ch = fa._danger_chunks(10, per, 10 * per)          # 20M: in window
-    assert ch is not None
-    assert ch[0][0] == 0 and ch[-1][1] == 10
-    for s, e in ch:
-        assert (e - s) * per < fa.DANGER_LO
-        assert e > s
-    # contiguous cover
-    for (s1, e1), (s2, e2) in zip(ch, ch[1:]):
-        assert e1 == s2
-    # above the window: treated safe, no split
-    assert fa._danger_chunks(32, per, 32 * per) is None
-    # bh == 1 cannot split
-    assert fa._danger_chunks(1, 12 * per, 12 * per) is None
+def test_plan_flash_math():
+    """_plan_flash: whole-output fit -> no split; otherwise bh chunks, then
+    q chunks, always with stack + chunk <= VMEM_BUDGET."""
+    it = 2
+    # small: whole output fits
+    bq, bk, sq_p, rows, qstep = fa._plan_flash(1024, 1024, 64, 80, it,
+                                               4, 1024, False)
+    assert rows == 0 and qstep == 0
+    # SD2-768 L0: bh chunks at full blocks
+    bq, bk, sq_p, rows, qstep = fa._plan_flash(2048, 1024, 64, 80, it,
+                                               10, 9216, False)
+    assert (bq, bk) == (2048, 1024) and rows >= 1 and qstep == 0
+    assert (fa._scoped_vmem(bq, bk, 64, 80, it) + rows * sq_p * 80 * it
+            <= fa.VMEM_BUDGET)
+    # huge single row: q chunks (non-causal only)
+    bq, bk, sq_p, rows, qstep = fa._plan_flash(1024, 1024, 512, 528, it,
+                                               1, 16384, False)
+    assert rows == 1 and qstep > 0 and qstep % bq == 0
+    assert (fa._scoped_vmem(bq, bk, 512, 528, it) + qstep * 528 * it
+            <= fa.VMEM_BUDGET)
 
 
-def test_danger_split_keeps_full_blocks(monkeypatch):
-    """The SD2-768 L0 shape (output 14.2M, previously clamped) now splits
-    into sub-window chunks and keeps the full-speed (2048,1024) blocks."""
+def test_split_keeps_full_blocks(monkeypatch):
+    """The SD2-768 L0 shape (14.2M output, previously block-clamped) splits
+    into chunks and keeps the full-speed (2048,1024) blocks, with every
+    call safe under the always-promoted policy."""
     calls = []
 
     def capture(kernel, *a, grid=None, in_specs=None, out_shape=None, **kw):
@@ -167,69 +170,78 @@ def test_danger_split_keeps_full_blocks(monkeypatch):
     b, h, s, d = 2, 5, 9216, 64           # SD2-768 level-0 self-attention
     q = rand(b, h, s, d, seed=2).astype(jnp.bfloat16) * 0.3
     fa.flash_attention_t(q, q, q.swapaxes(-1, -2))
-    assert len(calls) >= 2, "danger-window shape did not split"
+    assert len(calls) >= 2, "over-budget shape did not split"
     it = 2
     total_rows = 0
     for grid, qblk, out_shape in calls:
+        (_, bq, dp) = qblk
         out_bytes = int(np.prod(out_shape.shape)) * it
-        assert out_bytes < fa.DANGER_LO, out_bytes
         assert qblk[1] == 2048, f"blocks clamped to {qblk} despite split"
         total_rows += out_shape.shape[0]
     assert total_rows == b * h
 
 
-def test_danger_split_numerics(monkeypatch):
-    """Splitting must be numerically invisible: shrink the window so a
-    small shape splits, compare against the XLA reference."""
-    monkeypatch.setattr(fa, "DANGER_LO", 64 * 1024)
-    monkeypatch.setattr(fa, "DANGER_HI", 64 * 1024 * 1024)
+def test_split_numerics(monkeypatch):
+    """Output chunking (bh AND q axis) must be numerically invisible:
+    shrink the budget so a small shape splits both ways, compare against
+    the XLA reference."""
+    monkeypatch.setattr(fa, "VMEM_BUDGET", fa._scoped_vmem(
+        512, 512, 64, 80, 4) + 512 * 80 * 4 * 2)  # ~2 q-blocks allowed
     from mlimgsynth_tpu.ops.attention import attention_xla
-    q = rand(2, 4, 640, 64, seed=3) * 0.3
-    k = rand(2, 4, 640, 64, seed=4) * 0.3
-    v = rand(2, 4, 640, 64, seed=5) * 0.3
-    assert fa._danger_chunks(8, 640 * 80 * 4, 8 * 640 * 80 * 4) is not None
-    got = np.asarray(fa.flash_attention(q, k, v))
+    q = rand(2, 2, 2048, 64, seed=3) * 0.3
+    k = rand(2, 2, 2048, 64, seed=4) * 0.3
+    v = rand(2, 2, 2048, 64, seed=5) * 0.3
+    bq, bk, sq_p, rows, qstep = fa._plan_flash(
+        512, 512, 64, 80, 4, 4, 2048, False)
+    assert rows == 1 and qstep > 0, (rows, qstep)
     ref = np.asarray(attention_xla(q, k, v))
+    got = np.asarray(fa.flash_attention(q, k, v, block_q=512, block_k=512))
     np.testing.assert_allclose(got, ref, atol=2e-5)
-    got_t = np.asarray(fa.flash_attention_t(q, k, v.swapaxes(-1, -2)))
+    got_t = np.asarray(fa.flash_attention_t(q, k, v.swapaxes(-1, -2),
+                                            block_q=512, block_k=512))
     np.testing.assert_allclose(got_t.swapaxes(-1, -2), ref, atol=2e-5)
 
 
-def test_vmem_budget_clamp(monkeypatch):
-    """Kernel VMEM (f32 logits + operand tiles + f32 acc) must stay under
-    ~10MB for every shape the models use: unclamped blocks OOM XLA's
-    scoped-vmem stack at compile time (docs/BENCH.md round-2).  Captures
-    the actual grid/block sizes by intercepting pallas_call."""
-    captured = {}
+def test_vmem_budget_always_promoted(monkeypatch):
+    """Every pallas_call the wrappers emit must satisfy the always-promoted
+    invariant: _scoped_vmem(blocks) + output_chunk_bytes <= VMEM_BUDGET for
+    every model shape.  Captures block geometry by intercepting
+    pallas_call (the S(1) output promotion is unpredictable, so the only
+    deterministic-safe policy is counting every output)."""
+    calls = []
 
     def capture(kernel, *a, grid=None, in_specs=None, out_shape=None, **kw):
-        captured["q"] = in_specs[0].block_shape
-        captured["k"] = in_specs[1].block_shape
-        captured["v"] = in_specs[2].block_shape
-        # block geometry is fully decided before the call — skip executing
-        # the kernel (interpret mode at these shapes costs a minute)
+        calls.append((in_specs[0].block_shape, in_specs[1].block_shape,
+                      in_specs[2].block_shape, out_shape))
         return lambda *operands: jnp.zeros(out_shape.shape, out_shape.dtype)
 
     monkeypatch.setattr(fa.pl, "pallas_call", capture)
     shapes = [
         (2, 8, 4096, 40),     # SD1.5
         (2, 10, 4096, 64),    # SDXL L1
-        (2, 10, 2304, 64),    # SD2-768 L1 (S(1) danger zone output)
+        (2, 10, 2304, 64),    # SD2-768 L1 (the round-3 in-loop OOM shape)
+        (2, 5, 9216, 64),     # SD2-768 L0
         (1, 1, 4096, 512),    # VAE mid (wide head)
-        (8, 1, 4096, 512),    # VAE mid, batch 8 (windows alone near 16M)
+        (1, 1, 16384, 512),   # VAE mid at 1024px (q-axis chunking)
+        (8, 1, 4096, 512),    # VAE mid, batch 8
+        (16, 8, 4096, 40),    # SD1.5 batch-8
     ]
     for b, h, s, d in shapes:
         q = rand(b, h, s, d, seed=1).astype(jnp.bfloat16) * 0.3
         for fn, v in ((fa.flash_attention, q),
                       (fa.flash_attention_t, q.swapaxes(-1, -2))):
-            captured.clear()
+            calls.clear()
             fn(q, q, v)
-            (_, bq, dp) = captured["q"]
-            (_, b1, b2) = captured["v"]
-            if fn is fa.flash_attention:
-                bk, dv = b1, b2
-            else:
-                dv, bk = b1, b2
-            vmem = fa._scoped_vmem(bq, bk, dp, dv, 2)
-            assert vmem <= 15.5 * 1024 * 1024, (fn.__name__, b, h, s, d,
-                                                vmem)
+            total = 0
+            for qblk, kblk, vblk, out_shape in calls:
+                (_, bq, dp) = qblk
+                if fn is fa.flash_attention:
+                    bk, dv = vblk[1], vblk[2]
+                else:
+                    dv, bk = vblk[1], vblk[2]
+                vmem = fa._scoped_vmem(bq, bk, dp, dv, 2)
+                out_bytes = int(np.prod(out_shape.shape)) * 2
+                assert vmem + out_bytes <= fa.VMEM_BUDGET, (
+                    fn.__name__, b, h, s, d, vmem, out_bytes)
+                total += int(np.prod(out_shape.shape))
+

@@ -35,11 +35,15 @@ def main():
         b = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
 
         def loop(a, b):
+            # keep the bench COMPUTE-bound: reduce the [M,N] product to a
+            # column immediately (relu blocks the algebraic a@(b.sum) fold)
+            # so XLA fuses the reduce into the matmul and the 64MB f32
+            # product never reaches HBM; the tiny column feeds back into a
+            # so the scan can't hoist the loop-invariant matmul.
             def body(a, _):
                 s = jax.lax.dot(a, b, preferred_element_type=jnp.float32)
-                # feed the output back into a: a true loop dependency, so
-                # the scan cannot hoist or elide the matmul
-                return (a + s[:, :k].astype(a.dtype) * 1e-6), None
+                col = jax.nn.relu(s).sum(axis=1, keepdims=True)
+                return a + (col * 1e-9).astype(a.dtype), None
             a, _ = jax.lax.scan(body, a, None, length=n_scan)
             return a
 
