@@ -50,7 +50,10 @@ typedef enum MLIS_Method {
 	MLIS_METHOD_TAYLOR3,
 	MLIS_METHOD_DPMPP2M,
 	MLIS_METHOD_DPMPP2S,
-	MLIS_METHOD__LAST = MLIS_METHOD_DPMPP2S,
+	/* beyond-reference addition: DPM++(2M) SDE, midpoint variant
+	 * (reference future-plans item; noise from the Philox stream) */
+	MLIS_METHOD_DPMPP2MSDE,
+	MLIS_METHOD__LAST = MLIS_METHOD_DPMPP2MSDE,
 } MLIS_Method;
 
 typedef enum MLIS_Scheduler {

@@ -66,7 +66,8 @@ STAGE_DENOISE = 4
 STAGE_NAMES = ["idle", "cond_encode", "image_encode", "image_decode",
                "denoise"]
 
-METHOD_NAMES = ["none", "euler", "heun", "taylor3", "dpmpp2m", "dpmpp2s"]
+METHOD_NAMES = ["none", "euler", "heun", "taylor3", "dpmpp2m",
+                "dpmpp2s", "dpmpp2m_sde"]
 SCHED_NAMES = ["none", "uniform", "karras"]
 MODEL_TYPE_NAMES = ["none", "sd1", "sd2", "sdxl"]
 

@@ -78,7 +78,13 @@ def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
     solver = get_solver(cfg.method)
     s = sch.make_schedule(cfg.n_step, cfg.sched, solver.n_fe, nfe_per_dxdt,
                           cfg.f_t_ini, cfg.f_t_end)
-    plan = sch.plan_step_noise(s.sigmas, cfg.s_ancestral, cfg.s_noise)
+    # SDE methods: s_ancestral doubles as eta (default 1), s_noise as the
+    # k-diffusion noise multiplier; see plan_step_noise
+    sde_eta = 0.0
+    if solver.name.endswith("_sde"):
+        sde_eta = cfg.s_ancestral if cfg.s_ancestral > 0 else 1.0
+    plan = sch.plan_step_noise(s.sigmas, cfg.s_ancestral, cfg.s_noise,
+                               sde_eta)
     n_step = s.n_step
     n_batch = latent_shape[0]
     sample_shape = tuple(latent_shape[1:])

@@ -125,7 +125,12 @@ class StepNoise:
 
 
 def plan_step_noise(sigmas: np.ndarray, s_ancestral: float = 0.0,
-                    s_noise: float = 0.0) -> StepNoise:
+                    s_noise: float = 0.0, sde_eta: float = 0.0) -> StepNoise:
+    """``sde_eta > 0`` selects the exponential-decay noise split of the SDE
+    samplers (sigma_down = s2*(s2/s1)^eta, sigma_up = s2*sqrt(1-(s2/s1)^2eta)
+    — k-diffusion sample_dpmpp_2m_sde) instead of the ancestral split; with
+    it, ``s_noise`` multiplies the SDE noise (k-diffusion's s_noise) rather
+    than adding churn."""
     n_step = len(sigmas) - 1
     s_hat = sigmas[:n_step].copy()
     churn = np.zeros(n_step, dtype=np.float32)
@@ -133,18 +138,27 @@ def plan_step_noise(sigmas: np.ndarray, s_ancestral: float = 0.0,
     s_down = sigmas[1:].copy()
     t_next = sigmas[1:].copy()
     for s in range(n_step):
-        if s_noise > 0 and s > 0:
-            s_curr = sigmas[s]
-            sh = s_curr * math.sqrt(2) * s_noise
-            churn[s] = math.sqrt(sh * sh - s_curr * s_curr)
-            s_hat[s] = sh
-        if s_ancestral > 0:
+        if sde_eta > 0:
             s1, s2 = float(sigmas[s]), float(sigmas[s + 1])
-            up = math.sqrt((s2 * s2) * (s1 * s1 - s2 * s2) / (s1 * s1)) if s1 > 0 else 0.0
-            up *= s_ancestral
-            up = min(up, s2)
-            s_up[s] = up
-            s_down[s] = math.sqrt(s2 * s2 - up * up)
+            if s1 > 0 and s2 > 0:
+                decay = (s2 / s1) ** sde_eta
+                s_down[s] = s2 * decay
+                s_up[s] = (s2 * math.sqrt(max(1.0 - decay * decay, 0.0))
+                           * (s_noise if s_noise > 0 else 1.0))
+        else:
+            if s_noise > 0 and s > 0:
+                s_curr = sigmas[s]
+                sh = s_curr * math.sqrt(2) * s_noise
+                churn[s] = math.sqrt(sh * sh - s_curr * s_curr)
+                s_hat[s] = sh
+            if s_ancestral > 0:
+                s1, s2 = float(sigmas[s]), float(sigmas[s + 1])
+                up = math.sqrt((s2 * s2) * (s1 * s1 - s2 * s2) / (s1 * s1)) \
+                    if s1 > 0 else 0.0
+                up *= s_ancestral
+                up = min(up, s2)
+                s_up[s] = up
+                s_down[s] = math.sqrt(s2 * s2 - up * up)
         if s_up[s] > 0 and s + 1 != n_step:
             t_next[s] = sigmas[s + 1]
         else:

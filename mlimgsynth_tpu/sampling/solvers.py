@@ -125,12 +125,31 @@ TAYLOR3 = SolverClass("taylor3", 1, _taylor3_init, _taylor3_step)
 DPMPP2M = SolverClass("dpmpp2m", 1, _dpmpp2m_init, _dpmpp2m_step)
 DPMPP2S = SolverClass("dpmpp2s", 2, _dpmpp2s_init, _dpmpp2s_step)
 
+# DPM++(2M) SDE, midpoint variant (beyond-reference: listed under the
+# reference's Future plans; spec: k-diffusion sampling.py
+# sample_dpmpp_2m_sde).  The stochastic update decomposes EXACTLY into the
+# deterministic dpmpp2m step taken to sigma_down = s1*(s1/s0)^eta plus
+# post-step noise sigma_up = s1*sqrt(1-(s1/s0)^(2*eta)):
+#   x-coefficient     (s1/s0)*exp(-eta*h) = (s1/s0)^(1+eta) = sigma_down/s0
+#     matches dpmpp2m's a with t_next=sigma_down;
+#   denoised coeff    -expm1(-h-eta*h)    = 1 - a;
+#   midpoint 2nd-order 0.5*(1-a)*(h/h_last)*(d-d_prev) = (1-a)*c*(d-d_prev)
+#     with c = h'/(2*h'_last) where h' = (1+eta)*h — the (1+eta) cancels in
+#     the ratio, so the stored-h state stays consistent.
+# The per-step noise rides the sampler's ancestral slot with the SDE
+# sigma_down/up split (sampling/schedule.py plan_step_noise mode="sde");
+# noise comes from the same Philox stream (deterministic per seed) instead
+# of k-diffusion's BrownianTree — documented divergence.
+DPMPP2M_SDE = SolverClass("dpmpp2m_sde", 1, _dpmpp2m_init, _dpmpp2m_step)
+
 SOLVERS: Dict[str, SolverClass] = {
-    s.name: s for s in (EULER, HEUN, TAYLOR3, DPMPP2M, DPMPP2S)
+    s.name: s for s in (EULER, HEUN, TAYLOR3, DPMPP2M, DPMPP2S, DPMPP2M_SDE)
 }
 
-# Method ids matching MLIS_Method (include/mlimgsynth.h).
-METHOD_IDS = {1: "euler", 2: "heun", 3: "taylor3", 4: "dpmpp2m", 5: "dpmpp2s"}
+# Method ids matching MLIS_Method (include/mlimgsynth.h); 6 is this
+# build's additive extension.
+METHOD_IDS = {1: "euler", 2: "heun", 3: "taylor3", 4: "dpmpp2m",
+              5: "dpmpp2s", 6: "dpmpp2m_sde"}
 
 
 def get_solver(method) -> SolverClass:

@@ -543,7 +543,8 @@ static const char *g_stage_descs[] = {
 	"Idle", "Conditioning encoding", "Image encoding", "Image decoding",
 	"Denoising"};
 static const char *g_method_names[] = {
-	"none", "euler", "heun", "taylor3", "dpmpp2m", "dpmpp2s"};
+	"none", "euler", "heun", "taylor3", "dpmpp2m", "dpmpp2s",
+	"dpmpp2m_sde"};
 static const char *g_sched_names[] = {"none", "uniform", "karras"};
 static const char *g_model_type_names[] = {"none", "sd1", "sd2", "sdxl"};
 static const char *g_model_type_descs[] = {

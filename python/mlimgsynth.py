@@ -42,7 +42,8 @@ MLIS_METHOD_HEUN = 2
 MLIS_METHOD_TAYLOR3 = 3
 MLIS_METHOD_DPMPP2M = 4
 MLIS_METHOD_DPMPP2S = 5
-MLIS_METHOD__LAST = 5
+MLIS_METHOD_DPMPP2MSDE = 6  # beyond-reference addition (DPM++ 2M SDE)
+MLIS_METHOD__LAST = 6
 
 MLIS_SCHED_NONE = 0
 MLIS_SCHED_UNIFORM = 1

@@ -162,7 +162,7 @@ def test_sampler_loop_tiny():
 
 
 @pytest.mark.parametrize("method", ["euler", "heun", "dpmpp2m", "dpmpp2s",
-                                    "taylor3"])
+                                    "taylor3", "dpmpp2m_sde"])
 def test_sampler_all_methods(method):
     from mlimgsynth_tpu.rng import RngPhilox
     from mlimgsynth_tpu.sampling.sampler import (SamplerConfig, make_plan,

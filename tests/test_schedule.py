@@ -82,6 +82,32 @@ def test_step_noise_ancestral():
     assert plan.s_up[9] == 0
 
 
+def test_step_noise_sde():
+    import math
+    s = sch.make_schedule(10)
+    eta = 0.8
+    plan = sch.plan_step_noise(s.sigmas, sde_eta=eta)
+    for i in range(9):
+        s1, s2 = float(s.sigmas[i]), float(s.sigmas[i + 1])
+        # k-diffusion sample_dpmpp_2m_sde split in exp/expm1 form
+        h = math.log(s1) - math.log(s2)
+        assert plan.s_down[i] == pytest.approx(s2 * math.exp(-eta * h),
+                                               rel=1e-5)
+        assert plan.s_up[i] == pytest.approx(
+            s2 * math.sqrt(-math.expm1(-2 * eta * h)), rel=1e-5)
+        # variance restored: s_down^2 + s_up^2 == sigma_next^2
+        assert plan.s_down[i] ** 2 + plan.s_up[i] ** 2 == pytest.approx(
+            s2 * s2, rel=1e-4)
+        assert plan.t_next[i] == pytest.approx(s2, rel=1e-6)
+        assert plan.churn_sigma[i] == 0
+    assert plan.s_up[9] == 0
+    # s_noise multiplies the SDE noise (not churn)
+    plan2 = sch.plan_step_noise(s.sigmas, s_noise=1.5, sde_eta=eta)
+    np.testing.assert_allclose(plan2.s_up[:9], plan.s_up[:9] * 1.5,
+                               rtol=1e-6)
+    assert np.all(plan2.churn_sigma == 0)
+
+
 def test_step_noise_churn():
     s = sch.make_schedule(10)
     plan = sch.plan_step_noise(s.sigmas, s_noise=1.0)

@@ -75,6 +75,13 @@ CASES = [
     ("sdxl", "euler",   "uniform", 5, 7.0, 0.0, 0.0, 1.0, False, False),
     ("sd1",  "euler",   "karras",  7, 7.0, 0.0, 0.0, 0.7, True,  False),
     ("sd1",  "euler",   "uniform", 4, 7.0, 1.0, 0.0, 0.8, True,  True),
+    # dpmpp2m_sde (beyond-reference): oracle is the k-diffusion exp/expm1
+    # algebra, production is the sigma_down/up decomposition — the match
+    # proves the decomposition.  s_ancestral rides eta, s_noise the SDE
+    # noise multiplier.
+    ("sd1",  "dpmpp2m_sde", "karras",  5, 7.0, 0.0, 0.0, 1.0, False, False),
+    ("sd1",  "dpmpp2m_sde", "uniform", 5, 7.0, 0.7, 1.1, 1.0, False, False),
+    ("sd2v", "dpmpp2m_sde", "karras",  5, 7.0, 1.0, 0.0, 1.0, False, False),
 ]
 
 

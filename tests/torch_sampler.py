@@ -248,13 +248,63 @@ def torch_sample(params, P, x0, cond, uncond=None, label=None, nlabel=None,
     src/sampling.c:119-178)."""
     log_sigmas = make_log_sigmas(P.n_step_train)
     n_fe = {"euler": 1, "heun": 2, "taylor3": 1, "dpmpp2m": 1,
-            "dpmpp2s": 2}[method]
+            "dpmpp2s": 2, "dpmpp2m_sde": 1}[method]
     sigmas = make_sigmas(log_sigmas, n_step, sched, n_fe, f_t_ini, f_t_end,
                          P.n_step_train)
     n_step = len(sigmas) - 1
 
     den = TorchDenoiser(params, P, cond, label, uncond, nlabel, cfg_scale,
                         log_sigmas)
+
+    if method == "dpmpp2m_sde":
+        # Independent transcription of k-diffusion sampling.py
+        # sample_dpmpp_2m_sde (midpoint solver) in its original
+        # exp/expm1 algebra — deliberately NOT the sigma_down/up
+        # decomposition the production sampler uses, so the two paths
+        # cross-check each other.  eta rides s_ancestral (default 1),
+        # the noise multiplier rides s_noise (default 1); noise draws
+        # follow the sampler's Philox order (initial, then one draw
+        # after each noised step).
+        eta = s_ancestral if s_ancestral > 0 else 1.0
+        nmult = s_noise if s_noise > 0 else 1.0
+        x = torch.from_numpy(np.asarray(x0, np.float32)).clone()
+        x_keep = x.clone() if lmask is not None else None
+        m = torch.from_numpy(np.asarray(lmask, np.float32)) \
+            if lmask is not None else None
+        old_denoised = None
+        h_last = 0.0
+        traj = []
+        for s in range(n_step):
+            if s == 0:
+                n = rng.randn_shaped(tuple(x.shape)).astype(np.float32)
+                x = x + torch.from_numpy(n) * float(sigmas[0])
+                if m is not None:
+                    x = x_keep * m + x * (1.0 - m)
+            s1, s2 = float(sigmas[s]), float(sigmas[s + 1])
+            with torch.no_grad():
+                dx = den.dxdt(x, s1)
+            denoised = x - s1 * dx
+            if not (s2 > 0):
+                x = denoised
+            else:
+                h = math.log(s1) - math.log(s2)   # = -log(s2)-(-log(s1))
+                eta_h = eta * h
+                x = ((s2 / s1) * math.exp(-eta_h) * x
+                     + (-math.expm1(-h - eta_h)) * denoised)
+                if old_denoised is not None:
+                    r = h_last / h
+                    x = x + (0.5 * (-math.expm1(-h - eta_h)) * (1.0 / r)
+                             * (denoised - old_denoised))
+                if eta > 0 and s + 1 != n_step:
+                    sig_up = s2 * math.sqrt(-math.expm1(-2.0 * eta_h)) * nmult
+                    n = rng.randn_shaped(tuple(x.shape)).astype(np.float32)
+                    x = x + torch.from_numpy(n) * sig_up
+                old_denoised = denoised
+                h_last = h
+            if m is not None:
+                x = x_keep * m + x * (1.0 - m)
+            traj.append(x.numpy().copy())
+        return traj, sigmas
     sol = TorchSolver(method, den.dxdt)
     sol.t = float(sigmas[0])
 
