@@ -129,7 +129,12 @@ typedef enum MLIS_Option {
 	MLIS_OPT_MODEL_TYPE,        /* (MLIS_ModelType) */
 	MLIS_OPT_WEIGHT_TYPE,       /* (int type id / name via _str) */
 	MLIS_OPT_NO_PROMPT_PARSE,   /* (int bool) */
-	MLIS_OPT__LAST = MLIS_OPT_NO_PROMPT_PARSE,
+	/* beyond-reference additions: ControlNet (reference future-plans
+	 * item).  Appended after the reference enum so existing ids match. */
+	MLIS_OPT_CONTROL_NET,       /* (const char* path) */
+	MLIS_OPT_CONTROL_IMAGE,     /* (const MLIS_Image*) */
+	MLIS_OPT_CONTROL_STRENGTH,  /* (double f) */
+	MLIS_OPT__LAST = MLIS_OPT_CONTROL_STRENGTH,
 } MLIS_Option;
 
 enum MLIS_TensorUseFlag {

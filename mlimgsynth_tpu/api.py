@@ -192,6 +192,7 @@ class MLImgSynth:
             "no_decode": False, "no_prompt_parse": False,
             "model_type": "", "weight_type": "",
             "tuflags": 0,
+            "control_net": "", "control_strength": 1.0,
         }
         self.prompt = prompt_mod.PromptText()
         self.nprompt = prompt_mod.PromptText()
@@ -361,6 +362,26 @@ class MLImgSynth:
             c["dump_flags"] = _int(args[0])
         elif opt == "aux_dir":
             c["aux_dir"] = str(args[0])
+        elif opt == "control_net":
+            v = str(args[0]) if args else ""
+            if v != c["control_net"]:
+                c["control_net"] = v
+                self._params.pop("cnet", None)
+                self._ready.discard("model")  # weights ride the model store
+        elif opt == "control_image":
+            t = args[0]
+            if t is None or (isinstance(t, str) and t == ""):
+                self.tensors["control_image"] = None
+                return
+            if t.dtype == np.uint8:
+                t = image_mod.tensor_from_image_arr(t)
+            t = np.asarray(t, np.float32)
+            if t.ndim != 4 or t.shape[1] != 3:
+                raise MlisError(MlisError.E_IMAGE,
+                                "control image must be [n,3,h,w] or u8 hwc")
+            self.tensors["control_image"] = t
+        elif opt == "control_strength":
+            c["control_strength"] = _float(args[0], 1.0)
         elif opt == "callback":
             self.callback = args[0]
         elif opt == "error_handler":
@@ -384,9 +405,10 @@ class MLImgSynth:
         opt = self._find_option(name)
         value = value if value is not None else ""
         if opt in ("model", "tae", "lora_dir", "aux_dir", "prompt",
-                   "nprompt"):
+                   "nprompt", "control_net"):
             self.option_set(opt, value)  # no comma-splitting for paths/text
-        elif opt in ("callback", "error_handler", "image", "image_mask"):
+        elif opt in ("callback", "error_handler", "image", "image_mask",
+                     "control_image"):
             raise MlisError(
                 MlisError.E_OPT_VALUE,
                 f"option '{opt}' cannot be set with a string value")
@@ -595,11 +617,33 @@ class MLImgSynth:
                 for name in store.names():
                     e = store.tensors[name]
                     f.write(f"{name}: {e.dtype} {list(e.shape)}\n")
+        if self.c["control_net"]:
+            cn_path = self._aux_find(self.c["control_net"])
+            if not os.path.exists(cn_path):
+                raise MlisError(
+                    MlisError.E_FILE_NOT_FOUND,
+                    f"control-net file not found '{self.c['control_net']}'")
+            store.read_file(cn_path, prefix="cnet_ckpt.")
         self._name_map = weights_mod.build_name_map(store)
         # keep raw tae names accessible under the tae. prefix
         for raw in store.tensors:
             if raw.startswith("tae.") and raw not in self._name_map:
                 self._name_map[raw] = weights_mod.NameRef(raw)
+        if self.c["control_net"]:
+            from .nameconv import normalize_cnet_name
+            n_cn = 0
+            for raw in store.tensors:
+                if not raw.startswith("cnet_ckpt."):
+                    continue
+                r = normalize_cnet_name(raw[len("cnet_ckpt."):])
+                if r is not None and r not in self._name_map:
+                    self._name_map[r] = weights_mod.NameRef(raw)
+                    n_cn += 1
+            if not n_cn:
+                raise MlisError(
+                    -1, "no ControlNet tensors recognized in "
+                    f"'{self.c['control_net']}'")
+            log.info2(f"ControlNet: {n_cn} tensors mapped")
         log.info2(f"Model header loaded {{{time.time() - t0:.3f}s}}")
         width_table = {d.unet_p.n_ctx: name
                        for name, d in _model_types().items()}
@@ -695,6 +739,19 @@ class MLImgSynth:
             spec.update(B.trace_spec(
                 lambda ctx, x: tae_mod.tae_decode_apply(ctx, x, P),
                 jnp.zeros((1, 8, 8, 4))))
+        elif submodel == "cnet":
+            from .models import controlnet as cnet_mod
+            P = mt.unet_p
+            label = (jnp.zeros((1, P.ch_adm_in)) if P.ch_adm_in else None)
+
+            def _cn(ctx, x, t, cond, hint):
+                feat = cnet_mod.hint_apply(ctx, hint, P)
+                return cnet_mod.controlnet_apply(ctx, x, t, cond, label,
+                                                 feat, P)
+
+            spec = B.trace_spec(
+                _cn, jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
+                jnp.zeros((1, 77, P.n_ctx)), jnp.zeros((1, 64, 64, 3)))
         else:
             raise MlisError(-1, f"unknown submodel '{submodel}'")
         # re-dtype the spec to the session weight type
@@ -713,7 +770,8 @@ class MLImgSynth:
             # replicated over the mesh (dp parallelism comes from batch
             # sharding of the sampler inputs).
             from .parallel import mesh as pmesh
-            dev = pmesh.shard_params(dev, self._mesh, tp=(submodel == "unet"))
+            dev = pmesh.shard_params(dev, self._mesh,
+                                     tp=(submodel in ("unet", "cnet")))
         self._params[submodel] = dev
         t_load = time.time() - t0
         mem = sum(int(np.prod(ps.shape)) * np.dtype(ps.dtype).itemsize
@@ -1124,6 +1182,24 @@ class MLImgSynth:
             f"nfe/s: {plan.nfe_per_step})")
 
         params = self._get_params("unet")
+        control_spec = None
+        if c["control_net"]:
+            hint = self.tensors.get("control_image")
+            if hint is None:
+                raise MlisError(
+                    MlisError.E_IMAGE,
+                    "control-net is set but no control-image was given")
+            if hint.shape[2:] != (h * f, w * f):
+                raise MlisError(
+                    MlisError.E_IMAGE,
+                    f"control image size {hint.shape[3]}x{hint.shape[2]} "
+                    f"does not match output {w * f}x{h * f}")
+            # ControlNet params join the UNet dict (flat namespaces are
+            # disjoint: cnet.* vs unet.*) so the loop program sees both
+            params = {**params, **self._get_params("cnet")}
+            control_spec = (hint[:1], c["control_strength"])
+            log.info(f"ControlNet active (strength: "
+                     f"{c['control_strength']:g})")
         if c["unet_split"]:
             # stage-wise residency: drop text-encoder weights during the loop
             self._free_params("clip")
@@ -1160,7 +1236,7 @@ class MLImgSynth:
                           dtype=self._dtype, step_callback=step_cb,
                           step_observer=self.step_observer,
                           mesh=self._mesh, decode=decode_spec,
-                          encode=encode_spec)
+                          encode=encode_spec, control=control_spec)
         if encode_spec is not None:
             if decode_spec is not None:
                 latent, u8, (cond_dev, lab_dev) = out
@@ -1369,6 +1445,23 @@ class MLImgSynth:
             log.info(f"Generating batch of {n} requests "
                      f"(seeds {seeds}, steps {plan.n_step})")
             params = self._get_params("unet")
+            # session-level ControlNet applies to the whole merged batch
+            # (like every other shared sampling option)
+            control_spec = None
+            if c["control_net"]:
+                hint = self.tensors.get("control_image")
+                if hint is None:
+                    raise MlisError(
+                        MlisError.E_IMAGE,
+                        "control-net is set but no control-image was given")
+                if hint.shape[2:] != (h * f, w * f):
+                    raise MlisError(
+                        MlisError.E_IMAGE,
+                        f"control image size {hint.shape[3]}x"
+                        f"{hint.shape[2]} does not match output "
+                        f"{w * f}x{h * f}")
+                params = {**params, **self._get_params("cnet")}
+                control_spec = (hint[:1], c["control_strength"])
             if init_lmask is not None and init_latents is None:
                 raise MlisError(MlisError.E_OPT_VALUE,
                                 "inpainting masks need init images")
@@ -1390,7 +1483,8 @@ class MLImgSynth:
                               step_callback=step_callback,
                               mesh=self._mesh, decode=decode_spec,
                               encode=encode_spec, preview=preview_spec,
-                              chunk_size=preview_chunk or None)
+                              chunk_size=preview_chunk or None,
+                              control=control_spec)
             if encode_spec is not None:
                 latent, u8, _cond_pair = out
             else:
@@ -1451,6 +1545,10 @@ class MLImgSynth:
         out.append(f", Model: {model}")
         if c["tae"]:
             out.append(", VAE: tae")
+        if c["control_net"]:
+            cn = os.path.splitext(os.path.basename(c["control_net"]))[0]
+            out.append(f", ControlNet: {cn}, "
+                       f"ControlNet strength: {c['control_strength']:g}")
         out.append(f", Version: MLImgSynth-TPU v{_pkg_version}")
         self.infotext = "".join(out)
 
@@ -1483,6 +1581,8 @@ _OPTIONS = [
     "aux_dir", "callback",
     "error_handler", "log_level", "model_type", "weight_type",
     "no_prompt_parse",
+    # additive extensions (beyond the reference option enum): ControlNet
+    "control_net", "control_image", "control_strength",
 ]
 
 

@@ -97,6 +97,14 @@ class CSession:
         r, _ = self._wrap(self.s.option_set, "image_mask", t)
         return r
 
+    def set_control_image(self, buf_addr: int, w: int, h: int,
+                          c: int) -> int:
+        arr = np.ctypeslib.as_array(
+            ctypes.cast(buf_addr, ctypes.POINTER(ctypes.c_uint8)),
+            shape=(h, w, c)).copy()
+        r, _ = self._wrap(self.s.option_set, "control_image", arr)
+        return r
+
     def setup(self) -> int:
         r, _ = self._wrap(self.s.setup)
         return r

@@ -52,6 +52,9 @@ Models and backend:
   --tae PATH           TAE model file. Enables TAE instead of VAE.
   --lora PATH,MULT     Apply a LoRA (multiplier optional; repeatable).
   --lora-dir PATH      Directory searched for <lora:NAME:MULT> prompt tags.
+  --control-net PATH   ControlNet model file (control_model.* / diffusers).
+  --control-image PATH Hint image (edge/pose/depth map; output-sized).
+  --control-strength F ControlNet residual strength (default 1).
   -b --backend NAME    Computation backend (tpu, cpu; default: best).
   -t --threads INT     Host thread count (accepted for compatibility).
   --unet-split BOOL    Stage-wise weight residency to reduce memory usage.
@@ -95,7 +98,7 @@ SHORT_OPTS = {
 # long options handled by the CLI itself; everything else forwards to the
 # library option table (reference: main_mlimgsynth.c:243-251)
 CLI_PATH_OPTS = ("input", "imask", "ilatent", "ilmask", "output", "olatent",
-                 "port")
+                 "port", "control-image")
 
 
 class CliState:
@@ -216,6 +219,9 @@ def cmd_generate(session, state: CliState):
         session.tensors["lmask"] = image_mod.tensor_load(
             state.paths["ilmask"])
         tuflags |= TUF_LMASK
+    if state.paths["control-image"]:
+        session.option_set("control_image",
+                           _load_image(state.paths["control-image"]))
     if tuflags:
         session.c["tuflags"] |= tuflags
 

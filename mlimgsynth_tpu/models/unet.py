@@ -90,10 +90,15 @@ def unet_embed(ctx: B.Ctx, pre: str, t, label, P: UnetParams):
 
 
 def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
-               pre: str = "unet"):
+               pre: str = "unet", control=None):
     """Full UNet forward.  x: [N,H,W,4] NHWC, t: [N], cond: [N,77,n_ctx],
     label: [N, ch_adm_in] or None.  ref: mlb_unet_denoise (src/unet.c:263-281)
-    plus mlb_unet__in/__mid/__out."""
+    plus mlb_unet__in/__mid/__out.
+
+    ``control`` (optional): ControlNet residuals as returned by
+    :func:`~.controlnet.controlnet_apply` — one per encoder skip plus the
+    middle residual last; each is added to its skip as the decoder consumes
+    it (the standard ControlNet injection points)."""
     dtype = ctx.dtype
     x = x.astype(dtype)
     cond = cond.astype(dtype)
@@ -128,12 +133,19 @@ def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
     x = spatial_transformer(ctx, pre + ".mid.1", x, cond, ch, P,
                             P.transf_depth[im])
     x = B.resnet(ctx, pre + ".mid.2", x, emb, ch)
+    ctrl = None
+    if control is not None:
+        assert len(control) == len(stack) + 1, (len(control), len(stack))
+        x = x + control[-1].astype(x.dtype)
+        ctrl = list(control[:-1])
 
     # --- output blocks (src/unet.c:219-261)
     i_oblk = 0
     for im in range(n_levels - 1, -1, -1):
         for j in range(P.n_res_blk + 1):
             h = stack.pop()
+            if ctrl is not None:
+                h = h + ctrl.pop().astype(h.dtype)
             x = jnp.concatenate([x, h], axis=-1)
             i_sub = 0
             ch = P.n_ch * P.ch_mult[im]
@@ -156,16 +168,26 @@ def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
 
 
 def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: UnetParams,
-            pre: str = "unet"):
+            pre: str = "unet", control=None):
     """k-diffusion wrapper: input scaling ``c_in = 1/sqrt(sigma^2+1)`` and
     v-param output scaling (ref: unet_denoise_run, src/unet.c:460-498).
     Returns the derivative ``dx/dsigma`` used by the solvers.
-    ``sigma`` and ``t`` are [N] or scalars (t = continuous train step)."""
+    ``sigma`` and ``t`` are [N] or scalars (t = continuous train step).
+
+    ``control``: optional ``(hint_feat, strength)`` — runs the ControlNet
+    copy on the c_in-scaled input and injects its strength-scaled residuals
+    into the UNet decoder."""
     sigma = jnp.asarray(sigma, jnp.float32)
     c_in = 1.0 / jnp.sqrt(sigma * sigma + 1.0)
     xs = (x * _bcast(c_in, x)).astype(ctx.dtype)
     t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
-    out = unet_apply(ctx, xs, t, cond, label, P, pre=pre)
+    residuals = None
+    if control is not None:
+        from .controlnet import controlnet_apply
+        hint_feat, strength = control
+        residuals = controlnet_apply(ctx, xs, t, cond, label, hint_feat, P)
+        residuals = [r * jnp.asarray(strength, r.dtype) for r in residuals]
+    out = unet_apply(ctx, xs, t, cond, label, P, pre=pre, control=residuals)
     out = out.astype(jnp.float32)
     if P.vparam:
         c_skip = sigma / (sigma * sigma + 1.0)

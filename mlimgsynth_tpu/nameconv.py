@@ -248,6 +248,67 @@ def _unet(m: _M):
     return None
 
 
+def _cnet(m: _M):
+    """ControlNet body: CompVis ``control_model.`` layout.  The encoder /
+    middle / time-embed names reuse the UNet rules; ControlNet-only parts
+    are the hint encoder, the per-skip zero convs, and the middle output
+    conv (models/controlnet.py)."""
+    if m.rep("input_hint_block.", "hint."):
+        n = m.num_get()
+        if n is None or n % 2:
+            return None             # odd indices are the SiLUs (no params)
+        m.out.append(f"{n // 2}.")
+        return m.done()
+    if m.rep("zero_convs.", "zc."):
+        n = m.num_get()
+        if n is None or not m.rep("0.", ""):
+            return None
+        m.out.append(f"{n}.")
+        return m.done()
+    if m.rep("middle_block_out.0.", "mid.out."):
+        return m.done()
+    return _unet(m)
+
+
+def _cnet_diffusers(m: _M):
+    """diffusers ControlNetModel layout (bare names inside the model file)."""
+    if m.rep("controlnet_cond_embedding.conv_in.", "hint.0."):
+        return m.done()
+    if m.rep("controlnet_cond_embedding.blocks.", "hint."):
+        n = m.num_get()
+        if n is None:
+            return None
+        m.out.append(f"{n + 1}.")
+        return m.done()
+    if m.rep("controlnet_cond_embedding.conv_out.", "hint.7."):
+        return m.done()
+    if m.rep("controlnet_down_blocks.", "zc."):
+        m.num_push()
+        return m.done()
+    if m.rep("controlnet_mid_block.", "mid.out."):
+        return m.done()
+    if m.rep("time_embedding.linear_1.", "time_embed.0.") or \
+       m.rep("time_embedding.linear_2.", "time_embed.2."):
+        return m.done()
+    if m.rep("conv_in.", "in.conv."):
+        return m.done()
+    return _unet(m)                 # down_blocks / mid_block diffusers rules
+
+
+def normalize_cnet_name(name: str):
+    """Normalize a ControlNet checkpoint tensor name to the internal
+    ``cnet.`` scheme.  Accepts the CompVis single-file layout
+    (``control_model.*``, the standard distribution format for SD
+    ControlNets) and the diffusers ControlNetModel layout (bare names).
+    Returns None for unused tensors."""
+    m = _M(name)
+    if m.rep("control_model.", "cnet."):
+        return _cnet(m)
+    m = _M(name)
+    m.out.append("cnet.")
+    return _cnet_diffusers(m)
+
+
 def normalize_name(name: str):
     """Normalize a checkpoint tensor name (reference: tnconv_sd).
 
@@ -357,6 +418,27 @@ def internal_to_compvis(name: str):
         t = t.replace("text_model.text_proj", "text_model.text_projection")
         return pre + t
     return None
+
+
+def internal_to_cnet_ckpt(name: str):
+    """Inverse of :func:`normalize_cnet_name` for the CompVis
+    ``control_model.`` layout (used to synthesize test checkpoints)."""
+    if not name.startswith("cnet."):
+        return None
+    t = name[5:]
+    m = re.match(r"hint\.(\d+)\.(.*)", t)
+    if m:
+        return f"control_model.input_hint_block.{2 * int(m.group(1))}." \
+            + m.group(2)
+    m = re.match(r"zc\.(\d+)\.(.*)", t)
+    if m:
+        return f"control_model.zero_convs.{m.group(1)}.0." + m.group(2)
+    if t.startswith("mid.out."):
+        return "control_model.middle_block_out.0." + t[len("mid.out."):]
+    cv = internal_to_compvis("unet." + t)
+    if cv is None:
+        return None
+    return cv.replace("model.diffusion_model.", "control_model.", 1)
 
 
 def normalize_lora_name(name: str):

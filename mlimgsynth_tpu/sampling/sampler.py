@@ -138,7 +138,15 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
     solver = get_solver(method)
     ctx = B.Ctx(params, dtype=dtype)
     (cond_all, label_all, lmask, x0_keep, log_sigmas, s_hat, churn_sigma,
-     s_down, s_up, t_next, cfg_scale) = consts
+     s_down, s_up, t_next, cfg_scale) = consts[:11]
+    # ControlNet: consts may carry (hint_img NHWC, strength) as a tail.
+    # The hint encoder is x/t-independent, so it runs HERE — once per
+    # compiled program, outside the scan body (and the batch-1 hint
+    # features broadcast against CFG's stacked cond/uncond rows).
+    control = None
+    if len(consts) > 11 and consts[11] is not None:
+        from ..models.controlnet import hint_apply
+        control = (hint_apply(ctx, consts[11], unet_p), consts[12])
 
     def dxdt(xv, sigma):
         n = xv.shape[0]
@@ -146,10 +154,10 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
         if use_cfg:
             xb = jnp.concatenate([xv, xv], axis=0)
             d = unet_mod.denoise(ctx, xb, sigma, t, cond_all, label_all,
-                                 unet_p)
+                                 unet_p, control=control)
             return d[:n] * cfg_scale + d[n:] * (1.0 - cfg_scale)
         return unet_mod.denoise(ctx, xv, sigma, t, cond_all, label_all,
-                                unet_p)
+                                unet_p, control=control)
 
     def body(carry, inp):
         x, t, state = carry
@@ -338,7 +346,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 unet_p: unet_mod.UnetParams, dtype=jnp.bfloat16,
                 step_callback=None, step_observer=None, mesh=None,
                 decode=None, want_latent=True, encode=None, preview=None,
-                chunk_size=None):
+                chunk_size=None, control=None):
     """Run the sampling loop.  ``x_init`` (NCHW f32), ``lmask`` [N,1,h,w] or
     None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW —
     or ``(latent NCHW, u8 image NHWC)`` when ``decode`` is given.
@@ -355,6 +363,10 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     With ``mesh`` (a (dp, tp) ``jax.sharding.Mesh``) the batch inputs are
     sharded over the ``dp`` axis and the (pre-sharded) params' tp shardings
     propagate through the jitted loop; XLA inserts the ICI collectives.
+
+    ``control=(hint NCHW [1,3,H,W] f32 in [0,1], strength)`` injects
+    ControlNet residuals (params under ``cnet.`` in the same dict) into
+    every UNet evaluation; the hint encoder runs once per program.
 
     ``preview=(kind, params, vae_p, observer)`` (chunked/step_callback path
     only) fuses an extra image decode into EVERY chunk dispatch — kind
@@ -452,6 +464,12 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
               jnp.asarray(sch.get_log_sigmas()),
               f32(plan.s_hat), f32(plan.churn_sigma), f32(plan.s_down),
               f32(plan.s_up), f32(plan.t_next), jnp.float32(cfg.cfg_scale))
+    if control is not None:
+        hint, strength = control
+        hint_d = _nhwc(hint)
+        if mesh is not None:
+            hint_d = put(hint_d)  # batch-1: replicated
+        consts = consts + (hint_d, jnp.float32(strength))
 
     sigmas0 = jnp.float32(plan.sigmas[0])
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,

@@ -250,6 +250,39 @@ def write_tiny_tae(path, seed=0):
     return P
 
 
+def tiny_cnet_spec(P=None):
+    """Param spec of the tiny ControlNet matching TINY_UNET."""
+    from mlimgsynth_tpu.models import controlnet as cnet_mod
+    P = P or TINY_UNET
+
+    def f(ctx, x, t, c):
+        feat = cnet_mod.hint_apply(ctx, jnp.zeros((1, 64, 64, 3)), P)
+        return cnet_mod.controlnet_apply(ctx, x, t, c, None, feat, P)
+
+    return B.trace_spec(f, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                        jnp.zeros((1, 77, P.n_ctx)))
+
+
+def write_tiny_controlnet(path, seed=7, scale=0.05, zero_scale=0.05):
+    """Synthesize a tiny ControlNet file in the CompVis ``control_model.*``
+    layout.  Real ControlNets have zero-INITIALIZED zc/mid.out convs that
+    train away from zero; ``zero_scale`` keeps them nonzero so the control
+    path has a visible effect in tests (pass 0.0 for a no-op ControlNet)."""
+    from safetensors.numpy import save_file
+    spec = tiny_cnet_spec()
+    rng = np.random.default_rng(seed)
+    arrays = {}
+    for name, ps in spec.items():
+        ck = nameconv.internal_to_cnet_ckpt(name)
+        assert ck is not None, f"no control_model name for {name}"
+        back = nameconv.normalize_cnet_name(ck)
+        assert back == name, f"roundtrip failed: {name} -> {ck} -> {back}"
+        s = zero_scale if (".zc." in name or ".mid.out." in name) else scale
+        arrays[ck] = _random_for_spec(rng, ps, s)
+    save_file(arrays, str(path))
+    return arrays
+
+
 def write_tiny_lora(path, target_names, spec, rank=2, seed=0, alpha=None):
     """LoRA file patching the given internal '<stem>.weight' tensors."""
     from safetensors.numpy import save_file

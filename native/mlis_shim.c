@@ -247,6 +247,7 @@ int mlis_option_set(MLIS_Ctx *S, MLIS_Option id, ...)
 	} break;
 	case MLIS_OPT_MODEL: case MLIS_OPT_TAE: case MLIS_OPT_LORA_DIR:
 	case MLIS_OPT_PROMPT: case MLIS_OPT_NPROMPT: case MLIS_OPT_AUX_DIR:
+	case MLIS_OPT_CONTROL_NET:
 		r = mlis_option_set_str(S, name, va_arg(ap, const char*));
 		break;
 	case MLIS_OPT_LORA: {
@@ -273,6 +274,7 @@ int mlis_option_set(MLIS_Ctx *S, MLIS_Option id, ...)
 		break;
 	case MLIS_OPT_CFG_SCALE: case MLIS_OPT_F_T_INI: case MLIS_OPT_F_T_END:
 	case MLIS_OPT_S_NOISE: case MLIS_OPT_S_ANCESTRAL:
+	case MLIS_OPT_CONTROL_STRENGTH:
 		snprintf(buf, sizeof(buf), "%.9g", va_arg(ap, double));
 		r = mlis_option_set_str(S, name, buf);
 		break;
@@ -302,6 +304,11 @@ int mlis_option_set(MLIS_Ctx *S, MLIS_Option id, ...)
 		const MLIS_Image *img = va_arg(ap, const MLIS_Image*);
 		r = shim_call_i(S, "set_image_mask", "(KII)",
 			(unsigned long long)(uintptr_t)img->d, img->w, img->h);
+	} break;
+	case MLIS_OPT_CONTROL_IMAGE: {
+		const MLIS_Image *img = va_arg(ap, const MLIS_Image*);
+		r = shim_call_i(S, "set_control_image", "(KIII)",
+			(unsigned long long)(uintptr_t)img->d, img->w, img->h, img->c);
 	} break;
 	case MLIS_OPT_CALLBACK: {
 		MLIS_Callback fn = va_arg(ap, MLIS_Callback);
@@ -557,7 +564,7 @@ static const char *g_option_names[] = {
 	"s_ancestral", "image", "image_mask", "no_decode", "tensor_use_flags",
 	"seed", "vae_tile", "unet_split", "threads", "dump_flags", "aux_dir",
 	"callback", "error_handler", "log_level", "model_type", "weight_type",
-	"no_prompt_parse"};
+	"no_prompt_parse", "control_net", "control_image", "control_strength"};
 static const struct { const char *name; int id; } g_loglvl_attr[] = {
 	{ "none",    MLIS_LOGLVL_NONE },
 	{ "error",   MLIS_LOGLVL_ERROR },

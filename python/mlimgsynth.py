@@ -82,6 +82,8 @@ _OPTION_NAMES = [
     "seed", "vae-tile", "unet-split", "threads", "dump-flags", "aux-dir",
     "callback", "error-handler", "log-level", "model-type", "weight-type",
     "no-prompt-parse",
+    # beyond-reference additions (ControlNet)
+    "control-net", "control-image", "control-strength",
 ]
 for _i, _n in enumerate(_OPTION_NAMES):
     if _i:

@@ -399,8 +399,14 @@ def test_streaming_preview(server_url):
     assert frames, "no preview frames observed during generation"
     last = frames[-1]
     assert 1 <= last["step"] <= last["n_step"] == 4
-    img = Image.open(io.BytesIO(base64.b64decode(last["images"][0])))
-    assert img.size == (8, 8)  # latent-resolution approximation
+    # intermediate frames are the latent->RGB approximation at latent
+    # resolution (8x8); the FINAL chunk's frame is the real decode (64x64),
+    # so a fast poller may legitimately catch one 64x64 frame at step n.
+    sizes = [(f["step"],
+              Image.open(io.BytesIO(base64.b64decode(f["images"][0]))).size)
+             for f in frames]
+    assert all(sz == (8, 8) for step, sz in sizes if step < 4), sizes
+    assert any(sz == (8, 8) for _, sz in sizes) or sizes[-1][0] == 4, sizes
 
     # finished requests are gone from /preview
     try:

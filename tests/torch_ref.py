@@ -133,8 +133,10 @@ class TorchRef:
         return x + x0
 
 
-def torch_unet(params, x, t, cond, label, P, pre="unet"):
-    """Full UNet forward on torch kernels.  x NCHW [N,4,H,W]."""
+def torch_unet(params, x, t, cond, label, P, pre="unet", control=None):
+    """Full UNet forward on torch kernels.  x NCHW [N,4,H,W].
+    ``control``: optional list of ControlNet residuals (one per encoder
+    skip + middle last), added at the standard injection points."""
     R = TorchRef(params)
 
     def heads(d_embed):
@@ -173,11 +175,18 @@ def torch_unet(params, x, t, cond, label, P, pre="unet"):
     x = R.spatial_transformer(pre + ".mid.1", x, cond, ch, heads(ch),
                               P.transf_depth[im])
     x = R.resnet(pre + ".mid.2", x, emb, ch)
+    ctrl = None
+    if control is not None:
+        assert len(control) == len(stack) + 1
+        x = x + control[-1]
+        ctrl = list(control[:-1])
 
     i_oblk = 0
     for im in range(n_levels - 1, -1, -1):
         for j in range(P.n_res_blk + 1):
             h = stack.pop()
+            if ctrl is not None:
+                h = h + ctrl.pop()
             x = torch.cat([x, h], dim=1)
             i_sub = 0
             ch = P.n_ch * P.ch_mult[im]
@@ -197,6 +206,58 @@ def torch_unet(params, x, t, cond, label, P, pre="unet"):
     x = R.conv2d(pre + ".out.conv",
                  F.silu(R.group_norm(pre + ".out.norm", x)))
     return x
+
+
+def torch_controlnet(params, x, t, cond, label, hint, P, pre="cnet",
+                     strength=1.0):
+    """ControlNet forward on torch kernels (independent of
+    models/controlnet.py): hint encoder + UNet encoder/middle copy with
+    zero-conv taps.  x/hint NCHW; returns the residual list."""
+    R = TorchRef(params)
+
+    def heads(d_embed):
+        return P.n_head or d_embed // P.d_head
+
+    h = hint
+    strides = (1, 1, 2, 1, 2, 1, 2)
+    for i, st in enumerate(strides):
+        h = F.silu(R.conv2d(f"{pre}.hint.{i}", h, stride=st))
+    hint_feat = R.conv2d(f"{pre}.hint.{len(strides)}", h)
+
+    emb = R.linear(pre + ".time_embed.2", F.silu(R.linear(
+        pre + ".time_embed.0", R.timestep_embedding(t, P.n_ch))))
+    if P.ch_adm_in and label is not None:
+        le = R.linear(pre + ".label_embed.2", F.silu(R.linear(
+            pre + ".label_embed.0", label)))
+        emb = emb + le
+
+    x = R.conv2d(pre + ".in.conv", x) + hint_feat
+    outs = [R.conv2d(f"{pre}.zc.0", x, pad=0)]
+    i_blk, ds, ch = 0, 1, P.n_ch
+    n_levels = len(P.ch_mult)
+    for im in range(n_levels):
+        if im:
+            ds *= 2
+            i_blk += 1
+            x = R.downsample(f"{pre}.in.{i_blk}.0", x)
+            outs.append(R.conv2d(f"{pre}.zc.{i_blk}", x, pad=0))
+        for _ in range(P.n_res_blk):
+            i_blk += 1
+            ch = P.n_ch * P.ch_mult[im]
+            x = R.resnet(f"{pre}.in.{i_blk}.0", x, emb, ch)
+            if ds in P.attn_res:
+                x = R.spatial_transformer(f"{pre}.in.{i_blk}.1", x, cond,
+                                          ch, heads(ch), P.transf_depth[im])
+            outs.append(R.conv2d(f"{pre}.zc.{i_blk}", x, pad=0))
+
+    im = n_levels - 1
+    ch = P.n_ch * P.ch_mult[im]
+    x = R.resnet(pre + ".mid.0", x, emb, ch)
+    x = R.spatial_transformer(pre + ".mid.1", x, cond, ch, heads(ch),
+                              P.transf_depth[im])
+    x = R.resnet(pre + ".mid.2", x, emb, ch)
+    outs.append(R.conv2d(pre + ".mid.out", x, pad=0))
+    return [o * strength for o in outs]
 
 
 def _vae_attn(R, pre, x):
