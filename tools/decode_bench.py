@@ -5,6 +5,12 @@ latency the e2e numbers include.  Compare against the static floor from the
 conv FLOPs (VAE-SD1 512px: 2.48 TFLOP -> 12.6 ms at 197 bf16 TFLOP/s).
 
 Usage: [MLIS_DECODE=vae|tae|vaexl] python tools/decode_bench.py [n_scan]
+
+Spatial-batch probe (VERDICT r3 item 2): MLIS_DECODE_BATCH=B and
+MLIS_DECODE_LAT=L override the batch/latent size, e.g. B=4 L=32 covers the
+same pixel count as the default B=1 L=64 — if the batched small-tile decode
+is materially faster, batch-1 big-spatial implicit-GEMM inefficiency is
+recoverable by device-side tile batching (with halo overhead on top).
 """
 import os
 import sys
@@ -53,8 +59,11 @@ def main():
         x, _ = jax.lax.scan(body, x, None, length=n_scan)
         return x
 
+    bat = int(os.environ.get("MLIS_DECODE_BATCH", "1"))
+    lat = int(os.environ.get("MLIS_DECODE_LAT", lat))
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((1, lat, lat, 4)).astype(np.float32))
+    x = jnp.asarray(
+        rng.standard_normal((bat, lat, lat, 4)).astype(np.float32))
     fn = jax.jit(loop)
     t0 = time.time()
     out = np.asarray(fn(params, x))
@@ -66,7 +75,7 @@ def main():
         np.asarray(fn(params, x))
         times.append(time.time() - t0)
     best = min(times)
-    print(f"RESULT decode {which} lat={lat} n_scan={n_scan}: "
+    print(f"RESULT decode {which} b={bat} lat={lat} n_scan={n_scan}: "
           f"{best / n_scan * 1000:.2f} ms/decode (total {best:.3f}s, "
           f"runs {['%.3f' % t for t in times]})", flush=True)
 

@@ -22,3 +22,8 @@ run "MLIS_STEP_MODEL=sd15 python tools/step_bench.py"
 run "MLIS_STEP_MODEL=sdxl python tools/step_bench.py"
 run "MLIS_BENCH=sd15,sdxl python bench.py"
 echo "=== QUEUE5 DONE ==="
+# spatial-batch probe: same pixel count, fatter batch
+run "MLIS_DECODE=vae MLIS_DECODE_BATCH=4 MLIS_DECODE_LAT=32 python tools/decode_bench.py 10"
+run "MLIS_DECODE=vae MLIS_DECODE_BATCH=16 MLIS_DECODE_LAT=16 python tools/decode_bench.py 10"
+run "MLIS_DECODE=vaexl MLIS_DECODE_BATCH=4 MLIS_DECODE_LAT=64 python tools/decode_bench.py 6"
+echo "=== QUEUE5+PROBES DONE ==="
