@@ -12,6 +12,8 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
         config 4: img2img f_t_ini 0.75 + circular alpha-mask inpainting)
   suffix -b8: batch-8 throughput (s/image at batch 8)
   suffix -q8: int8 weights (MLIS_Q8_MODE=int8|dq selects MXU strategy)
+  suffix -cnet: ControlNet-conditioned (hint encoder + control branch
+        fused into the loop; beyond-reference feature cost)
 
 Uses a real checkpoint if MLIS_MODEL points at one; otherwise synthesizes
 random weights with the exact architecture (identical compute graph, so
@@ -90,6 +92,9 @@ def bench_config(name):
     use_i2i = name_base == "sd15-i2i"
     if use_i2i:
         name_base = "sd15"
+    use_cnet = name_base.endswith("-cnet")   # ControlNet-conditioned run
+    if use_cnet:
+        name_base = name_base[:-5]
     if name_base == "sdxl":
         size, baseline = 1024, 4.0
         unet_p, clip_p, clip2_p, vae_p = (U.UNET_SDXL, C.CLIP_VIT_L_14,
@@ -133,6 +138,23 @@ def bench_config(name):
                 for k, v in host.items()}
         unet_params = pack_to_device(host)
         log(f"[{name}] {n_q} linear weights int8-quantized")
+    control = None
+    if use_cnet:
+        from mlimgsynth_tpu.models import controlnet as CN
+        label_cn = (jnp.zeros((1, unet_p.ch_adm_in))
+                    if unet_p.ch_adm_in else None)
+
+        def _cn(ctx, x, t, c, hint):
+            feat = CN.hint_apply(ctx, hint, unet_p)
+            return CN.controlnet_apply(ctx, x, t, c, label_cn, feat, unet_p)
+
+        spec_cn = B.trace_spec(
+            _cn, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, unet_p.n_ctx)), jnp.zeros((1, 64, 64, 3)))
+        unet_params = {**unet_params, **synth_params(spec_cn, 5)}
+        rngh = np.random.default_rng(9)
+        hint = rngh.random((1, 3, size, size)).astype(np.float32)
+        control = (hint, 1.0)
     if use_tae:
         from mlimgsynth_tpu.models import tae as T
         spec_v = B.trace_spec(
@@ -255,7 +277,7 @@ def bench_config(name):
             _, img, _ = run_sampler(
                 unet_params, x0, plan, None, None, None, None, lmask,
                 cfg, unet_p, dtype=dtype, decode=decode, want_latent=False,
-                encode=encode)
+                encode=encode, control=control)
             return img
         emb, nemb, label, nlabel = encode_both()
         if n_batch > 1:
@@ -268,7 +290,7 @@ def bench_config(name):
         _, img = run_sampler(unet_params, x0,
                              plan, emb, nemb, label, nlabel, lmask,
                              cfg, unet_p, dtype=dtype, decode=decode,
-                             want_latent=False)
+                             want_latent=False, control=control)
         return img
 
     t0 = time.time()

@@ -82,6 +82,7 @@ CASES = [
     ("sd1",  "dpmpp2m_sde", "karras",  5, 7.0, 0.0, 0.0, 1.0, False, False),
     ("sd1",  "dpmpp2m_sde", "uniform", 5, 7.0, 0.7, 1.1, 1.0, False, False),
     ("sd2v", "dpmpp2m_sde", "karras",  5, 7.0, 1.0, 0.0, 1.0, False, False),
+    ("sd1",  "dpmpp2m_sde", "uniform", 5, 7.0, 0.0, 0.0, 0.8, True,  True),
 ]
 
 
@@ -123,7 +124,9 @@ def test_trajectory_matches_torch(which, method, sched, n_step, cfg, anc,
                            f_t_ini=fti)
     plan = S.make_plan(scfg, x0.shape, RngPhilox(42),
                        nfe_per_dxdt=2 if cfg > 1 else 1)
-    np.testing.assert_allclose(plan.sigmas, sigmas_t, rtol=2e-6,
+    # atol covers f32 interp noise on near-zero tail sigmas (vectorized
+    # t_to_sigma vs the oracle's scalar loop)
+    np.testing.assert_allclose(plan.sigmas, sigmas_t, rtol=2e-6, atol=2e-6,
                                err_msg="sigma schedule mismatch")
     got = []
     S.run_sampler(model, x0, plan, cond, uncond if cfg > 1 else None,
