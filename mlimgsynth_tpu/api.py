@@ -658,7 +658,19 @@ class MLImgSynth:
         elif not mt and not self._model_type_set:
             raise MlisError(-1, "could not detect the model type")
         log.info(f"Model type: {self.c['model_type']}")
-        if wt and not self._wtype_set:
+        # inpaint-variant UNets (e.g. sd-v1-5-inpainting) carry extra input
+        # channels on the first conv: adapt n_ch_in from the checkpoint
+        ref = self._name_map.get("unet.in.conv.weight")
+        if ref is not None and self._mt is not None:
+            n_in = int(store.tensors[ref.raw].shape[1])
+            if n_in != self._mt.unet_p.n_ch_in:
+                import dataclasses
+                self._mt = dataclasses.replace(
+                    self._mt,
+                    unet_p=dataclasses.replace(self._mt.unet_p,
+                                               n_ch_in=n_in))
+                log.info(f"UNet input channels: {n_in} "
+                         f"(inpaint-variant model)")
             self._weight_type_set(wt)
             self._wtype_set = False  # identification, not user choice
         log.info2(f"Weight type: {self.c.get('weight_type') or 'f16'}")
@@ -1077,7 +1089,7 @@ class MLImgSynth:
             h, w = latent.shape[2], latent.shape[3]
         else:
             log.debug("Empty initial latent")
-            latent = np.zeros((n_batch, mt.unet_p.n_ch_in, h, w), np.float32)
+            latent = np.zeros((n_batch, mt.vae_p.ch_z, h, w), np.float32)
         log.info(f"Output size: {w * f}x{h * f}")
 
         # masks
@@ -1087,6 +1099,41 @@ class MLImgSynth:
         lmask = (self.tensors["lmask"] if c["tuflags"] & TUF_LMASK else None)
         if lmask is not None:
             log.info("In-painting with mask")
+
+        # inpaint-variant model (n_ch_in > latent channels, e.g.
+        # sd-v1-5-inpainting's 9): build the extra UNet input channels —
+        # repaint mask (1 - keep) at latent resolution + masked-image
+        # latent (deterministic encode of image * keep, diffusers
+        # SD-inpaint convention).  The learned conditioning replaces the
+        # per-step latent-blend hack, so lmask is consumed here.
+        extra_spec = None
+        if mt.unet_p.n_ch_in > mt.vae_p.ch_z:
+            if mt.unet_p.n_ch_in != 2 * mt.vae_p.ch_z + 1:
+                raise MlisError(
+                    -1, f"unsupported UNet input channels "
+                    f"{mt.unet_p.n_ch_in} (expected "
+                    f"{2 * mt.vae_p.ch_z + 1} for an inpaint variant)")
+            keep_lat = (np.asarray(lmask[:1], np.float32)
+                        if lmask is not None
+                        else np.zeros((1, 1, h, w), np.float32))
+            mlat = np.zeros((1, mt.vae_p.ch_z, h, w), np.float32)
+            if c["tuflags"] & TUF_IMAGE and \
+                    self.tensors.get("image") is not None:
+                img_in = np.asarray(self.tensors["image"][:1], np.float32)
+                if (c["tuflags"] & TUF_MASK and
+                        self.tensors.get("mask") is not None):
+                    keep_img = np.asarray(self.tensors["mask"][:1],
+                                          np.float32)
+                else:  # latent-res keep mask upsampled to image res
+                    fk = img_in.shape[2] // keep_lat.shape[2]
+                    keep_img = np.repeat(np.repeat(keep_lat, fk, 2), fk, 3)
+                # encode in [-1,1]; repainted area = 0.5 maps to 0 (gray)
+                masked = img_in * keep_img + 0.5 * (1.0 - keep_img)
+                mlat = self.image_encode(masked, sample=False)[:1]
+            extra_spec = np.concatenate([1.0 - keep_lat, mlat], axis=1)
+            lmask = None
+            log.info("Inpaint-variant conditioning "
+                     f"({mt.unet_p.n_ch_in} input channels)")
 
         # conditioning.  The CLIP forward(s) fuse INTO the loop program
         # (encode_spec below) and only tokens are prepared here — on the
@@ -1236,7 +1283,8 @@ class MLImgSynth:
                           dtype=self._dtype, step_callback=step_cb,
                           step_observer=self.step_observer,
                           mesh=self._mesh, decode=decode_spec,
-                          encode=encode_spec, control=control_spec)
+                          encode=encode_spec, control=control_spec,
+                          extra_channels=extra_spec)
         if encode_spec is not None:
             if decode_spec is not None:
                 latent, u8, (cond_dev, lab_dev) = out
@@ -1438,7 +1486,7 @@ class MLImgSynth:
             nfe_per_dxdt = 2 if use_cfg else 1
             latent = (np.asarray(init_latents, np.float32)
                       if init_latents is not None
-                      else np.zeros((n, mt.unet_p.n_ch_in, h, w),
+                      else np.zeros((n, mt.vae_p.ch_z, h, w),
                                     np.float32))
             plan = make_plan(scfg, latent.shape, RngPhilox(seeds[0], 0),
                              nfe_per_dxdt, seeds=seeds)
@@ -1465,6 +1513,17 @@ class MLImgSynth:
             if init_lmask is not None and init_latents is None:
                 raise MlisError(MlisError.E_OPT_VALUE,
                                 "inpainting masks need init images")
+            extra_spec = None
+            if mt.unet_p.n_ch_in > mt.vae_p.ch_z:
+                if init_latents is not None:
+                    raise MlisError(
+                        MlisError.E_OPT_VALUE,
+                        "inpaint-variant models do not support merged "
+                        "img2img batches (use generate())")
+                # txt2img with an inpaint variant: repaint everything
+                extra_spec = np.concatenate(
+                    [np.ones((1, 1, h, w), np.float32),
+                     np.zeros((1, mt.vae_p.ch_z, h, w), np.float32)], 1)
             # decode rides the final chunk's dispatch even on this
             # cancellable (step-callback) path
             decode_spec = (("tae", self._get_params("tae"), None)
@@ -1484,7 +1543,8 @@ class MLImgSynth:
                               mesh=self._mesh, decode=decode_spec,
                               encode=encode_spec, preview=preview_spec,
                               chunk_size=preview_chunk or None,
-                              control=control_spec)
+                              control=control_spec,
+                              extra_channels=extra_spec)
             if encode_spec is not None:
                 latent, u8, _cond_pair = out
             else:

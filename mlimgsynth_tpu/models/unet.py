@@ -168,7 +168,7 @@ def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
 
 
 def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: UnetParams,
-            pre: str = "unet", control=None):
+            pre: str = "unet", control=None, extra_ch=None):
     """k-diffusion wrapper: input scaling ``c_in = 1/sqrt(sigma^2+1)`` and
     v-param output scaling (ref: unet_denoise_run, src/unet.c:460-498).
     Returns the derivative ``dx/dsigma`` used by the solvers.
@@ -176,11 +176,20 @@ def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: UnetParams,
 
     ``control``: optional ``(hint_feat, strength)`` — runs the ControlNet
     copy on the c_in-scaled input and injects its strength-scaled residuals
-    into the UNet decoder."""
+    into the UNet decoder.
+
+    ``extra_ch``: optional [1 or N, H, W, n_ch_in - 4] conditioning
+    channels for inpaint-variant UNets (repaint mask + masked-image
+    latent), concatenated AFTER the c_in scaling — the extra channels are
+    not part of the noised state (diffusers SD-inpaint convention)."""
     sigma = jnp.asarray(sigma, jnp.float32)
     c_in = 1.0 / jnp.sqrt(sigma * sigma + 1.0)
     xs = (x * _bcast(c_in, x)).astype(ctx.dtype)
     t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
+    if extra_ch is not None:
+        e = jnp.broadcast_to(extra_ch.astype(xs.dtype),
+                             xs.shape[:1] + extra_ch.shape[1:])
+        xs = jnp.concatenate([xs, e], axis=-1)
     residuals = None
     if control is not None:
         from .controlnet import controlnet_apply

@@ -139,14 +139,18 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
     ctx = B.Ctx(params, dtype=dtype)
     (cond_all, label_all, lmask, x0_keep, log_sigmas, s_hat, churn_sigma,
      s_down, s_up, t_next, cfg_scale) = consts[:11]
-    # ControlNet: consts may carry (hint_img NHWC, strength) as a tail.
-    # The hint encoder is x/t-independent, so it runs HERE — once per
-    # compiled program, outside the scan body (and the batch-1 hint
-    # features broadcast against CFG's stacked cond/uncond rows).
-    control = None
+    # Conditioning tail: consts may carry (hint_img NHWC, cnet_strength,
+    # extra_ch NHWC) — ControlNet hint image + strength, and the
+    # inpaint-variant UNet's extra input channels.  The hint encoder is
+    # x/t-independent, so it runs HERE — once per compiled program,
+    # outside the scan body (and the batch-1 hint features broadcast
+    # against CFG's stacked cond/uncond rows).
+    control = extra_ch = None
     if len(consts) > 11 and consts[11] is not None:
         from ..models.controlnet import hint_apply
         control = (hint_apply(ctx, consts[11], unet_p), consts[12])
+    if len(consts) > 13 and consts[13] is not None:
+        extra_ch = consts[13]
 
     def dxdt(xv, sigma):
         n = xv.shape[0]
@@ -154,10 +158,10 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
         if use_cfg:
             xb = jnp.concatenate([xv, xv], axis=0)
             d = unet_mod.denoise(ctx, xb, sigma, t, cond_all, label_all,
-                                 unet_p, control=control)
+                                 unet_p, control=control, extra_ch=extra_ch)
             return d[:n] * cfg_scale + d[n:] * (1.0 - cfg_scale)
         return unet_mod.denoise(ctx, xv, sigma, t, cond_all, label_all,
-                                unet_p, control=control)
+                                unet_p, control=control, extra_ch=extra_ch)
 
     def body(carry, inp):
         x, t, state = carry
@@ -346,7 +350,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 unet_p: unet_mod.UnetParams, dtype=jnp.bfloat16,
                 step_callback=None, step_observer=None, mesh=None,
                 decode=None, want_latent=True, encode=None, preview=None,
-                chunk_size=None, control=None):
+                chunk_size=None, control=None, extra_channels=None):
     """Run the sampling loop.  ``x_init`` (NCHW f32), ``lmask`` [N,1,h,w] or
     None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW —
     or ``(latent NCHW, u8 image NHWC)`` when ``decode`` is given.
@@ -367,6 +371,10 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     ``control=(hint NCHW [1,3,H,W] f32 in [0,1], strength)`` injects
     ControlNet residuals (params under ``cnet.`` in the same dict) into
     every UNet evaluation; the hint encoder runs once per program.
+
+    ``extra_channels`` (NCHW [1,n_extra,h,w] f32): loop-constant UNet
+    input channels for inpaint-variant models (repaint mask +
+    masked-image latent), concatenated after the c_in scaling.
 
     ``preview=(kind, params, vae_p, observer)`` (chunked/step_callback path
     only) fuses an extra image decode into EVERY chunk dispatch — kind
@@ -464,12 +472,19 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
               jnp.asarray(sch.get_log_sigmas()),
               f32(plan.s_hat), f32(plan.churn_sigma), f32(plan.s_down),
               f32(plan.s_up), f32(plan.t_next), jnp.float32(cfg.cfg_scale))
-    if control is not None:
-        hint, strength = control
-        hint_d = _nhwc(hint)
-        if mesh is not None:
-            hint_d = put(hint_d)  # batch-1: replicated
-        consts = consts + (hint_d, jnp.float32(strength))
+    if control is not None or extra_channels is not None:
+        hint_d = strength_d = extra_d = None
+        if control is not None:
+            hint, strength = control
+            hint_d = _nhwc(hint)
+            strength_d = jnp.float32(strength)
+            if mesh is not None:
+                hint_d = put(hint_d)  # batch-1: replicated
+        if extra_channels is not None:
+            extra_d = _nhwc(extra_channels)
+            if mesh is not None:
+                extra_d = put(extra_d)
+        consts = consts + (hint_d, strength_d, extra_d)
 
     sigmas0 = jnp.float32(plan.sigmas[0])
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,

@@ -250,6 +250,32 @@ def write_tiny_tae(path, seed=0):
     return P
 
 
+def write_tiny_inpaint_checkpoint(path, seed=0):
+    """Tiny SD1-style checkpoint whose UNet takes 9 input channels
+    (latent + repaint mask + masked-image latent), like
+    sd-v1-5-inpainting.  The session auto-detects n_ch_in from the
+    in.conv weight shape."""
+    import dataclasses
+    from safetensors.numpy import save_file
+    P9 = dataclasses.replace(TINY_UNET, n_ch_in=9)
+    spec = {}
+    spec.update(B.trace_spec(
+        lambda ctx, toks: clip_mod.clip_text_apply(ctx, toks, TINY_CLIP),
+        jnp.zeros((1, 77), jnp.int32)))
+    spec.update(B.trace_spec(
+        lambda ctx, x, t, c: unet_mod.unet_apply(ctx, x, t, c, None, P9),
+        jnp.zeros((1, 8, 8, 9)), jnp.zeros((1,)), jnp.zeros((1, 77, 32))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_encode_apply(ctx, x, TINY_VAE),
+        jnp.zeros((1, 64, 64, 3))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_decode_apply(ctx, x, TINY_VAE),
+        jnp.zeros((1, 8, 8, 4))))
+    arrays = spec_to_checkpoint_arrays(spec, seed=seed)
+    save_file(arrays, str(path))
+    return arrays
+
+
 def tiny_cnet_spec(P=None):
     """Param spec of the tiny ControlNet matching TINY_UNET."""
     from mlimgsynth_tpu.models import controlnet as cnet_mod
