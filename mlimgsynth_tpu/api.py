@@ -671,6 +671,7 @@ class MLImgSynth:
                                                n_ch_in=n_in))
                 log.info(f"UNet input channels: {n_in} "
                          f"(inpaint-variant model)")
+        if wt and not self._wtype_set:
             self._weight_type_set(wt)
             self._wtype_set = False  # identification, not user choice
         log.info2(f"Weight type: {self.c.get('weight_type') or 'f16'}")

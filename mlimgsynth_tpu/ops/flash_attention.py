@@ -18,10 +18,12 @@ accumulator in VMEM scratch, f32 accumulation:
 Shared tricks: softmax in base-2 with scale*log2(e) folded into q; kv-pad
 masking only on the tail k block; the softmax denominator produced by the
 MXU via a ones column/row riding existing padding; a no-carry fast path
-when the whole kv fits one block; block sizes clamped against a calibrated
-model of XLA's scoped-VMEM stack (see ``_clamp_blocks`` — overflow is a
-hard, sometimes nondeterministic, compile error).  Numerics are validated
-on device by tools/flash_check.py.
+when the whole kv fits one block; block sizes (and sometimes extra q
+padding) chosen by ``_plan_flash`` so that XLA's unpredictable S(1)
+promotion of the output can never overflow the 16 MiB scoped-VMEM stack
+(overflow is a hard, nondeterministic compile error — see _plan_flash
+for the calibrated accounting).  Numerics are validated on device by
+tools/flash_check.py; compile determinism by tools/vmem_determinism.py.
 """
 from __future__ import annotations
 
@@ -152,85 +154,101 @@ def _scoped_vmem(bq, bk, dp, dv, itemsize):
     return windows + scratch + logits
 
 
-# XLA's scoped-VMEM stack is 16.0M; keep ~1M headroom for the 0.4-0.5M the
-# compiler reports above this model at the observed failing shapes.
+# XLA's scoped-VMEM stack is 16.0 MiB (hard).  The budget keeps ~1M slack
+# for the 0.4-0.9M the compiler reports above _scoped_vmem at calibrated
+# shapes.
 VMEM_BUDGET = int(15.0 * 1024 * 1024)
+SCOPED_LIMIT = 16 * 1024 * 1024
 
 
 def _plan_flash(bq, bk, dp, dv, it, bh, sq, causal):
-    """Block sizes + output chunking under the ALWAYS-PROMOTED policy.
+    """Block sizes under the ALWAYS-PROMOTED policy, round-3 revision.
 
     XLA sometimes places a pallas_call's output in the scoped-VMEM stack
-    (S(1)) on top of the kernel's own blocks, and which outputs get
-    promoted is not predictable (observed at 6.55M, 13.1M, 16.8M and 20M;
-    other same-sized outputs stay in HBM, and the round-2 calibration's
-    "safe below 10M" window was refuted by a promoted 6.55M chunk).  The
-    only deterministic-safe regime is to assume EVERY output is promoted:
-    pick blocks and split the output (batch*heads axis first, then the q
-    axis) until _scoped_vmem(blocks) + chunk_bytes <= VMEM_BUDGET holds
-    for every call.
+    (S(1)); which outputs get promoted is not predictable program-to-
+    program.  The round-3 in-loop sd21 OOM taught the true accounting:
+    the charged frame is kernel stack + the FULL output — splitting the
+    output into bh/q chunks does NOT reduce the peak, because every chunk
+    stays live until the stitch concatenate (the reported 17.39M was
+    identical for 6.55M-total outputs chunked [7,3] and [6,4]).  Two
+    regimes are therefore deterministic-safe:
 
-    Returns (bq, bk, sq_p, bh_rows, q_step): callers loop over bh slices
-    of ``bh_rows`` rows (0 = no bh split) and q slices of ``q_step``
-    padded rows (0 = no q split)."""
-    def fits(bq_, bk_, extra):
-        return _scoped_vmem(bq_, bk_, dp, dv, it) + extra <= VMEM_BUDGET
+      (a) _scoped_vmem(blocks) + total_output <= VMEM_BUDGET, or
+      (b) total_output > SCOPED_LIMIT — an output strictly larger than
+          the whole 16 MiB stack physically cannot be promoted (which is
+          why SD2-L0-sized outputs never failed).
 
-    # shrink blocks until at least a single-q-block single-row chunk fits
-    bk_init = bk
-    while not fits(bq, bk, bq * dv * it):
-        if bk > 256:
-            bk //= 2
-        elif bq > 512:
-            bq //= 2
-        else:
-            break
-    # the shrink order halves bk before bq: regrow bk if a later bq cut
-    # left headroom (wide-head shapes land on (1024,512) not (1024,256))
-    while bk < bk_init and fits(bq, bk * 2, bq * dv * it):
-        bk *= 2
-    sq_p = pl.cdiv(sq, bq) * bq
-    per_row = sq_p * dv * it
-    allowed = VMEM_BUDGET - _scoped_vmem(bq, bk, dp, dv, it)
-    if bh * per_row <= allowed:
-        return bq, bk, sq_p, 0, 0             # whole output fits
-    rows = int(allowed // per_row)
-    if rows >= 1:
-        return bq, bk, sq_p, rows, 0          # bh-axis chunks
-    if not causal:
-        # single rows are still too big: additionally chunk the q axis
-        # (output rows are independent; invalid for causal, whose mask
-        # offsets restart per call)
-        nblk = max(1, int(allowed // (bq * dv * it)))
-        return bq, bk, sq_p, 1, nblk * bq
+    Returns (bq, bk, sq_p).  sq_p may exceed the block-aligned q length:
+    when no block choice reaches (a) and the output sits under (b), the
+    q axis is PADDED with whole extra blocks until the output crosses
+    SCOPED_LIMIT — bounded extra MXU work beats a nondeterministic
+    compile failure (the padded rows are zeros, softmax stays finite,
+    callers slice the result to the logical length).  Preference among
+    feasible choices: fewest q rows, then largest bq*bk, then largest bk
+    (fewer online-softmax carry updates)."""
+    def stack(bq_, bk_):
+        return _scoped_vmem(bq_, bk_, dp, dv, it)
+
+    def ladder(v, lo):
+        out = []
+        while v >= lo:
+            out.append(v)
+            v //= 2
+        return out
+
+    import os
+    if os.environ.get("MLIS_FLASH_SAFE", "1") in ("0", "false", "no"):
+        # risk-tolerant mode: ignore the output term (the pre-round-3
+        # behavior).  Outputs are USUALLY left in HBM — this restores the
+        # larger proven-fast blocks at the cost of a nondeterministic
+        # compile-OOM roulette on promotion-prone programs (SD2/SDXL L1).
+        for bq_ in ladder(bq, 512):
+            for bk_ in ladder(bk, 256):
+                if stack(bq_, bk_) <= VMEM_BUDGET:
+                    return bq_, bk_, pl.cdiv(sq, bq_) * bq_
+
+    best = None
+    for bq_ in ladder(bq, 512):
+        sq_p = pl.cdiv(sq, bq_) * bq_
+        out_b = bh * sq_p * dv * it
+        for bk_ in ladder(bk, 256):
+            s = stack(bq_, bk_)
+            if s > VMEM_BUDGET:
+                continue
+            if out_b > SCOPED_LIMIT or s + out_b <= VMEM_BUDGET:
+                key = (-sq_p, bq_ * bk_, bk_)
+                if best is None or key > best[0]:
+                    best = ((key), bq_, bk_, sq_p)
+                break   # smaller bk_ is never preferred at this bq_
+    if best is not None:
+        _, bq_, bk_, sq_p = best
+        return bq_, bk_, sq_p
+
+    # No block choice satisfies (a): pad the q axis into regime (b).
+    pad_best = None
+    for bq_ in ladder(bq, 512):
+        bk_ok = None
+        for bk_ in ladder(bk, 256):
+            if stack(bq_, bk_) <= VMEM_BUDGET:
+                bk_ok = bk_
+                break
+        if bk_ok is None:
+            continue
+        sq_p = pl.cdiv(sq, bq_) * bq_
+        while bh * sq_p * dv * it <= SCOPED_LIMIT:
+            sq_p += bq_
+        key = (-sq_p, bq_ * bk_ok, bk_ok)
+        if pad_best is None or key > pad_best[0]:
+            pad_best = (key, bq_, bk_ok, sq_p)
+    if pad_best is not None:
+        _, bq_, bk_, sq_p = pad_best
+        return bq_, bk_, sq_p
+
     from ..utils.log import g_logger
     g_logger.warning(
-        f"flash blocks ({bq},{bk}) d=({dp},{dv}): causal output "
-        f"{per_row / 2**20:.1f}MiB/row cannot be chunked; compile may OOM")
-    return bq, bk, sq_p, 0, 0
-
-
-def _chunk_ranges(n, step):
-    return [(i, min(i + step, n)) for i in range(0, n, step)]
-
-
-def _run_chunked(run, qp, kp, vp, bh_rows, q_step, q_axis):
-    """Execute ``run`` over the bh/q output chunks chosen by _plan_flash
-    and stitch the results.  q slices apply to qp's axis 1 (padded seq);
-    outputs concatenate along axis 0 (bh) and ``q_axis`` (the output's q
-    dimension, which differs between the plain and transposed kernels)."""
-    bh = qp.shape[0]
-    bh_ranges = _chunk_ranges(bh, bh_rows) if bh_rows else [(0, bh)]
-    q_ranges = _chunk_ranges(qp.shape[1], q_step) if q_step else None
-    outs = []
-    for s, e in bh_ranges:
-        if q_ranges is None:
-            outs.append(run(qp[s:e], kp[s:e], vp[s:e]))
-        else:
-            parts = [run(qp[s:e, i:j], kp[s:e], vp[s:e])
-                     for i, j in q_ranges]
-            outs.append(jnp.concatenate(parts, axis=q_axis))
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        f"flash planner: no deterministic-safe blocks for d=({dp},{dv}) "
+        f"bh={bh} sq={sq}; compile may OOM")
+    return 512, 256, pl.cdiv(sq, 512) * 512
 
 
 def _pad_to(x, axis, size):
@@ -297,8 +315,7 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     dv0 = d + 1 if d < dp else dp           # actual output minor (below)
     it = q.dtype.itemsize
-    bq, bk, sq_p, bh_rows, q_step = _plan_flash(
-        bq, bk, dp, dv0, it, b * h, sq, causal)
+    bq, bk, sq_p = _plan_flash(bq, bk, dp, dv0, it, b * h, sq, causal)
     sk_p = pl.cdiv(sk, bk) * bk
 
     q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
@@ -320,31 +337,28 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
         q_len=sq, block_q=bq, mask_tail=(sk_p != sk), d_sum=d,
         single_k=(sk_p == bk), mxu_sum=mxu_sum)
 
-    def run(qc, kc, vc):
-        return pl.pallas_call(
-            kernel,
-            grid=(qc.shape[0], qc.shape[1] // bq, sk_p // bk),
-            in_specs=[
-                pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
-                pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
-                pl.BlockSpec((1, bk, dv), lambda bh, iq, ik: (bh, ik, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, bq, dv),
-                                   lambda bh, iq, ik: (bh, iq, 0)),
-            out_shape=jax.ShapeDtypeStruct(
-                (qc.shape[0], qc.shape[1], dv), q.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((bq, 1), jnp.float32),
-                pltpu.VMEM((bq, 1), jnp.float32),
-                pltpu.VMEM((bq, dv), jnp.float32),
-            ],
-            # bh and q-blocks are independent; only the k loop carries
-            # state — lets Mosaic double-buffer/pipeline the parallel dims
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
-        )(qc, kc, vc)
-
-    out = _run_chunked(run, qp, kp, vp, bh_rows, q_step, q_axis=1)
+    out = pl.pallas_call(
+        kernel,
+        grid=(qp.shape[0], sq_p // bq, sk_p // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, bk, dv), lambda bh, iq, ik: (bh, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dv),
+                               lambda bh, iq, ik: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (qp.shape[0], sq_p, dv), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
+        ],
+        # bh and q-blocks are independent; only the k loop carries
+        # state — lets Mosaic double-buffer/pipeline the parallel dims
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(qp, kp, vp)
     return out[:, :sq, :d].reshape(b, h, sq, d)
 
 
@@ -460,8 +474,7 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     dv0 = (d + 1 + 15) // 16 * 16
     it = q.dtype.itemsize
-    bq, bk, sq_p, bh_rows, q_step = _plan_flash(
-        bq, bk, dp, dv0, it, b * h, sq, causal)
+    bq, bk, sq_p = _plan_flash(bq, bk, dp, dv0, it, b * h, sq, causal)
     sk_p = pl.cdiv(sk, bk) * bk
 
     q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
@@ -479,26 +492,23 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
         q_len=sq, block_q=bq, mask_tail=(sk_p != sk), d_sum=d,
         single_k=(sk_p == bk))
 
-    def run(qc, kc, vc):
-        return pl.pallas_call(
-            kernel,
-            grid=(qc.shape[0], qc.shape[1] // bq, sk_p // bk),
-            in_specs=[
-                pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
-                pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
-                pl.BlockSpec((1, dv, bk), lambda bh, iq, ik: (bh, 0, ik)),
-            ],
-            out_specs=pl.BlockSpec((1, dv, bq),
-                                   lambda bh, iq, ik: (bh, 0, iq)),
-            out_shape=jax.ShapeDtypeStruct(
-                (qc.shape[0], dv, qc.shape[1]), q.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((1, bq), jnp.float32),
-                pltpu.VMEM((dv, bq), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
-        )(qc, kc, vc)
-
-    out = _run_chunked(run, qp, kp, vtp, bh_rows, q_step, q_axis=2)
+    out = pl.pallas_call(
+        kernel,
+        grid=(qp.shape[0], sq_p // bq, sk_p // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, bk, dp), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, dv, bk), lambda bh, iq, ik: (bh, 0, ik)),
+        ],
+        out_specs=pl.BlockSpec((1, dv, bq),
+                               lambda bh, iq, ik: (bh, 0, iq)),
+        out_shape=jax.ShapeDtypeStruct(
+            (qp.shape[0], dv, sq_p), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, bq), jnp.float32),
+            pltpu.VMEM((dv, bq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(qp, kp, vtp)
     return out[:, :d, :sq].reshape(b, h, d, sq)

