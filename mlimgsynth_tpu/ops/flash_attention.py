@@ -135,7 +135,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-def _scoped_vmem(bq, bk, dp, dv, itemsize):
+def _scoped_vmem(bq, bk, dp, dv, itemsize, out_it=None):
     """Model of the kernel's contribution to XLA's scoped-VMEM stack,
     calibrated against compiler-reported stack sizes on v5e:
 
@@ -147,8 +147,14 @@ def _scoped_vmem(bq, bk, dp, dv, itemsize):
 
     The low-precision exp2 product p reuses the f32 logits allocation (it
     never appears as a separate term in the compiler reports), so only
-    the f32 [bq,bk] product is counted."""
-    windows = 2 * (bq * dp + bk * dp + bk * dv + bq * dv) * itemsize
+    the f32 [bq,bk] product is counted.
+
+    ``out_it`` charges the double-buffered output window at the OUTPUT
+    dtype (regime (c) below emits f32 outputs from bf16 inputs)."""
+    if out_it is None:
+        out_it = itemsize
+    windows = (2 * (bq * dp + bk * dp + bk * dv) * itemsize
+               + 2 * bq * dv * out_it)
     scratch = bq * dv * 4 + 2 * bq * 4        # acc + m/l
     logits = bq * bk * 4                      # f32 QK product
     return windows + scratch + logits
@@ -162,7 +168,7 @@ SCOPED_LIMIT = 16 * 1024 * 1024
 
 
 def _plan_flash(bq, bk, dp, dv, it, bh, sq, causal):
-    """Block sizes under the ALWAYS-PROMOTED policy, round-3 revision.
+    """Block sizes under the ALWAYS-PROMOTED policy, round-3 revision 2.
 
     XLA sometimes places a pallas_call's output in the scoped-VMEM stack
     (S(1)); which outputs get promoted is not predictable program-to-
@@ -170,24 +176,32 @@ def _plan_flash(bq, bk, dp, dv, it, bh, sq, causal):
     the charged frame is kernel stack + the FULL output — splitting the
     output into bh/q chunks does NOT reduce the peak, because every chunk
     stays live until the stitch concatenate (the reported 17.39M was
-    identical for 6.55M-total outputs chunked [7,3] and [6,4]).  Two
+    identical for 6.55M-total outputs chunked [7,3] and [6,4]).  Three
     regimes are therefore deterministic-safe:
 
-      (a) _scoped_vmem(blocks) + total_output <= VMEM_BUDGET, or
+      (a) _scoped_vmem(blocks) + total_output <= VMEM_BUDGET;
       (b) total_output > SCOPED_LIMIT — an output strictly larger than
           the whole 16 MiB stack physically cannot be promoted (which is
-          why SD2-L0-sized outputs never failed).
+          why SD2-L0-sized outputs never failed);
+      (c) emit the output in f32 (the accumulator dtype) so it crosses
+          SCOPED_LIMIT without padding any axis.  Costs one fused
+          downcast + ~2x the output write traffic (tens of us at these
+          sizes) and buys back the proven-fast blocks on exactly the
+          shapes the round-2 "roulette" lost: bf16 outputs in the
+          promotable (budget..16 MiB) window (SDXL L1, SD2-768 L0/L1).
+          Disable with MLIS_FLASH_F32OUT=0.
 
-    Returns (bq, bk, sq_p).  sq_p may exceed the block-aligned q length:
-    when no block choice reaches (a) and the output sits under (b), the
-    q axis is PADDED with whole extra blocks until the output crosses
-    SCOPED_LIMIT — bounded extra MXU work beats a nondeterministic
-    compile failure (the padded rows are zeros, softmax stays finite,
-    callers slice the result to the logical length).  Preference among
-    feasible choices: fewest q rows, then largest bq*bk, then largest bk
-    (fewer online-softmax carry updates)."""
-    def stack(bq_, bk_):
-        return _scoped_vmem(bq_, bk_, dp, dv, it)
+    Returns (bq, bk, sq_p, out_f32).  sq_p may exceed the block-aligned
+    q length: when no block choice reaches (a) or (c) and the output
+    sits under (b), the q axis is PADDED with whole extra blocks until
+    the output crosses SCOPED_LIMIT — bounded extra MXU work beats a
+    nondeterministic compile failure (the padded rows are zeros, softmax
+    stays finite, callers slice the result to the logical length).
+    Preference among feasible choices: fewest q rows, then largest
+    bq*bk, then largest bk (fewer online-softmax carry updates), then
+    the native output dtype (less write traffic)."""
+    def stack(bq_, bk_, out_it):
+        return _scoped_vmem(bq_, bk_, dp, dv, it, out_it)
 
     def ladder(v, lo):
         out = []
@@ -204,51 +218,58 @@ def _plan_flash(bq, bk, dp, dv, it, bh, sq, causal):
         # compile-OOM roulette on promotion-prone programs (SD2/SDXL L1).
         for bq_ in ladder(bq, 512):
             for bk_ in ladder(bk, 256):
-                if stack(bq_, bk_) <= VMEM_BUDGET:
-                    return bq_, bk_, pl.cdiv(sq, bq_) * bq_
+                if stack(bq_, bk_, it) <= VMEM_BUDGET:
+                    return bq_, bk_, pl.cdiv(sq, bq_) * bq_, False
+    f32_ok = (it < 4 and os.environ.get("MLIS_FLASH_F32OUT", "1")
+              not in ("0", "false", "no"))
 
     best = None
+
+    def consider(bq_, bk_, sq_p, f32):
+        nonlocal best
+        key = (-sq_p, bq_ * bk_, bk_, 0 if f32 else 1)
+        if best is None or key > best[0]:
+            best = (key, bq_, bk_, sq_p, f32)
+
     for bq_ in ladder(bq, 512):
         sq_p = pl.cdiv(sq, bq_) * bq_
         out_b = bh * sq_p * dv * it
         for bk_ in ladder(bk, 256):
-            s = stack(bq_, bk_)
-            if s > VMEM_BUDGET:
-                continue
-            if out_b > SCOPED_LIMIT or s + out_b <= VMEM_BUDGET:
-                key = (-sq_p, bq_ * bk_, bk_)
-                if best is None or key > best[0]:
-                    best = ((key), bq_, bk_, sq_p)
-                break   # smaller bk_ is never preferred at this bq_
+            s = stack(bq_, bk_, it)
+            if s <= VMEM_BUDGET and (out_b > SCOPED_LIMIT
+                                     or s + out_b <= VMEM_BUDGET):
+                consider(bq_, bk_, sq_p, False)
+            elif f32_ok and bh * sq_p * dv * 4 > SCOPED_LIMIT \
+                    and stack(bq_, bk_, 4) <= VMEM_BUDGET:
+                consider(bq_, bk_, sq_p, True)
     if best is not None:
-        _, bq_, bk_, sq_p = best
-        return bq_, bk_, sq_p
+        _, bq_, bk_, sq_p, f32 = best
+        return bq_, bk_, sq_p, f32
 
-    # No block choice satisfies (a): pad the q axis into regime (b).
-    pad_best = None
+    # No block choice satisfies (a)/(c): pad the q axis into regime (b),
+    # in whichever output dtype needs fewer padded rows.
     for bq_ in ladder(bq, 512):
-        bk_ok = None
-        for bk_ in ladder(bk, 256):
-            if stack(bq_, bk_) <= VMEM_BUDGET:
-                bk_ok = bk_
-                break
-        if bk_ok is None:
-            continue
-        sq_p = pl.cdiv(sq, bq_) * bq_
-        while bh * sq_p * dv * it <= SCOPED_LIMIT:
-            sq_p += bq_
-        key = (-sq_p, bq_ * bk_ok, bk_ok)
-        if pad_best is None or key > pad_best[0]:
-            pad_best = (key, bq_, bk_ok, sq_p)
-    if pad_best is not None:
-        _, bq_, bk_, sq_p = pad_best
-        return bq_, bk_, sq_p
+        for out_it, f32 in ([(4, True)] if f32_ok else []) + [(it, False)]:
+            bk_ok = None
+            for bk_ in ladder(bk, 256):
+                if stack(bq_, bk_, out_it) <= VMEM_BUDGET:
+                    bk_ok = bk_
+                    break
+            if bk_ok is None:
+                continue
+            sq_p = pl.cdiv(sq, bq_) * bq_
+            while bh * sq_p * dv * out_it <= SCOPED_LIMIT:
+                sq_p += bq_
+            consider(bq_, bk_ok, sq_p, f32)
+    if best is not None:
+        _, bq_, bk_, sq_p, f32 = best
+        return bq_, bk_, sq_p, f32
 
     from ..utils.log import g_logger
     g_logger.warning(
         f"flash planner: no deterministic-safe blocks for d=({dp},{dv}) "
         f"bh={bh} sq={sq}; compile may OOM")
-    return 512, 256, pl.cdiv(sq, 512) * 512
+    return 512, 256, pl.cdiv(sq, 512) * 512, False
 
 
 def _pad_to(x, axis, size):
@@ -315,7 +336,9 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     dv0 = d + 1 if d < dp else dp           # actual output minor (below)
     it = q.dtype.itemsize
-    bq, bk, sq_p = _plan_flash(bq, bk, dp, dv0, it, b * h, sq, causal)
+    bq, bk, sq_p, out_f32 = _plan_flash(bq, bk, dp, dv0, it, b * h, sq,
+                                        causal)
+    out_dtype = jnp.float32 if out_f32 else q.dtype
     sk_p = pl.cdiv(sk, bk) * bk
 
     q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
@@ -348,7 +371,7 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
         out_specs=pl.BlockSpec((1, bq, dv),
                                lambda bh, iq, ik: (bh, iq, 0)),
         out_shape=jax.ShapeDtypeStruct(
-            (qp.shape[0], sq_p, dv), q.dtype),
+            (qp.shape[0], sq_p, dv), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -359,7 +382,8 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(qp, kp, vp)
-    return out[:, :sq, :d].reshape(b, h, sq, d)
+    out = out[:, :sq, :d].reshape(b, h, sq, d)
+    return out.astype(q.dtype) if out_f32 else out
 
 
 # ---------------------------------------------------------------------------
@@ -474,7 +498,9 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     dv0 = (d + 1 + 15) // 16 * 16
     it = q.dtype.itemsize
-    bq, bk, sq_p = _plan_flash(bq, bk, dp, dv0, it, b * h, sq, causal)
+    bq, bk, sq_p, out_f32 = _plan_flash(bq, bk, dp, dv0, it, b * h, sq,
+                                        causal)
+    out_dtype = jnp.float32 if out_f32 else q.dtype
     sk_p = pl.cdiv(sk, bk) * bk
 
     q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
@@ -503,7 +529,7 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
         out_specs=pl.BlockSpec((1, dv, bq),
                                lambda bh, iq, ik: (bh, 0, iq)),
         out_shape=jax.ShapeDtypeStruct(
-            (qp.shape[0], dv, sq_p), q.dtype),
+            (qp.shape[0], dv, sq_p), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((1, bq), jnp.float32),
             pltpu.VMEM((dv, bq), jnp.float32),
@@ -511,4 +537,5 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(qp, kp, vtp)
-    return out[:, :d, :sq].reshape(b, h, d, sq)
+    out = out[:, :d, :sq].reshape(b, h, d, sq)
+    return out.astype(q.dtype) if out_f32 else out

@@ -135,39 +135,64 @@ def test_compatibility_gate():
 
 
 def test_plan_flash_math():
-    """_plan_flash (round-3 revised policy): every plan lands in one of
-    the two deterministic-safe regimes — stack + FULL output <= budget,
-    or output > SCOPED_LIMIT (physically unpromotable) — with the q axis
-    padded into the second regime when the first is unreachable."""
+    """_plan_flash (round-3 revision 2): every plan lands in one of the
+    three deterministic-safe regimes — (a) stack + FULL output <= budget,
+    (b) output > SCOPED_LIMIT (physically unpromotable), or (c) an f32
+    output that crosses SCOPED_LIMIT without padding — with the q axis
+    padded into (b) only when none of the three is reachable."""
     it = 2
 
-    def out_bytes(bh, sq_p, dv):
-        return bh * sq_p * dv * it
+    def out_bytes(bh, sq_p, dv, oit=it):
+        return bh * sq_p * dv * oit
 
     # small: full blocks kept, fits with output resident
-    bq, bk, sq_p = fa._plan_flash(1024, 1024, 64, 80, it, 4, 1024, False)
-    assert (bq, bk) == (1024, 1024) and sq_p == 1024
+    bq, bk, sq_p, f32 = fa._plan_flash(1024, 1024, 64, 80, it, 4, 1024,
+                                       False)
+    assert (bq, bk, f32) == (1024, 1024, False) and sq_p == 1024
     assert (fa._scoped_vmem(bq, bk, 64, 80, it) + out_bytes(4, sq_p, 80)
             <= fa.VMEM_BUDGET)
     # SD2-768 L1 (the round-3 in-loop OOM shape): regime (a) via smaller
     # blocks, and the fewest-rows preference also cuts the q padding
     # (2304 -> 2560, not the old 4096)
-    bq, bk, sq_p = fa._plan_flash(2048, 2048, 64, 80, it, 10, 2304, False)
-    assert sq_p <= 2560, sq_p
-    assert (fa._scoped_vmem(bq, bk, 64, 80, it) + out_bytes(10, sq_p, 80)
+    bq, bk, sq_p, f32 = fa._plan_flash(2048, 2048, 64, 80, it, 20, 2304,
+                                       False)
+    assert sq_p <= 2560 and not f32, (sq_p, f32)
+    assert (fa._scoped_vmem(bq, bk, 64, 80, it) + out_bytes(20, sq_p, 80)
             <= fa.VMEM_BUDGET)
-    # SD2-768 L0: output sits just UNDER the hard limit and no blocks can
-    # absorb it -> padded into the unpromotable regime
-    bq, bk, sq_p = fa._plan_flash(2048, 2048, 64, 80, it, 10, 9216, False)
-    assert out_bytes(10, sq_p, 80) > fa.SCOPED_LIMIT
-    assert fa._scoped_vmem(bq, bk, 64, 80, it) <= fa.VMEM_BUDGET
-    assert sq_p - 9216 <= 2048, f"padding overshoot: {sq_p}"
+    # SD2-768 L0: bf16 output sits just UNDER the hard limit and no
+    # blocks can absorb it -> regime (c): f32 output crosses the limit
+    # with ZERO q padding (9216 is 1024-aligned) and big blocks kept
+    bq, bk, sq_p, f32 = fa._plan_flash(2048, 2048, 64, 80, it, 10, 9216,
+                                       False)
+    assert f32 and sq_p == 9216 and bq * bk >= 1024 * 1024, (
+        bq, bk, sq_p, f32)
+    assert out_bytes(10, sq_p, 80, 4) > fa.SCOPED_LIMIT
+    assert fa._scoped_vmem(bq, bk, 64, 80, it, 4) <= fa.VMEM_BUDGET
+    # SDXL L1 (b2 h10 s4096 d64): same regime (c) — full blocks, no pad
+    bq, bk, sq_p, f32 = fa._plan_flash(2048, 1024, 64, 80, it, 20, 4096,
+                                       False)
+    assert f32 and (bq, bk) == (2048, 1024) and sq_p == 4096, (
+        bq, bk, sq_p, f32)
     # VAE-1024 (wide head): output alone exceeds the hard limit ->
-    # unpromotable, stack-only constraint
-    bq, bk, sq_p = fa._plan_flash(2048, 1024, 512, 513, it, 1, 16384,
-                                  False)
+    # unpromotable, stack-only constraint, native dtype
+    bq, bk, sq_p, f32 = fa._plan_flash(2048, 1024, 512, 513, it, 1, 16384,
+                                       False)
+    assert not f32
     assert out_bytes(1, sq_p, 513) > fa.SCOPED_LIMIT
     assert fa._scoped_vmem(bq, bk, 512, 513, it) <= fa.VMEM_BUDGET
+    # f32 inputs never take regime (c) (it == 4 already)
+    bq, bk, sq_p, f32 = fa._plan_flash(2048, 2048, 64, 80, 4, 10, 9216,
+                                       False)
+    assert not f32
+    # opt-out restores revision-1 behavior (padded-q regime (b))
+    import os
+    os.environ["MLIS_FLASH_F32OUT"] = "0"
+    try:
+        bq, bk, sq_p, f32 = fa._plan_flash(2048, 2048, 64, 80, it, 10,
+                                           9216, False)
+        assert not f32 and out_bytes(10, sq_p, 80) > fa.SCOPED_LIMIT
+    finally:
+        del os.environ["MLIS_FLASH_F32OUT"]
 
 
 def test_padded_q_numerics(monkeypatch):
@@ -183,7 +208,7 @@ def test_padded_q_numerics(monkeypatch):
     q = rand(2, 2, 2048, 64, seed=3) * 0.3
     k = rand(2, 2, 2048, 64, seed=4) * 0.3
     v = rand(2, 2, 2048, 64, seed=5) * 0.3
-    bq, bk, sq_p = fa._plan_flash(512, 512, 64, 80, it, 4, 2048, False)
+    bq, bk, sq_p, _ = fa._plan_flash(512, 512, 64, 80, it, 4, 2048, False)
     assert sq_p > 2048, "padding path not taken"
     ref = np.asarray(attention_xla(q, k, v))
     got = np.asarray(fa.flash_attention(q, k, v, block_q=512, block_k=512))
@@ -191,6 +216,44 @@ def test_padded_q_numerics(monkeypatch):
     got_t = np.asarray(fa.flash_attention_t(q, k, v.swapaxes(-1, -2),
                                             block_q=512, block_k=512))
     np.testing.assert_allclose(got_t.swapaxes(-1, -2), ref, atol=2e-5)
+
+
+def test_f32_out_numerics(monkeypatch):
+    """Regime (c) — the f32-output escape — must be numerically invisible
+    and still return the input dtype: shrink the planner constants so a
+    small bf16 shape takes the f32-output path in BOTH kernels, compare
+    against the XLA reference."""
+    plans = []
+    orig = fa._plan_flash
+
+    def spy(*a, **kw):
+        plan = orig(*a, **kw)
+        plans.append(plan)
+        return plan
+
+    monkeypatch.setattr(fa, "_plan_flash", spy)
+    it = 2
+    q = (rand(2, 2, 1024, 64, seed=7) * 0.3).astype(jnp.bfloat16)
+    k = (rand(2, 2, 1024, 64, seed=8) * 0.3).astype(jnp.bfloat16)
+    v = (rand(2, 2, 1024, 64, seed=9) * 0.3).astype(jnp.bfloat16)
+    ref = np.asarray(attention_xla(q, k, v), np.float32)
+    # per-kernel output minors: std dv=64 (d==dp), transposed dv=80
+    for fn, vv, dv in ((fa.flash_attention, v, 64),
+                       (fa.flash_attention_t, v.swapaxes(-1, -2), 80)):
+        plans.clear()
+        # window chosen so: native stack fits only at (512,256), the
+        # native output pushes past the budget, and the f32 output
+        # crosses SCOPED_LIMIT (unpromotable) with its stack in budget
+        monkeypatch.setattr(fa, "SCOPED_LIMIT", 4 * 1024 * dv * 4 - 1)
+        monkeypatch.setattr(
+            fa, "VMEM_BUDGET",
+            fa._scoped_vmem(512, 256, 64, dv, it, 4) + 1024)
+        got = fn(q, k, vv, block_q=512, block_k=512)
+        assert plans and plans[-1][3] is True, plans
+        assert got.dtype == jnp.bfloat16
+        out = got if fn is fa.flash_attention else got.swapaxes(-1, -2)
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                                   atol=3e-2)
 
 
 def test_vmem_invariant_all_model_shapes(monkeypatch):
@@ -233,10 +296,14 @@ def test_vmem_invariant_all_model_shapes(monkeypatch):
                 bk, dv = vblk[1], vblk[2]
             else:
                 dv, bk = vblk[1], vblk[2]
-            vmem = fa._scoped_vmem(bq, bk, dp, dv, 2)
-            out_b = int(np.prod(out_shape.shape)) * 2
+            out_it = jnp.dtype(out_shape.dtype).itemsize
+            vmem = fa._scoped_vmem(bq, bk, dp, dv, 2, out_it)
+            out_b = int(np.prod(out_shape.shape)) * out_it
             assert vmem <= fa.VMEM_BUDGET, (fn.__name__, b, h, s, d, vmem)
             assert (out_b > fa.SCOPED_LIMIT
                     or vmem + out_b <= fa.VMEM_BUDGET), (
                 fn.__name__, b, h, s, d, vmem, out_b)
+            # regime (c) outputs must actually cross the hard limit
+            if out_it == 4:
+                assert out_b > fa.SCOPED_LIMIT, (fn.__name__, b, h, s, d)
 
