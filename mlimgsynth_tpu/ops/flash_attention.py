@@ -135,7 +135,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-def _scoped_vmem(bq, bk, dp, dv, itemsize, out_it=None):
+def _scoped_vmem(bq, bk, dp, dv, itemsize):
     """Model of the kernel's contribution to XLA's scoped-VMEM stack,
     calibrated against compiler-reported stack sizes on v5e:
 
@@ -147,14 +147,8 @@ def _scoped_vmem(bq, bk, dp, dv, itemsize, out_it=None):
 
     The low-precision exp2 product p reuses the f32 logits allocation (it
     never appears as a separate term in the compiler reports), so only
-    the f32 [bq,bk] product is counted.
-
-    ``out_it`` charges the double-buffered output window at the OUTPUT
-    dtype (regime (c) below emits f32 outputs from bf16 inputs)."""
-    if out_it is None:
-        out_it = itemsize
-    windows = (2 * (bq * dp + bk * dp + bk * dv) * itemsize
-               + 2 * bq * dv * out_it)
+    the f32 [bq,bk] product is counted."""
+    windows = 2 * (bq * dp + bk * dp + bk * dv + bq * dv) * itemsize
     scratch = bq * dv * 4 + 2 * bq * 4        # acc + m/l
     logits = bq * bk * 4                      # f32 QK product
     return windows + scratch + logits
@@ -167,8 +161,8 @@ VMEM_BUDGET = int(15.0 * 1024 * 1024)
 SCOPED_LIMIT = 16 * 1024 * 1024
 
 
-def _plan_flash(bq, bk, dp, dv, it, bh, sq, causal):
-    """Block sizes under the ALWAYS-PROMOTED policy, round-3 revision 2.
+def _plan_flash(bq, bk, dp, dv, it, bh, sq, causal, dv_alt=None):
+    """Block sizes under the ALWAYS-PROMOTED policy, round-3 revision 3.
 
     XLA sometimes places a pallas_call's output in the scoped-VMEM stack
     (S(1)); which outputs get promoted is not predictable program-to-
@@ -176,39 +170,47 @@ def _plan_flash(bq, bk, dp, dv, it, bh, sq, causal):
     the charged frame is kernel stack + the FULL output — splitting the
     output into bh/q chunks does NOT reduce the peak, because every chunk
     stays live until the stitch concatenate (the reported 17.39M was
-    identical for 6.55M-total outputs chunked [7,3] and [6,4]).  Three
-    regimes are therefore deterministic-safe:
+    identical for 6.55M-total outputs chunked [7,3] and [6,4]).  The
+    deterministic-safe regimes:
 
       (a) _scoped_vmem(blocks) + total_output <= VMEM_BUDGET;
-      (b) total_output > SCOPED_LIMIT — an output strictly larger than
-          the whole 16 MiB stack physically cannot be promoted (which is
-          why SD2-L0-sized outputs never failed);
-      (c) emit the output in f32 (the accumulator dtype) so it crosses
-          SCOPED_LIMIT without padding any axis.  Costs one fused
-          downcast + ~2x the output write traffic (tens of us at these
-          sizes) and buys back the proven-fast blocks on exactly the
-          shapes the round-2 "roulette" lost: bf16 outputs in the
-          promotable (budget..16 MiB) window (SDXL L1, SD2-768 L0/L1).
-          Disable with MLIS_FLASH_F32OUT=0.
+      (b) total_output > SCOPED_LIMIT — a bf16 output strictly larger
+          than the whole 16 MiB stack is never promoted (in-loop bench
+          evidence at 32-48 MiB: batch-8 and VAE-1024 attention);
+      (d) shrink the output minor: drop the MXU-softmax-denominator ones
+          row so dv falls back to the bare sublane tile (``dv_alt``,
+          80->64 for d=64, 528->512 for the VAE head), which is often
+          exactly what regime (a) needs.  Costs one VPU sum per
+          [bq,bk] block (the kernels carry an l column either way).
 
-    Returns (bq, bk, sq_p, out_f32).  sq_p may exceed the block-aligned
-    q length: when no block choice reaches (a) or (c) and the output
-    sits under (b), the q axis is PADDED with whole extra blocks until
-    the output crosses SCOPED_LIMIT — bounded extra MXU work beats a
-    nondeterministic compile failure (the padded rows are zeros, softmax
-    stays finite, callers slice the result to the logical length).
-    Preference among feasible choices: fewest q rows, then largest
-    bq*bk, then largest bk (fewer online-softmax carry updates), then
-    the native output dtype (less write traffic)."""
-    def stack(bq_, bk_, out_it):
-        return _scoped_vmem(bq_, bk_, dp, dv, it, out_it)
+    Regime (c) — f32 outputs crossing SCOPED_LIMIT — was tried and is
+    FALSIFIED on v5e: f32 pallas outputs get S(1)-placed categorically
+    (observed standalone AND in-loop, 23.6-29.5 MB outputs, charges
+    17.39-17.82M > 16M limit), so crossing the stack size does not
+    protect them.  Only bf16/native-dtype outputs ride regime (b).
 
+    Returns (bq, bk, sq_p, use_alt_dv).  sq_p may exceed the block-
+    aligned q length: when no block choice reaches (a) at either dv and
+    the output sits under (b), the q axis is PADDED with whole extra
+    blocks until the output crosses SCOPED_LIMIT — bounded extra MXU
+    work beats a nondeterministic compile failure (the padded rows are
+    zeros, softmax stays finite, callers slice the result).  Preference
+    among feasible choices: fewest q rows, then largest bq*bk, then the
+    most square (largest min(bq,bk): extreme bq starves the k axis with
+    online-softmax carries, extreme bk re-streams k/v once per tiny q
+    block), then largest bq (matches the round-2 measured best
+    (2048,1024)), then the MXU-denominator variant (measured faster at
+    equal blocks)."""
     def ladder(v, lo):
         out = []
         while v >= lo:
             out.append(v)
             v //= 2
         return out
+
+    dvs = [(dv, False)]
+    if dv_alt is not None and dv_alt < dv:
+        dvs.append((dv_alt, True))
 
     import os
     if os.environ.get("MLIS_FLASH_SAFE", "1") in ("0", "false", "no"):
@@ -218,52 +220,49 @@ def _plan_flash(bq, bk, dp, dv, it, bh, sq, causal):
         # compile-OOM roulette on promotion-prone programs (SD2/SDXL L1).
         for bq_ in ladder(bq, 512):
             for bk_ in ladder(bk, 256):
-                if stack(bq_, bk_, it) <= VMEM_BUDGET:
+                if _scoped_vmem(bq_, bk_, dp, dv, it) <= VMEM_BUDGET:
                     return bq_, bk_, pl.cdiv(sq, bq_) * bq_, False
-    f32_ok = (it < 4 and os.environ.get("MLIS_FLASH_F32OUT", "1")
-              not in ("0", "false", "no"))
 
     best = None
 
-    def consider(bq_, bk_, sq_p, f32):
+    def consider(bq_, bk_, sq_p, alt):
         nonlocal best
-        key = (-sq_p, bq_ * bk_, bk_, 0 if f32 else 1)
+        key = (-sq_p, bq_ * bk_, min(bq_, bk_), bq_, 0 if alt else 1)
         if best is None or key > best[0]:
-            best = (key, bq_, bk_, sq_p, f32)
+            best = (key, bq_, bk_, sq_p, alt)
 
     for bq_ in ladder(bq, 512):
         sq_p = pl.cdiv(sq, bq_) * bq_
-        out_b = bh * sq_p * dv * it
-        for bk_ in ladder(bk, 256):
-            s = stack(bq_, bk_, it)
-            if s <= VMEM_BUDGET and (out_b > SCOPED_LIMIT
-                                     or s + out_b <= VMEM_BUDGET):
-                consider(bq_, bk_, sq_p, False)
-            elif f32_ok and bh * sq_p * dv * 4 > SCOPED_LIMIT \
-                    and stack(bq_, bk_, 4) <= VMEM_BUDGET:
-                consider(bq_, bk_, sq_p, True)
+        for dv_, alt in dvs:
+            out_b = bh * sq_p * dv_ * it
+            for bk_ in ladder(bk, 256):
+                s = _scoped_vmem(bq_, bk_, dp, dv_, it)
+                if s <= VMEM_BUDGET and (out_b > SCOPED_LIMIT
+                                         or s + out_b <= VMEM_BUDGET):
+                    consider(bq_, bk_, sq_p, alt)
+                    break   # smaller bk_ never preferred at this bq_/dv_
     if best is not None:
-        _, bq_, bk_, sq_p, f32 = best
-        return bq_, bk_, sq_p, f32
+        _, bq_, bk_, sq_p, alt = best
+        return bq_, bk_, sq_p, alt
 
-    # No block choice satisfies (a)/(c): pad the q axis into regime (b),
-    # in whichever output dtype needs fewer padded rows.
+    # No block choice satisfies (a) at either dv: pad the q axis into
+    # regime (b), at whichever dv needs fewer padded rows.
     for bq_ in ladder(bq, 512):
-        for out_it, f32 in ([(4, True)] if f32_ok else []) + [(it, False)]:
+        for dv_, alt in dvs:
             bk_ok = None
             for bk_ in ladder(bk, 256):
-                if stack(bq_, bk_, out_it) <= VMEM_BUDGET:
+                if _scoped_vmem(bq_, bk_, dp, dv_, it) <= VMEM_BUDGET:
                     bk_ok = bk_
                     break
             if bk_ok is None:
                 continue
             sq_p = pl.cdiv(sq, bq_) * bq_
-            while bh * sq_p * dv * out_it <= SCOPED_LIMIT:
+            while bh * sq_p * dv_ * it <= SCOPED_LIMIT:
                 sq_p += bq_
-            consider(bq_, bk_ok, sq_p, f32)
+            consider(bq_, bk_ok, sq_p, alt)
     if best is not None:
-        _, bq_, bk_, sq_p, f32 = best
-        return bq_, bk_, sq_p, f32
+        _, bq_, bk_, sq_p, alt = best
+        return bq_, bk_, sq_p, alt
 
     from ..utils.log import g_logger
     g_logger.warning(
@@ -336,9 +335,7 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     dv0 = d + 1 if d < dp else dp           # actual output minor (below)
     it = q.dtype.itemsize
-    bq, bk, sq_p, out_f32 = _plan_flash(bq, bk, dp, dv0, it, b * h, sq,
-                                        causal)
-    out_dtype = jnp.float32 if out_f32 else q.dtype
+    bq, bk, sq_p, _ = _plan_flash(bq, bk, dp, dv0, it, b * h, sq, causal)
     sk_p = pl.cdiv(sk, bk) * bk
 
     q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
@@ -371,7 +368,7 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
         out_specs=pl.BlockSpec((1, bq, dv),
                                lambda bh, iq, ik: (bh, iq, 0)),
         out_shape=jax.ShapeDtypeStruct(
-            (qp.shape[0], sq_p, dv), out_dtype),
+            (qp.shape[0], sq_p, dv), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -382,8 +379,7 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(qp, kp, vp)
-    out = out[:, :sq, :d].reshape(b, h, sq, d)
-    return out.astype(q.dtype) if out_f32 else out
+    return out[:, :sq, :d].reshape(b, h, sq, d)
 
 
 # ---------------------------------------------------------------------------
@@ -402,10 +398,10 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, acc_scr, *,
+def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr, *,
                     kv_len: int, block_k: int, causal: bool,
                     q_len: int, block_q: int, mask_tail: bool, d_sum: int,
-                    single_k: bool):
+                    single_k: bool, mxu_sum: bool):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -430,8 +426,11 @@ def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, acc_scr, *,
 
         st = jax.lax.cond(ik == nk - 1, _mask, lambda st: st, st)
 
-    # vT carries a ones row at index d_sum: the PV matmul produces the
-    # softmax denominator on the MXU (no separate VPU sum pass)
+    # With mxu_sum, vT carries a ones row at index d_sum: the PV matmul
+    # produces the softmax denominator on the MXU (no separate VPU sum
+    # pass).  Without it (planner regime (d): the ones row would widen dv
+    # by a whole sublane tile and push the output into the S(1) promotion
+    # window), the denominator is a [bq] VPU sum carried in l_scr.
     if single_k:
         m = jnp.max(st, axis=0, keepdims=True)
         p = jnp.exp2(st - m).astype(vt_ref.dtype)
@@ -439,13 +438,19 @@ def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, acc_scr, *,
             vt_ref[0], p,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o_ref[0] = (pvt / pvt[d_sum:d_sum + 1, :]).astype(o_ref.dtype)
+        if mxu_sum:
+            l = pvt[d_sum:d_sum + 1, :]
+        else:
+            l = jnp.sum(p, axis=0, keepdims=True, dtype=jnp.float32)
+        o_ref[0] = (pvt / l).astype(o_ref.dtype)
         return
 
     @pl.when(ik == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        if not mxu_sum:
+            l_scr[:] = jnp.zeros_like(l_scr)
 
     m_prev = m_scr[:]                       # [1, bq]
     m_cur = jnp.max(st, axis=0, keepdims=True)
@@ -456,6 +461,9 @@ def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, acc_scr, *,
     p = jnp.exp2(st - m_new).astype(vt_ref.dtype)  # [bk, bq]
 
     m_scr[:] = m_new
+    if not mxu_sum:
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(
+            p, axis=0, keepdims=True, dtype=jnp.float32)
     # accT[d, bq] = vT[d, bk] @ p[bk, bq]: d streams on sublanes (no 128 pad)
     pvt = jax.lax.dot_general(
         vt_ref[0], p,
@@ -466,7 +474,8 @@ def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, acc_scr, *,
     @pl.when(ik == nk - 1)
     def _done():
         acc = acc_scr[:]
-        o_ref[0] = (acc / acc[d_sum:d_sum + 1, :]).astype(o_ref.dtype)
+        l = (acc[d_sum:d_sum + 1, :] if mxu_sum else l_scr[:])
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -496,27 +505,31 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
         block_k = env_bk
     bq = min(block_q, max(256, 1 << (sq - 1).bit_length()))
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
-    dv0 = (d + 1 + 15) // 16 * 16
+    dv0 = (d + 1 + 15) // 16 * 16           # with the MXU-sum ones row
+    dv_alt = (d + 15) // 16 * 16            # bare sublane tile (regime (d))
     it = q.dtype.itemsize
-    bq, bk, sq_p, out_f32 = _plan_flash(bq, bk, dp, dv0, it, b * h, sq,
-                                        causal)
-    out_dtype = jnp.float32 if out_f32 else q.dtype
+    bq, bk, sq_p, alt = _plan_flash(bq, bk, dp, dv0, it, b * h, sq, causal,
+                                    dv_alt=dv_alt)
+    mxu_sum = not alt
     sk_p = pl.cdiv(sk, bk) * bk
 
     q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
     qp = _pad_to(_pad_to(q.reshape(b * h, sq, d), 2, dp), 1, sq_p)
     kp = _pad_to(_pad_to(k.reshape(b * h, sk, d), 2, dp), 1, sk_p)
-    # ones row at index d: PV also produces the softmax denominator (kernel)
+    # ones row at index d: PV also produces the softmax denominator
+    # (kernel); dropped when the planner shrank dv to keep the output out
+    # of the S(1) promotion window
     vtr = vt.reshape(b * h, d, sk)
-    vtr = jnp.concatenate(
-        [vtr, jnp.ones((b * h, 1, sk), vtr.dtype)], 1)
-    dv = dv0                                # sublane-tile padded rows
+    if mxu_sum:
+        vtr = jnp.concatenate(
+            [vtr, jnp.ones((b * h, 1, sk), vtr.dtype)], 1)
+    dv = dv_alt if alt else dv0             # sublane-tile padded rows
     vtp = _pad_to(_pad_to(vtr, 1, dv), 2, sk_p)
 
     kernel = functools.partial(
         _flash_kernel_t, kv_len=sk, block_k=bk, causal=causal,
         q_len=sq, block_q=bq, mask_tail=(sk_p != sk), d_sum=d,
-        single_k=(sk_p == bk))
+        single_k=(sk_p == bk), mxu_sum=mxu_sum)
 
     out = pl.pallas_call(
         kernel,
@@ -529,13 +542,13 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
         out_specs=pl.BlockSpec((1, dv, bq),
                                lambda bh, iq, ik: (bh, 0, iq)),
         out_shape=jax.ShapeDtypeStruct(
-            (qp.shape[0], dv, sq_p), out_dtype),
+            (qp.shape[0], dv, sq_p), q.dtype),
         scratch_shapes=[
+            pltpu.VMEM((1, bq), jnp.float32),
             pltpu.VMEM((1, bq), jnp.float32),
             pltpu.VMEM((dv, bq), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(qp, kp, vtp)
-    out = out[:, :d, :sq].reshape(b, h, d, sq)
-    return out.astype(q.dtype) if out_f32 else out
+    return out[:, :d, :sq].reshape(b, h, d, sq)

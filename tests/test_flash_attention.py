@@ -135,64 +135,52 @@ def test_compatibility_gate():
 
 
 def test_plan_flash_math():
-    """_plan_flash (round-3 revision 2): every plan lands in one of the
-    three deterministic-safe regimes — (a) stack + FULL output <= budget,
-    (b) output > SCOPED_LIMIT (physically unpromotable), or (c) an f32
-    output that crosses SCOPED_LIMIT without padding — with the q axis
-    padded into (b) only when none of the three is reachable."""
+    """_plan_flash (round-3 revision 3): every plan lands in one of the
+    deterministic-safe regimes — (a) stack + FULL output <= budget,
+    (b) bf16 output > SCOPED_LIMIT (never promoted, in-loop evidence at
+    32-48 MiB), or (d) the dv_alt (no-MXU-sum) output minor that shrinks
+    the output back into regime (a) — with the q axis padded into (b)
+    only when nothing else is reachable."""
     it = 2
 
-    def out_bytes(bh, sq_p, dv, oit=it):
-        return bh * sq_p * dv * oit
+    def out_bytes(bh, sq_p, dv):
+        return bh * sq_p * dv * it
 
-    # small: full blocks kept, fits with output resident
-    bq, bk, sq_p, f32 = fa._plan_flash(1024, 1024, 64, 80, it, 4, 1024,
-                                       False)
-    assert (bq, bk, f32) == (1024, 1024, False) and sq_p == 1024
+    # small: full blocks kept, fits with output resident, MXU sum kept
+    bq, bk, sq_p, alt = fa._plan_flash(1024, 1024, 64, 80, it, 4, 1024,
+                                       False, dv_alt=64)
+    assert (bq, bk, alt) == (1024, 1024, False) and sq_p == 1024
     assert (fa._scoped_vmem(bq, bk, 64, 80, it) + out_bytes(4, sq_p, 80)
             <= fa.VMEM_BUDGET)
-    # SD2-768 L1 (the round-3 in-loop OOM shape): regime (a) via smaller
-    # blocks, and the fewest-rows preference also cuts the q padding
-    # (2304 -> 2560, not the old 4096)
-    bq, bk, sq_p, f32 = fa._plan_flash(2048, 2048, 64, 80, it, 20, 2304,
-                                       False)
-    assert sq_p <= 2560 and not f32, (sq_p, f32)
-    assert (fa._scoped_vmem(bq, bk, 64, 80, it) + out_bytes(20, sq_p, 80)
+    # SD2-768 L1 (the round-3 in-loop OOM shape): regime (a); the
+    # fewest-rows preference cuts the q padding (2304 -> 2560)
+    bq, bk, sq_p, alt = fa._plan_flash(2048, 2048, 64, 80, it, 20, 2304,
+                                       False, dv_alt=64)
+    assert sq_p <= 2560, sq_p
+    dv = 64 if alt else 80
+    assert (fa._scoped_vmem(bq, bk, 64, dv, it) + out_bytes(20, sq_p, dv)
             <= fa.VMEM_BUDGET)
-    # SD2-768 L0: bf16 output sits just UNDER the hard limit and no
-    # blocks can absorb it -> regime (c): f32 output crosses the limit
-    # with ZERO q padding (9216 is 1024-aligned) and big blocks kept
-    bq, bk, sq_p, f32 = fa._plan_flash(2048, 2048, 64, 80, it, 10, 9216,
-                                       False)
-    assert f32 and sq_p == 9216 and bq * bk >= 1024 * 1024, (
-        bq, bk, sq_p, f32)
-    assert out_bytes(10, sq_p, 80, 4) > fa.SCOPED_LIMIT
-    assert fa._scoped_vmem(bq, bk, 64, 80, it, 4) <= fa.VMEM_BUDGET
-    # SDXL L1 (b2 h10 s4096 d64): same regime (c) — full blocks, no pad
-    bq, bk, sq_p, f32 = fa._plan_flash(2048, 1024, 64, 80, it, 20, 4096,
-                                       False)
-    assert f32 and (bq, bk) == (2048, 1024) and sq_p == 4096, (
-        bq, bk, sq_p, f32)
+    # SD2-768 L0: the dv=80 output sits just UNDER the hard limit and no
+    # blocks can absorb it -> regime (d): dv=64 reaches (a) with ZERO q
+    # padding (9216 is 512/1024-aligned) — the v3 plan padded to 10752
+    bq, bk, sq_p, alt = fa._plan_flash(2048, 2048, 64, 80, it, 10, 9216,
+                                       False, dv_alt=64)
+    assert alt and sq_p == 9216, (bq, bk, sq_p, alt)
+    assert (fa._scoped_vmem(bq, bk, 64, 64, it) + out_bytes(10, sq_p, 64)
+            <= fa.VMEM_BUDGET)
+    # SDXL L1 (b2 h10 s4096 d64): regime (d) — no padding, (a)-safe
+    bq, bk, sq_p, alt = fa._plan_flash(2048, 1024, 64, 80, it, 20, 4096,
+                                       False, dv_alt=64)
+    assert alt and sq_p == 4096 and bq * bk >= 512 * 1024, (
+        bq, bk, sq_p, alt)
+    assert (fa._scoped_vmem(bq, bk, 64, 64, it) + out_bytes(20, sq_p, 64)
+            <= fa.VMEM_BUDGET)
     # VAE-1024 (wide head): output alone exceeds the hard limit ->
-    # unpromotable, stack-only constraint, native dtype
-    bq, bk, sq_p, f32 = fa._plan_flash(2048, 1024, 512, 513, it, 1, 16384,
+    # regime (b), stack-only constraint
+    bq, bk, sq_p, alt = fa._plan_flash(2048, 1024, 512, 513, it, 1, 16384,
                                        False)
-    assert not f32
     assert out_bytes(1, sq_p, 513) > fa.SCOPED_LIMIT
     assert fa._scoped_vmem(bq, bk, 512, 513, it) <= fa.VMEM_BUDGET
-    # f32 inputs never take regime (c) (it == 4 already)
-    bq, bk, sq_p, f32 = fa._plan_flash(2048, 2048, 64, 80, 4, 10, 9216,
-                                       False)
-    assert not f32
-    # opt-out restores revision-1 behavior (padded-q regime (b))
-    import os
-    os.environ["MLIS_FLASH_F32OUT"] = "0"
-    try:
-        bq, bk, sq_p, f32 = fa._plan_flash(2048, 2048, 64, 80, it, 10,
-                                           9216, False)
-        assert not f32 and out_bytes(10, sq_p, 80) > fa.SCOPED_LIMIT
-    finally:
-        del os.environ["MLIS_FLASH_F32OUT"]
 
 
 def test_padded_q_numerics(monkeypatch):
@@ -210,6 +198,8 @@ def test_padded_q_numerics(monkeypatch):
     v = rand(2, 2, 2048, 64, seed=5) * 0.3
     bq, bk, sq_p, _ = fa._plan_flash(512, 512, 64, 80, it, 4, 2048, False)
     assert sq_p > 2048, "padding path not taken"
+    # (the wrappers also pass dv_alt; keep this case in the pure-pad
+    # regime by monkeypatched limits either way)
     ref = np.asarray(attention_xla(q, k, v))
     got = np.asarray(fa.flash_attention(q, k, v, block_q=512, block_k=512))
     np.testing.assert_allclose(got, ref, atol=2e-5)
@@ -218,11 +208,11 @@ def test_padded_q_numerics(monkeypatch):
     np.testing.assert_allclose(got_t.swapaxes(-1, -2), ref, atol=2e-5)
 
 
-def test_f32_out_numerics(monkeypatch):
-    """Regime (c) — the f32-output escape — must be numerically invisible
-    and still return the input dtype: shrink the planner constants so a
-    small bf16 shape takes the f32-output path in BOTH kernels, compare
-    against the XLA reference."""
+def test_vpu_sum_variant_numerics(monkeypatch):
+    """Regime (d) — the no-MXU-sum transposed kernel (dv shrunk to the
+    bare sublane tile) — must be numerically invisible: shrink the
+    planner budget so a small bf16 d=64 shape takes the dv_alt path,
+    compare against the XLA reference."""
     plans = []
     orig = fa._plan_flash
 
@@ -237,23 +227,19 @@ def test_f32_out_numerics(monkeypatch):
     k = (rand(2, 2, 1024, 64, seed=8) * 0.3).astype(jnp.bfloat16)
     v = (rand(2, 2, 1024, 64, seed=9) * 0.3).astype(jnp.bfloat16)
     ref = np.asarray(attention_xla(q, k, v), np.float32)
-    # per-kernel output minors: std dv=64 (d==dp), transposed dv=80
-    for fn, vv, dv in ((fa.flash_attention, v, 64),
-                       (fa.flash_attention_t, v.swapaxes(-1, -2), 80)):
-        plans.clear()
-        # window chosen so: native stack fits only at (512,256), the
-        # native output pushes past the budget, and the f32 output
-        # crosses SCOPED_LIMIT (unpromotable) with its stack in budget
-        monkeypatch.setattr(fa, "SCOPED_LIMIT", 4 * 1024 * dv * 4 - 1)
-        monkeypatch.setattr(
-            fa, "VMEM_BUDGET",
-            fa._scoped_vmem(512, 256, 64, dv, it, 4) + 1024)
-        got = fn(q, k, vv, block_q=512, block_k=512)
-        assert plans and plans[-1][3] is True, plans
-        assert got.dtype == jnp.bfloat16
-        out = got if fn is fa.flash_attention else got.swapaxes(-1, -2)
-        np.testing.assert_allclose(np.asarray(out, np.float32), ref,
-                                   atol=3e-2)
+    # budget window: dv=80 (MXU sum) misses regime (a) at every block
+    # while dv=64 (VPU sum) fits at (512,256) with the output resident
+    out64 = 4 * 1024 * 64 * it
+    monkeypatch.setattr(
+        fa, "VMEM_BUDGET",
+        fa._scoped_vmem(512, 256, 64, 64, it) + out64 + 1024)
+    monkeypatch.setattr(fa, "SCOPED_LIMIT", 1 << 60)  # no (b) escape
+    got = fa.flash_attention_t(q, k, v.swapaxes(-1, -2),
+                               block_q=512, block_k=512)
+    assert plans and plans[-1][3] is True, plans  # dv_alt taken
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got.swapaxes(-1, -2), np.float32), ref, atol=3e-2)
 
 
 def test_vmem_invariant_all_model_shapes(monkeypatch):
@@ -296,14 +282,14 @@ def test_vmem_invariant_all_model_shapes(monkeypatch):
                 bk, dv = vblk[1], vblk[2]
             else:
                 dv, bk = vblk[1], vblk[2]
+            # outputs always keep the input dtype: f32 pallas outputs get
+            # S(1)-promoted regardless of size (falsified regime (c))
             out_it = jnp.dtype(out_shape.dtype).itemsize
-            vmem = fa._scoped_vmem(bq, bk, dp, dv, 2, out_it)
+            assert out_it == 2, (fn.__name__, b, h, s, d, out_shape.dtype)
+            vmem = fa._scoped_vmem(bq, bk, dp, dv, 2)
             out_b = int(np.prod(out_shape.shape)) * out_it
             assert vmem <= fa.VMEM_BUDGET, (fn.__name__, b, h, s, d, vmem)
             assert (out_b > fa.SCOPED_LIMIT
                     or vmem + out_b <= fa.VMEM_BUDGET), (
                 fn.__name__, b, h, s, d, vmem, out_b)
-            # regime (c) outputs must actually cross the hard limit
-            if out_it == 4:
-                assert out_b > fa.SCOPED_LIMIT, (fn.__name__, b, h, s, d)
 

@@ -6,9 +6,11 @@ iteration is a real XLA compile.  Crucially the kernels compile INSIDE a
 ``lax.scan`` (like the production denoise loop): that is the context where
 XLA promotes pallas outputs into the scoped-VMEM stack — standalone
 programs never promoted, which is how the round-3 chunking policy passed
-12/12 here while the sd21 loop still OOM'd.  The shapes cover all three
-planner regimes: stack+output resident (SD2-L1/SDXL-L1), q-padded
-unpromotable (SD2-L0), and naturally-unpromotable (batch-8).
+12/12 here while the sd21 loop still OOM'd.  It also caught the falsified
+f32-output regime 1/10 (f32 pallas outputs get S(1)-placed even standalone
+and even above 16 MiB).  The shapes cover the planner regimes: stack+output
+resident at full dv (SD2-L1), the shrunk-dv no-MXU-sum variant
+(SD2-L0/SDXL-L1), and naturally-unpromotable big bf16 outputs (batch-8).
 
 Usage: python tools/vmem_determinism.py [N=10]
 """
