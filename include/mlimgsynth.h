@@ -134,7 +134,10 @@ typedef enum MLIS_Option {
 	MLIS_OPT_CONTROL_NET,       /* (const char* path) */
 	MLIS_OPT_CONTROL_IMAGE,     /* (const MLIS_Image*) */
 	MLIS_OPT_CONTROL_STRENGTH,  /* (double f) */
-	MLIS_OPT__LAST = MLIS_OPT_CONTROL_STRENGTH,
+	/* textual-inversion embeddings: directory searched for <emb:NAME>
+	 * prompt tags (NAME.safetensors or NAME.pt). */
+	MLIS_OPT_EMBED_DIR,         /* (const char* path) */
+	MLIS_OPT__LAST = MLIS_OPT_EMBED_DIR,
 } MLIS_Option;
 
 enum MLIS_TensorUseFlag {

@@ -180,7 +180,8 @@ class MLImgSynth:
         import jax.numpy as jnp
         self.c = {
             "backend": "", "be_params": "",
-            "model": "", "tae": "", "lora_dir": "", "aux_dir": "",
+            "model": "", "tae": "", "lora_dir": "", "embed_dir": "",
+            "aux_dir": "",
             "prompt_raw": "", "nprompt_raw": "",
             "width": 0, "height": 0, "clip_skip": 0,
             "cfg_scale": 7.0, "method": "euler", "scheduler": "uniform",
@@ -220,6 +221,11 @@ class MLImgSynth:
         self._name_map = None
         self._mt: Optional[ModelTypeDef] = None
         self._params: Dict[str, dict] = {}   # submodel -> device params
+        # textual-inversion registry: name -> {"ids": [int], "tables":
+        # {submodel: np.ndarray [k, d_embed]}}; appended to the CLIP token
+        # tables in registration order, token id = n_vocab + row offset
+        self._embeds: Dict[str, dict] = {}
+        self._embed_order: List[str] = []
         self._mesh = None                    # jax.sharding.Mesh when tp/dp>1
         self._ready = set()
         self._nfe = 0
@@ -264,6 +270,10 @@ class MLImgSynth:
             c["tae"] = str(args[0]) if args else ""
         elif opt == "lora_dir":
             c["lora_dir"] = str(args[0])
+        elif opt == "embed_dir":
+            if str(args[0]) != c["embed_dir"]:
+                c["embed_dir"] = str(args[0])
+                self._embeds_clear()
         elif opt == "lora":
             path = str(args[0])
             mult = float(args[1]) if len(args) > 1 and args[1] != "" else 1.0
@@ -476,6 +486,120 @@ class MLImgSynth:
         self.loras.append((path, mult, from_prompt))
         self._ready.discard("loras")
 
+    # ------------------------------------------------------------------
+    # Textual-inversion embeddings (additive extension; the reference has
+    # no equivalent).  ``<emb:NAME>`` in a prompt loads
+    # ``{embed_dir}/NAME.safetensors`` (or ``.pt``), appends its learned
+    # vectors to the CLIP token-embedding table(s), and splices the new
+    # token ids into the stream at the tag position.
+    # ------------------------------------------------------------------
+
+    def _embeds_clear(self):
+        if self._embeds:
+            self._embeds.clear()
+            self._embed_order.clear()
+            self._params.pop("clip", None)
+            self._params.pop("clip2", None)
+
+    def _embed_find(self, name: str) -> str:
+        if os.path.exists(name) and not os.path.isdir(name):
+            return name
+        base = self.c["embed_dir"]
+        for ext in (".safetensors", ".pt"):
+            path = os.path.join(base, name + ext) if base else name + ext
+            if os.path.exists(path):
+                return path
+            aux = self._aux_find(path)
+            if aux != path and os.path.exists(aux):
+                return aux
+        raise MlisError(MlisError.E_FILE_NOT_FOUND,
+                        f"embedding file not found '{name}'")
+
+    @staticmethod
+    def _embed_read_tables(path: str) -> Dict[str, np.ndarray]:
+        """Read an embedding file into {"clip": [k,d]} and/or
+        {"clip2": [k,d2]} float32 tables.  Supported layouts: safetensors
+        with "emb_params" (A1111 single-encoder) or "clip_l"/"clip_g"
+        (SDXL), and torch ``.pt`` with {"string_to_param": {"*": t}}."""
+        tables: Dict[str, np.ndarray] = {}
+        if path.endswith(".pt"):
+            import torch
+            obj = torch.load(path, map_location="cpu", weights_only=True)
+            stp = obj.get("string_to_param") if isinstance(obj, dict) \
+                else None
+            t = None
+            if isinstance(stp, dict) and stp:
+                t = next(iter(stp.values()))
+            elif isinstance(obj, dict) and "emb_params" in obj:
+                t = obj["emb_params"]
+            if t is None:
+                raise MlisError(-1, f"unrecognized embedding layout '{path}'")
+            tables["clip"] = np.asarray(t.detach().float().numpy())
+        else:
+            st = TensorStore.open(path)
+            try:
+                names = set(st.names())
+                # copies: read() may return views into the store's mmap
+                if "emb_params" in names:
+                    tables["clip"] = np.array(st.read("emb_params", "f32"))
+                if "clip_l" in names:
+                    tables["clip"] = np.array(st.read("clip_l", "f32"))
+                if "clip_g" in names:
+                    tables["clip2"] = np.array(st.read("clip_g", "f32"))
+                if not tables:
+                    raise MlisError(
+                        -1, f"unrecognized embedding layout '{path}' "
+                        f"(keys: {sorted(names)[:8]})")
+            finally:
+                st.close()
+        for k, t in tables.items():
+            tables[k] = np.atleast_2d(np.asarray(t, np.float32))
+        return tables
+
+    def _embed_token_ids(self, name: str) -> List[int]:
+        """ids for a named embedding, loading + registering on first use."""
+        reg = self._embeds.get(name)
+        if reg is not None:
+            return reg["ids"]
+        path = self._embed_find(name)
+        tables = self._embed_read_tables(path)
+        mt = self._mt
+        need = ["clip"] + (["clip2"] if mt.clip2_p is not None else [])
+        for sub in need:
+            P = mt.clip_p if sub == "clip" else mt.clip2_p
+            t = tables.get(sub)
+            if t is None:
+                raise MlisError(
+                    -1, f"embedding '{name}' has no table for {sub} "
+                    f"(model type {self.c['model_type']})")
+            if t.shape[1] != P.d_embed:
+                raise MlisError(
+                    -1, f"embedding '{name}' {sub} width {t.shape[1]} != "
+                    f"model d_embed {P.d_embed}")
+        ks = {tables[s].shape[0] for s in need}
+        if len(ks) != 1:
+            raise MlisError(-1, f"embedding '{name}' per-encoder vector "
+                            f"counts differ: {sorted(ks)}")
+        base = mt.clip_p.n_vocab + sum(
+            len(self._embeds[n]["ids"]) for n in self._embed_order)
+        ids = list(range(base, base + ks.pop()))
+        self._embeds[name] = {"ids": ids,
+                              "tables": {s: tables[s] for s in need}}
+        self._embed_order.append(name)
+        # the CLIP token tables grow: cached device params are stale
+        self._params.pop("clip", None)
+        self._params.pop("clip2", None)
+        log.info2(f"embedding '{name}': {len(ids)} vector(s) from {path}")
+        return ids
+
+    def _embed_rows(self, submodel: str) -> Optional[np.ndarray]:
+        """The appended token-table rows for one encoder, in id order."""
+        if not self._embed_order:
+            return None
+        return np.concatenate(
+            [self._embeds[n]["tables"][submodel] for n in self._embed_order],
+            axis=0)
+
     def _image_set(self, img):
         """Accepts uint8 [h,w,c] or float NCHW tensor; alpha becomes mask
         (reference: OPTION(IMAGE))."""
@@ -608,6 +732,7 @@ class MLImgSynth:
             raise MlisError(MlisError.E_FILE_NOT_FOUND,
                             f"model file not found '{self.c['model']}'")
         t0 = time.time()
+        self._embeds_clear()  # token ids / dims are per-model
         store = TensorStore.open(self.c["model"])
         if self.c["tae"]:
             store.read_file(self._aux_find(self.c["tae"]), prefix="tae.")
@@ -772,6 +897,15 @@ class MLImgSynth:
             if ps.dtype == jnp.bfloat16 and self._dtype != jnp.bfloat16:
                 spec[k] = B.ParamSpec(ps.shape, ps.kind, self._dtype)
         host = weights_mod.load_params(self._store, spec, self._name_map)
+        if submodel in ("clip", "clip2"):
+            rows = self._embed_rows(submodel)
+            if rows is not None:
+                key = f"{submodel}.text.embed.token.weight"
+                tw = np.asarray(host[key])
+                host[key] = np.concatenate(
+                    [tw, rows.astype(tw.dtype)], axis=0)
+                log.debug(f"{submodel}: token table +{rows.shape[0]} "
+                          "textual-inversion rows")
         if self._weights_q8:
             n_q = weights_mod.quantize_linear_weights(host, spec)
             log.info2(f"{submodel}: {n_q} linear weights quantized to int8")
@@ -848,7 +982,10 @@ class MLImgSynth:
         wts: List[float] = []
         chunks = pt.chunks if pt.chunks else [(pt.text, 1.0)]
         for text, w in chunks:
-            t = tok_mod.tokenize(text)
+            if text.startswith(prompt_mod.EMBED_MARK):
+                t = self._embed_token_ids(text[len(prompt_mod.EMBED_MARK):])
+            else:
+                t = tok_mod.tokenize(text)
             toks.extend(t)
             wts.extend([w] * len(t))
         log.info(f"Prompt: {len(toks)} tokens")
@@ -1642,8 +1779,9 @@ _OPTIONS = [
     "aux_dir", "callback",
     "error_handler", "log_level", "model_type", "weight_type",
     "no_prompt_parse",
-    # additive extensions (beyond the reference option enum): ControlNet
-    "control_net", "control_image", "control_strength",
+    # additive extensions (beyond the reference option enum): ControlNet,
+    # textual-inversion embeddings
+    "control_net", "control_image", "control_strength", "embed_dir",
 ]
 
 

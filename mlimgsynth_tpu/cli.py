@@ -52,6 +52,8 @@ Models and backend:
   --tae PATH           TAE model file. Enables TAE instead of VAE.
   --lora PATH,MULT     Apply a LoRA (multiplier optional; repeatable).
   --lora-dir PATH      Directory searched for <lora:NAME:MULT> prompt tags.
+  --embed-dir PATH     Directory searched for <emb:NAME> textual-inversion
+                       embeddings (NAME.safetensors or NAME.pt).
   --control-net PATH   ControlNet model file (control_model.* / diffusers).
   --control-image PATH Hint image (edge/pose/depth map; output-sized).
   --control-strength F ControlNet residual strength (default 1).

@@ -6,11 +6,22 @@ Parses stable-diffusion-webui style emphasis and ``<lora:NAME:MULT>`` tags
 * ``(x)`` multiplies the chunk weight by 1.1, ``[x]`` divides by 1.1, nesting
   multiplies, ``(x:1.5)`` sets an explicit weight, ``\\(`` escapes,
   ``BREAK`` is dropped, ``<lora:NAME[:MULT]>`` is extracted into a lora list.
+
+Additive extension (beyond the reference tag set): ``<emb:NAME>`` /
+``<embedding:NAME>`` inserts a textual-inversion embedding at that position
+in the token stream.  The embedding occupies its place in ``chunks`` as a
+marker chunk ``EMBED_MARK + name`` carrying the emphasis weight in effect
+where the tag appears, so downstream token assembly can splice the learned
+vectors in order and webui-style emphasis applies to them like any token.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 from typing import List, Tuple
+
+# Marker prefix for embedding chunks in PromptText.chunks.  A NUL byte can
+# never survive tokenization of user text, so the prefix is unambiguous.
+EMBED_MARK = "\x00emb:"
 
 
 class PromptParseError(ValueError):
@@ -22,6 +33,7 @@ class PromptText:
     text: str = ""
     chunks: List[Tuple[str, float]] = field(default_factory=list)
     loras: List[Tuple[str, float]] = field(default_factory=list)
+    embeds: List[str] = field(default_factory=list)
 
 
 def _parse_float_prefix(s: str) -> Tuple[float, int]:
@@ -75,6 +87,9 @@ def prompt_set_parse(src: str) -> PromptText:
     out_text: List[str] = []
     chunks: List[Tuple[int, float]] = [(0, 1.0)]  # (start_index, weight)
     loras: List[Tuple[str, float]] = []
+    # (char position, active chunk index, embedding name) — the chunk
+    # index pins the emphasis weight in effect where the tag appears
+    embeds: List[Tuple[int, int, str]] = []
     n_paren = 0
     n_bracket = 0
 
@@ -105,7 +120,10 @@ def prompt_set_parse(src: str) -> PromptText:
             w = 1.1 ** (n_paren - n_bracket)
             pos = cur_len()
             start, _ = chunks[-1]
-            if start == pos:
+            # an embed tag counts as chunk content: never re-weight a
+            # chunk that carries one (e.g. the ')' of "(<emb:x>:1.7)")
+            has_embed = embeds and embeds[-1][1] == len(chunks) - 1
+            if start == pos and not has_embed:
                 chunks[-1] = (start, w)
             else:
                 chunks.append((pos, w))
@@ -124,7 +142,14 @@ def prompt_set_parse(src: str) -> PromptText:
             e = src.find(">", i + 1)
             if e < 0:
                 raise PromptParseError("prompt: '<' not matched with '>'")
-            parse_lora_tag(src[i + 1:e], loras)
+            body = src[i + 1:e]
+            if body.startswith("emb:") or body.startswith("embedding:"):
+                name = body.split(":", 1)[1]
+                if not name:
+                    raise PromptParseError("prompt: empty embedding name")
+                embeds.append((cur_len(), len(chunks) - 1, name))
+            else:
+                parse_lora_tag(body, loras)
             i = e
         elif c == "B" and src.startswith("BREAK", i) and i + 5 < n:
             i += 4
@@ -134,7 +159,18 @@ def prompt_set_parse(src: str) -> PromptText:
 
     text = "".join(out_text)
     result: List[Tuple[str, float]] = []
-    starts = [p for p, _ in chunks] + [len(text)]
+    bounds = [p for p, _ in chunks] + [len(text)]
+    ei = 0
     for k, (start, w) in enumerate(chunks):
-        result.append((text[start:starts[k + 1]], w))
-    return PromptText(text=text, chunks=result, loras=loras)
+        end = bounds[k + 1]
+        seg = start
+        while ei < len(embeds) and embeds[ei][1] == k:
+            p, _, name = embeds[ei]
+            if p > seg:
+                result.append((text[seg:p], w))
+                seg = p
+            result.append((EMBED_MARK + name, w))
+            ei += 1
+        result.append((text[seg:end], w))
+    return PromptText(text=text, chunks=result, loras=loras,
+                      embeds=[name for _, _, name in embeds])

@@ -247,7 +247,7 @@ int mlis_option_set(MLIS_Ctx *S, MLIS_Option id, ...)
 	} break;
 	case MLIS_OPT_MODEL: case MLIS_OPT_TAE: case MLIS_OPT_LORA_DIR:
 	case MLIS_OPT_PROMPT: case MLIS_OPT_NPROMPT: case MLIS_OPT_AUX_DIR:
-	case MLIS_OPT_CONTROL_NET:
+	case MLIS_OPT_CONTROL_NET: case MLIS_OPT_EMBED_DIR:
 		r = mlis_option_set_str(S, name, va_arg(ap, const char*));
 		break;
 	case MLIS_OPT_LORA: {
@@ -564,7 +564,8 @@ static const char *g_option_names[] = {
 	"s_ancestral", "image", "image_mask", "no_decode", "tensor_use_flags",
 	"seed", "vae_tile", "unet_split", "threads", "dump_flags", "aux_dir",
 	"callback", "error_handler", "log_level", "model_type", "weight_type",
-	"no_prompt_parse", "control_net", "control_image", "control_strength"};
+	"no_prompt_parse", "control_net", "control_image", "control_strength",
+	"embed_dir"};
 static const struct { const char *name; int id; } g_loglvl_attr[] = {
 	{ "none",    MLIS_LOGLVL_NONE },
 	{ "error",   MLIS_LOGLVL_ERROR },
