@@ -353,17 +353,9 @@ def main():
                if which == "all" else which.split(","))
     results = []
     for c in configs:
-        try:
-            results.append(bench_config(c))
-        except Exception as e:
-            # XLA's scoped-VMEM output promotion is nondeterministic
-            # (docs/BENCH.md): an identical program can OOM the compile on
-            # one attempt and pass on the next.  Retry once.
-            if "vmem" in str(e).lower() or "scoped" in str(e).lower():
-                log(f"[{c}] scoped-vmem compile roulette; retrying once")
-                results.append(bench_config(c))
-            else:
-                raise
+        # No scoped-VMEM retry: planner v3.2 picks provably-safe blocks
+        # (10/10 fresh scanned compiles clean, docs/BENCH.md queue #8).
+        results.append(bench_config(c))
     for r in results[1:]:
         log(json.dumps(r))
     print(json.dumps(results[0]))
