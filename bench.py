@@ -14,6 +14,8 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
   suffix -q8: int8 weights (MLIS_Q8_MODE=int8|dq selects MXU strategy)
   suffix -cnet: ControlNet-conditioned (hint encoder + control branch
         fused into the loop; beyond-reference feature cost)
+  suffix -turbo: distilled-model inference shape (4 steps, cfg 1 — the
+        uncond pass and the uncond encoder rows are skipped entirely)
 
 Uses a real checkpoint if MLIS_MODEL points at one; otherwise synthesizes
 random weights with the exact architecture (identical compute graph, so
@@ -92,6 +94,13 @@ def bench_config(name):
     use_i2i = name_base == "sd15-i2i"
     if use_i2i:
         name_base = "sd15"
+    # Distilled-model latency config (SD-Turbo/LCM-style inference shape:
+    # few steps, cfg<=1 so the uncond pass is skipped entirely)
+    use_turbo = name_base.endswith("-turbo")
+    if use_turbo:
+        name_base = name_base[:-6]
+    n_steps = 4 if use_turbo else STEPS
+    cfg_scale = 1.0 if use_turbo else CFG
     use_cnet = name_base.endswith("-cnet")   # ControlNet-conditioned run
     if use_cnet:
         name_base = name_base[:-5]
@@ -189,8 +198,9 @@ def bench_config(name):
     toks = tok.wrap_tokens(clip_p, tok.tokenize(prompt))
     ntoks = tok.wrap_tokens(clip_p, [])
     n_tok = len(tok.tokenize(prompt))
-    cfg = SamplerConfig(method=method, sched="uniform", n_step=STEPS,
-                        cfg_scale=CFG, f_t_ini=(0.75 if use_i2i else 1.0))
+    cfg = SamplerConfig(method=method, sched="uniform", n_step=n_steps,
+                        cfg_scale=cfg_scale,
+                        f_t_ini=(0.75 if use_i2i else 1.0))
 
     init_latent = np.zeros((n_batch, 4, lat, lat), np.float32)
     lmask = None
@@ -248,14 +258,18 @@ def bench_config(name):
     # bigG tower + feature head + size labels too).  MLIS_BENCH_FUSE=0
     # A/Bs the separate-dispatch path.
     fuse_encode = os.environ.get("MLIS_BENCH_FUSE", "1") != "0"
-    tokrows = np.repeat(tokpair, n_batch, axis=0)  # [cond xN ; uncond xN]
+    # [cond xN ; uncond xN]; cfg<=1 skips the uncond rows entirely
+    enc_pair = tokpair if cfg_scale > 1 else tokpair[:1]
+    tokrows = np.repeat(enc_pair, n_batch, axis=0)
     wrows = np.ones(tokrows.shape, np.float32)
     enc_extra = ()
     if clip2_p is not None:
         tok2pair = np.asarray([tok.wrap_tokens(clip2_p, tok.tokenize(prompt)),
                                tok.wrap_tokens(clip2_p, [])], np.int32)
-        tok2rows = np.repeat(tok2pair, n_batch, axis=0)
-        fidxrows = np.repeat(featpair, n_batch, axis=0)
+        tok2rows = np.repeat(
+            tok2pair if cfg_scale > 1 else tok2pair[:1], n_batch, axis=0)
+        fidxrows = np.repeat(
+            featpair if cfg_scale > 1 else featpair[:1], n_batch, axis=0)
         from mlimgsynth_tpu.models.blocks import timestep_embedding
         sizes = np.array([size, size, 0, 0, size, size], np.float32)
         size_emb = np.asarray(timestep_embedding(jnp.asarray(sizes), 256),
@@ -265,7 +279,7 @@ def bench_config(name):
     def run(seed):
         x0 = encode_init() if use_i2i else init_latent
         plan = make_plan(cfg, (n_batch, 4, lat, lat), RngPhilox(seed=seed),
-                         nfe_per_dxdt=2)
+                         nfe_per_dxdt=(2 if cfg_scale > 1 else 1))
         # decode fused into the loop program; skip the latent fetch —
         # minimizes host round-trips
         decode = ("tae", vae_params, None) if use_tae \
@@ -331,11 +345,13 @@ def bench_config(name):
         label += " img2img+inpaint"
     if use_q8:
         label += " int8-weights"
+    if use_turbo:
+        label += " turbo-style"
     if n_batch > 1:
         label += f" batch{n_batch} throughput"
     return {
         "metric": f"{label} {size}px "
-                  f"{STEPS}-step cfg{CFG:g} txt2img e2e latency "
+                  f"{n_steps}-step cfg{cfg_scale:g} txt2img e2e latency "
                   "(text encode + denoise + decode)",
         "value": round(best / n_batch, 4),
         "unit": "s/image",

@@ -137,7 +137,12 @@ typedef enum MLIS_Option {
 	/* textual-inversion embeddings: directory searched for <emb:NAME>
 	 * prompt tags (NAME.safetensors or NAME.pt). */
 	MLIS_OPT_EMBED_DIR,         /* (const char* path) */
-	MLIS_OPT__LAST = MLIS_OPT_EMBED_DIR,
+	/* two-stage highres-fix: base pass at image_dim, latent bilinear
+	 * upscale by the factor, img2img refine pass. */
+	MLIS_OPT_HIRES_FIX,         /* (double factor; <=1 disables) */
+	MLIS_OPT_HIRES_DENOISE,     /* (double f_t for the refine pass) */
+	MLIS_OPT_HIRES_STEPS,       /* (int steps; 0 = same as steps) */
+	MLIS_OPT__LAST = MLIS_OPT_HIRES_STEPS,
 } MLIS_Option;
 
 enum MLIS_TensorUseFlag {

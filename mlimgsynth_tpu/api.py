@@ -194,6 +194,7 @@ class MLImgSynth:
             "model_type": "", "weight_type": "",
             "tuflags": 0,
             "control_net": "", "control_strength": 1.0,
+            "hires_fix": 0.0, "hires_denoise": 0.7, "hires_steps": 0,
         }
         self.prompt = prompt_mod.PromptText()
         self.nprompt = prompt_mod.PromptText()
@@ -227,6 +228,7 @@ class MLImgSynth:
         self._embeds: Dict[str, dict] = {}
         self._embed_order: List[str] = []
         self._mesh = None                    # jax.sharding.Mesh when tp/dp>1
+        self._in_hires = False               # inside a highres-fix stage
         self._ready = set()
         self._nfe = 0
         self._wtype_set = False
@@ -392,6 +394,12 @@ class MLImgSynth:
             self.tensors["control_image"] = t
         elif opt == "control_strength":
             c["control_strength"] = _float(args[0], 1.0)
+        elif opt == "hires_fix":
+            c["hires_fix"] = _float(args[0], 0.0)
+        elif opt == "hires_denoise":
+            c["hires_denoise"] = _float(args[0], 0.7)
+        elif opt == "hires_steps":
+            c["hires_steps"] = _int(args[0], 0)
         elif opt == "callback":
             self.callback = args[0]
         elif opt == "error_handler":
@@ -1202,6 +1210,8 @@ class MLImgSynth:
 
     def _generate(self) -> np.ndarray:
         self.setup()
+        if self.c["hires_fix"] > 1.0 and not self._in_hires:
+            return self._hires_generate()
         t_start = time.time()
         self.progress = {"stage": STAGE_IDLE, "step": 0, "step_end": 0,
                          "nfe": 0, "step_time": 0.0, "_t": t_start}
@@ -1489,6 +1499,60 @@ class MLImgSynth:
         self._prompt_clear()
         log.info(f"Generation done {{{time.time() - t_start:.3f}s}}")
         return self.tensors["image"] if not c["no_decode"] else latent
+
+    def _hires_generate(self) -> np.ndarray:
+        """Two-stage highres-fix (beyond-reference; A1111 semantics): a
+        base pass at ``image_dim``, a bilinear latent upscale by the
+        ``hires_fix`` factor (A1111's "Latent" upscaler), then an img2img
+        refine pass at strength ``hires_denoise`` (``hires_steps`` steps,
+        0 = same as ``steps``).  The refine pass operates on the upscaled
+        latent only: init image/mask consumed by the base pass do not
+        carry into it (their information is already in the latent)."""
+        c = self.c
+        factor = float(c["hires_fix"])
+        base_w, base_h = c["width"], c["height"]
+        f = self._mt.vae_p.f_down
+        # final dims: multiples of f*8 px (VAE /f + 3 UNet downsamples)
+        mult = f * 8
+        fin_w = max(mult, int(round(base_w * factor / mult)) * mult)
+        fin_h = max(mult, int(round(base_h * factor / mult)) * mult)
+        denoise = float(c["hires_denoise"])
+        steps2 = int(c["hires_steps"]) or c["steps"]
+        # stage 1 clears the one-shot options; save what stage 2 re-uses
+        saved_prompt = (c["prompt_raw"], c["nprompt_raw"])
+        saved_steps, saved_nodec = c["steps"], c["no_decode"]
+        saved_loras = list(self.loras)
+        self._in_hires = True
+        try:
+            c["no_decode"] = True
+            lat = np.asarray(self._generate(), np.float32)  # base pass
+            import jax
+            import jax.numpy as jnp
+            lat2 = np.asarray(jax.image.resize(
+                jnp.asarray(lat),
+                (lat.shape[0], lat.shape[1], fin_h // f, fin_w // f),
+                "bilinear"), np.float32)
+            # stage 2: img2img refine at the final resolution
+            c["prompt_raw"], c["nprompt_raw"] = saved_prompt
+            if saved_loras != self.loras:   # re-pin <lora:...> tag loras
+                self.loras = saved_loras
+                self._ready.discard("loras")
+            c["steps"] = steps2
+            c["no_decode"] = saved_nodec
+            c["width"], c["height"] = fin_w, fin_h
+            c["f_t_ini"], c["f_t_end"] = denoise, 0.0
+            c["tuflags"] = TUF_LATENT
+            self.tensors["latent"] = lat2
+            out = self._generate()
+            self.infotext += (f", Hires upscale: {factor:g}, "
+                              f"Hires steps: {steps2}, "
+                              f"Denoising strength: {denoise:g}")
+            return out
+        finally:
+            self._in_hires = False
+            c["width"], c["height"] = base_w, base_h
+            c["steps"] = saved_steps
+            c["no_decode"] = saved_nodec
 
     def _prompt_clear(self):
         """One-shot options cleared after generate
@@ -1780,8 +1844,9 @@ _OPTIONS = [
     "error_handler", "log_level", "model_type", "weight_type",
     "no_prompt_parse",
     # additive extensions (beyond the reference option enum): ControlNet,
-    # textual-inversion embeddings
+    # textual-inversion embeddings, two-stage highres-fix
     "control_net", "control_image", "control_strength", "embed_dir",
+    "hires_fix", "hires_denoise", "hires_steps",
 ]
 
 

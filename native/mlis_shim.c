@@ -269,12 +269,14 @@ int mlis_option_set(MLIS_Ctx *S, MLIS_Option id, ...)
 	case MLIS_OPT_VAE_TILE: case MLIS_OPT_UNET_SPLIT: case MLIS_OPT_THREADS:
 	case MLIS_OPT_DUMP_FLAGS: case MLIS_OPT_LOG_LEVEL:
 	case MLIS_OPT_NO_PROMPT_PARSE: case MLIS_OPT_WEIGHT_TYPE:
+	case MLIS_OPT_HIRES_STEPS:
 		snprintf(buf, sizeof(buf), "%d", va_arg(ap, int));
 		r = mlis_option_set_str(S, name, buf);
 		break;
 	case MLIS_OPT_CFG_SCALE: case MLIS_OPT_F_T_INI: case MLIS_OPT_F_T_END:
 	case MLIS_OPT_S_NOISE: case MLIS_OPT_S_ANCESTRAL:
-	case MLIS_OPT_CONTROL_STRENGTH:
+	case MLIS_OPT_CONTROL_STRENGTH: case MLIS_OPT_HIRES_FIX:
+	case MLIS_OPT_HIRES_DENOISE:
 		snprintf(buf, sizeof(buf), "%.9g", va_arg(ap, double));
 		r = mlis_option_set_str(S, name, buf);
 		break;
@@ -565,7 +567,7 @@ static const char *g_option_names[] = {
 	"seed", "vae_tile", "unet_split", "threads", "dump_flags", "aux_dir",
 	"callback", "error_handler", "log_level", "model_type", "weight_type",
 	"no_prompt_parse", "control_net", "control_image", "control_strength",
-	"embed_dir"};
+	"embed_dir", "hires_fix", "hires_denoise", "hires_steps"};
 static const struct { const char *name; int id; } g_loglvl_attr[] = {
 	{ "none",    MLIS_LOGLVL_NONE },
 	{ "error",   MLIS_LOGLVL_ERROR },

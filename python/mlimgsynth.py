@@ -82,8 +82,9 @@ _OPTION_NAMES = [
     "seed", "vae-tile", "unet-split", "threads", "dump-flags", "aux-dir",
     "callback", "error-handler", "log-level", "model-type", "weight-type",
     "no-prompt-parse",
-    # beyond-reference additions (ControlNet)
-    "control-net", "control-image", "control-strength",
+    # beyond-reference additions (ControlNet, embeddings, highres-fix)
+    "control-net", "control-image", "control-strength", "embed-dir",
+    "hires-fix", "hires-denoise", "hires-steps",
 ]
 for _i, _n in enumerate(_OPTION_NAMES):
     if _i:

@@ -264,3 +264,30 @@ def test_chunked_encode_matches_host_encode(ckpt, monkeypatch):
     s2.option_set("callback", lambda ses, prg: 0)   # chunked, HOST encode
     host = s2.generate()
     np.testing.assert_allclose(chunked, host, atol=2e-5)
+
+
+def test_turbo_shape_fused_matches_stepwise(ckpt, monkeypatch):
+    """Distilled-model inference shape (few steps, cfg<=1): the fused
+    single-dispatch path builds cond-only encoder rows and skips the
+    uncond UNet pass; it must match the stepwise host-encode path."""
+    patch_tiny_model_types(monkeypatch)
+
+    def make():
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(ckpt))
+        s.option_set("model-type", "sd1")
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 4)
+        s.option_set("seed", 37)
+        s.option_set("cfg-scale", 1.0)
+        s.option_set("prompt", "a turbo test")
+        return s
+
+    fused = make().generate()           # no callback -> fused path
+    s2 = make()
+    s2.option_set("callback", lambda ses, prg: 0)  # forces stepwise path
+    stepwise = s2.generate()
+    np.testing.assert_allclose(fused, stepwise, atol=2e-5)
+    # cfg<=1 must not have encoded or stored an uncond row
+    assert s2.tensors["ncond"] is None
