@@ -16,6 +16,8 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
         fused into the loop; beyond-reference feature cost)
   suffix -turbo: distilled-model inference shape (4 steps, cfg 1 — the
         uncond pass and the uncond encoder rows are skipped entirely)
+  sdxl-refiner: SDXL-refiner 1024px (single bigG tower, aesthetic-score
+        labels; beyond-reference model family)
 
 Uses a real checkpoint if MLIS_MODEL points at one; otherwise synthesizes
 random weights with the exact architecture (identical compute graph, so
@@ -108,6 +110,12 @@ def bench_config(name):
         size, baseline = 1024, 4.0
         unet_p, clip_p, clip2_p, vae_p = (U.UNET_SDXL, C.CLIP_VIT_L_14,
                                           C.CLIP_VIT_BIGG_14, V.VAE_SDXL)
+    elif name_base == "sdxl-refiner":
+        # beyond-reference model family: single bigG tower + aesthetic label
+        size, baseline = 1024, 4.0
+        unet_p, clip_p, clip2_p, vae_p = (U.UNET_SDXL_REFINER,
+                                          C.CLIP_VIT_BIGG_14, None,
+                                          V.VAE_SDXL)
     elif name_base == "sd21":
         # BASELINE config 2: SD v2.1 768px, DPM++ 2M, v-prediction
         size, baseline = 768, 2.25
@@ -180,8 +188,12 @@ def bench_config(name):
             lambda ctx, x: V.vae_encode_apply(ctx, x, vae_p),
             jnp.zeros((1, 64, 64, 3)))
         venc_params = synth_params(spec_ve, 4)
+    single_label = unet_p.cond_label and clip2_p is None  # sdxl-refiner
     spec_c = B.trace_spec(
-        lambda ctx, toks: C.clip_text_apply(ctx, toks, clip_p),
+        lambda ctx, toks: C.clip_text_apply(
+            ctx, toks, clip_p,
+            feat_tok_idx=(jnp.zeros((1,), jnp.int32) if single_label
+                          else None)),
         jnp.zeros((1, 77), jnp.int32))
     clip_params = synth_params(spec_c, 2)
     clip2_params = None
@@ -230,12 +242,28 @@ def bench_config(name):
     featpair = np.asarray([n_tok + 1, 1], np.int32)
 
     def encode_both():
-        emb, _ = _clip_jit(clip_params, tokpair, featpair, clip_p=clip_p,
-                           submodel="clip", clip_skip=1,
-                           norm=unet_p.clip_norm, want_feat=False,
-                           dtype=dtype)
+        single = unet_p.cond_label and clip2_p is None  # sdxl-refiner
+        emb, feat1 = _clip_jit(clip_params, tokpair, featpair,
+                               clip_p=clip_p, submodel="clip",
+                               clip_skip=(2 if single else 1),
+                               norm=unet_p.clip_norm, want_feat=single,
+                               dtype=dtype)
         emb = np.asarray(emb, np.float32)
         label = nlabel = None
+        if single:
+            from mlimgsynth_tpu.models.blocks import timestep_embedding
+            from mlimgsynth_tpu.models.unet import (AESTHETIC_SCORE,
+                                                    AESTHETIC_NSCORE)
+            import jax.numpy as jnp2
+            sizes = np.asarray(
+                [[size, size, 0, 0, AESTHETIC_SCORE],
+                 [size, size, 0, 0, AESTHETIC_NSCORE]], np.float32)
+            serows = np.asarray(
+                timestep_embedding(jnp2.asarray(sizes.reshape(-1)), 256),
+                np.float32).reshape(2, -1)
+            lab = np.concatenate([np.asarray(feat1, np.float32), serows],
+                                 -1)
+            label, nlabel = lab[0:1], lab[1:2]
         if clip2_p is not None:
             # one bigG pass returns both skip-2 embeddings and the feature
             emb2, feat = _clip_jit(clip2_params, tokpair, featpair,
@@ -275,6 +303,21 @@ def bench_config(name):
         size_emb = np.asarray(timestep_embedding(jnp.asarray(sizes), 256),
                               np.float32).reshape(-1)
         enc_extra = (clip2_params, tok2rows, fidxrows, size_emb, clip2_p)
+    elif single_label:
+        # sdxl-refiner: feature indices + per-row size/aesthetic rows
+        from mlimgsynth_tpu.models.blocks import timestep_embedding
+        from mlimgsynth_tpu.models.unet import (AESTHETIC_SCORE,
+                                                AESTHETIC_NSCORE)
+        fidxrows = np.repeat(
+            featpair if cfg_scale > 1 else featpair[:1], n_batch, axis=0)
+        scores = ([AESTHETIC_SCORE] * n_batch
+                  + ([AESTHETIC_NSCORE] * n_batch if cfg_scale > 1 else []))
+        sizes = np.asarray([[size, size, 0, 0, s] for s in scores],
+                           np.float32)
+        serows = np.asarray(
+            timestep_embedding(jnp.asarray(sizes.reshape(-1)), 256),
+            np.float32).reshape(len(scores), -1)
+        enc_extra = (fidxrows, serows)
 
     def run(seed):
         x0 = encode_init() if use_i2i else init_latent
@@ -285,7 +328,7 @@ def bench_config(name):
         decode = ("tae", vae_params, None) if use_tae \
             else ("vae", vae_params, vae_p)
         if fuse_encode:
-            skip = 2 if clip2_p is not None else 1
+            skip = 2 if (clip2_p is not None or single_label) else 1
             encode = (clip_params, tokrows, wrows, clip_p, skip,
                       unet_p.clip_norm) + enc_extra
             _, img, _ = run_sampler(
@@ -340,7 +383,8 @@ def bench_config(name):
             f"{ma['peak_estimate_bytes'] / 1024**3:.2f} GiB "
             f"(reference claims SDXL <= 4 GiB with unet-split+vae-tile)")
     label = {"sdxl": "SDXL", "sd21": "SD2.1 dpm++2m vparam",
-             "sd15-tae": "SD1.5+TAE"}.get(name_base, "SD1.5")
+             "sd15-tae": "SD1.5+TAE",
+             "sdxl-refiner": "SDXL-refiner"}.get(name_base, "SD1.5")
     if use_i2i:
         label += " img2img+inpaint"
     if use_q8:

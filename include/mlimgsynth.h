@@ -68,7 +68,10 @@ typedef enum MLIS_ModelType {
 	MLIS_MODEL_TYPE_SD1,
 	MLIS_MODEL_TYPE_SD2,
 	MLIS_MODEL_TYPE_SDXL,
-	MLIS_MODEL_TYPE__LAST = MLIS_MODEL_TYPE_SDXL,
+	/* beyond-reference: the SDXL refiner model (single OpenCLIP-bigG
+	 * text tower + aesthetic-score conditioning). */
+	MLIS_MODEL_TYPE_SDXL_REFINER,
+	MLIS_MODEL_TYPE__LAST = MLIS_MODEL_TYPE_SDXL_REFINER,
 } MLIS_ModelType;
 
 typedef enum MLIS_SubModel {

@@ -69,7 +69,7 @@ STAGE_NAMES = ["idle", "cond_encode", "image_encode", "image_decode",
 METHOD_NAMES = ["none", "euler", "heun", "taylor3", "dpmpp2m",
                 "dpmpp2s", "dpmpp2m_sde"]
 SCHED_NAMES = ["none", "uniform", "karras"]
-MODEL_TYPE_NAMES = ["none", "sd1", "sd2", "sdxl"]
+MODEL_TYPE_NAMES = ["none", "sd1", "sd2", "sdxl", "sdxl_refiner"]
 
 # Tensor-use flags (include/mlimgsynth.h:277-283)
 TUF_IMAGE = 1
@@ -120,6 +120,12 @@ def _model_types():
         "sdxl": ModelTypeDef("sdxl", clip_mod.CLIP_VIT_L_14,
                              clip_mod.CLIP_VIT_BIGG_14, unet_mod.UNET_SDXL,
                              vae_mod.VAE_SDXL, 1024, 2),
+        # beyond-reference: SDXL-refiner — single bigG tower ("clip."
+        # internally; checkpoint conditioner.embedders.0.model.*), label =
+        # pooled feature + size/aesthetic embeddings (2560)
+        "sdxl_refiner": ModelTypeDef(
+            "sdxl_refiner", clip_mod.CLIP_VIT_BIGG_14, None,
+            unet_mod.UNET_SDXL_REFINER, vae_mod.VAE_SDXL, 1024, 2),
     }
 
 
@@ -627,6 +633,9 @@ class MLImgSynth:
         self.c["tuflags"] |= TUF_IMAGE
 
     def _model_type_apply(self, mt: str):
+        # names are case/separator-insensitive like option names
+        # (reference: strsl_cmpz_id, src/mlimgsynth.c:157-170)
+        mt = mt.lower().replace("-", "_")
         if mt in ("", "none"):
             self._mt = None
             self.c["model_type"] = ""
@@ -1042,37 +1051,59 @@ class MLImgSynth:
         return self._clip_encode(toks, None, submodel, want_feat, norm,
                                  self.c["clip_skip"] if not want_feat else 0)
 
-    def _text_cond_encode_rows(self, pts: List[prompt_mod.PromptText]):
+    def _text_cond_encode_rows(self, pts: List[prompt_mod.PromptText],
+                               uncond_rows: int = 0):
         """Full conditioning for several prompts in batched encoder calls,
         incl. SDXL dual-encoder + size labels (reference:
         mlis_text_cond_encode, src/mlimgsynth.c:1486-1563).  Returns
-        (cond [n,77,d], label [n,ch_adm_in] or None)."""
+        (cond [n,77,d], label [n,ch_adm_in] or None).  ``uncond_rows``:
+        the LAST k rows are uncond (only the SDXL-refiner's aesthetic
+        score differs per row)."""
         mt = self._mt
         norm = mt.unet_p.clip_norm
+        single_label = mt.unet_p.cond_label and mt.clip2_p is None
         rows, wrows = [], []
         for pt in pts:
             toks, wts = self._prompt_tokens(pt)
             rows.append(toks)
             wrows.append(wts)
-        cond, _ = self._clip_encode_rows(rows, wrows, "clip", False, norm,
-                                         self.c["clip_skip"])
+        # for single-tower label models (SDXL-refiner) the SAME pass yields
+        # the skip-layer embedding and the projected pooled feature
+        cond, feat1 = self._clip_encode_rows(rows, wrows, "clip",
+                                             single_label, norm,
+                                             self.c["clip_skip"])
         label = None
         if mt.unet_p.cond_label:
-            # ONE clip2 (bigG) pass yields both the skip-layer embedding and
-            # the full-stack projected feature (clip_text_apply captures the
-            # skip hidden mid-stack): one dispatch + half the encoder cost
-            # vs running the tower twice
-            emb2, feat = self._clip_encode_rows(rows, wrows, "clip2", True,
-                                                norm, self.c["clip_skip"])
-            cond = np.concatenate([cond, emb2], axis=-1)
-            h, w = self.c["height"], self.c["width"]
-            sizes = np.array([h, w, 0, 0, h, w], np.float32)
             from .models.blocks import timestep_embedding
             import jax.numpy as jnp
-            se = np.asarray(timestep_embedding(jnp.asarray(sizes), 256),
-                            np.float32).reshape(-1)
-            label = np.concatenate(
-                [feat, np.tile(se, (len(pts), 1))], axis=-1)
+            h, w = self.c["height"], self.c["width"]
+            if mt.clip2_p is not None:
+                # ONE clip2 (bigG) pass yields both the skip-layer embedding
+                # and the full-stack projected feature (clip_text_apply
+                # captures the skip hidden mid-stack): one dispatch + half
+                # the encoder cost vs running the tower twice
+                emb2, feat = self._clip_encode_rows(rows, wrows, "clip2",
+                                                    True, norm,
+                                                    self.c["clip_skip"])
+                cond = np.concatenate([cond, emb2], axis=-1)
+                sizes = np.array([h, w, 0, 0, h, w], np.float32)
+                se = np.asarray(timestep_embedding(jnp.asarray(sizes), 256),
+                                np.float32).reshape(-1)
+                serows = np.tile(se, (len(pts), 1))
+            else:
+                # SDXL-refiner: [orig_h, orig_w, crop_top, crop_left,
+                # aesthetic_score] per row (sgm GeneralConditioner)
+                feat = feat1
+                from .models.unet import AESTHETIC_SCORE, AESTHETIC_NSCORE
+                n = len(pts)
+                scores = [AESTHETIC_NSCORE if i >= n - uncond_rows
+                          else AESTHETIC_SCORE for i in range(n)]
+                sizes = np.asarray([[h, w, 0, 0, s] for s in scores],
+                                   np.float32)
+                serows = np.asarray(
+                    timestep_embedding(jnp.asarray(sizes.reshape(-1)), 256),
+                    np.float32).reshape(n, -1)
+            label = np.concatenate([feat, serows], axis=-1)
         return cond, label
 
     def _text_cond_encode(self, pt: prompt_mod.PromptText):
@@ -1307,7 +1338,7 @@ class MLImgSynth:
                 wmat = np.repeat(wmat, n_batch, axis=0)
             encode_spec = (self._get_params("clip"), tokens, wmat,
                            mt.clip_p, c["clip_skip"], mt.unet_p.clip_norm)
-            if mt.unet_p.cond_label:
+            if mt.unet_p.cond_label and mt.clip2_p is not None:
                 tokens2, fidx = self._cond_token_rows(pts, submodel="clip2",
                                                       want_fidx=True)
                 if n_batch > 1:
@@ -1323,6 +1354,26 @@ class MLImgSynth:
                 encode_spec = encode_spec + (
                     self._get_params("clip2"), tokens2, fidx, size_emb,
                     mt.clip2_p)
+            elif mt.unet_p.cond_label:
+                # SDXL-refiner: the single tower's feature head reads the
+                # end-token row; label rows = feat + per-row size/aesthetic
+                # embeddings (the uncond row carries the negative score)
+                _, fidx = self._cond_token_rows(pts, want_fidx=True)
+                h_, w_ = self.c["height"], self.c["width"]
+                from .models.blocks import timestep_embedding
+                from .models.unet import AESTHETIC_SCORE, AESTHETIC_NSCORE
+                import jax.numpy as jnp
+                scores = [AESTHETIC_SCORE] + (
+                    [AESTHETIC_NSCORE] if len(pts) > 1 else [])
+                sizes = np.asarray([[h_, w_, 0, 0, s] for s in scores],
+                                   np.float32)
+                serows = np.asarray(
+                    timestep_embedding(jnp.asarray(sizes.reshape(-1)), 256),
+                    np.float32).reshape(len(pts), -1)
+                if n_batch > 1:
+                    fidx = np.repeat(fidx, n_batch, axis=0)
+                    serows = np.repeat(serows, n_batch, axis=0)
+                encode_spec = encode_spec + (fidx, serows)
             cond = ncond = label = nlabel = None
             # the encode compute rides the first loop dispatch; the stage
             # event still fires for callback clients (reference contract)
@@ -1332,7 +1383,7 @@ class MLImgSynth:
             if c["cfg_scale"] > 1:
                 # prompt + nprompt ride one batched encoder call
                 both, lboth = self._text_cond_encode_rows(
-                    [self.prompt, self.nprompt])
+                    [self.prompt, self.nprompt], uncond_rows=1)
                 cond, ncond = both[0:1], both[1:2]
                 label = lboth[0:1] if lboth is not None else None
                 nlabel = lboth[1:2] if lboth is not None else None
@@ -1652,7 +1703,7 @@ class MLImgSynth:
                 encode_spec = (self._get_params("clip"), tokens, wmat,
                                mt.clip_p, c["clip_skip"],
                                mt.unet_p.clip_norm)
-                if mt.unet_p.cond_label:
+                if mt.unet_p.cond_label and mt.clip2_p is not None:
                     tokens2, fidx = self._cond_token_rows(
                         rows_pts, submodel="clip2", want_fidx=True)
                     h_, w_ = c["height"], c["width"]
@@ -1665,10 +1716,29 @@ class MLImgSynth:
                     encode_spec = encode_spec + (
                         self._get_params("clip2"), tokens2, fidx, size_emb,
                         mt.clip2_p)
+                elif mt.unet_p.cond_label:
+                    # SDXL-refiner single tower (see _generate)
+                    _, fidx = self._cond_token_rows(rows_pts,
+                                                    want_fidx=True)
+                    h_, w_ = c["height"], c["width"]
+                    from .models.blocks import timestep_embedding
+                    from .models.unet import (AESTHETIC_SCORE,
+                                              AESTHETIC_NSCORE)
+                    import jax.numpy as jnp
+                    scores = ([AESTHETIC_SCORE] * n
+                              + [AESTHETIC_NSCORE] * len(npts))
+                    sizes = np.asarray([[h_, w_, 0, 0, s] for s in scores],
+                                       np.float32)
+                    serows = np.asarray(
+                        timestep_embedding(
+                            jnp.asarray(sizes.reshape(-1)), 256),
+                        np.float32).reshape(len(rows_pts), -1)
+                    encode_spec = encode_spec + (fidx, serows)
             elif use_cfg:
                 # prompts AND nprompts ride the same batched encoder
                 # call(s): one dispatch per tower for the whole merged batch
-                both, lboth = self._text_cond_encode_rows(pts + npts)
+                both, lboth = self._text_cond_encode_rows(
+                    pts + npts, uncond_rows=len(npts))
                 cond, ncond = both[:n], both[n:]
                 label = lboth[:n] if lboth is not None else None
                 nlabel = lboth[n:] if lboth is not None else None

@@ -46,6 +46,19 @@ UNET_SDXL = UnetParams(
     attn_res=(4, 2), ch_mult=(1, 2, 4), transf_depth=(1, 2, 10),
     d_head=64, n_ctx=2048, ch_adm_in=2816, clip_norm=False,
     cond_label=True, uncond_empty_zero=True)
+# SDXL-refiner (beyond-reference; stability sd_xl_refiner.yaml): a single
+# OpenCLIP-bigG text tower (n_ctx 1280), 4 levels with attention only at
+# ds 2/4, label = pooled feature + 5x256 size/aesthetic embeddings
+# (orig_h, orig_w, crop_top, crop_left, aesthetic_score) = 2560.
+UNET_SDXL_REFINER = UnetParams(
+    attn_res=(4, 2), ch_mult=(1, 2, 4, 4), transf_depth=(4, 4, 4, 4),
+    n_ch=384, n_te=1536, d_head=64, n_ctx=1280, ch_adm_in=2560,
+    clip_norm=False, cond_label=True, uncond_empty_zero=True)
+
+# aesthetic-score conditioning for the refiner's label (sgm defaults:
+# aesthetic_score 6.0 for cond, negative_aesthetic_score 2.5 for uncond)
+AESTHETIC_SCORE = 6.0
+AESTHETIC_NSCORE = 2.5
 
 
 def _heads(P: UnetParams, d_embed: int) -> Tuple[int, int]:

@@ -327,6 +327,9 @@ def normalize_name(name: str):
     if m.rep("te.", "clip."):
         return _clip_diffusers(m)
     if m.rep("conditioner.embedders.0.", "clip."):
+        if m.match("model."):
+            # SDXL-refiner: the single embedder is OpenCLIP bigG
+            return _clip_openclip(m)
         return _clip_compvis(m)
     if m.rep("conditioner.embedders.1.", "clip2."):
         return _clip_openclip(m)

@@ -48,6 +48,15 @@ class SamplerConfig:
     s_noise: float = 0.0
     f_t_ini: float = 1.0
     f_t_end: float = 0.0
+    # Ensemble-of-experts handoff knobs (beyond-reference; diffusers'
+    # denoising_end/denoising_start semantics).  ``keep_tail``: drop the
+    # schedule's final jump-to-zero so the run STOPS at sigma(f_t_end)
+    # with that much noise remaining (the handoff latent).  ``noise_add``
+    # False: skip the initial noise addition — the input latent is
+    # already AT sigma(f_t_ini) (the draw still happens so later draws
+    # in the stream are unchanged).
+    keep_tail: bool = False
+    noise_add: bool = True
 
 
 @dataclass
@@ -194,13 +203,26 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
     from ..models import blocks as B2
     from ..models import clip as clip_mod
     lab_out = None
-    if clip2_p is None:
+    if clip2_p is None and len(encode) == 3:
         clip_params, tokens, wmat = encode
         ctx_c = B2.Ctx(clip_params, dtype=dtype)
         emb, _ = clip_mod.clip_text_apply(ctx_c, tokens, clip_p,
                                           clip_skip=clip_skip, norm=norm)
         cond_out = emb.astype(jnp.float32) * wmat[:, :, None]
         consts = (cond_out,) + consts[1:]
+    elif clip2_p is None:
+        # single-tower label model (SDXL-refiner): ONE bigG pass yields
+        # both the skip-layer embedding and the projected pooled feature;
+        # label rows = feature + per-row size/aesthetic embeddings
+        clip_params, tokens, wmat, fidx, serows = encode
+        ctx_c = B2.Ctx(clip_params, dtype=dtype)
+        emb, feat = clip_mod.clip_text_apply(ctx_c, tokens, clip_p,
+                                             clip_skip=clip_skip, norm=norm,
+                                             feat_tok_idx=fidx)
+        cond_out = emb.astype(jnp.float32) * wmat[:, :, None]
+        lab_out = jnp.concatenate([feat.astype(jnp.float32), serows],
+                                  axis=-1)
+        consts = (cond_out, lab_out) + consts[2:]
     else:
         # SDXL dual-encoder: clip-L + bigG embeddings concat per token;
         # the size label = bigG feature + timestep-embedded sizes
@@ -400,18 +422,22 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         assert step_observer is None and mesh is None, \
             "fused encode: no step observer / mesh"
         assert not unet_p.ch_adm_in or len(encode) > 6, \
-            "cond_label models need the dual-encoder encode spec"
+            "cond_label models need a label-bearing encode spec"
         clip_params, tokens, wmat = encode[:3]
         enc_static = encode[3:6]
         enc_args = (clip_params, jnp.asarray(tokens, jnp.int32),
                     jnp.asarray(wmat, jnp.float32))
-        if len(encode) > 6:
+        if len(encode) == 11:       # SDXL dual-encoder spec
             clip2_params, tokens2, fidx, size_emb, clip2_p_s = encode[6:]
             enc_args = enc_args + (
                 clip2_params, jnp.asarray(tokens2, jnp.int32),
                 jnp.asarray(fidx, jnp.int32),
                 jnp.asarray(size_emb, jnp.float32))
             enc_static2 = clip2_p_s
+        elif len(encode) == 8:      # single-tower label spec (SDXL-refiner)
+            fidx, serows = encode[6:]
+            enc_args = enc_args + (jnp.asarray(fidx, jnp.int32),
+                                   jnp.asarray(serows, jnp.float32))
         cond_all = jnp.zeros((0,), jnp.float32)  # replaced inside the jit
         label_all = None
     else:

@@ -115,13 +115,15 @@ def _random_for_spec(rng, ps, scale):
     return (rng.standard_normal(shape) * scale).astype(np.float32)
 
 
-def openclip_name(internal: str):
+def openclip_name(internal: str, root=None):
     """Internal clip/clip2 name -> OpenCLIP checkpoint layout
     (the layout SD2 and SDXL's second encoder use).  Attention q/k/v map to
-    the fused in_proj tensors (handled by the caller)."""
-    pre = ("cond_stage_model.model."
-           if internal.startswith("clip.text.")
-           else "conditioner.embedders.1.model.")
+    the fused in_proj tensors (handled by the caller).  ``root`` overrides
+    the checkpoint prefix (e.g. the refiner's
+    ``conditioner.embedders.0.model.``)."""
+    pre = root or ("cond_stage_model.model."
+                   if internal.startswith("clip.text.")
+                   else "conditioner.embedders.1.model.")
     t = internal.split(".text.", 1)[1]
     if t == "embed.token.weight":
         return pre + "token_embedding.weight"
@@ -143,7 +145,7 @@ def openclip_name(internal: str):
     return None
 
 
-def spec_to_openclip_arrays(spec, prefix, seed=0, scale=0.05):
+def spec_to_openclip_arrays(spec, prefix, seed=0, scale=0.05, root=None):
     """Random arrays for a clip submodel in OpenCLIP layout with fused qkv."""
     import re
     rng = np.random.default_rng(seed)
@@ -159,13 +161,13 @@ def spec_to_openclip_arrays(spec, prefix, seed=0, scale=0.05):
             key = (m.group(1), m.group(3))
             fused.setdefault(key, {})[m.group(2)] = arr
         else:
-            cv = openclip_name(name)
+            cv = openclip_name(name, root)
             assert cv, name
             out[cv] = arr
     for (stem, kind), parts in fused.items():
         cat = np.concatenate([parts["q_proj"], parts["k_proj"],
                               parts["v_proj"]], axis=0)
-        base = openclip_name(stem + ".out_proj.weight")
+        base = openclip_name(stem + ".out_proj.weight", root)
         base = base[:-len("out_proj.weight")]
         out[base + ("in_proj_weight" if kind == "weight" else "in_proj_bias")
             ] = cat
@@ -331,5 +333,46 @@ def write_tiny_lora(path, target_names, spec, rank=2, seed=0, alpha=None):
             (rng.standard_normal((out_d, rank)) * 0.1).astype(np.float32)
         if alpha is not None:
             arrays[base + ".alpha"] = np.array(alpha, np.float32)
+    save_file(arrays, str(path))
+    return arrays
+
+
+# ---------------------------------------------------------------------------
+# SDXL-refiner-like tiny (single OpenCLIP tower + aesthetic-score label)
+# ---------------------------------------------------------------------------
+
+TINY_UNET_REFINER = unet_mod.UnetParams(
+    n_ch=32, ch_mult=(1, 2), transf_depth=(2, 2), attn_res=(2,),
+    n_head=4, n_te=64, n_ctx=32, ch_adm_in=32 + 5 * 256, clip_norm=False,
+    cond_label=True, uncond_empty_zero=True)
+TINY_MODEL_TYPE_REFINER = ModelTypeDef(
+    "sdxl_refiner", TINY_CLIP2, None, TINY_UNET_REFINER, TINY_VAE, 64, 2)
+
+
+def write_checkpoint_refiner(path, seed=0):
+    """Tiny SDXL-refiner-like model: a single OpenCLIP-layout tower under
+    ``conditioner.embedders.0.model.`` (fused qkv, with text_projection),
+    labeled UNet with no level-0 attention."""
+    from safetensors.numpy import save_file
+    spec = {}
+    spec.update(B.trace_spec(
+        lambda ctx, toks: clip_mod.clip_text_apply(
+            ctx, toks, TINY_CLIP2, feat_tok_idx=jnp.zeros((1,), jnp.int32)),
+        jnp.zeros((1, 77), jnp.int32)))
+    spec.update(B.trace_spec(
+        lambda ctx, x, t, c, l: unet_mod.unet_apply(ctx, x, t, c, l,
+                                                    TINY_UNET_REFINER),
+        jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)), jnp.zeros((1, 77, 32)),
+        jnp.zeros((1, TINY_UNET_REFINER.ch_adm_in))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_encode_apply(ctx, x, TINY_VAE),
+        jnp.zeros((1, 64, 64, 3))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_decode_apply(ctx, x, TINY_VAE),
+        jnp.zeros((1, 8, 8, 4))))
+    arrays = spec_to_openclip_arrays(
+        spec, "clip.", seed=seed, root="conditioner.embedders.0.model.")
+    rest = {k: v for k, v in spec.items() if not k.startswith("clip.")}
+    arrays.update(spec_to_checkpoint_arrays(rest, seed=seed + 1))
     save_file(arrays, str(path))
     return arrays

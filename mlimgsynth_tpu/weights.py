@@ -62,7 +62,8 @@ def identify_model(store: TensorStore, name_map: Dict[str, NameRef],
     (reference: src/mlimgsynth.c:1207-1249).  Returns (model_type, dtype).
     ``width_table`` maps n_ctx -> type name; defaults to the SD families."""
     if width_table is None:
-        width_table = {768: "sd1", 1024: "sd2", 2048: "sdxl"}
+        width_table = {768: "sd1", 1024: "sd2", 2048: "sdxl",
+                       1280: "sdxl_refiner"}
     for probe in ("unet.in.1.1.transf.0.attn2.k_proj.weight",
                   "unet.in.4.1.transf.0.attn2.k_proj.weight"):
         ref = name_map.get(probe)

@@ -555,10 +555,11 @@ static const char *g_method_names[] = {
 	"none", "euler", "heun", "taylor3", "dpmpp2m", "dpmpp2s",
 	"dpmpp2m_sde"};
 static const char *g_sched_names[] = {"none", "uniform", "karras"};
-static const char *g_model_type_names[] = {"none", "sd1", "sd2", "sdxl"};
+static const char *g_model_type_names[] = {"none", "sd1", "sd2", "sdxl",
+	"sdxl_refiner"};
 static const char *g_model_type_descs[] = {
 	"None", "Stable Diffusion 1.x", "Stable Diffusion 2.x",
-	"Stable Diffusion XL"};
+	"Stable Diffusion XL", "Stable Diffusion XL refiner"};
 static const char *g_option_names[] = {
 	"none", "backend", "model", "tae", "lora_dir", "lora", "lora_clear",
 	"prompt", "nprompt", "image_dim", "batch_size", "clip_skip", "cfg_scale",
