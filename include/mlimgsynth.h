@@ -145,7 +145,13 @@ typedef enum MLIS_Option {
 	MLIS_OPT_HIRES_FIX,         /* (double factor; <=1 disables) */
 	MLIS_OPT_HIRES_DENOISE,     /* (double f_t for the refine pass) */
 	MLIS_OPT_HIRES_STEPS,       /* (int steps; 0 = same as steps) */
-	MLIS_OPT__LAST = MLIS_OPT_HIRES_STEPS,
+	/* base->refiner ensemble-of-experts pipeline: the base model denoises
+	 * down to 1-refiner_switch of the noise schedule and hands the still-
+	 * noisy latent to the refiner model, which continues at that exact
+	 * sigma (no re-noising) and decodes. */
+	MLIS_OPT_REFINER,           /* (const char* model path; "" disables) */
+	MLIS_OPT_REFINER_SWITCH,    /* (double base fraction, default 0.8) */
+	MLIS_OPT__LAST = MLIS_OPT_REFINER_SWITCH,
 } MLIS_Option;
 
 enum MLIS_TensorUseFlag {

@@ -201,6 +201,7 @@ class MLImgSynth:
             "tuflags": 0,
             "control_net": "", "control_strength": 1.0,
             "hires_fix": 0.0, "hires_denoise": 0.7, "hires_steps": 0,
+            "refiner": "", "refiner_switch": 0.8,
         }
         self.prompt = prompt_mod.PromptText()
         self.nprompt = prompt_mod.PromptText()
@@ -235,6 +236,11 @@ class MLImgSynth:
         self._embed_order: List[str] = []
         self._mesh = None                    # jax.sharding.Mesh when tp/dp>1
         self._in_hires = False               # inside a highres-fix stage
+        self._in_refiner = False             # inside an ensemble stage
+        self._refiner: Optional["MLImgSynth"] = None  # stage-2 sub-session
+        self._refiner_path = ""
+        self._keep_tail = False              # stop at sigma(f_t_end)
+        self._noise_add = True               # add noise at sigma(f_t_ini)
         self._ready = set()
         self._nfe = 0
         self._wtype_set = False
@@ -406,6 +412,11 @@ class MLImgSynth:
             c["hires_denoise"] = _float(args[0], 0.7)
         elif opt == "hires_steps":
             c["hires_steps"] = _int(args[0], 0)
+        elif opt == "refiner":
+            v = str(args[0]) if args else ""
+            c["refiner"] = v
+        elif opt == "refiner_switch":
+            c["refiner_switch"] = _float(args[0], 0.8)
         elif opt == "callback":
             self.callback = args[0]
         elif opt == "error_handler":
@@ -1243,6 +1254,9 @@ class MLImgSynth:
         self.setup()
         if self.c["hires_fix"] > 1.0 and not self._in_hires:
             return self._hires_generate()
+        if (self.c["refiner"] and not self._in_refiner
+                and not self._in_hires):
+            return self._refiner_generate()
         t_start = time.time()
         self.progress = {"stage": STAGE_IDLE, "step": 0, "step_end": 0,
                          "nfe": 0, "step_time": 0.0, "_t": t_start}
@@ -1418,7 +1432,8 @@ class MLImgSynth:
         scfg = SamplerConfig(
             method=c["method"], sched=c["scheduler"], n_step=c["steps"],
             cfg_scale=c["cfg_scale"], s_ancestral=c["s_ancestral"],
-            s_noise=c["s_noise"], f_t_ini=c["f_t_ini"], f_t_end=c["f_t_end"])
+            s_noise=c["s_noise"], f_t_ini=c["f_t_ini"], f_t_end=c["f_t_end"],
+            keep_tail=self._keep_tail, noise_add=self._noise_add)
         nfe_per_dxdt = 2 if c["cfg_scale"] > 1 else 1
         plan = make_plan(scfg, latent.shape, self.rng, nfe_per_dxdt)
         log.info(
@@ -1605,6 +1620,103 @@ class MLImgSynth:
             c["steps"] = saved_steps
             c["no_decode"] = saved_nodec
 
+    def _refiner_get(self) -> "MLImgSynth":
+        """The stage-2 sub-session holding the refiner model (lazily
+        created, cached until the ``refiner`` path changes).  Static aux
+        options are inherited at creation; per-generate options are
+        forwarded on every call."""
+        c = self.c
+        rs = self._refiner
+        if rs is None or self._refiner_path != c["refiner"]:
+            rs = MLImgSynth()
+            rs._dtype = self._dtype
+            for o in ("tae", "lora_dir", "embed_dir", "aux_dir",
+                      "weight_type"):
+                rs.c[o] = c[o]
+            rs.option_set("model", c["refiner"])
+            self._refiner = rs
+            self._refiner_path = c["refiner"]
+        for o in ("width", "height", "cfg_scale", "method", "scheduler",
+                  "s_noise", "s_ancestral", "clip_skip", "n_batch",
+                  "no_prompt_parse", "vae_tile", "no_decode"):
+            rs.c[o] = c[o]
+        # one continuous logical noise stream across the two stages
+        rs.rng.seed = self.rng.seed
+        rs.rng.offset = self.rng.offset
+        return rs
+
+    def _refiner_generate(self) -> np.ndarray:
+        """Base->refiner ensemble-of-experts pipeline (beyond-reference;
+        SDXL-paper / diffusers denoising_end+denoising_start semantics):
+        the base model denoises from ``f_t_ini`` down to the switch point
+        ``1 - refiner_switch`` and STOPS THERE (keep_tail: the latent still
+        carries sigma(cut) noise); the refiner model — any checkpoint
+        sharing the latent space, typically the SDXL refiner — continues
+        from that exact sigma without re-adding noise and finishes +
+        decodes.  ``refiner_switch`` is the fraction of the denoising done
+        by the base (A1111's "switch at").  Masks are consumed by the base
+        stage; their effect rides the handoff latent."""
+        c = self.c
+        switch = min(max(float(c["refiner_switch"]), 0.0), 1.0)
+        f_cut = 1.0 - switch
+        saved_prompt = (c["prompt_raw"], c["nprompt_raw"])
+        saved_end, saved_nodec = c["f_t_end"], c["no_decode"]
+        f_ini = c["f_t_ini"] if c["tuflags"] & (TUF_LATENT | TUF_IMAGE) \
+            else 1.0
+        rs = self._refiner_get()
+        base_steps = int(c["steps"] * (f_ini - f_cut) + 0.5)
+        self._in_refiner = True
+        try:
+            if saved_end >= f_cut or f_ini <= f_cut or base_steps < 2:
+                # nothing (meaningful) below the cut for the base model:
+                # degenerate to a single stage.  Ends-before-cut runs the
+                # base alone; starts-below-cut (img2img at low strength)
+                # runs the refiner alone, with the normal noise add.
+                if saved_end >= f_cut:
+                    return self._generate()
+                rs.c["steps"] = c["steps"]
+                rs.c["f_t_ini"], rs.c["f_t_end"] = c["f_t_ini"], saved_end
+                rs.c["tuflags"] = c["tuflags"]
+                for t in ("image", "latent", "mask", "lmask"):
+                    rs.tensors[t] = self.tensors.get(t)
+                rs.option_set("prompt", saved_prompt[0])
+                rs.option_set("nprompt", saved_prompt[1])
+                out = rs.generate()
+                self._prompt_clear()     # the base session's one-shots
+                base_info = rs.infotext  # refiner-alone: its params
+            else:
+                # stage 1: base model, [f_ini .. f_cut], latent handoff
+                # (stage 1's completion clears the base session's one-shot
+                # options, exactly like a plain generate)
+                c["no_decode"] = True
+                c["f_t_end"] = f_cut
+                self._keep_tail = True
+                lat = np.asarray(self._generate(), np.float32)
+                # stage 2: refiner continues at sigma(f_cut), no noise add
+                rs.c["steps"] = c["steps"]
+                rs.c["f_t_ini"], rs.c["f_t_end"] = f_cut, saved_end
+                rs.c["tuflags"] = TUF_LATENT
+                rs.tensors["latent"] = lat
+                rs.option_set("prompt", saved_prompt[0])
+                rs.option_set("nprompt", saved_prompt[1])
+                rs.rng.offset = self.rng.offset
+                rs._noise_add = False
+                base_info = self.infotext   # stage-1 params (base model)
+                try:
+                    out = rs.generate()
+                finally:
+                    rs._noise_add = True
+            self.tensors["latent"] = rs.tensors["latent"]
+            self.tensors["image"] = rs.tensors["image"]
+            self.infotext = base_info + (
+                f", Refiner: {os.path.basename(c['refiner'])}, "
+                f"Refiner switch: {switch:g}")
+            return out
+        finally:
+            self._in_refiner = False
+            self._keep_tail = False
+            c["no_decode"] = saved_nodec
+
     def _prompt_clear(self):
         """One-shot options cleared after generate
         (reference: mlis_prompt_clear, src/mlimgsynth.c:697-709)."""
@@ -1666,6 +1778,11 @@ class MLImgSynth:
         with self._lock:
             self.setup()
             c, mt = self.c, self._mt
+            if c["refiner"]:
+                raise MlisError(
+                    MlisError.E_OPT_VALUE,
+                    "the refiner ensemble pipeline is not supported on the "
+                    "batched serving path; use generate()")
             f = mt.vae_p.f_down
             w, h = c["width"] // f, c["height"] // f
             n = len(requests)
@@ -1917,6 +2034,8 @@ _OPTIONS = [
     # textual-inversion embeddings, two-stage highres-fix
     "control_net", "control_image", "control_strength", "embed_dir",
     "hires_fix", "hires_denoise", "hires_steps",
+    # base->refiner ensemble-of-experts pipeline
+    "refiner", "refiner_switch",
 ]
 
 

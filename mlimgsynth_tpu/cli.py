@@ -57,6 +57,15 @@ Models and backend:
   --control-net PATH   ControlNet model file (control_model.* / diffusers).
   --control-image PATH Hint image (edge/pose/depth map; output-sized).
   --control-strength F ControlNet residual strength (default 1).
+  --refiner PATH       Ensemble-of-experts refiner model: the base model
+                       stops at the switch point and this model (e.g. the
+                       SDXL refiner) finishes from the same noise level.
+  --refiner-switch F   Fraction of the denoising done by the base model
+                       before the refiner takes over (default 0.8).
+  --hires-fix F        Two-stage highres-fix: latent upscale factor (>1
+                       enables; base pass at --image-dim).
+  --hires-denoise F    Highres refine-pass strength (default 0.7).
+  --hires-steps INT    Highres refine-pass steps (0 = same as --steps).
   -b --backend NAME    Computation backend (tpu, cpu; default: best).
   -t --threads INT     Host thread count (accepted for compatibility).
   --unet-split BOOL    Stage-wise weight residency to reduce memory usage.

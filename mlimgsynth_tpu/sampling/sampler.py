@@ -92,6 +92,12 @@ def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
     sde_eta = 0.0
     if solver.name.endswith("_sde"):
         sde_eta = cfg.s_ancestral if cfg.s_ancestral > 0 else 1.0
+    if cfg.keep_tail and s.n_step >= 2:
+        # drop the final jump-to-zero: the run ends AT sigma(f_t_end),
+        # returning the handoff latent for an ensemble second stage
+        s = sch.StepSchedule(sigmas=s.sigmas[:s.n_step].copy(),
+                             n_step=s.n_step - 1,
+                             nfe_per_step=s.nfe_per_step)
     plan = sch.plan_step_noise(s.sigmas, cfg.s_ancestral, cfg.s_noise,
                                sde_eta)
     n_step = s.n_step
@@ -111,6 +117,11 @@ def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
         return out.astype(np.float32)
 
     noise0 = draw()
+    if not cfg.noise_add:
+        # the input latent is already at sigma(f_t_ini) (ensemble handoff);
+        # the draw above still advanced the stream so per-step draws match
+        # an equivalent img2img run
+        noise0 = np.zeros_like(noise0)
     churn = np.zeros((n_step,) + tuple(latent_shape), np.float32)
     anc = np.zeros_like(churn)
     for i in range(n_step):

@@ -568,7 +568,8 @@ static const char *g_option_names[] = {
 	"seed", "vae_tile", "unet_split", "threads", "dump_flags", "aux_dir",
 	"callback", "error_handler", "log_level", "model_type", "weight_type",
 	"no_prompt_parse", "control_net", "control_image", "control_strength",
-	"embed_dir", "hires_fix", "hires_denoise", "hires_steps"};
+	"embed_dir", "hires_fix", "hires_denoise", "hires_steps",
+	"refiner", "refiner_switch"};
 static const struct { const char *name; int id; } g_loglvl_attr[] = {
 	{ "none",    MLIS_LOGLVL_NONE },
 	{ "error",   MLIS_LOGLVL_ERROR },
