@@ -1752,7 +1752,8 @@ class MLImgSynth:
     def generate_batch(self, requests: List[dict], step_callback=None,
                        init_latents: Optional[np.ndarray] = None,
                        init_lmask: Optional[np.ndarray] = None,
-                       preview_callback=None, preview_chunk: int = 0
+                       preview_callback=None, preview_chunk: int = 0,
+                       _latent_only: bool = False
                        ) -> Tuple[np.ndarray, List[str]]:
         """Run several txt2img (or img2img) requests as ONE device batch.
 
@@ -1778,11 +1779,10 @@ class MLImgSynth:
         with self._lock:
             self.setup()
             c, mt = self.c, self._mt
-            if c["refiner"]:
-                raise MlisError(
-                    MlisError.E_OPT_VALUE,
-                    "the refiner ensemble pipeline is not supported on the "
-                    "batched serving path; use generate()")
+            if c["refiner"] and not self._in_refiner:
+                return self._generate_batch_refiner(
+                    requests, step_callback, init_latents, init_lmask,
+                    preview_callback, preview_chunk)
             f = mt.vae_p.f_down
             w, h = c["width"] // f, c["height"] // f
             n = len(requests)
@@ -1871,7 +1871,8 @@ class MLImgSynth:
                 cfg_scale=c["cfg_scale"], s_ancestral=c["s_ancestral"],
                 s_noise=c["s_noise"],
                 f_t_ini=c["f_t_ini"] if init_latents is not None else 1.0,
-                f_t_end=c["f_t_end"])
+                f_t_end=c["f_t_end"],
+                keep_tail=self._keep_tail, noise_add=self._noise_add)
             nfe_per_dxdt = 2 if use_cfg else 1
             latent = (np.asarray(init_latents, np.float32)
                       if init_latents is not None
@@ -1914,10 +1915,12 @@ class MLImgSynth:
                     [np.ones((1, 1, h, w), np.float32),
                      np.zeros((1, mt.vae_p.ch_z, h, w), np.float32)], 1)
             # decode rides the final chunk's dispatch even on this
-            # cancellable (step-callback) path
-            decode_spec = (("tae", self._get_params("tae"), None)
-                           if c["tae"] else
-                           ("vae", self._get_params("vae"), mt.vae_p))
+            # cancellable (step-callback) path.  ``_latent_only`` (the
+            # ensemble base stage) skips it and returns latents.
+            decode_spec = None if _latent_only else (
+                ("tae", self._get_params("tae"), None)
+                if c["tae"] else
+                ("vae", self._get_params("vae"), mt.vae_p))
             preview_spec = None
             if preview_callback is not None:
                 pv = (("tae", self._get_params("tae"), None) if c["tae"]
@@ -1934,15 +1937,23 @@ class MLImgSynth:
                               chunk_size=preview_chunk or None,
                               control=control_spec,
                               extra_channels=extra_spec)
-            if encode_spec is not None:
+            u8 = None
+            if decode_spec is None:   # _latent_only
+                if encode_spec is not None:
+                    latent, _cond_pair = out
+                else:
+                    latent = out
+            elif encode_spec is not None:
                 latent, u8, _cond_pair = out
             else:
                 latent, u8 = out
-            if u8 is None:  # aborted by the callback before the last chunk
+            if u8 is None and not _latent_only:
+                # aborted by the callback before the last chunk
                 raise Aborted("generation cancelled")
             if not np.isfinite(latent).all():
                 raise MlisError(MlisError.E_NAN, "NaN found in UNet output")
-            imgs = u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+            imgs = latent if _latent_only else \
+                u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
 
             solver_nfe = get_solver(c["method"]).n_fe
             self._nfe = ((plan.n_step * solver_nfe - (solver_nfe - 1))
@@ -1962,6 +1973,74 @@ class MLImgSynth:
                 (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
                  self.infotext, self.tensors["lmask"]) = save
             return imgs, infotexts
+
+    def _generate_batch_refiner(self, requests, step_callback, init_latents,
+                                init_lmask, preview_callback, preview_chunk
+                                ) -> Tuple[np.ndarray, List[str]]:
+        """Ensemble-of-experts on the batched serving path: a latent-only
+        base-stage batch (keep_tail stops at sigma(cut)), then a refiner-
+        stage batch continuing from the same sigma (no noise re-add).
+        Request seeds are reused per stage (each stage draws its own
+        Philox streams from them; only ancestral/churn methods draw after
+        init, and the sigma ranges of the stages are disjoint).  Stage-1
+        infotexts (the base model's parameters) are kept, with the
+        Refiner fields appended."""
+        c = self.c
+        switch = min(max(float(c["refiner_switch"]), 0.0), 1.0)
+        f_cut = 1.0 - switch
+        saved_end = c["f_t_end"]
+        f_ini = c["f_t_ini"] if init_latents is not None else 1.0
+        rs = self._refiner_get()
+        base_steps = int(c["steps"] * (f_ini - f_cut) + 0.5)
+        self._in_refiner = True
+        try:
+            if saved_end >= f_cut:      # base alone covers [ini, end]
+                return self.generate_batch(
+                    requests, step_callback, init_latents, init_lmask,
+                    preview_callback, preview_chunk)
+            if f_ini <= f_cut or base_steps < 2:
+                # img2img below the cut: the whole denoise belongs to the
+                # refiner, with the normal noise add
+                rs.c["steps"] = c["steps"]
+                rs.c["f_t_ini"], rs.c["f_t_end"] = c["f_t_ini"], saved_end
+                imgs, infos = rs.generate_batch(
+                    requests, step_callback, init_latents, init_lmask,
+                    preview_callback, preview_chunk)
+            else:
+                aborted = []
+
+                def cb1(i_step, n_step):
+                    r = bool(step_callback(i_step, n_step)) \
+                        if step_callback else False
+                    if r:
+                        aborted.append(1)
+                    return r
+
+                c["f_t_end"] = f_cut
+                self._keep_tail = True
+                try:
+                    lats, infos = self.generate_batch(
+                        requests, cb1, init_latents, init_lmask,
+                        preview_callback, preview_chunk, _latent_only=True)
+                finally:
+                    self._keep_tail = False
+                    c["f_t_end"] = saved_end
+                if aborted:
+                    raise Aborted("generation cancelled")
+                rs.c["steps"] = c["steps"]
+                rs.c["f_t_ini"], rs.c["f_t_end"] = f_cut, saved_end
+                rs._noise_add = False
+                try:
+                    imgs, _ = rs.generate_batch(
+                        requests, step_callback, np.asarray(lats), None,
+                        preview_callback, preview_chunk)
+                finally:
+                    rs._noise_add = True
+            infos = [t + f", Refiner: {os.path.basename(c['refiner'])}, "
+                     f"Refiner switch: {switch:g}" for t in infos]
+            return imgs, infos
+        finally:
+            self._in_refiner = False
 
     def _infotext_update(self, w: int, h: int, plan):
         """A1111-compatible 'parameters' text

@@ -151,7 +151,33 @@ def test_ensemble_low_strength_refiner_only(ckpts, monkeypatch):
     assert "Mode: img2img" in s.infotext
 
 
-def test_ensemble_batch_raises(ckpts, monkeypatch):
+def test_ensemble_batch_matches_singles(ckpts, monkeypatch):
+    """The batched serving path runs the ensemble too (latent-only base
+    batch -> refiner batch) and must reproduce per-request generate()
+    for non-ancestral methods (the stages draw no noise after init)."""
     s = make_ensemble(ckpts, monkeypatch)
-    with pytest.raises(MlisError):
-        s.generate_batch([{"prompt": "a", "seed": 1}])
+    reqs = [{"prompt": "a cat", "seed": 3},
+            {"prompt": "a dog", "nprompt": "blurry", "seed": 4}]
+    imgs, infos = s.generate_batch(reqs)
+    assert imgs.shape == (2, 3, 64, 64) and np.isfinite(imgs).all()
+    assert all("Refiner: refiner.safetensors" in t for t in infos)
+    # stage-1 infotext params: the BASE model is named, not the refiner
+    assert all("Model: base" in t for t in infos)
+
+    for i, r in enumerate(reqs):
+        si = make_ensemble(ckpts, monkeypatch)
+        si.option_set("prompt", r["prompt"])
+        if r.get("nprompt"):
+            si.option_set("nprompt", r["nprompt"])
+        si.option_set("seed", r["seed"])
+        single = si.generate()
+        np.testing.assert_allclose(imgs[i:i + 1], single, atol=1.5 / 255)
+
+
+def test_ensemble_batch_cancellation(ckpts, monkeypatch):
+    """Cancelling during the base stage aborts the whole ensemble batch."""
+    from mlimgsynth_tpu.api import Aborted
+    s = make_ensemble(ckpts, monkeypatch)
+    with pytest.raises(Aborted):
+        s.generate_batch([{"prompt": "a", "seed": 1}],
+                         step_callback=lambda i, n: True)
