@@ -18,6 +18,10 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
         uncond pass and the uncond encoder rows are skipped entirely)
   sdxl-refiner: SDXL-refiner 1024px (single bigG tower, aesthetic-score
         labels; beyond-reference model family)
+  sdxl-ens: SDXL base + refiner ensemble-of-experts two-stage pipeline
+        (switch 0.8: base stops at sigma(0.2) via keep_tail, refiner
+        continues from the same sigma without re-noising; both models
+        resident in HBM, the bigG tower weights shared)
 
 Uses a real checkpoint if MLIS_MODEL points at one; otherwise synthesizes
 random weights with the exact architecture (identical compute graph, so
@@ -38,32 +42,52 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def synth_params(spec, seed=0):
+def synth_params(spec, seed=0, chunk_elems=1 << 28):
     """Generate random weights ON DEVICE (host->device transfer through the
-    axon tunnel is ~40MB/s; generating in HBM is instant)."""
+    axon tunnel is ~40MB/s; generating in HBM is instant).  Tensors are
+    bucketed into <= chunk_elems dispatches so the f32 staging buffer
+    peaks at ~1 GiB — with several models resident (the ensemble config)
+    a single whole-model flat buffer would OOM the chip."""
     import jax
     import jax.numpy as jnp
-    total = sum(int(np.prod(ps.shape)) for ps in spec.values())
     items = sorted(spec.items())
+    buckets, cur, cur_n = [], [], 0
+    for name, ps in items:
+        n = int(np.prod(ps.shape))
+        if cur and cur_n + n > chunk_elems:
+            buckets.append(cur)
+            cur, cur_n = [], 0
+        cur.append((name, ps))
+        cur_n += n
+    if cur:
+        buckets.append(cur)
 
-    @jax.jit
-    def gen(key):
-        # one dispatch for the whole dict: per-call latency through the axon
-        # tunnel makes per-tensor device ops prohibitively slow
-        flat = jax.random.uniform(key, (total,), jnp.float32, -1.0, 1.0)
-        out = {}
-        off = 0
-        for name, ps in items:
-            n = int(np.prod(ps.shape))
-            fan = ps.shape[0] if len(ps.shape) >= 2 else 1
-            scale = 1.7 * 0.5 / max(1.0, fan) ** 0.5
-            out[name] = (flat[off:off + n] * scale).reshape(
-                ps.shape).astype(ps.dtype)
-            off += n
-        return out
+    def make_gen(bucket):
+        total = sum(int(np.prod(ps.shape)) for _, ps in bucket)
 
-    out = gen(jax.random.PRNGKey(seed))
-    jax.block_until_ready(out)
+        @jax.jit
+        def gen(key):
+            # one dispatch per bucket: per-tensor device ops are
+            # prohibitively slow through the axon tunnel's per-call latency
+            flat = jax.random.uniform(key, (total,), jnp.float32, -1.0, 1.0)
+            out = {}
+            off = 0
+            for name, ps in bucket:
+                n = int(np.prod(ps.shape))
+                fan = ps.shape[0] if len(ps.shape) >= 2 else 1
+                scale = 1.7 * 0.5 / max(1.0, fan) ** 0.5
+                out[name] = (flat[off:off + n] * scale).reshape(
+                    ps.shape).astype(ps.dtype)
+                off += n
+            return out
+
+        return gen
+
+    out = {}
+    for bi, bucket in enumerate(buckets):
+        part = make_gen(bucket)(jax.random.PRNGKey(seed * 1000003 + bi))
+        jax.block_until_ready(part)   # bound the staging-buffer overlap
+        out.update(part)
     return out
 
 
@@ -403,6 +427,125 @@ def bench_config(name):
     }
 
 
+def bench_ensemble(name):
+    """SDXL base + refiner ensemble (the product path run by
+    api._refiner_generate / --refiner): stage 1 denoises [1.0 .. 0.2]
+    with keep_tail (no decode, latent handoff), stage 2 continues from
+    the exact same sigma with noise_add=False and decodes.  Both UNets
+    stay resident; the bigG tower weights are shared between the base's
+    clip2 and the refiner's single tower (same arrays, renamed)."""
+    import jax
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.models import blocks as B
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import unet as U
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.models.blocks import timestep_embedding
+    from mlimgsynth_tpu.models.unet import AESTHETIC_SCORE, AESTHETIC_NSCORE
+    from mlimgsynth_tpu.rng import RngPhilox
+    from mlimgsynth_tpu.sampling.sampler import (SamplerConfig, make_plan,
+                                                 run_sampler)
+    from mlimgsynth_tpu import tokenizer as tok
+
+    size, baseline, switch = 1024, 4.0, 0.8
+    f_cut = 1.0 - switch
+    lat = size // 8
+    dtype = jnp.bfloat16
+    base_p, ref_p = U.UNET_SDXL, U.UNET_SDXL_REFINER
+    clip_p, clip2_p, vae_p = C.CLIP_VIT_L_14, C.CLIP_VIT_BIGG_14, V.VAE_SDXL
+
+    t0 = time.time()
+
+    def unet_spec(p):
+        return B.trace_spec(
+            lambda ctx, x, t, c: U.unet_apply(
+                ctx, x, t, c, jnp.zeros((1, p.ch_adm_in)), p),
+            jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, p.n_ctx)))
+
+    base_params = synth_params(unet_spec(base_p), 0)
+    ref_params = synth_params(unet_spec(ref_p), 7)
+    vae_params = synth_params(B.trace_spec(
+        lambda ctx, x: V.vae_decode_apply(ctx, x, vae_p),
+        jnp.zeros((1, 8, 8, 4))), 1)
+    clip_params = synth_params(B.trace_spec(
+        lambda ctx, toks: C.clip_text_apply(ctx, toks, clip_p),
+        jnp.zeros((1, 77), jnp.int32)), 2)
+    clip2_params = synth_params(B.trace_spec(
+        lambda ctx, toks: C.clip_text_apply(
+            ctx, toks, clip2_p, feat_tok_idx=jnp.zeros((1,), jnp.int32),
+            pre="clip2"),
+        jnp.zeros((1, 77), jnp.int32)), 3)
+    # the refiner's tower rides the SAME device buffers under "clip." names
+    ref_tower = {k.replace("clip2.", "clip.", 1): v
+                 for k, v in clip2_params.items()}
+    log(f"[{name}] weight synthesis {time.time() - t0:.1f}s")
+
+    prompt = "a photograph of an astronaut riding a horse"
+    toks1 = tok.wrap_tokens(clip_p, tok.tokenize(prompt))
+    ntoks1 = tok.wrap_tokens(clip_p, [])
+    toks2 = tok.wrap_tokens(clip2_p, tok.tokenize(prompt))
+    ntoks2 = tok.wrap_tokens(clip2_p, [])
+    n_tok = len(tok.tokenize(prompt))
+    tokrows1 = np.asarray([toks1, ntoks1], np.int32)
+    tokrows2 = np.asarray([toks2, ntoks2], np.int32)
+    wrows = np.ones(tokrows1.shape, np.float32)
+    fidx = np.asarray([n_tok + 1, 1], np.int32)
+    sizes = np.array([size, size, 0, 0, size, size], np.float32)
+    size_emb = np.asarray(timestep_embedding(jnp.asarray(sizes), 256),
+                          np.float32).reshape(-1)
+    enc_base = (clip_params, tokrows1, wrows, clip_p, 2, base_p.clip_norm,
+                clip2_params, tokrows2, fidx, size_emb, clip2_p)
+    aes = np.asarray([[size, size, 0, 0, AESTHETIC_SCORE],
+                      [size, size, 0, 0, AESTHETIC_NSCORE]], np.float32)
+    serows = np.asarray(
+        timestep_embedding(jnp.asarray(aes.reshape(-1)), 256),
+        np.float32).reshape(2, -1)
+    enc_ref = (ref_tower, tokrows2, wrows, clip2_p, 2, ref_p.clip_norm,
+               fidx, serows)
+
+    cfg1 = SamplerConfig(method="euler", sched="uniform", n_step=STEPS,
+                         cfg_scale=CFG, f_t_end=f_cut, keep_tail=True)
+    cfg2 = SamplerConfig(method="euler", sched="uniform", n_step=STEPS,
+                         cfg_scale=CFG, f_t_ini=f_cut, noise_add=False)
+    init_latent = np.zeros((1, 4, lat, lat), np.float32)
+
+    def run(seed):
+        rng = RngPhilox(seed=seed)
+        plan1 = make_plan(cfg1, init_latent.shape, rng, nfe_per_dxdt=2)
+        hand = run_sampler(base_params, init_latent, plan1, None, None,
+                           None, None, None, cfg1, base_p, dtype=dtype,
+                           encode=enc_base)
+        lat2, _ = hand if isinstance(hand, tuple) else (hand, None)
+        plan2 = make_plan(cfg2, init_latent.shape, rng, nfe_per_dxdt=2)
+        _, img, _ = run_sampler(ref_params, np.asarray(lat2, np.float32),
+                                plan2, None, None, None, None, None, cfg2,
+                                ref_p, dtype=dtype,
+                                decode=("vae", vae_params, vae_p),
+                                want_latent=False, encode=enc_ref)
+        return plan1.n_step, plan2.n_step, img
+
+    t0 = time.time()
+    n1, n2, img = run(42)
+    log(f"[{name}] compile+first-run {time.time() - t0:.1f}s; "
+        f"steps {n1}+{n2}; finite: {np.isfinite(img).all()}")
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        run(42 + i)
+        times.append(time.time() - t0)
+        log(f"[{name}] run {i}: {times[-1]:.3f}s")
+    best = min(times)
+    return {
+        "metric": f"SDXL base+refiner ensemble {size}px {n1}+{n2}-step "
+                  f"cfg{CFG:g} switch {switch:g} txt2img e2e latency "
+                  "(text encode + denoise + handoff + refine + decode)",
+        "value": round(best, 4),
+        "unit": "s/image",
+        "vs_baseline": round(baseline / best, 3),
+    }
+
+
 def main():
     import jax
     from mlimgsynth_tpu.utils.compcache import enable as _cc
@@ -415,7 +558,8 @@ def main():
     for c in configs:
         # No scoped-VMEM retry: planner v3.2 picks provably-safe blocks
         # (10/10 fresh scanned compiles clean, docs/BENCH.md queue #8).
-        results.append(bench_config(c))
+        results.append(bench_ensemble(c) if c == "sdxl-ens"
+                       else bench_config(c))
     for r in results[1:]:
         log(json.dumps(r))
     print(json.dumps(results[0]))
