@@ -53,14 +53,20 @@ typedef enum MLIS_Method {
 	/* beyond-reference addition: DPM++(2M) SDE, midpoint variant
 	 * (reference future-plans item; noise from the Philox stream) */
 	MLIS_METHOD_DPMPP2MSDE,
-	MLIS_METHOD__LAST = MLIS_METHOD_DPMPP2MSDE,
+	/* beyond-reference addition: latent-consistency sampling (LCM /
+	 * LCM-LoRA distilled models; diffusers LCMScheduler semantics) */
+	MLIS_METHOD_LCM,
+	MLIS_METHOD__LAST = MLIS_METHOD_LCM,
 } MLIS_Method;
 
 typedef enum MLIS_Scheduler {
 	MLIS_SCHED_NONE = 0,
 	MLIS_SCHED_UNIFORM,
 	MLIS_SCHED_KARRAS,
-	MLIS_SCHED__LAST = MLIS_SCHED_KARRAS,
+	/* beyond-reference: the LCM distillation timestep grid (implied by
+	 * MLIS_METHOD_LCM unless a schedule is set explicitly) */
+	MLIS_SCHED_LCM,
+	MLIS_SCHED__LAST = MLIS_SCHED_LCM,
 } MLIS_Scheduler;
 
 typedef enum MLIS_ModelType {

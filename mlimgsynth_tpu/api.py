@@ -67,8 +67,8 @@ STAGE_NAMES = ["idle", "cond_encode", "image_encode", "image_decode",
                "denoise"]
 
 METHOD_NAMES = ["none", "euler", "heun", "taylor3", "dpmpp2m",
-                "dpmpp2s", "dpmpp2m_sde"]
-SCHED_NAMES = ["none", "uniform", "karras"]
+                "dpmpp2s", "dpmpp2m_sde", "lcm"]
+SCHED_NAMES = ["none", "uniform", "karras", "lcm"]
 MODEL_TYPE_NAMES = ["none", "sd1", "sd2", "sdxl", "sdxl_refiner"]
 
 # Tensor-use flags (include/mlimgsynth.h:277-283)
@@ -2054,7 +2054,11 @@ class MLImgSynth:
         out.append(f", Sampler: {m}")
         if c["s_ancestral"] == 1:
             out.append(" ancestral")
-        out.append(f", Schedule type: {c['scheduler']}")
+        # the lcm method implies the lcm grid unless a schedule was chosen
+        # explicitly (make_plan) — report what actually ran
+        sched = ("lcm" if m == "lcm" and c["scheduler"] == "uniform"
+                 else c["scheduler"])
+        out.append(f", Schedule type: {sched}")
         if c["s_ancestral"] > 0:
             out.append(f", Ancestral: {c['s_ancestral']:g}")
         if c["s_noise"] > 0:

@@ -81,8 +81,10 @@ Sampling:
   -S --seed INT        RNG seed.
   -s --steps INT       Denoising steps with UNet.
   --method NAME        euler, euler_a, heun, taylor3, dpm++2m, dpm++2s,
-                       dpm++2s_a (default euler).
-  --scheduler NAME     uniform (default), karras.
+                       dpm++2s_a, dpm++2m_sde, lcm (default euler; lcm is
+                       consistency sampling for LCM/LCM-LoRA models).
+  --scheduler NAME     uniform (default), karras, lcm (implied by
+                       --method lcm).
   --s-noise FLOAT      Per-step noise injection (try 1).
   --s-ancestral FLOAT  Ancestral sampling noise level (try 1).
   --cfg-scale FLOAT    Classifier-free guidance scale (default: 1).

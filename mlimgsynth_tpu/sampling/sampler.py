@@ -85,7 +85,12 @@ def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
     (used by the serving batch-merge path where requests bring their own
     seeds)."""
     solver = get_solver(cfg.method)
-    s = sch.make_schedule(cfg.n_step, cfg.sched, solver.n_fe, nfe_per_dxdt,
+    sched = cfg.sched
+    if solver.name == "lcm" and sched in (None, "", sch.SCHED_UNIFORM):
+        # the lcm method implies the distillation's timestep grid unless a
+        # schedule was chosen explicitly (diffusers bundles them)
+        sched = sch.SCHED_LCM
+    s = sch.make_schedule(cfg.n_step, sched, solver.n_fe, nfe_per_dxdt,
                           cfg.f_t_ini, cfg.f_t_end)
     # SDE methods: s_ancestral doubles as eta (default 1), s_noise as the
     # k-diffusion noise multiplier; see plan_step_noise
@@ -99,7 +104,7 @@ def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
                              n_step=s.n_step - 1,
                              nfe_per_step=s.nfe_per_step)
     plan = sch.plan_step_noise(s.sigmas, cfg.s_ancestral, cfg.s_noise,
-                               sde_eta)
+                               sde_eta, lcm=(solver.name == "lcm"))
     n_step = s.n_step
     n_batch = latent_shape[0]
     sample_shape = tuple(latent_shape[1:])
@@ -182,6 +187,30 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
             return d[:n] * cfg_scale + d[n:] * (1.0 - cfg_scale)
         return unet_mod.denoise(ctx, xv, sigma, t, cond_all, label_all,
                                 unet_p, control=control, extra_ch=extra_ch)
+
+    if method == "lcm":
+        # Latent-consistency sampling (diffusers LCMScheduler semantics):
+        # one consistency-function evaluation per sigma — x0 prediction
+        # through the boundary scalings c_out*x0 + c_skip*(c_in*x) with
+        # sigma_data=0.5 and timestep_scaling=10 (c_in maps the EDM-space
+        # latent to the DDPM-space sample the scalings are defined on) —
+        # then a FULL re-noise to the next sigma (the ancestral slot,
+        # s_up[i] = sigma_{i+1}; zero on the last step).
+        def body(carry, inp):
+            x, t, state = carry
+            i, c_noise, a_noise = inp
+            d = x - t * dxdt(x, t)
+            ts = jnp_sigma_to_t(log_sigmas, t) * 10.0
+            c_skip = 0.25 / (ts * ts + 0.25)
+            c_out = ts * jax.lax.rsqrt(ts * ts + 0.25)
+            c_in = jax.lax.rsqrt(t * t + 1.0)
+            x = c_out * d + (c_skip * c_in) * x + a_noise * s_up[i]
+            t = t_next[i]
+            if use_mask:
+                x = _mask_apply(x, x0_keep, lmask)
+            return (x, t, state), None
+
+        return solver, body
 
     def body(carry, inp):
         x, t, state = carry

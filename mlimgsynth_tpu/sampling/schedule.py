@@ -64,6 +64,7 @@ def sigma_to_t(sigma, log_sigmas: Optional[np.ndarray] = None):
 
 SCHED_UNIFORM = "uniform"
 SCHED_KARRAS = "karras"
+SCHED_LCM = "lcm"
 
 
 @dataclass
@@ -108,6 +109,21 @@ def make_schedule(n_step: int, sched: str = SCHED_UNIFORM,
         smaxp = smax ** (1 / p)
         f = (sminp - smaxp) / (n_step - 1) if n_step > 1 else 0.0
         sigmas[:n_step] = (smaxp + np.arange(n_step, dtype=np.float64) * f) ** p
+    elif sched == SCHED_LCM:
+        # Latent-consistency timestep grid (diffusers LCMScheduler
+        # set_timesteps): subsample the distillation's origin grid
+        # (original_inference_steps = 50 over the n_step_train training
+        # steps), highest noise first.  ``f_t_ini`` (img2img strength)
+        # truncates the grid's high-noise end like the diffusers img2img
+        # pipelines; ``f_t_end`` only scales the step count (above).
+        origin = 50
+        skipping = max(1, n_step_train // origin)
+        origin_eff = max(1, int(origin * min(f_t_ini, 1.0) + 0.5))
+        n_step = min(n_step, origin_eff)
+        grid = (np.arange(1, origin_eff + 1) * skipping - 1)[::-1]
+        idx = np.floor(np.arange(n_step) * origin_eff / n_step).astype(int)
+        sigmas = np.zeros(n_step + 1, dtype=np.float32)
+        sigmas[:n_step] = t_to_sigma(grid[idx].astype(np.float32), ls)
     else:
         raise ValueError(f"invalid sampling scheduler '{sched}'")
     return StepSchedule(sigmas=sigmas, n_step=n_step, nfe_per_step=nfe_per_step)
@@ -125,12 +141,21 @@ class StepNoise:
 
 
 def plan_step_noise(sigmas: np.ndarray, s_ancestral: float = 0.0,
-                    s_noise: float = 0.0, sde_eta: float = 0.0) -> StepNoise:
+                    s_noise: float = 0.0, sde_eta: float = 0.0,
+                    lcm: bool = False) -> StepNoise:
     """``sde_eta > 0`` selects the exponential-decay noise split of the SDE
     samplers (sigma_down = s2*(s2/s1)^eta, sigma_up = s2*sqrt(1-(s2/s1)^2eta)
     — k-diffusion sample_dpmpp_2m_sde) instead of the ancestral split; with
     it, ``s_noise`` multiplies the SDE noise (k-diffusion's s_noise) rather
-    than adding churn."""
+    than adding churn.  ``lcm`` selects the latent-consistency plan: every
+    step fully denoises (the solver slot is unused) then re-noises to the
+    next sigma through the ancestral slot — s_up = sigma_next, no churn."""
+    if lcm:
+        n_step = len(sigmas) - 1
+        z = np.zeros(n_step, dtype=np.float32)
+        return StepNoise(s_hat=sigmas[:n_step].copy(), churn_sigma=z,
+                         s_down=z.copy(), s_up=sigmas[1:].copy(),
+                         t_next=sigmas[1:].copy())
     n_step = len(sigmas) - 1
     s_hat = sigmas[:n_step].copy()
     churn = np.zeros(n_step, dtype=np.float32)

@@ -142,14 +142,26 @@ DPMPP2S = SolverClass("dpmpp2s", 2, _dpmpp2s_init, _dpmpp2s_step)
 # of k-diffusion's BrownianTree — documented divergence.
 DPMPP2M_SDE = SolverClass("dpmpp2m_sde", 1, _dpmpp2m_init, _dpmpp2m_step)
 
+# Latent-consistency sampling (beyond-reference; diffusers LCMScheduler
+# semantics): each step evaluates the consistency function once —
+# boundary-scaled x0 prediction c_out*x0 + c_skip*c_in*x with
+# sigma_data=0.5 and timestep_scaling=10 — then fully re-noises to the
+# next sigma.  The step lives in the sampler BODY (sampler._make_body):
+# the boundary scalings need the sigma->timestep table, which solvers
+# don't see; the re-noise rides the ancestral noise slot
+# (schedule.plan_step_noise lcm mode).  The euler step here is a
+# placeholder that the body never calls for this method.
+LCM = SolverClass("lcm", 1, _euler_init, _euler_step)
+
 SOLVERS: Dict[str, SolverClass] = {
-    s.name: s for s in (EULER, HEUN, TAYLOR3, DPMPP2M, DPMPP2S, DPMPP2M_SDE)
+    s.name: s for s in (EULER, HEUN, TAYLOR3, DPMPP2M, DPMPP2S, DPMPP2M_SDE,
+                        LCM)
 }
 
-# Method ids matching MLIS_Method (include/mlimgsynth.h); 6 is this
-# build's additive extension.
+# Method ids matching MLIS_Method (include/mlimgsynth.h); 6+ are this
+# build's additive extensions.
 METHOD_IDS = {1: "euler", 2: "heun", 3: "taylor3", 4: "dpmpp2m",
-              5: "dpmpp2s", 6: "dpmpp2m_sde"}
+              5: "dpmpp2s", 6: "dpmpp2m_sde", 7: "lcm"}
 
 
 def get_solver(method) -> SolverClass:

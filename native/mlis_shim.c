@@ -553,8 +553,9 @@ static const char *g_stage_descs[] = {
 	"Denoising"};
 static const char *g_method_names[] = {
 	"none", "euler", "heun", "taylor3", "dpmpp2m", "dpmpp2s",
-	"dpmpp2m_sde"};
-static const char *g_sched_names[] = {"none", "uniform", "karras"};
+	"dpmpp2m_sde", "lcm"};
+static const char *g_sched_names[] = {"none", "uniform", "karras",
+	"lcm"};
 static const char *g_model_type_names[] = {"none", "sd1", "sd2", "sdxl",
 	"sdxl_refiner"};
 static const char *g_model_type_descs[] = {

@@ -83,6 +83,15 @@ CASES = [
     ("sd1",  "dpmpp2m_sde", "uniform", 5, 7.0, 0.7, 1.1, 1.0, False, False),
     ("sd2v", "dpmpp2m_sde", "karras",  5, 7.0, 1.0, 0.0, 1.0, False, False),
     ("sd1",  "dpmpp2m_sde", "uniform", 5, 7.0, 0.0, 0.0, 0.8, True,  True),
+    # lcm (beyond-reference): oracle is a diffusers-LCMScheduler
+    # transcription; production runs the consistency step in the scan
+    # body with the re-noise on the ancestral slot.  cfg 1 is the
+    # distilled-model shape; the cfg-7 case checks the CFG mixing
+    # composes; the i2i case checks the strength-truncated grid.
+    ("sd1",  "lcm", "lcm", 4, 1.0, 0.0, 0.0, 1.0, False, False),
+    ("sd1",  "lcm", "lcm", 4, 7.0, 0.0, 0.0, 1.0, False, False),
+    ("sd2v", "lcm", "lcm", 4, 1.0, 0.0, 0.0, 1.0, False, False),
+    ("sd1",  "lcm", "lcm", 3, 1.0, 0.0, 0.0, 0.6, True,  True),
 ]
 
 

@@ -106,6 +106,21 @@ def make_sigmas(log_sigmas, n_step, sched="uniform", solver_n_fe=1,
         f = (sminp - smaxp) / (n_step - 1) if n_step > 1 else 0.0
         for i in range(n_step):
             sigmas[i] = (b + i * f) ** p
+    elif sched == "lcm":
+        # diffusers LCMScheduler.set_timesteps: the distillation origin
+        # grid (original_inference_steps=50) subsampled with
+        # linspace(0, origin, k, endpoint=False).floor(); strength
+        # (f_t_ini) shortens the grid like the img2img pipelines.
+        origin = 50
+        skipping = n_step_train // origin
+        origin_eff = max(1, int(origin * min(f_t_ini, 1.0) + 0.5))
+        if n_step > origin_eff:
+            n_step = origin_eff
+        sigmas = np.zeros(n_step + 1, np.float32)
+        grid = [i * skipping - 1 for i in range(1, origin_eff + 1)][::-1]
+        for i in range(n_step):
+            idx = int(math.floor(i * origin_eff / n_step))
+            sigmas[i] = t_to_sigma(log_sigmas, float(grid[idx]))
     else:
         raise ValueError(sched)
     return sigmas
@@ -248,13 +263,49 @@ def torch_sample(params, P, x0, cond, uncond=None, label=None, nlabel=None,
     src/sampling.c:119-178)."""
     log_sigmas = make_log_sigmas(P.n_step_train)
     n_fe = {"euler": 1, "heun": 2, "taylor3": 1, "dpmpp2m": 1,
-            "dpmpp2s": 2, "dpmpp2m_sde": 1}[method]
+            "dpmpp2s": 2, "dpmpp2m_sde": 1, "lcm": 1}[method]
     sigmas = make_sigmas(log_sigmas, n_step, sched, n_fe, f_t_ini, f_t_end,
                          P.n_step_train)
     n_step = len(sigmas) - 1
 
     den = TorchDenoiser(params, P, cond, label, uncond, nlabel, cfg_scale,
                         log_sigmas)
+
+    if method == "lcm":
+        # Independent transcription of diffusers LCMScheduler.step: x0
+        # prediction through the boundary scalings (sigma_data 0.5,
+        # timestep_scaling 10; the scalings act on the DDPM-space sample
+        # sqrt(alpha)*x_edm = c_in*x_edm), then a full re-noise to the
+        # next timestep's sigma with a fresh draw (none after the last).
+        x = torch.from_numpy(np.asarray(x0, np.float32)).clone()
+        x_keep = x.clone() if lmask is not None else None
+        m = torch.from_numpy(np.asarray(lmask, np.float32)) \
+            if lmask is not None else None
+        traj = []
+        for s in range(n_step):
+            if s == 0:
+                n = rng.randn_shaped(tuple(x.shape)).astype(np.float32)
+                x = x + torch.from_numpy(n) * float(sigmas[0])
+                if m is not None:
+                    x = x_keep * m + x * (1.0 - m)
+            s1, s2 = float(sigmas[s]), float(sigmas[s + 1])
+            with torch.no_grad():
+                dx = den.dxdt(x, s1)
+            x0p = x - s1 * dx
+            ts = sigma_to_t(log_sigmas, s1) * 10.0
+            c_skip = 0.5 ** 2 / (ts * ts + 0.5 ** 2)
+            c_out = ts / math.sqrt(ts * ts + 0.5 ** 2)
+            c_in = 1.0 / math.sqrt(s1 * s1 + 1.0)
+            d = c_out * x0p + c_skip * (c_in * x)
+            if s2 > 0:
+                n = rng.randn_shaped(tuple(x.shape)).astype(np.float32)
+                x = d + torch.from_numpy(n) * s2
+            else:
+                x = d
+            if m is not None:
+                x = x_keep * m + x * (1.0 - m)
+            traj.append(x.numpy().copy())
+        return traj, sigmas
 
     if method == "dpmpp2m_sde":
         # Independent transcription of k-diffusion sampling.py
