@@ -69,7 +69,8 @@ STAGE_NAMES = ["idle", "cond_encode", "image_encode", "image_decode",
 METHOD_NAMES = ["none", "euler", "heun", "taylor3", "dpmpp2m",
                 "dpmpp2s", "dpmpp2m_sde", "lcm"]
 SCHED_NAMES = ["none", "uniform", "karras", "lcm"]
-MODEL_TYPE_NAMES = ["none", "sd1", "sd2", "sdxl", "sdxl_refiner"]
+MODEL_TYPE_NAMES = ["none", "sd1", "sd2", "sdxl", "sdxl_refiner", "sd3",
+                    "sd35_large"]
 
 # Tensor-use flags (include/mlimgsynth.h:277-283)
 TUF_IMAGE = 1
@@ -110,6 +111,7 @@ def _model_types():
         from .testing import tiny_model_types
         return tiny_model_types()
     from .models import clip as clip_mod
+    from .models import mmdit as mmdit_mod
     from .models import unet as unet_mod
     from .models import vae as vae_mod
     return {
@@ -126,6 +128,18 @@ def _model_types():
         "sdxl_refiner": ModelTypeDef(
             "sdxl_refiner", clip_mod.CLIP_VIT_BIGG_14, None,
             unet_mod.UNET_SDXL_REFINER, vae_mod.VAE_SDXL, 1024, 2),
+        # beyond-reference: SD3 family — MMDiT rectified-flow transformer,
+        # dual CLIP conditioning (L + bigG penultimate hidden concat, padded
+        # to the t5 width; pooled projections as the adaLN vector), optional
+        # T5-XXL context (--t5), 16-channel VAE
+        "sd3": ModelTypeDef("sd3", clip_mod.CLIP_VIT_L_14,
+                            clip_mod.CLIP_VIT_BIGG_14,
+                            mmdit_mod.MMDIT_SD3_MEDIUM, vae_mod.VAE_SD3,
+                            1024, 2),
+        "sd35_large": ModelTypeDef("sd35_large", clip_mod.CLIP_VIT_L_14,
+                                   clip_mod.CLIP_VIT_BIGG_14,
+                                   mmdit_mod.MMDIT_SD35_LARGE,
+                                   vae_mod.VAE_SD3, 1024, 2),
     }
 
 
@@ -883,12 +897,22 @@ class MLImgSynth:
                 jnp.zeros((1, P.n_token), jnp.int32))
         elif submodel == "unet":
             P = mt.unet_p
-            label = (jnp.zeros((1, P.ch_adm_in)) if P.ch_adm_in else None)
-            spec = B.trace_spec(
-                lambda ctx, x, t, c: unet_mod.unet_apply(
-                    ctx, x, t, c, label, P),
-                jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
-                jnp.zeros((1, 77, P.n_ctx)))
+            if getattr(P, "flow", False):
+                from .models import mmdit as mmdit_mod
+                spec = B.trace_spec(
+                    lambda ctx, x, t, c, y: mmdit_mod.mmdit_apply(
+                        ctx, x, t, c, y, P),
+                    jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
+                    jnp.zeros((1, 77, P.d_ctx_in)),
+                    jnp.zeros((1, P.d_pooled)))
+            else:
+                label = (jnp.zeros((1, P.ch_adm_in)) if P.ch_adm_in
+                         else None)
+                spec = B.trace_spec(
+                    lambda ctx, x, t, c: unet_mod.unet_apply(
+                        ctx, x, t, c, label, P),
+                    jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
+                    jnp.zeros((1, 77, P.n_ctx)))
         elif submodel == "vae":
             P = mt.vae_p
             spec = B.trace_spec(
@@ -966,6 +990,18 @@ class MLImgSynth:
         from .models import unet as unet_mod
         P = self._mt.unet_p
         zeros = {k: jnp.zeros(ps.shape, ps.dtype) for k, ps in spec.items()}
+        if getattr(P, "flow", False):
+            from .models import mmdit as mmdit_mod
+
+            def f(params, x, t, c, y):
+                return mmdit_mod.mmdit_apply(
+                    B.Ctx(params, dtype=self._dtype), x, t, c, y, P)
+            jaxpr = jax.make_jaxpr(f)(
+                zeros, jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
+                jnp.zeros((1, 77, P.d_ctx_in)), jnp.zeros((1, P.d_pooled)))
+            with open("dump-graph.txt", "w") as fo:
+                fo.write(str(jaxpr))
+            return
         label = jnp.zeros((1, P.ch_adm_in)) if P.ch_adm_in else None
 
         def f(params, x, t, c):
@@ -1072,7 +1108,9 @@ class MLImgSynth:
         score differs per row)."""
         mt = self._mt
         norm = mt.unet_p.clip_norm
-        single_label = mt.unet_p.cond_label and mt.clip2_p is None
+        flow = getattr(mt.unet_p, "flow", False)
+        single_label = mt.unet_p.cond_label and mt.clip2_p is None \
+            and not flow
         rows, wrows = [], []
         for pt in pts:
             toks, wts = self._prompt_tokens(pt)
@@ -1081,10 +1119,27 @@ class MLImgSynth:
         # for single-tower label models (SDXL-refiner) the SAME pass yields
         # the skip-layer embedding and the projected pooled feature
         cond, feat1 = self._clip_encode_rows(rows, wrows, "clip",
-                                             single_label, norm,
+                                             single_label or flow, norm,
                                              self.c["clip_skip"])
         label = None
-        if mt.unet_p.cond_label:
+        if flow:
+            # SD3 conditioning: both towers' skip-layer hiddens concat on
+            # the feature axis, zero-padded to the t5 width, then the T5
+            # context rows (zeros when no --t5 file is loaded — the same
+            # convention the public SD3 pipelines use); the adaLN "label"
+            # vector is the concat of the projected pooled features.
+            emb2, feat2 = self._clip_encode_rows(rows, wrows, "clip2",
+                                                 True, norm,
+                                                 self.c["clip_skip"])
+            d_ctx = mt.unet_p.d_ctx_in
+            clip_part = np.concatenate([cond, emb2], axis=-1)
+            pad = d_ctx - clip_part.shape[-1]
+            clip_part = np.pad(clip_part.astype(np.float32),
+                               ((0, 0), (0, 0), (0, pad)))
+            t5_part = self._t5_encode_rows(pts, d_ctx)
+            cond = np.concatenate([clip_part, t5_part], axis=1)
+            label = np.concatenate([feat1, feat2], axis=-1)
+        elif mt.unet_p.cond_label:
             from .models.blocks import timestep_embedding
             import jax.numpy as jnp
             h, w = self.c["height"], self.c["width"]
@@ -1120,6 +1175,27 @@ class MLImgSynth:
     def _text_cond_encode(self, pt: prompt_mod.PromptText):
         cond, label = self._text_cond_encode_rows([pt])
         return cond, label
+
+    def _t5_encode_rows(self, pts: List[prompt_mod.PromptText],
+                        d_ctx: int) -> np.ndarray:
+        """T5 context rows for flow (SD3) conditioning: the T5-XXL encoder
+        output when a ``--t5`` weights file is loaded, else zero rows of
+        the CLIP token length (the public SD3 pipelines' no-T5 mode)."""
+        n = len(pts)
+        if not self.c.get("t5"):
+            return np.zeros((n, self._mt.clip_p.n_token, d_ctx), np.float32)
+        import jax.numpy as jnp
+        from .models import t5 as t5_mod
+        params = self._get_params("t5")
+        texts = [pt.text for pt in pts]
+        toks = t5_mod.tokenize(texts, n_token=int(self.c.get("t5_tokens")
+                                                  or 77))
+        emb = _t5_jit(params, jnp.asarray(toks, jnp.int32),
+                      t5_p=self._t5_p, dtype=self._dtype)
+        emb = np.asarray(emb, np.float32)
+        if emb.shape[-1] < d_ctx:
+            emb = np.pad(emb, ((0, 0), (0, 0), (0, d_ctx - emb.shape[-1])))
+        return emb
 
     def _cond_token_rows(self, pts: List[prompt_mod.PromptText],
                          submodel: str = "clip", want_fidx: bool = False):
@@ -1334,8 +1410,9 @@ class MLImgSynth:
         # where the encode rides the first chunk's dispatch.  SDXL
         # additionally fuses the bigG tower, the feature head, and the
         # size-label concat.
+        flow = getattr(mt.unet_p, "flow", False)
         fuse_encode = (self.step_observer is None and self._mesh is None
-                       and not c["unet_split"]
+                       and not c["unet_split"] and not flow
                        and not (c["tuflags"] & TUF_CONDITIONING))
         encode_spec = None
         if fuse_encode:
@@ -1433,7 +1510,9 @@ class MLImgSynth:
             method=c["method"], sched=c["scheduler"], n_step=c["steps"],
             cfg_scale=c["cfg_scale"], s_ancestral=c["s_ancestral"],
             s_noise=c["s_noise"], f_t_ini=c["f_t_ini"], f_t_end=c["f_t_end"],
-            keep_tail=self._keep_tail, noise_add=self._noise_add)
+            keep_tail=self._keep_tail, noise_add=self._noise_add,
+            flow_shift=(getattr(mt.unet_p, "flow_shift", 0.0)
+                        if flow else 0.0))
         nfe_per_dxdt = 2 if c["cfg_scale"] > 1 else 1
         plan = make_plan(scfg, latent.shape, self.rng, nfe_per_dxdt)
         log.info(

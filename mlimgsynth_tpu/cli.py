@@ -18,7 +18,8 @@ import numpy as np
 
 HELP = """mlimgsynth-tpu v{version}
 Image synthesis using AI, TPU-native (JAX/XLA/Pallas).
-Currently Stable Diffusion 1, 2 and XL are implemented.
+Currently Stable Diffusion 1, 2, XL, XL-refiner and 3 (MMDiT) are
+implemented.
 
 Usage: mlimgsynth [COMMAND] [OPTIONS]
 

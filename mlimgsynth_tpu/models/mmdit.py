@@ -1,0 +1,266 @@
+"""MMDiT diffusion transformer (Stable Diffusion 3 family).
+
+Beyond-reference model family: the reference (aagdev/mlimgsynth) ends at
+SDXL UNets; this adds the SD3 rectified-flow MMDiT so the same session /
+sampler / serving stack drives transformer diffusion models.  Architecture
+follows the public SD3 paper ("Scaling Rectified Flow Transformers for
+High-Resolution Image Synthesis") and the sd3 single-file checkpoint layout
+(``model.diffusion_model.joint_blocks.N.{context_block,x_block}...``).
+
+TPU-first choices:
+* qkv stays FUSED as one ``[d, 3d]`` matmul per stream (the checkpoint ships
+  it fused; splitting would only shrink the MXU contraction), heads split via
+  a single reshape of the packed result;
+* joint attention (text tokens ++ latent patches in one sequence) runs
+  through :func:`~..ops.attention.attention`, so the Pallas flash kernels and
+  the mesh shard_map path apply unchanged;
+* adaLN modulation vectors are computed once per step in f32 and broadcast
+  into the bf16 stream;
+* patchify/unpatchify are a stride-2 conv (NHWC) and a reshape — no gathers.
+
+Param names mirror the checkpoint tails under the internal ``mmdit.`` prefix
+(see nameconv.normalize_name), so loading keys directly like the UNet does.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+from . import blocks as B
+
+
+@dataclass(frozen=True)
+class MmditParams:
+    """SD3-family MMDiT hyperparameters.
+
+    ``depth`` is the block count; width is ``64 * depth`` with ``depth``
+    heads of 64 (the SD3 scaling rule).  ``ch_adm_in`` / ``cond_label`` /
+    ``uncond_empty_zero`` / ``clip_norm`` / ``n_ch_in`` mirror the
+    UnetParams fields the session layer reads; ``flow=True`` marks the
+    rectified-flow parameterization for the sampler (velocity prediction,
+    sigma == t in [0,1], no c_in scaling)."""
+    depth: int = 24
+    d_model: int = 0            # 0 -> 64 * depth
+    n_head: int = 0             # 0 -> depth
+    patch: int = 2
+    n_ch_in: int = 16
+    n_ch_out: int = 16
+    d_ctx_in: int = 4096        # context token width (t5 width; clip padded)
+    d_pooled: int = 2048        # pooled conditioning width (clipL + clipG)
+    pos_embed_max: int = 192    # pos-embed grid side (192 for SD3-medium)
+    d_t_embed: int = 256
+    qk_norm: bool = False       # RMSNorm on per-head q/k (SD3.5)
+    # fields shared with UnetParams that the session/sampler read
+    n_ctx: int = 4096
+    ch_adm_in: int = 2048
+    cond_label: bool = True
+    uncond_empty_zero: bool = False
+    clip_norm: bool = False
+    vparam: bool = False
+    n_step_train: int = 1000
+    flow: bool = True
+    flow_shift: float = 3.0
+
+    @property
+    def width(self) -> int:
+        return self.d_model or 64 * self.depth
+
+    @property
+    def heads(self) -> int:
+        return self.n_head or self.depth
+
+
+MMDIT_SD3_MEDIUM = MmditParams(depth=24)
+# SD3.5-medium's MMDiT-X differs (dual attention in early blocks); the plain
+# MMDiT variants below cover SD3-medium and the SD3.5-large geometry.
+MMDIT_SD35_LARGE = MmditParams(depth=38, qk_norm=True)
+
+
+def _modulate(x, shift, scale):
+    """adaLN modulation; shift/scale are [N, d] f32, x is [N, S, d]."""
+    dt = x.dtype
+    return x * (1.0 + scale[:, None, :]).astype(dt) + shift[:, None, :].astype(dt)
+
+
+def _rms_norm(x, w, eps: float = 1e-6):
+    """RMSNorm over the last axis in f32 (SD3.5 per-head qk norm)."""
+    xf = x.astype(jnp.float32)
+    n = xf * jnp.reciprocal(jnp.sqrt(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) + eps))
+    return (n * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def _qkv(ctx: B.Ctx, pre: str, x, P: MmditParams):
+    """Fused qkv projection -> ([N,H,S,D], [N,H,S,D], [N,H,S,D]).
+
+    One [d, 3d] matmul (checkpoint-native packing, full-width MXU
+    contraction; B.linear also gives the int8 weight-only path); heads
+    split by reshape of the packed [N,S,3,H,D] result."""
+    d = P.width
+    h = P.heads
+    dh = d // h
+    y = B.linear(ctx, pre + ".qkv", x, 3 * d)
+    n, s = y.shape[0], y.shape[1]
+    y = y.reshape(n, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = y[0], y[1], y[2]
+    if P.qk_norm:
+        q = _rms_norm(q, ctx.param(pre + ".ln_q.weight", (dh,), B.VEC,
+                                   jnp.float32))
+        k = _rms_norm(k, ctx.param(pre + ".ln_k.weight", (dh,), B.VEC,
+                                   jnp.float32))
+    return q, k, v
+
+
+def _attn_out(ctx: B.Ctx, pre: str, o, P: MmditParams):
+    """[N,H,S,D] attention output -> [N,S,d] through the proj linear."""
+    n, h, s, dh = o.shape
+    if not ctx.record and (pre + ".proj.weight_q8") in ctx.params:
+        # int8 weight-only path (the reshape feeds B.linear's q8 branch)
+        o2 = o.transpose(0, 2, 1, 3).reshape(n, s, P.width)
+        return B.linear(ctx, pre + ".proj", o2, P.width)
+    w = ctx.param(pre + ".proj.weight", (P.width, P.width), B.LINEAR_W)
+    b = ctx.param(pre + ".proj.bias", (P.width,), B.VEC)
+    out = jnp.einsum("nhsd,hdk->nsk", o,
+                     w.reshape(h, dh, P.width).astype(o.dtype))
+    return out + b.astype(out.dtype)
+
+
+def _mlp(ctx: B.Ctx, pre: str, x, P: MmditParams):
+    x = B.linear(ctx, pre + ".fc1", x, P.width * 4)
+    x = B.gelu_tanh(x)
+    return B.linear(ctx, pre + ".fc2", x, P.width)
+
+
+def _block_mod(ctx: B.Ctx, pre: str, c, n_chunks: int, P: MmditParams):
+    """adaLN modulation vectors: SiLU(c) -> linear -> n_chunks [N,d] f32."""
+    y = B.linear(ctx, pre + ".adaLN_modulation.1", B.silu(c),
+                 n_chunks * P.width)
+    y = y.astype(jnp.float32)
+    return [y[:, i * P.width:(i + 1) * P.width] for i in range(n_chunks)]
+
+
+def joint_block(ctx: B.Ctx, pre: str, cx, x, c, P: MmditParams,
+                ctx_pre_only: bool):
+    """One MMDiT joint block.
+
+    ``cx`` [N,Sc,d] context stream, ``x`` [N,Sx,d] latent stream, ``c``
+    [N,d] conditioning vector.  Both streams project q/k/v, attention runs
+    over the CONCATENATED sequence, outputs split back per stream.  The
+    final block's context side is ``pre_only``: it feeds attention but has
+    no output projection or MLP (its stream ends here)."""
+    cpre = pre + ".context_block"
+    xpre = pre + ".x_block"
+    if ctx_pre_only:
+        cmod = _block_mod(ctx, cpre, c, 2, P)
+        c_shift, c_scale = cmod
+        c_gate = c_gate2 = c_shift2 = c_scale2 = None
+    else:
+        (c_shift, c_scale, c_gate,
+         c_shift2, c_scale2, c_gate2) = _block_mod(ctx, cpre, c, 6, P)
+    (x_shift, x_scale, x_gate,
+     x_shift2, x_scale2, x_gate2) = _block_mod(ctx, xpre, c, 6, P)
+
+    cn = B.layer_norm(ctx, cpre + ".norm1", cx, eps=1e-6, affine=False)
+    cn = _modulate(cn, c_shift, c_scale)
+    cq, ck, cv = _qkv(ctx, cpre + ".attn", cn, P)
+
+    xn = B.layer_norm(ctx, xpre + ".norm1", x, eps=1e-6, affine=False)
+    xn = _modulate(xn, x_shift, x_scale)
+    xq, xk, xv = _qkv(ctx, xpre + ".attn", xn, P)
+
+    sc = cx.shape[1]
+    q = jnp.concatenate([cq, xq], axis=2)
+    k = jnp.concatenate([ck, xk], axis=2)
+    v = jnp.concatenate([cv, xv], axis=2)
+    o = attention(q, k, v)          # scale 1/sqrt(d_head)
+
+    xo = _attn_out(ctx, xpre + ".attn", o[:, :, sc:], P)
+    x = x + (x_gate[:, None, :]).astype(x.dtype) * xo
+    xn = B.layer_norm(ctx, xpre + ".norm2", x, eps=1e-6, affine=False)
+    xn = _modulate(xn, x_shift2, x_scale2)
+    x = x + (x_gate2[:, None, :]).astype(x.dtype) * _mlp(ctx, xpre + ".mlp",
+                                                         xn, P)
+
+    if ctx_pre_only:
+        return None, x
+    co = _attn_out(ctx, cpre + ".attn", o[:, :, :sc], P)
+    cx = cx + (c_gate[:, None, :]).astype(cx.dtype) * co
+    cn = B.layer_norm(ctx, cpre + ".norm2", cx, eps=1e-6, affine=False)
+    cn = _modulate(cn, c_shift2, c_scale2)
+    cx = cx + (c_gate2[:, None, :]).astype(cx.dtype) * _mlp(
+        ctx, cpre + ".mlp", cn, P)
+    return cx, x
+
+
+def _pos_embed_crop(ctx: B.Ctx, pre: str, hp: int, wp: int, P: MmditParams):
+    """Center-crop the learned pos-embed grid to the [hp, wp] patch grid
+    (the sd3 convention: the table covers pos_embed_max^2 positions)."""
+    g = P.pos_embed_max
+    pe = ctx.param(pre + ".pos_embed", (1, g * g, P.width), B.MAT)
+    pe = pe.reshape(g, g, P.width)
+    top = (g - hp) // 2
+    left = (g - wp) // 2
+    pe = jnp.asarray(pe)[top:top + hp, left:left + wp]
+    return pe.reshape(1, hp * wp, P.width)
+
+
+def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
+                pre: str = "mmdit"):
+    """MMDiT forward.  x: [N,H,W,16] NHWC latent, t: [N] timesteps (0..1000
+    scale), cond: [N,S,d_ctx_in] context tokens, pooled: [N,d_pooled].
+    Returns [N,H,W,n_ch_out] (the velocity field for rectified flow)."""
+    dtype = ctx.dtype
+    n, h, w, _ = x.shape
+    p = P.patch
+    hp, wp = h // p, w // p
+    x = x.astype(dtype)
+    cond = cond.astype(dtype)
+
+    # patchify: stride-p conv == linear on p x p patches
+    xe = B.conv2d(ctx, pre + ".x_embedder.proj", x, P.width, kernel=p,
+                  stride=p, pad=0)
+    xe = xe.reshape(n, hp * wp, P.width)
+    xe = xe + _pos_embed_crop(ctx, pre, hp, wp, P).astype(dtype)
+
+    te = B.timestep_embedding(t, P.d_t_embed).astype(dtype)
+    te = B.linear(ctx, pre + ".t_embedder.mlp.0", te, P.width)
+    te = B.linear(ctx, pre + ".t_embedder.mlp.2", B.silu(te), P.width)
+    ye = B.linear(ctx, pre + ".y_embedder.mlp.0", pooled.astype(dtype),
+                  P.width)
+    ye = B.linear(ctx, pre + ".y_embedder.mlp.2", B.silu(ye), P.width)
+    c = (te + ye).astype(jnp.float32)
+
+    cx = B.linear(ctx, pre + ".context_embedder", cond, P.width)
+
+    for i in range(P.depth):
+        cx, xe = joint_block(ctx, f"{pre}.joint_blocks.{i}", cx, xe, c, P,
+                             ctx_pre_only=(i == P.depth - 1))
+
+    fpre = pre + ".final_layer"
+    shift, scale = _block_mod(ctx, fpre, c, 2, P)
+    xe = B.layer_norm(ctx, fpre + ".norm_final", xe, eps=1e-6, affine=False)
+    xe = _modulate(xe, shift, scale)
+    xe = B.linear(ctx, fpre + ".linear", xe, p * p * P.n_ch_out)
+
+    # unpatchify [N, hp*wp, p*p*C] -> [N, H, W, C]
+    xe = xe.reshape(n, hp, wp, p, p, P.n_ch_out)
+    xe = xe.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp * p, wp * p,
+                                                P.n_ch_out)
+    return xe
+
+
+def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: MmditParams,
+            pre: str = "mmdit", control=None, extra_ch=None):
+    """Rectified-flow wrapper matching the UNet ``denoise`` signature used
+    by the sampler body: x_t = (1-sigma) x0 + sigma noise, the model
+    predicts the velocity v = noise - x0 = dx/dsigma, so the output IS the
+    solver derivative — no c_in/c_skip scalings (``t`` is already
+    sigma * n_step_train, computed by the sampler for flow models)."""
+    assert control is None and extra_ch is None, \
+        "control/extra channels are not supported for MMDiT models"
+    t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
+    out = mmdit_apply(ctx, x.astype(ctx.dtype), t, cond, label, P, pre=pre)
+    return out.astype(jnp.float32)

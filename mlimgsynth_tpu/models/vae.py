@@ -29,10 +29,18 @@ class VaeParams:
     d_embed: int = 4
     f_down: int = 8
     scale_factor: float = 0.18215
+    # latent shift (z_model = (z - shift) * scale; SD3's VAE uses 0.0609)
+    shift_factor: float = 0.0
+    # SD1/SDXL VAEs wrap the moments/latent in 1x1 quant/post_quant convs;
+    # the SD3 16-channel VAE drops both
+    quant_conv: bool = True
 
 
 VAE_SD1 = VaeParams(scale_factor=0.18215)
 VAE_SDXL = VaeParams(scale_factor=0.13025)
+# SD3 family: 16-channel latent, shift factor, no quant convs
+VAE_SD3 = VaeParams(ch_z=16, d_embed=16, scale_factor=1.5305,
+                    shift_factor=0.0609, quant_conv=False)
 
 
 def attn_2d_self(ctx: B.Ctx, pre: str, x):
@@ -96,7 +104,8 @@ def vae_encode_apply(ctx: B.Ctx, img, P: VaeParams, pre: str = "vae"):
     (ref: mlb_sdvae_encoder, src/vae.c:120-128)."""
     x = img.astype(ctx.dtype)
     x = kl_encoder(ctx, pre + ".encoder", x, P.ch_z * 2, P)
-    x = B.conv2d(ctx, pre + ".quant_conv", x, P.ch_z * 2, 1, 1, pad=0)
+    if P.quant_conv:
+        x = B.conv2d(ctx, pre + ".quant_conv", x, P.ch_z * 2, 1, 1, pad=0)
     return x
 
 
@@ -104,19 +113,25 @@ def vae_decode_apply(ctx: B.Ctx, latent, P: VaeParams, pre: str = "vae"):
     """latent [N,h,w,4] (scaled) -> img [N,8h,8w,3] in [-1,1]
     (ref: mlb_sdvae_decoder, src/vae.c:171-180)."""
     x = latent.astype(ctx.dtype) * (1.0 / P.scale_factor)
-    x = B.conv2d(ctx, pre + ".post_quant_conv", x, P.d_embed, 1, 1, pad=0)
+    if P.shift_factor:
+        x = x + jnp.float32(P.shift_factor).astype(x.dtype)
+    if P.quant_conv:
+        x = B.conv2d(ctx, pre + ".post_quant_conv", x, P.d_embed, 1, 1,
+                     pad=0)
     x = kl_decoder(ctx, pre + ".decoder", x, P.ch_x, P)
     return x
 
 
 def latent_mean(moments, P: VaeParams):
-    """moments [N,h,w,8] -> mean latent * scale (ref: sdvae_latent_mean)."""
-    return moments[..., :P.ch_z] * P.scale_factor
+    """moments [N,h,w,2z] -> (mean - shift) * scale
+    (ref: sdvae_latent_mean; shift is 0 for the SD families)."""
+    return (moments[..., :P.ch_z] - P.shift_factor) * P.scale_factor
 
 
 def latent_sample(moments, rand, P: VaeParams):
-    """Sample mean + std*rand, *scale (ref: sdvae_latent_sample,
+    """Sample ((mean + std*rand) - shift) * scale (ref: sdvae_latent_sample,
     src/vae.c:197-220).  ``rand`` is standard normal of latent shape."""
     mean = moments[..., :P.ch_z]
     logvar = jnp.clip(moments[..., P.ch_z:], -30.0, 20.0)
-    return (mean + jnp.exp(logvar * 0.5) * rand) * P.scale_factor
+    z = mean + jnp.exp(logvar * 0.5) * rand
+    return (z - P.shift_factor) * P.scale_factor

@@ -23,6 +23,14 @@ class QKV:
     name: str  # normalized prefix ending in 'attn.', plus 'in_proj_weight'/'bias'
 
 
+@dataclass(frozen=True)
+class TProj:
+    """Marker for HF-layout ``text_projection.weight`` tensors: stored as a
+    Linear [out,in] weight, while the internal ``text_proj`` param is the
+    OpenCLIP-convention plain matrix — the loader transposes."""
+    name: str
+
+
 _SEPS = "._/"
 
 
@@ -98,6 +106,10 @@ def _clip_compvis(m: _M):
         return None
     if m.rep("final_layer_norm.", "ln_final."):
         return m.done()
+    if m.rep("text_projection.weight", "text_proj"):
+        # HF CLIPTextModelWithProjection stores the projection as a Linear
+        # weight ([out,in]); internal text_proj is the plain matrix
+        return TProj(m.done())
     if m.rep("text_projection", "text_proj"):
         return m.done()
     return None
@@ -339,9 +351,38 @@ def normalize_name(name: str):
         return _clip_diffusers(m)
     if m.rep("first_stage_model.", "vae."):
         return _vae(m)
+    # SD3 family: the single-file layout bundles the text encoders under
+    # ``text_encoders.`` (HF transformers layout incl. a Linear-stored
+    # text_projection) and the MMDiT under ``model.diffusion_model.``
+    # whose tails map verbatim to the internal ``mmdit.`` scheme.
+    if m.rep("text_encoders.clip_l.", "clip."):
+        return _clip_compvis(m)
+    if m.rep("text_encoders.clip_g.", "clip2."):
+        return _clip_compvis(m)
+    if m.match("text_encoders.t5xxl."):
+        return _t5(name)
+    if m.match("model.diffusion_model.joint_blocks.") or \
+       m.match("model.diffusion_model.x_embedder.") or \
+       m.match("model.diffusion_model.t_embedder.") or \
+       m.match("model.diffusion_model.y_embedder.") or \
+       m.match("model.diffusion_model.context_embedder") or \
+       m.match("model.diffusion_model.final_layer.") or \
+       m.match("model.diffusion_model.pos_embed"):
+        m.rep("model.diffusion_model.", "mmdit.")
+        return m.done()
     if m.rep("model.diffusion_model.", "unet.") or m.push("unet."):
         return _unet(m)
     return None
+
+
+def _t5(name: str):
+    """T5-XXL tensors (``text_encoders.t5xxl.transformer.*``): map the HF
+    T5EncoderModel layout verbatim under the internal ``t5.`` prefix (the
+    T5 module keys params by the HF names — see models/t5.py)."""
+    tail = name.split("t5xxl", 1)[1].lstrip("._/")
+    if tail.startswith("transformer."):
+        tail = tail[len("transformer."):]
+    return "t5." + tail
 
 
 _UNET_BLOCK_INV = [

@@ -57,6 +57,10 @@ class SamplerConfig:
     # in the stream are unchanged).
     keep_tail: bool = False
     noise_add: bool = True
+    # Rectified-flow models (SD3/MMDiT): when > 0, schedules are built on
+    # the flow sigma table with this resolution shift (sigma == t in [0,1],
+    # velocity prediction — see models/mmdit.py).  0 = SD beta-linear.
+    flow_shift: float = 0.0
 
 
 @dataclass
@@ -73,6 +77,9 @@ class SamplingPlan:
     noise0: np.ndarray
     churn_noise: np.ndarray
     anc_noise: np.ndarray
+    # sigma<->t table the schedule was built on (flow models use their own);
+    # None = the SD beta-linear default
+    log_sigmas: Optional[np.ndarray] = None
 
 
 def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
@@ -90,8 +97,14 @@ def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
         # the lcm method implies the distillation's timestep grid unless a
         # schedule was chosen explicitly (diffusers bundles them)
         sched = sch.SCHED_LCM
+    ls = None
+    if cfg.flow_shift:
+        if solver.name == "lcm":
+            raise ValueError("lcm sampling is not defined for "
+                             "rectified-flow models")
+        ls = sch.log_sigmas_flow(cfg.flow_shift)
     s = sch.make_schedule(cfg.n_step, sched, solver.n_fe, nfe_per_dxdt,
-                          cfg.f_t_ini, cfg.f_t_end)
+                          cfg.f_t_ini, cfg.f_t_end, log_sigmas=ls)
     # SDE methods: s_ancestral doubles as eta (default 1), s_noise as the
     # k-diffusion noise multiplier; see plan_step_noise
     sde_eta = 0.0
@@ -139,7 +152,7 @@ def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
         sigmas=s.sigmas, n_step=n_step, nfe_per_step=s.nfe_per_step,
         s_hat=plan.s_hat, churn_sigma=plan.churn_sigma, s_down=plan.s_down,
         s_up=plan.s_up, t_next=plan.t_next, noise0=noise0,
-        churn_noise=churn, anc_noise=anc)
+        churn_noise=churn, anc_noise=anc, log_sigmas=ls)
 
 
 def jnp_sigma_to_t(log_sigmas, sigma):
@@ -177,16 +190,29 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
     if len(consts) > 13 and consts[13] is not None:
         extra_ch = consts[13]
 
+    # Rectified-flow models (MMDiT): sigma IS the flow time in [0,1]; the
+    # model timestep is sigma * n_step_train (no table lookup) and the
+    # velocity output is dx/dsigma directly (models/mmdit.py denoise).
+    flow = bool(getattr(unet_p, "flow", False))
+    if flow:
+        from ..models import mmdit as mmdit_mod
+        den = mmdit_mod.denoise
+    else:
+        den = unet_mod.denoise
+
     def dxdt(xv, sigma):
         n = xv.shape[0]
-        t = jnp_sigma_to_t(log_sigmas, sigma)
+        if flow:
+            t = sigma * unet_p.n_step_train
+        else:
+            t = jnp_sigma_to_t(log_sigmas, sigma)
         if use_cfg:
             xb = jnp.concatenate([xv, xv], axis=0)
-            d = unet_mod.denoise(ctx, xb, sigma, t, cond_all, label_all,
-                                 unet_p, control=control, extra_ch=extra_ch)
+            d = den(ctx, xb, sigma, t, cond_all, label_all,
+                    unet_p, control=control, extra_ch=extra_ch)
             return d[:n] * cfg_scale + d[n:] * (1.0 - cfg_scale)
-        return unet_mod.denoise(ctx, xv, sigma, t, cond_all, label_all,
-                                unet_p, control=control, extra_ch=extra_ch)
+        return den(ctx, xv, sigma, t, cond_all, label_all,
+                   unet_p, control=control, extra_ch=extra_ch)
 
     if method == "lcm":
         # Latent-consistency sampling (diffusers LCMScheduler semantics):
@@ -293,9 +319,9 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
                      "clip2_p"))
 def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
-              decode_params=None, encode=None, *, method, unet_p, use_cfg,
-              use_mask, dtype, decode_kind=None, vae_p=None, clip_p=None,
-              clip_skip=0, norm=True, clip2_p=None):
+              decode_params=None, encode=None, xscale0=None, *, method,
+              unet_p, use_cfg, use_mask, dtype, decode_kind=None, vae_p=None,
+              clip_p=None, clip_skip=0, norm=True, clip2_p=None):
     cond_out = lab_out = None
     if encode is not None:
         consts, cond_out, lab_out = _fused_encode(
@@ -304,6 +330,10 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
                               use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
     lmask, x0_keep = consts[2], consts[3]
     x = x.astype(jnp.float32)
+    # flow models interpolate toward noise (x_t = (1-sigma) x0 + sigma n,
+    # xscale0 = 1-sigma0) instead of the variance-exploding x0 + sigma n
+    if xscale0 is not None:
+        x = x * xscale0
     x = x + noise0 * sigmas0
     if use_mask:
         x = _mask_apply(x, x0_keep, lmask)
@@ -395,8 +425,12 @@ def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
 
 @functools.partial(
     jax.jit, static_argnames=("method", "use_mask"))
-def _init_jit(x, noise0, sigmas0, lmask, x0_keep, *, method, use_mask):
-    x = x.astype(jnp.float32) + noise0 * sigmas0
+def _init_jit(x, noise0, sigmas0, lmask, x0_keep, xscale0=None, *, method,
+              use_mask):
+    x = x.astype(jnp.float32)
+    if xscale0 is not None:
+        x = x * xscale0
+    x = x + noise0 * sigmas0
     if use_mask:
         x = _mask_apply(x, x0_keep, lmask)
     state = get_solver(method).init_state(x)
@@ -535,7 +569,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         anc = put(anc, batch_axis=1)
 
     consts = (cond_all, label_all, lmask_d, x0_keep,
-              jnp.asarray(sch.get_log_sigmas()),
+              jnp.asarray(plan.log_sigmas if plan.log_sigmas is not None
+                          else sch.get_log_sigmas()),
               f32(plan.s_hat), f32(plan.churn_sigma), f32(plan.s_down),
               f32(plan.s_up), f32(plan.t_next), jnp.float32(cfg.cfg_scale))
     if control is not None or extra_channels is not None:
@@ -553,6 +588,10 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         consts = consts + (hint_d, strength_d, extra_d)
 
     sigmas0 = jnp.float32(plan.sigmas[0])
+    # flow models: the input latent is interpolated toward the noise
+    # (x = (1-sigma0) x0 + sigma0 n); None keeps the VE path's jaxpr
+    xscale0 = (jnp.float32(1.0 - float(plan.sigmas[0]))
+               if getattr(unet_p, "flow", False) and cfg.noise_add else None)
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
               use_mask=use_mask, dtype=dtype)
     kw_loop = dict(kw)
@@ -579,6 +618,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             try:
                 ma = _loop_jit.lower(params, x, consts, noise0, churn, anc,
                                      sigmas0, decode_params, enc_args,
+                                     xscale0,
                                      **kw_loop).compile().memory_analysis()
                 LAST_MEMORY_ANALYSIS = {
                     "argument_bytes": ma.argument_size_in_bytes,
@@ -591,7 +631,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             except Exception:  # analysis is informational, never fatal
                 LAST_MEMORY_ANALYSIS = None
         out = _loop_jit(params, x, consts, noise0, churn, anc, sigmas0,
-                        decode_params, enc_args, **kw_loop)
+                        decode_params, enc_args, xscale0, **kw_loop)
         if decode is not None or encode is not None:
             parts = out if isinstance(out, tuple) else (out,)
             xl = parts[0]
@@ -612,7 +652,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             return tuple(res) if len(res) > 1 else res[0]
         x = out
     else:
-        carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep,
+        carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep, xscale0,
                           method=method, use_mask=use_mask)
         chunk = max(1, int(chunk_size if chunk_size is not None else
                            os.environ.get("MLIS_PROGRESS_CHUNK", "1")))

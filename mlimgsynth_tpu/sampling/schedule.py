@@ -27,6 +27,19 @@ def log_sigmas_sd(n: int = N_STEP_TRAIN, linear_start: float = 0.00085,
     return np.log(sigmas).astype(np.float32)
 
 
+def log_sigmas_flow(shift: float = 3.0, n: int = N_STEP_TRAIN) -> np.ndarray:
+    """Rectified-flow (SD3) log-sigma table with the resolution shift.
+
+    Table index t maps to u = (t+1)/n so index n-1 is sigma == 1.0 (pure
+    noise) and index 0 is sigma == shift/(n + shift - 1) — the same grid the
+    flow-matching schedulers use (timesteps 1..n with sigma = t/n, shifted
+    sigma' = shift*sigma / (1 + (shift-1)*sigma)).  The flow model timestep
+    is sigma * n (see sampler._make_body), NOT the table index."""
+    u = (np.arange(n, dtype=np.float64) + 1.0) / n
+    s = shift * u / (1.0 + (shift - 1.0) * u)
+    return np.log(s).astype(np.float32)
+
+
 _LOG_SIGMAS = None
 
 

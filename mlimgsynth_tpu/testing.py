@@ -77,7 +77,7 @@ def write_tiny_checkpoint(path, seed=0, dtype=np.float32):
 
 def tiny_model_types():
     return {"sd1": TINY_MODEL_TYPE, "sd2": TINY_MODEL_TYPE_SD2,
-            "sdxl": TINY_MODEL_TYPE_XL}
+            "sdxl": TINY_MODEL_TYPE_XL, "sd3": TINY_MODEL_TYPE_SD3}
 
 
 # ---------------------------------------------------------------------------
@@ -374,5 +374,89 @@ def write_checkpoint_refiner(path, seed=0):
         spec, "clip.", seed=seed, root="conditioner.embedders.0.model.")
     rest = {k: v for k, v in spec.items() if not k.startswith("clip.")}
     arrays.update(spec_to_checkpoint_arrays(rest, seed=seed + 1))
+    save_file(arrays, str(path))
+    return arrays
+
+
+# ---------------------------------------------------------------------------
+# SD3-like tiny (MMDiT rectified flow, dual HF-layout towers, 4-ch flow VAE)
+# ---------------------------------------------------------------------------
+
+def _tiny_mmdit():
+    from mlimgsynth_tpu.models import mmdit as mmdit_mod
+    return mmdit_mod.MmditParams(
+        depth=2, d_model=32, n_head=2, patch=2, n_ch_in=4, n_ch_out=4,
+        d_ctx_in=80, d_pooled=64, pos_embed_max=8, d_t_embed=16,
+        n_ctx=80, ch_adm_in=64)
+
+
+TINY_MMDIT = _tiny_mmdit()
+TINY_VAE_SD3 = vae_mod.VaeParams(ch=32, ch_mult=(1, 1, 2, 2),
+                                 scale_factor=1.5305, shift_factor=0.0609,
+                                 quant_conv=False)
+TINY_MODEL_TYPE_SD3 = ModelTypeDef("sd3", TINY_CLIP, TINY_CLIP2, TINY_MMDIT,
+                                   TINY_VAE_SD3, 64, 2)
+
+
+def _sd3_ckpt_name(internal: str):
+    """Internal name -> sd3 single-file checkpoint name (the layout
+    normalize_name's SD3 rules consume).  text_proj returns a marker tuple
+    ('tproj', name) — the caller writes the TRANSPOSED Linear weight."""
+    if internal.startswith("mmdit."):
+        return "model.diffusion_model." + internal[len("mmdit."):]
+    if internal.startswith("clip.text.") or internal.startswith("clip2.text."):
+        tower = "clip_l" if internal.startswith("clip.") else "clip_g"
+        t = "text_model." + internal.split(".text.", 1)[1]
+        t = t.replace("embed.position.", "embeddings.position_embedding.")
+        t = t.replace("embed.token.", "embeddings.token_embedding.")
+        t = t.replace(".norm1.", ".layer_norm1.")
+        t = t.replace(".norm2.", ".layer_norm2.")
+        t = t.replace(".attn.", ".self_attn.")
+        t = t.replace("text_model.ln_final.", "text_model.final_layer_norm.")
+        pre = f"text_encoders.{tower}.transformer."
+        if t == "text_model.text_proj":
+            return ("tproj", pre + "text_model.text_projection.weight")
+        return pre + t
+    cv = nameconv.internal_to_compvis(internal)
+    return cv  # vae.*
+
+
+def write_checkpoint_sd3(path, seed=0):
+    """Tiny SD3-like single-file checkpoint: MMDiT + dual HF-layout text
+    towers (incl. Linear-stored text_projection) + 4-channel flow VAE
+    (shift factor, no quant convs)."""
+    from safetensors.numpy import save_file
+    from mlimgsynth_tpu.models import mmdit as mmdit_mod
+    P = TINY_MMDIT
+    spec = {}
+    spec.update(B.trace_spec(
+        lambda ctx, toks: clip_mod.clip_text_apply(
+            ctx, toks, TINY_CLIP, feat_tok_idx=jnp.zeros((1,), jnp.int32)),
+        jnp.zeros((1, 77), jnp.int32)))
+    spec.update(B.trace_spec(
+        lambda ctx, toks: clip_mod.clip_text_apply(
+            ctx, toks, TINY_CLIP2, feat_tok_idx=jnp.zeros((1,), jnp.int32),
+            pre="clip2"),
+        jnp.zeros((1, 77), jnp.int32)))
+    spec.update(B.trace_spec(
+        lambda ctx, x, t, c, y: mmdit_mod.mmdit_apply(ctx, x, t, c, y, P),
+        jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
+        jnp.zeros((1, 10, P.d_ctx_in)), jnp.zeros((1, P.d_pooled))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_encode_apply(ctx, x, TINY_VAE_SD3),
+        jnp.zeros((1, 64, 64, 3))))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_decode_apply(ctx, x, TINY_VAE_SD3),
+        jnp.zeros((1, 8, 8, 4))))
+    rng = np.random.default_rng(seed)
+    arrays = {}
+    for name, ps in spec.items():
+        ck = _sd3_ckpt_name(name)
+        assert ck is not None, f"no sd3 checkpoint name for {name}"
+        arr = _random_for_spec(rng, ps, 0.05)
+        if isinstance(ck, tuple):       # HF Linear-stored text_projection
+            ck = ck[1]
+            arr = np.ascontiguousarray(arr.T)
+        arrays[ck] = arr
     save_file(arrays, str(path))
     return arrays

@@ -24,7 +24,7 @@ import ml_dtypes
 
 from .io.tensorstore import TensorStore
 from .models.blocks import CONV_W, LINEAR_W, ParamSpec
-from .nameconv import QKV, normalize_lora_name, normalize_name
+from .nameconv import QKV, TProj, normalize_lora_name, normalize_name
 
 BF16 = ml_dtypes.bfloat16
 
@@ -33,6 +33,7 @@ BF16 = ml_dtypes.bfloat16
 class NameRef:
     raw: str              # raw checkpoint tensor name
     split: Optional[int] = None  # 0/1/2 = q/k/v third of a fused tensor
+    transpose: bool = False      # HF Linear-stored text_projection.weight
 
 
 def build_name_map(store: TensorStore) -> Dict[str, NameRef]:
@@ -50,6 +51,8 @@ def build_name_map(store: TensorStore) -> Dict[str, NameRef]:
                 stem, suffix = base[:-len("in_proj_bias")], "bias"
             for i, which in enumerate(("q_proj", "k_proj", "v_proj")):
                 out[f"{stem}{which}.{suffix}"] = NameRef(raw, split=i)
+        elif isinstance(r, TProj):
+            out[r.name] = NameRef(raw, transpose=True)
         else:
             out[r] = NameRef(raw)
     return out
@@ -71,6 +74,12 @@ def identify_model(store: TensorStore, name_map: Dict[str, NameRef],
             continue
         e = store.tensors[ref.raw]
         return width_table.get(int(e.shape[-1])), e.dtype
+    # SD3 family: MMDiT joint blocks; model width distinguishes the variants
+    ref = name_map.get("mmdit.joint_blocks.0.x_block.attn.qkv.weight")
+    if ref is not None:
+        e = store.tensors[ref.raw]
+        mm_table = {2432: "sd35_large"}
+        return mm_table.get(int(e.shape[-1]), "sd3"), e.dtype
     return None, None
 
 
@@ -80,6 +89,8 @@ def read_entry(store: TensorStore, ref: NameRef) -> np.ndarray:
     if ref.split is not None:
         d = x.shape[0] // 3
         x = x[ref.split * d:(ref.split + 1) * d]
+    if ref.transpose:
+        x = np.ascontiguousarray(x.T)
     return x
 
 

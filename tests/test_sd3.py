@@ -1,0 +1,154 @@
+"""SD3 (MMDiT rectified-flow) family: schedule, sampler wiring, session e2e.
+
+The MMDiT forward itself is parity-tested against torch in test_mmdit.py;
+here the tiny sd3 checkpoint exercises the single-file SD3 layout
+(text_encoders.clip_l/clip_g HF towers with Linear-stored text_projection,
+model.diffusion_model MMDiT tails, 4-ch flow VAE without quant convs),
+model identification, the flow schedule math, and the sampler's flow mode
+(x interpolated toward noise, t = sigma * 1000, velocity Euler steps)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlimgsynth_tpu.api import MLImgSynth
+from mlimgsynth_tpu.models import blocks as B
+from mlimgsynth_tpu.models import mmdit as mmdit_mod
+from mlimgsynth_tpu.sampling import schedule as sch
+from mlimgsynth_tpu.sampling.sampler import (SamplerConfig, make_plan,
+                                             run_sampler)
+from mlimgsynth_tpu.rng import RngPhilox
+from mlimgsynth_tpu.testing import (TINY_MMDIT, TINY_MODEL_TYPE_SD3,
+                                    write_checkpoint_sd3)
+from helpers import patch_tiny_model_types
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny-sd3.safetensors"
+    write_checkpoint_sd3(path)
+    return str(path)
+
+
+@pytest.fixture
+def session(ckpt, monkeypatch):
+    patch_tiny_model_types(monkeypatch, {"sd3": TINY_MODEL_TYPE_SD3})
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", ckpt)
+    s.option_set("image-dim", 64, 64)
+    s.option_set("steps", 3)
+    s.option_set("seed", 42)
+    return s
+
+
+def test_flow_schedule_closed_form():
+    """Uniform flow schedule matches the analytic shifted sigmas."""
+    shift = 3.0
+    ls = sch.log_sigmas_flow(shift)
+    s = sch.make_schedule(5, sch.SCHED_UNIFORM, log_sigmas=ls)
+    assert s.sigmas[-1] == 0.0
+    ts = np.linspace(999.0, 0.0, 5)
+    u = (ts + 1.0) / 1000.0
+    want = shift * u / (1.0 + (shift - 1.0) * u)
+    np.testing.assert_allclose(s.sigmas[:5], want, rtol=3e-5)
+    assert abs(s.sigmas[0] - 1.0) < 1e-6  # starts at pure noise
+    assert np.all(np.diff(s.sigmas) < 0)
+
+
+def test_flow_plan_t_is_sigma():
+    """For flow models the model timestep is sigma * n_step_train."""
+    cfg = SamplerConfig(method="euler", n_step=4, cfg_scale=1.0,
+                        flow_shift=3.0)
+    plan = make_plan(cfg, (1, 4, 8, 8), RngPhilox(1))
+    assert plan.log_sigmas is not None
+    # lcm has no flow definition
+    with pytest.raises(ValueError):
+        make_plan(SamplerConfig(method="lcm", n_step=4, flow_shift=3.0),
+                  (1, 4, 8, 8), RngPhilox(1))
+
+
+def test_sampler_flow_euler_matches_manual(session):
+    """run_sampler's flow mode == a hand-rolled host loop: interpolated
+    initial state, t = sigma*1000, CFG-mixed velocity Euler updates."""
+    session.setup()
+    params = session._get_params("unet")
+    P = TINY_MMDIT
+    rng = np.random.default_rng(3)
+    cond = rng.standard_normal((1, 10, P.d_ctx_in)).astype(np.float32) * 0.2
+    ncond = rng.standard_normal((1, 10, P.d_ctx_in)).astype(np.float32) * 0.2
+    pooled = rng.standard_normal((1, P.d_pooled)).astype(np.float32) * 0.2
+    npooled = rng.standard_normal((1, P.d_pooled)).astype(np.float32) * 0.2
+    x0 = rng.standard_normal((1, P.n_ch_in, 8, 8)).astype(np.float32)
+
+    cfg = SamplerConfig(method="euler", n_step=3, cfg_scale=4.0,
+                        f_t_ini=0.7, flow_shift=3.0)
+    plan = make_plan(cfg, x0.shape, RngPhilox(42))
+    got = run_sampler(params, x0, plan, cond, ncond, pooled, npooled,
+                      None, cfg, P, dtype=jnp.float32)
+
+    # manual loop (NHWC on the jax forward, NCHW bookkeeping)
+    ctx = B.Ctx(params, dtype=jnp.float32)
+
+    def vel(x_nchw, sigma):
+        t = jnp.full((1,), sigma * P.n_step_train, jnp.float32)
+        xh = jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
+        vc = np.asarray(mmdit_mod.mmdit_apply(
+            ctx, xh, t, jnp.asarray(cond), jnp.asarray(pooled), P),
+            np.float32)
+        vu = np.asarray(mmdit_mod.mmdit_apply(
+            ctx, xh, t, jnp.asarray(ncond), jnp.asarray(npooled), P),
+            np.float32)
+        v = cfg.cfg_scale * vc + (1.0 - cfg.cfg_scale) * vu
+        return v.transpose(0, 3, 1, 2)
+
+    sig = plan.sigmas
+    x = x0 * (1.0 - sig[0]) + plan.noise0 * sig[0]
+    for i in range(plan.n_step):
+        x = x + vel(x, float(sig[i])) * (float(sig[i + 1]) - float(sig[i]))
+    np.testing.assert_allclose(got, x, atol=2e-4,
+                               err_msg="flow euler trajectory mismatch")
+
+
+def test_identify_sd3(session):
+    """The tiny sd3 file identifies as sd3 from the MMDiT qkv probe."""
+    session.setup()
+    assert session.c["model_type"] == "sd3"
+
+
+def test_txt2img_sd3(session):
+    session.option_set("prompt", "a flow-matched cat")
+    session.option_set("cfg-scale", 4.0)
+    img = session.generate()
+    assert img.shape == (1, 3, 64, 64)
+    assert np.isfinite(img).all()
+    assert "a flow-matched cat" in session.infotext
+
+
+def test_txt2img_sd3_reproducible(session):
+    session.option_set("prompt", "a dog")
+    a = session.generate()
+    session.option_set("seed", 42)
+    session.option_set("prompt", "a dog")
+    b = session.generate()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_img2img_sd3(session):
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    session.option_set("image", img)
+    session.option_set("f-t-ini", 0.6)
+    session.option_set("prompt", "more cats")
+    out = session.generate()
+    assert out.shape == (1, 3, 64, 64)
+    assert np.isfinite(out).all()
+    assert "Mode: img2img" in session.infotext
+
+
+def test_sd3_dpmpp2m(session):
+    """dpmpp2m's x0-prediction update is exact for rectified flow; the
+    solver must run unchanged on the flow sigma table."""
+    session.option_set("prompt", "q")
+    session.option_set("method", "dpmpp2m")
+    out = session.generate()
+    assert np.isfinite(out).all()

@@ -140,3 +140,39 @@ def test_denoise_scalings_match_kdiffusion():
     c_skip = sigma / (sigma * sigma + 1.0)
     c_out = 1.0 / np.sqrt(sigma * sigma + 1.0)
     np.testing.assert_allclose(outv, raw * c_out + x * c_skip, atol=1e-5)
+
+
+def test_vae_sd3_matches_torch():
+    """16-channel-convention flow VAE (shift factor, no quant convs) vs the
+    torch kernels — exercises the SD3 VaeParams fields end to end."""
+    from mlimgsynth_tpu.testing import TINY_VAE_SD3 as P
+    spec = B.trace_spec(
+        lambda ctx, x: vae_mod.vae_encode_apply(ctx, x, P),
+        jnp.zeros((1, 32, 32, 3)))
+    spec.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_decode_apply(ctx, x, P),
+        jnp.zeros((1, 4, 4, P.ch_z))))
+    assert "vae.quant_conv.weight" not in spec
+    assert "vae.post_quant_conv.weight" not in spec
+    ckpt, model = _make_params(spec, seed=8, scale=0.05)
+    rng = np.random.default_rng(9)
+    img = (rng.random((1, 3, 32, 32)).astype(np.float32) * 2 - 1)
+    lat = rng.standard_normal((1, P.ch_z, 4, 4)).astype(np.float32) * 0.3
+
+    ctx = B.Ctx(model, dtype=jnp.float32)
+    got_m = np.asarray(vae_mod.vae_encode_apply(
+        ctx, jnp.asarray(img.transpose(0, 2, 3, 1)), P),
+        np.float32).transpose(0, 3, 1, 2)
+    got_d = np.asarray(vae_mod.vae_decode_apply(
+        ctx, jnp.asarray(lat.transpose(0, 2, 3, 1)), P),
+        np.float32).transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        ref_m = torch_vae_encode(ckpt, torch.from_numpy(img), P).numpy()
+        ref_d = torch_vae_decode(ckpt, torch.from_numpy(lat), P).numpy()
+    np.testing.assert_allclose(got_m, ref_m, atol=3e-4)
+    np.testing.assert_allclose(got_d, ref_d, atol=3e-4)
+    # latent helpers apply the shift: z = (mean - shift) * scale
+    moments = rng.standard_normal((1, 2, 2, 2 * P.ch_z)).astype(np.float32)
+    z = np.asarray(vae_mod.latent_mean(jnp.asarray(moments), P))
+    want = (moments[..., :P.ch_z] - P.shift_factor) * P.scale_factor
+    np.testing.assert_allclose(z, want, atol=1e-6)

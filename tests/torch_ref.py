@@ -291,14 +291,17 @@ def torch_vae_encode(params, img, P, pre="vae"):
     x = R.resnet(pre + ".encoder.mid.block_2", x, None, ch_blk)
     x = R.conv2d(pre + ".encoder.conv_out",
                  F.silu(R.group_norm(pre + ".encoder.norm_out", x)))
-    return R.conv2d(pre + ".quant_conv", x, 1, 0)
+    if getattr(P, "quant_conv", True):
+        x = R.conv2d(pre + ".quant_conv", x, 1, 0)
+    return x
 
 
 def torch_vae_decode(params, lat, P, pre="vae"):
     """lat NCHW [N,4,h,w] (scaled) -> img [N,3,8h,8w] in [-1,1]."""
     R = TorchRef(params)
-    x = lat * (1.0 / P.scale_factor)
-    x = R.conv2d(pre + ".post_quant_conv", x, 1, 0)
+    x = lat * (1.0 / P.scale_factor) + getattr(P, "shift_factor", 0.0)
+    if getattr(P, "quant_conv", True):
+        x = R.conv2d(pre + ".post_quant_conv", x, 1, 0)
     ch_blk = P.ch * P.ch_mult[P.n_res - 1]
     x = R.conv2d(pre + ".decoder.conv_in", x)
     x = R.resnet(pre + ".decoder.mid.block_1", x, None, ch_blk)
@@ -315,3 +318,88 @@ def torch_vae_decode(params, lat, P, pre="vae"):
     x = R.conv2d(pre + ".decoder.conv_out",
                  F.silu(R.group_norm(pre + ".decoder.norm_out", x)))
     return x
+
+
+def torch_mmdit(params, x, t, cond, pooled, P, pre="mmdit"):
+    """MMDiT forward on torch kernels (independent of models/mmdit.py):
+    transcribed from the SD3 paper / sd3 reference block structure, NOT from
+    the JAX code.  x NCHW [N,16,H,W]; cond [N,S,d_ctx]; pooled [N,d_pooled];
+    returns the velocity field NCHW."""
+    R = TorchRef(params)
+    n, _, h, w = x.shape
+    p, d, nh = P.patch, P.width, P.heads
+    dh = d // nh
+    hp, wp = h // p, w // p
+
+    def ln(xs):
+        return F.layer_norm(xs, xs.shape[-1:], eps=1e-6)
+
+    def modulate(xs, sh, sc):
+        return xs * (1.0 + sc[:, None, :]) + sh[:, None, :]
+
+    def mod(pre2, c, k):
+        y = R.linear(pre2 + ".adaLN_modulation.1", F.silu(c))
+        return torch.chunk(y, k, dim=-1)
+
+    def rms(z, wname):
+        zn = z * torch.rsqrt(z.pow(2).mean(-1, keepdim=True) + 1e-6)
+        return zn * R.p[wname]
+
+    def qkv(pre2, xs):
+        y = R.linear(pre2 + ".qkv", xs)
+        s = y.shape[1]
+        y = y.view(n, s, 3, nh, dh).permute(2, 0, 3, 1, 4)
+        q, k, v = y[0], y[1], y[2]
+        if P.qk_norm:
+            q = rms(q, pre2 + ".ln_q.weight")
+            k = rms(k, pre2 + ".ln_k.weight")
+        return q, k, v
+
+    # patchify + center-cropped pos embed
+    xe = R.conv2d(pre + ".x_embedder.proj", x, stride=p, pad=0)
+    xe = xe.flatten(2).transpose(1, 2)          # [N, hp*wp, d]
+    g = P.pos_embed_max
+    pe = R.p[pre + ".pos_embed"].view(g, g, d)
+    top, left = (g - hp) // 2, (g - wp) // 2
+    xe = xe + pe[top:top + hp, left:left + wp].reshape(1, hp * wp, d)
+
+    te = R.linear(pre + ".t_embedder.mlp.2", F.silu(R.linear(
+        pre + ".t_embedder.mlp.0", R.timestep_embedding(t, P.d_t_embed))))
+    ye = R.linear(pre + ".y_embedder.mlp.2", F.silu(R.linear(
+        pre + ".y_embedder.mlp.0", pooled)))
+    c = te + ye
+    cx = R.linear(pre + ".context_embedder", cond)
+
+    for i in range(P.depth):
+        cpre = f"{pre}.joint_blocks.{i}.context_block"
+        xpre = f"{pre}.joint_blocks.{i}.x_block"
+        pre_only = i == P.depth - 1
+        if pre_only:
+            csh, csc = mod(cpre, c, 2)
+        else:
+            csh, csc, cg, csh2, csc2, cg2 = mod(cpre, c, 6)
+        xsh, xsc, xg, xsh2, xsc2, xg2 = mod(xpre, c, 6)
+        cq, ck, cv = qkv(cpre + ".attn", modulate(ln(cx), csh, csc))
+        xq, xk, xv = qkv(xpre + ".attn", modulate(ln(xe), xsh, xsc))
+        sc_len = cx.shape[1]
+        o = F.scaled_dot_product_attention(
+            torch.cat([cq, xq], 2), torch.cat([ck, xk], 2),
+            torch.cat([cv, xv], 2))
+        xo = o[:, :, sc_len:].transpose(1, 2).reshape(n, -1, d)
+        xe = xe + xg[:, None, :] * R.linear(xpre + ".attn.proj", xo)
+        xe = xe + xg2[:, None, :] * R.linear(xpre + ".mlp.fc2", F.gelu(
+            R.linear(xpre + ".mlp.fc1",
+                     modulate(ln(xe), xsh2, xsc2)), approximate="tanh"))
+        if not pre_only:
+            co = o[:, :, :sc_len].transpose(1, 2).reshape(n, sc_len, d)
+            cx = cx + cg[:, None, :] * R.linear(cpre + ".attn.proj", co)
+            cx = cx + cg2[:, None, :] * R.linear(cpre + ".mlp.fc2", F.gelu(
+                R.linear(cpre + ".mlp.fc1",
+                         modulate(ln(cx), csh2, csc2)), approximate="tanh"))
+
+    fpre = pre + ".final_layer"
+    sh, sc = mod(fpre, c, 2)
+    xe = R.linear(fpre + ".linear", modulate(ln(xe), sh, sc))
+    xe = xe.view(n, hp, wp, p, p, P.n_ch_out)
+    xe = xe.permute(0, 5, 1, 3, 2, 4).reshape(n, P.n_ch_out, hp * p, wp * p)
+    return xe
