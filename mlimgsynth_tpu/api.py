@@ -216,6 +216,7 @@ class MLImgSynth:
             "control_net": "", "control_strength": 1.0,
             "hires_fix": 0.0, "hires_denoise": 0.7, "hires_steps": 0,
             "refiner": "", "refiner_switch": 0.8,
+            "t5": "", "t5_tokenizer": "", "t5_tokens": 77,
         }
         self.prompt = prompt_mod.PromptText()
         self.nprompt = prompt_mod.PromptText()
@@ -253,6 +254,7 @@ class MLImgSynth:
         self._in_refiner = False             # inside an ensemble stage
         self._refiner: Optional["MLImgSynth"] = None  # stage-2 sub-session
         self._refiner_path = ""
+        self._t5_p = None                    # inferred T5 geometry
         self._keep_tail = False              # stop at sigma(f_t_end)
         self._noise_add = True               # add noise at sigma(f_t_ini)
         self._ready = set()
@@ -431,6 +433,16 @@ class MLImgSynth:
             c["refiner"] = v
         elif opt == "refiner_switch":
             c["refiner_switch"] = _float(args[0], 0.8)
+        elif opt == "t5":
+            v = str(args[0]) if args else ""
+            if v != c["t5"]:
+                c["t5"] = v
+                self._params.pop("t5", None)
+                self._ready.discard("model")  # weights ride the model store
+        elif opt == "t5_tokenizer":
+            c["t5_tokenizer"] = str(args[0]) if args else ""
+        elif opt == "t5_tokens":
+            c["t5_tokens"] = _int(args[0], 77)
         elif opt == "callback":
             self.callback = args[0]
         elif opt == "error_handler":
@@ -454,7 +466,7 @@ class MLImgSynth:
         opt = self._find_option(name)
         value = value if value is not None else ""
         if opt in ("model", "tae", "lora_dir", "aux_dir", "prompt",
-                   "nprompt", "control_net"):
+                   "nprompt", "control_net", "t5", "t5_tokenizer"):
             self.option_set(opt, value)  # no comma-splitting for paths/text
         elif opt in ("callback", "error_handler", "image", "image_mask",
                      "control_image"):
@@ -778,6 +790,14 @@ class MLImgSynth:
         store = TensorStore.open(self.c["model"])
         if self.c["tae"]:
             store.read_file(self._aux_find(self.c["tae"]), prefix="tae.")
+        if self.c["t5"]:
+            # standalone T5 weights file (bare HF names); bundled-in-model
+            # t5 tensors route through nameconv instead
+            t5_path = self._aux_find(self.c["t5"])
+            if not os.path.exists(t5_path):
+                raise MlisError(MlisError.E_FILE_NOT_FOUND,
+                                f"t5 file not found '{self.c['t5']}'")
+            store.read_file(t5_path, prefix="t5_ckpt.")
         self._store = store
         if self.c["dump_flags"] & 1:  # MLIS_DUMP_MODEL
             with open("dump-tensors-model.txt", "w") as f:
@@ -796,6 +816,25 @@ class MLImgSynth:
         for raw in store.tensors:
             if raw.startswith("tae.") and raw not in self._name_map:
                 self._name_map[raw] = weights_mod.NameRef(raw)
+        if self.c["t5"]:
+            # standalone T5 file: bare HF names (optionally under
+            # text_encoders.t5xxl./transformer.) -> internal t5. prefix
+            n_t5 = 0
+            for raw in store.tensors:
+                if not raw.startswith("t5_ckpt."):
+                    continue
+                t = raw[len("t5_ckpt."):]
+                for pre in ("text_encoders.t5xxl.", "transformer."):
+                    if t.startswith(pre):
+                        t = t[len(pre):]
+                name = "t5." + t
+                if name not in self._name_map:
+                    self._name_map[name] = weights_mod.NameRef(raw)
+                    n_t5 += 1
+            if not n_t5:
+                raise MlisError(-1, "no T5 tensors recognized in "
+                                f"'{self.c['t5']}'")
+            log.info2(f"T5: {n_t5} tensors mapped")
         if self.c["control_net"]:
             from .nameconv import normalize_cnet_name
             n_cn = 0
@@ -929,6 +968,18 @@ class MLImgSynth:
             spec.update(B.trace_spec(
                 lambda ctx, x: tae_mod.tae_decode_apply(ctx, x, P),
                 jnp.zeros((1, 8, 8, 4))))
+        elif submodel == "t5":
+            from .models import t5 as t5_mod
+            shapes = {n: tuple(self._store.tensors[r.raw].shape)
+                      for n, r in self._name_map.items()
+                      if n.startswith("t5.") and r.split is None}
+            P = t5_mod.params_from_spec_shapes(shapes)
+            self._t5_p = P
+            log.info2(f"T5 geometry: d_model {P.d_model}, {P.n_layer} "
+                      f"layers, {P.n_head} heads")
+            spec = B.trace_spec(
+                lambda ctx, toks: t5_mod.t5_encode_apply(ctx, toks, P),
+                jnp.zeros((1, 8), jnp.int32))
         elif submodel == "cnet":
             from .models import controlnet as cnet_mod
             P = mt.unet_p
@@ -958,7 +1009,9 @@ class MLImgSynth:
                     [tw, rows.astype(tw.dtype)], axis=0)
                 log.debug(f"{submodel}: token table +{rows.shape[0]} "
                           "textual-inversion rows")
-        if self._weights_q8:
+        if self._weights_q8 and submodel != "t5":
+            # (T5's attention projections consume weights directly as
+            # head-split einsums — no q8 route; T5 stays in compute dtype)
             n_q = weights_mod.quantize_linear_weights(host, spec)
             log.info2(f"{submodel}: {n_q} linear weights quantized to int8")
         if self.c["dump_flags"] & 4 and submodel == "unet":  # MLIS_DUMP_GRAPH
@@ -1178,18 +1231,26 @@ class MLImgSynth:
 
     def _t5_encode_rows(self, pts: List[prompt_mod.PromptText],
                         d_ctx: int) -> np.ndarray:
-        """T5 context rows for flow (SD3) conditioning: the T5-XXL encoder
-        output when a ``--t5`` weights file is loaded, else zero rows of
-        the CLIP token length (the public SD3 pipelines' no-T5 mode)."""
+        """T5 context rows for flow (SD3) conditioning: the T5 encoder
+        output when T5 weights are available (bundled in the model file or
+        via ``--t5``) AND a ``--t5-tokenizer`` tokenizer.json is set; else
+        zero rows of the CLIP token length (the public SD3 pipelines'
+        no-T5 mode)."""
         n = len(pts)
-        if not self.c.get("t5"):
+        have = bool(self.c["t5"]) or \
+            "t5.shared.weight" in (self._name_map or {})
+        if not have or not self.c["t5_tokenizer"]:
+            if have and not self.c["t5_tokenizer"]:
+                log.warning("T5 weights present but no t5-tokenizer set; "
+                            "using zero T5 context rows")
             return np.zeros((n, self._mt.clip_p.n_token, d_ctx), np.float32)
         import jax.numpy as jnp
         from .models import t5 as t5_mod
         params = self._get_params("t5")
         texts = [pt.text for pt in pts]
-        toks = t5_mod.tokenize(texts, n_token=int(self.c.get("t5_tokens")
-                                                  or 77))
+        toks = t5_mod.tokenize(texts, n_token=int(self.c["t5_tokens"] or 77),
+                               tokenizer_json=self._aux_find(
+                                   self.c["t5_tokenizer"]))
         emb = _t5_jit(params, jnp.asarray(toks, jnp.int32),
                       t5_p=self._t5_p, dtype=self._dtype)
         emb = np.asarray(emb, np.float32)
@@ -2198,6 +2259,8 @@ _OPTIONS = [
     "hires_fix", "hires_denoise", "hires_steps",
     # base->refiner ensemble-of-experts pipeline
     "refiner", "refiner_switch",
+    # SD3 T5-XXL context tower (optional third text encoder)
+    "t5", "t5_tokenizer", "t5_tokens",
 ]
 
 
@@ -2224,6 +2287,23 @@ def _make_clip_jit():
 
 def _clip_jit(params, tokens, feat_idx, **kw):
     return _make_clip_jit()(params, tokens, feat_idx, **kw)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_t5_jit():
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("t5_p", "dtype"))
+    def f(params, tokens, *, t5_p, dtype):
+        from .models import blocks as B
+        from .models import t5 as t5_mod
+        ctx = B.Ctx(params, dtype=dtype)
+        return t5_mod.t5_encode_apply(ctx, tokens, t5_p)
+    return f
+
+
+def _t5_jit(params, tokens, **kw):
+    return _make_t5_jit()(params, tokens, **kw)
 
 
 @functools.lru_cache(maxsize=None)

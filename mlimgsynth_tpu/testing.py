@@ -460,3 +460,37 @@ def write_checkpoint_sd3(path, seed=0):
         arrays[ck] = arr
     save_file(arrays, str(path))
     return arrays
+
+
+def write_tiny_t5(path, seed=0):
+    """Tiny T5 v1.1 encoder file in the bare HF layout (shared.weight,
+    encoder.block.N...) for the --t5 option."""
+    from safetensors.numpy import save_file
+    from mlimgsynth_tpu.models import t5 as t5_mod
+    P = t5_mod.T5Params(d_model=32, d_kv=8, n_head=4, d_ff=36, n_layer=2,
+                        n_vocab=64)
+    spec = B.trace_spec(
+        lambda ctx, toks: t5_mod.t5_encode_apply(ctx, toks, P),
+        jnp.zeros((1, 8), jnp.int32))
+    rng = np.random.default_rng(seed)
+    arrays = {}
+    for name, ps in spec.items():
+        assert name.startswith("t5.")
+        arrays[name[3:]] = _random_for_spec(rng, ps, 0.05)
+    save_file(arrays, str(path))
+    return P
+
+
+def write_tiny_t5_tokenizer(path):
+    """Minimal tokenizers-format WordLevel tokenizer for T5 tests."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    vocab = {"<pad>": 0, "</s>": 1, "<unk>": 2}
+    for i, w in enumerate(("a", "cat", "dog", "photo", "of", "the", "cats",
+                           "more", "flow", "model", "x", "q")):
+        vocab[w] = 3 + i
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(path))
+    return vocab

@@ -152,3 +152,44 @@ def test_sd3_dpmpp2m(session):
     session.option_set("method", "dpmpp2m")
     out = session.generate()
     assert np.isfinite(out).all()
+
+
+def test_sd3_with_t5(ckpt, monkeypatch, tmp_path):
+    """Loading tiny T5 weights + tokenizer changes the conditioning (real
+    T5 rows instead of zeros) and the pipeline stays finite; without a
+    tokenizer the session falls back to zero rows with a warning."""
+    patch_tiny_model_types(monkeypatch, {"sd3": TINY_MODEL_TYPE_SD3})
+    from mlimgsynth_tpu.testing import write_tiny_t5, write_tiny_t5_tokenizer
+    t5_path = tmp_path / "tiny-t5.safetensors"
+    tok_path = tmp_path / "t5-tok.json"
+    write_tiny_t5(t5_path)
+    write_tiny_t5_tokenizer(tok_path)
+
+    def gen(**opts):
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", ckpt)
+        s.option_set("image-dim", 64, 64)
+        s.option_set("steps", 2)
+        s.option_set("seed", 11)
+        s.option_set("cfg-scale", 1.0)
+        for k, v in opts.items():
+            s.option_set(k, v)
+        s.option_set("prompt", "a photo of a cat")
+        img = s.generate()
+        return s, img
+
+    s0, img0 = gen()
+    s1, img1 = gen(t5=str(t5_path), t5_tokenizer=str(tok_path))
+    assert np.isfinite(img1).all()
+    # T5 rows are live context: the generations must differ
+    assert np.abs(img1 - img0).max() > 1e-6
+    # weights without tokenizer -> zero rows, same output as no T5
+    s2, img2 = gen(t5=str(t5_path))
+    np.testing.assert_array_equal(img2, img0)
+    # the cond tensor carries 77 clip + 77 t5 rows
+    cond = np.asarray(s1.tensors["cond"])
+    assert cond.shape[1] == 2 * 77
+    assert np.abs(cond[:, 77:]).max() > 0
+    cond2 = np.asarray(s2.tensors["cond"])
+    assert np.abs(cond2[:, 77:]).max() == 0
