@@ -148,3 +148,77 @@ def test_trajectory_matches_torch(which, method, sched, n_step, cfg, anc,
         np.testing.assert_allclose(
             a, b, atol=1e-4, rtol=1e-4,
             err_msg=f"step {i} latent mismatch ({which}/{method}/{sched})")
+
+
+# ---- rectified flow (SD3/MMDiT) ---------------------------------------------
+
+FLOW_CASES = [
+    ("euler",   "uniform", 5, 4.0, 1.0, False),
+    ("euler",   "uniform", 5, 1.0, 1.0, False),
+    ("dpmpp2m", "uniform", 5, 4.0, 1.0, False),
+    ("heun",    "uniform", 5, 4.0, 1.0, False),
+    ("euler",   "uniform", 6, 4.0, 0.7, True),   # img2img strength
+    ("dpmpp2m", "karras",  5, 4.0, 1.0, False),
+]
+
+
+def flow_params():
+    if "sd3" not in _CACHE:
+        from mlimgsynth_tpu.models import mmdit as mmdit_mod
+        from mlimgsynth_tpu.testing import TINY_MMDIT as P
+        spec = B.trace_spec(
+            lambda ctx, x, t, c, y: mmdit_mod.mmdit_apply(ctx, x, t, c, y,
+                                                          P),
+            jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
+            jnp.zeros((1, 7, P.d_ctx_in)), jnp.zeros((1, P.d_pooled)))
+        rng = np.random.default_rng(17)
+        ckpt, model = {}, {}
+        for name, ps in spec.items():
+            arr = _random_for_spec(rng, ps, 0.08)
+            ckpt[name] = arr
+            model[name] = jnp.asarray(_to_layout(arr.copy(), ps, name))
+        _CACHE["sd3"] = (P, ckpt, model)
+    return _CACHE["sd3"]
+
+
+@pytest.mark.parametrize(
+    "method,sched,n_step,cfg,fti,i2i", FLOW_CASES,
+    ids=[f"flow-{c[0]}-{c[1]}" + (f"-i2i{c[4]}" if c[5] else "")
+         + (f"-cfg{c[3]:g}" if c[3] != 4.0 else "") for c in FLOW_CASES])
+def test_flow_trajectory_matches_torch(method, sched, n_step, cfg, fti, i2i):
+    """Production flow sampling (scan body, sigma*1000 timesteps,
+    noise-interpolated init) vs the independent torch flow transcription;
+    per-step latents must match for every solver x schedule case."""
+    P, ckpt, model = flow_params()
+    drng = np.random.default_rng(7)
+    cond = drng.standard_normal((1, 7, P.d_ctx_in)).astype(np.float32) * 0.3
+    uncond = drng.standard_normal((1, 7, P.d_ctx_in)).astype(np.float32) * 0.3
+    pooled = drng.standard_normal((1, P.d_pooled)).astype(np.float32) * 0.3
+    npooled = drng.standard_normal((1, P.d_pooled)).astype(np.float32) * 0.3
+    x0 = (drng.standard_normal((1, P.n_ch_in, 8, 8)).astype(np.float32)
+          if i2i else np.zeros((1, P.n_ch_in, 8, 8), np.float32))
+
+    traj_t, sigmas_t = TS.torch_sample_flow(
+        ckpt, P, x0, torch.from_numpy(cond), torch.from_numpy(pooled),
+        torch.from_numpy(uncond) if cfg > 1 else None,
+        torch.from_numpy(npooled) if cfg > 1 else None,
+        rng=RngPhilox(42), n_step=n_step, method=method, sched=sched,
+        cfg_scale=cfg, f_t_ini=fti)
+
+    scfg = S.SamplerConfig(method=method, sched=sched, n_step=n_step,
+                           cfg_scale=cfg, f_t_ini=fti,
+                           flow_shift=P.flow_shift)
+    plan = S.make_plan(scfg, x0.shape, RngPhilox(42),
+                       nfe_per_dxdt=2 if cfg > 1 else 1)
+    np.testing.assert_allclose(plan.sigmas, sigmas_t, rtol=2e-6, atol=2e-6,
+                               err_msg="flow sigma schedule mismatch")
+    got = []
+    S.run_sampler(model, x0, plan, cond, uncond if cfg > 1 else None,
+                  pooled, npooled if cfg > 1 else None, None, scfg, P,
+                  dtype=jnp.float32,
+                  step_observer=lambda i, lat: got.append(lat.copy()))
+    assert len(got) == len(traj_t) == plan.n_step
+    for i, (a, b) in enumerate(zip(got, traj_t)):
+        np.testing.assert_allclose(
+            a, b, atol=1e-4, rtol=1e-4,
+            err_msg=f"flow step {i} latent mismatch ({method}/{sched})")

@@ -410,3 +410,72 @@ def torch_sample(params, P, x0, cond, uncond=None, label=None, nlabel=None,
 
         traj.append(x.numpy().copy())
     return traj, sigmas
+
+
+# ---- rectified flow (SD3/MMDiT; beyond-reference) ---------------------------
+
+def make_log_sigmas_flow(shift=3.0, n_step_train=1000):
+    """Flow sigma table, transcribed from the public flow-matching
+    scheduler convention (sigma = t/1000 shifted by
+    shift*s/(1+(shift-1)*s)) — independently of schedule.log_sigmas_flow."""
+    out = np.empty(n_step_train, np.float32)
+    for i in range(n_step_train):
+        u = (i + 1) / n_step_train
+        out[i] = math.log(shift * u / (1.0 + (shift - 1.0) * u))
+    return out
+
+
+class TorchFlowDenoiser:
+    """Velocity-prediction dxdt: the MMDiT output IS dx/dsigma; the model
+    timestep is sigma * n_step_train (no table lookup, no c_in)."""
+
+    def __init__(self, params, P, cond, pooled, uncond, npooled, cfg_scale):
+        self.params = params
+        self.P = P
+        self.cond = cond
+        self.pooled = pooled
+        self.uncond = uncond
+        self.npooled = npooled
+        self.cfg_scale = cfg_scale
+
+    def dxdt(self, x, sigma):
+        from torch_ref import torch_mmdit
+        tt = torch.full((x.shape[0],), sigma * self.P.n_step_train,
+                        dtype=torch.float32)
+        v = torch_mmdit(self.params, x, tt, self.cond, self.pooled, self.P)
+        f = self.cfg_scale
+        if f > 1:
+            vu = torch_mmdit(self.params, x, tt, self.uncond, self.npooled,
+                             self.P)
+            v = v * f + vu * (1.0 - f)
+        return v
+
+
+def torch_sample_flow(params, P, x0, cond, pooled, uncond=None, npooled=None,
+                      *, rng, n_step, method="euler", sched="uniform",
+                      cfg_scale=7.0, f_t_ini=1.0, f_t_end=0.0):
+    """Rectified-flow trajectory: x_t = (1-sigma) x0 + sigma n, solver steps
+    on the flow sigma grid.  Reuses TorchSolver — the solvers are
+    sigma-generic, and for dpmpp2m the a*x + (1-a)*x0hat update is the
+    analytic flow step."""
+    log_sigmas = make_log_sigmas_flow(P.flow_shift, P.n_step_train)
+    n_fe = {"euler": 1, "heun": 2, "taylor3": 1, "dpmpp2m": 1,
+            "dpmpp2s": 2}[method]
+    sigmas = make_sigmas(log_sigmas, n_step, sched, n_fe, f_t_ini, f_t_end,
+                         P.n_step_train)
+    n_step = len(sigmas) - 1
+    den = TorchFlowDenoiser(params, P, cond, pooled, uncond, npooled,
+                            cfg_scale)
+    sol = TorchSolver(method, den.dxdt)
+    sol.t = float(sigmas[0])
+    x = torch.from_numpy(np.asarray(x0, np.float32)).clone()
+    traj = []
+    for s in range(n_step):
+        if s == 0:
+            n = rng.randn_shaped(tuple(x.shape)).astype(np.float32)
+            x = x * (1.0 - float(sigmas[0])) \
+                + torch.from_numpy(n) * float(sigmas[0])
+        with torch.no_grad():
+            x = sol.step(float(sigmas[s + 1]), x)
+        traj.append(x.numpy().copy())
+    return traj, sigmas
