@@ -1473,7 +1473,7 @@ class MLImgSynth:
         # size-label concat.
         flow = getattr(mt.unet_p, "flow", False)
         fuse_encode = (self.step_observer is None and self._mesh is None
-                       and not c["unet_split"] and not flow
+                       and not c["unet_split"]
                        and not (c["tuflags"] & TUF_CONDITIONING))
         encode_spec = None
         if fuse_encode:
@@ -1490,7 +1490,22 @@ class MLImgSynth:
                 wmat = np.repeat(wmat, n_batch, axis=0)
             encode_spec = (self._get_params("clip"), tokens, wmat,
                            mt.clip_p, c["clip_skip"], mt.unet_p.clip_norm)
-            if mt.unet_p.cond_label and mt.clip2_p is not None:
+            if flow:
+                # SD3: both towers + pooled heads fuse into the loop
+                # program; T5 rows are precomputed (zeros without --t5)
+                _, fidx = self._cond_token_rows(pts, want_fidx=True)
+                tokens2, fidx2 = self._cond_token_rows(pts, submodel="clip2",
+                                                       want_fidx=True)
+                t5_rows = self._t5_encode_rows(pts, mt.unet_p.d_ctx_in)
+                if n_batch > 1:
+                    tokens2 = np.repeat(tokens2, n_batch, axis=0)
+                    fidx = np.repeat(fidx, n_batch, axis=0)
+                    fidx2 = np.repeat(fidx2, n_batch, axis=0)
+                    t5_rows = np.repeat(t5_rows, n_batch, axis=0)
+                encode_spec = encode_spec + (
+                    self._get_params("clip2"), tokens2, fidx, fidx2,
+                    t5_rows, mt.clip2_p)
+            elif mt.unet_p.cond_label and mt.clip2_p is not None:
                 tokens2, fidx = self._cond_token_rows(pts, submodel="clip2",
                                                       want_fidx=True)
                 if n_batch > 1:
@@ -1960,7 +1975,19 @@ class MLImgSynth:
                 encode_spec = (self._get_params("clip"), tokens, wmat,
                                mt.clip_p, c["clip_skip"],
                                mt.unet_p.clip_norm)
-                if mt.unet_p.cond_label and mt.clip2_p is not None:
+                if getattr(mt.unet_p, "flow", False):
+                    # SD3 flow: dual towers + pooled heads fused (see
+                    # _generate); T5 rows precomputed per request row
+                    _, fidx = self._cond_token_rows(rows_pts,
+                                                    want_fidx=True)
+                    tokens2, fidx2 = self._cond_token_rows(
+                        rows_pts, submodel="clip2", want_fidx=True)
+                    t5_rows = self._t5_encode_rows(rows_pts,
+                                                   mt.unet_p.d_ctx_in)
+                    encode_spec = encode_spec + (
+                        self._get_params("clip2"), tokens2, fidx, fidx2,
+                        t5_rows, mt.clip2_p)
+                elif mt.unet_p.cond_label and mt.clip2_p is not None:
                     tokens2, fidx = self._cond_token_rows(
                         rows_pts, submodel="clip2", want_fidx=True)
                     h_, w_ = c["height"], c["width"]
@@ -2012,7 +2039,9 @@ class MLImgSynth:
                 s_noise=c["s_noise"],
                 f_t_ini=c["f_t_ini"] if init_latents is not None else 1.0,
                 f_t_end=c["f_t_end"],
-                keep_tail=self._keep_tail, noise_add=self._noise_add)
+                keep_tail=self._keep_tail, noise_add=self._noise_add,
+                flow_shift=(getattr(mt.unet_p, "flow_shift", 0.0)
+                            if getattr(mt.unet_p, "flow", False) else 0.0))
             nfe_per_dxdt = 2 if use_cfg else 1
             latent = (np.asarray(init_latents, np.float32)
                       if init_latents is not None

@@ -289,6 +289,31 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
         lab_out = jnp.concatenate([feat.astype(jnp.float32), serows],
                                   axis=-1)
         consts = (cond_out, lab_out) + consts[2:]
+    elif len(encode) == 8:
+        # SD3 flow: both towers' skip-layer hiddens concat on the feature
+        # axis (zero-padded to the t5 width) ++ precomputed T5 rows on the
+        # sequence axis; the adaLN label = concat of the projected pooled
+        # features.  t5_rows are zeros without --t5 (the public pipelines'
+        # no-T5 mode) or one host-side T5 dispatch with it.
+        (clip_params, tokens, wmat, clip2_params, tokens2, fidx, fidx2,
+         t5_rows) = encode
+        ctx1 = B2.Ctx(clip_params, dtype=dtype)
+        emb1, feat1 = clip_mod.clip_text_apply(
+            ctx1, tokens, clip_p, clip_skip=clip_skip, norm=norm,
+            feat_tok_idx=fidx)
+        ctx2 = B2.Ctx(clip2_params, dtype=dtype)
+        emb2, feat2 = clip_mod.clip_text_apply(
+            ctx2, tokens2, clip2_p, clip_skip=clip_skip, norm=norm,
+            feat_tok_idx=fidx2, pre="clip2")
+        emb = jnp.concatenate([emb1, emb2], axis=-1).astype(jnp.float32)
+        emb = emb * wmat[:, :, None]
+        d_ctx = t5_rows.shape[-1]
+        emb = jnp.pad(emb, ((0, 0), (0, 0), (0, d_ctx - emb.shape[-1])))
+        cond_out = jnp.concatenate([emb, t5_rows.astype(jnp.float32)],
+                                   axis=1)
+        lab_out = jnp.concatenate([feat1.astype(jnp.float32),
+                                   feat2.astype(jnp.float32)], axis=-1)
+        consts = (cond_out, lab_out) + consts[2:]
     else:
         # SDXL dual-encoder: clip-L + bigG embeddings concat per token;
         # the size label = bigG feature + timestep-embedded sizes
@@ -507,6 +532,15 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 clip2_params, jnp.asarray(tokens2, jnp.int32),
                 jnp.asarray(fidx, jnp.int32),
                 jnp.asarray(size_emb, jnp.float32))
+            enc_static2 = clip2_p_s
+        elif len(encode) == 12:     # SD3 flow dual-tower spec
+            (clip2_params, tokens2, fidx, fidx2, t5_rows,
+             clip2_p_s) = encode[6:]
+            enc_args = enc_args + (
+                clip2_params, jnp.asarray(tokens2, jnp.int32),
+                jnp.asarray(fidx, jnp.int32),
+                jnp.asarray(fidx2, jnp.int32),
+                jnp.asarray(t5_rows, jnp.float32))
             enc_static2 = clip2_p_s
         elif len(encode) == 8:      # single-tower label spec (SDXL-refiner)
             fidx, serows = encode[6:]

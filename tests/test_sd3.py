@@ -193,3 +193,48 @@ def test_sd3_with_t5(ckpt, monkeypatch, tmp_path):
     assert np.abs(cond[:, 77:]).max() > 0
     cond2 = np.asarray(s2.tensors["cond"])
     assert np.abs(cond2[:, 77:]).max() == 0
+
+
+def test_sd3_fused_encode_matches_host_path(session):
+    """The fused-encode single-dispatch path (towers + pooled heads inside
+    the loop program) matches the host-side encode path (forced via a step
+    observer) bit-for-bit up to fusion reassociation."""
+    session.option_set("prompt", "a (weighted:1.3) cat")
+    session.option_set("nprompt", "ugly")
+    session.option_set("cfg-scale", 4.0)
+    fused = session.generate()
+    cond_fused = np.asarray(session.tensors["cond"], np.float32)
+    lab_fused = np.asarray(session.tensors["label"], np.float32)
+
+    session.step_observer = lambda i, lat: None   # forces host-side encode
+    session.option_set("seed", 42)
+    session.option_set("prompt", "a (weighted:1.3) cat")
+    session.option_set("nprompt", "ugly")
+    session.option_set("cfg-scale", 4.0)
+    host = session.generate()
+    session.step_observer = None
+    cond_host = np.asarray(session.tensors["cond"], np.float32)
+    lab_host = np.asarray(session.tensors["label"], np.float32)
+
+    np.testing.assert_allclose(cond_fused, cond_host, atol=2e-5)
+    np.testing.assert_allclose(lab_fused, lab_host, atol=2e-5)
+    np.testing.assert_allclose(fused, host, atol=2e-4)
+
+
+def test_sd3_generate_batch_matches_singles(session):
+    """The merged serving batch (fused dual-tower encode, per-request
+    seeds/prompts) reproduces individual generates row by row."""
+    reqs = [{"prompt": "a cat", "seed": 5},
+            {"prompt": "a dog", "seed": 9}]
+    session.option_set("cfg-scale", 4.0)
+    batch, infos = session.generate_batch(reqs)
+    assert batch.shape[0] == 2 and len(infos) == 2
+
+    singles = []
+    for r in reqs:
+        session.option_set("seed", r["seed"])
+        session.option_set("cfg-scale", 4.0)
+        session.option_set("prompt", r["prompt"])
+        singles.append(session.generate()[0])
+    np.testing.assert_allclose(batch[0], singles[0], atol=2e-4)
+    np.testing.assert_allclose(batch[1], singles[1], atol=2e-4)
