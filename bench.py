@@ -18,6 +18,10 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
         uncond pass and the uncond encoder rows are skipped entirely)
   sdxl-refiner: SDXL-refiner 1024px (single bigG tower, aesthetic-score
         labels; beyond-reference model family)
+  sd3:  SD3-medium MMDiT 1024px rectified flow (beyond-reference model
+        family: 2B joint-attention transformer, dual CLIP towers fused
+        into the loop, no-T5 context shape, 16-ch VAE; baseline bar = the
+        reference's comparable 1024px SDXL 4 s target)
   sdxl-ens: SDXL base + refiner ensemble-of-experts two-stage pipeline
         (switch 0.8: base stops at sigma(0.2) via keep_tail, refiner
         continues from the same sigma without re-noising; both models
@@ -130,10 +134,22 @@ def bench_config(name):
     use_cnet = name_base.endswith("-cnet")   # ControlNet-conditioned run
     if use_cnet:
         name_base = name_base[:-5]
+    flow = False
     if name_base == "sdxl":
         size, baseline = 1024, 4.0
         unet_p, clip_p, clip2_p, vae_p = (U.UNET_SDXL, C.CLIP_VIT_L_14,
                                           C.CLIP_VIT_BIGG_14, V.VAE_SDXL)
+    elif name_base == "sd3":
+        # beyond-reference model family: SD3-medium MMDiT (rectified flow,
+        # 16-ch VAE, dual CLIP towers + zero T5 rows — the no-T5 pipeline
+        # shape).  Baseline bar: the reference's SDXL-1024 4 s target (its
+        # largest comparable 1024px config; it has no transformer family).
+        from mlimgsynth_tpu.models import mmdit as MM
+        size, baseline = 1024, 4.0
+        unet_p, clip_p, clip2_p, vae_p = (MM.MMDIT_SD3_MEDIUM,
+                                          C.CLIP_VIT_L_14,
+                                          C.CLIP_VIT_BIGG_14, V.VAE_SD3)
+        flow = True
     elif name_base == "sdxl-refiner":
         # beyond-reference model family: single bigG tower + aesthetic label
         size, baseline = 1024, 4.0
@@ -156,17 +172,27 @@ def bench_config(name):
         size, baseline = 512, 1.0
         unet_p, clip_p, clip2_p, vae_p = (U.UNET_SD1, C.CLIP_VIT_L_14,
                                           None, V.VAE_SD1)
+    # experiment override (also lets the CI smoke run tiny geometries)
+    size = int(os.environ.get("MLIS_BENCH_SIZE") or size)
     lat = size // 8
     dtype = jnp.bfloat16
 
     t0 = time.time()
-    spec_u = B.trace_spec(
-        lambda ctx, x, t, c: U.unet_apply(
-            ctx, x, t, c,
-            jnp.zeros((1, unet_p.ch_adm_in)) if unet_p.ch_adm_in else None,
-            unet_p),
-        jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
-        jnp.zeros((1, 77, unet_p.n_ctx)))
+    if flow:
+        from mlimgsynth_tpu.models import mmdit as MM
+        spec_u = B.trace_spec(
+            lambda ctx, x, t, c, y: MM.mmdit_apply(ctx, x, t, c, y, unet_p),
+            jnp.zeros((1, 8, 8, unet_p.n_ch_in)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, unet_p.d_ctx_in)),
+            jnp.zeros((1, unet_p.d_pooled)))
+    else:
+        spec_u = B.trace_spec(
+            lambda ctx, x, t, c: U.unet_apply(
+                ctx, x, t, c,
+                jnp.zeros((1, unet_p.ch_adm_in)) if unet_p.ch_adm_in
+                else None, unet_p),
+            jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, unet_p.n_ctx)))
     unet_params = synth_params(spec_u, 0)
     if use_q8:
         from mlimgsynth_tpu.weights import pack_to_device, \
@@ -204,7 +230,7 @@ def bench_config(name):
     else:
         spec_v = B.trace_spec(
             lambda ctx, x: V.vae_decode_apply(ctx, x, vae_p),
-            jnp.zeros((1, 8, 8, 4)))
+            jnp.zeros((1, 8, 8, vae_p.ch_z)))
     vae_params = synth_params(spec_v, 1)
     venc_params = None
     if use_i2i:
@@ -216,8 +242,8 @@ def bench_config(name):
     spec_c = B.trace_spec(
         lambda ctx, toks: C.clip_text_apply(
             ctx, toks, clip_p,
-            feat_tok_idx=(jnp.zeros((1,), jnp.int32) if single_label
-                          else None)),
+            feat_tok_idx=(jnp.zeros((1,), jnp.int32)
+                          if single_label or flow else None)),
         jnp.zeros((1, 77), jnp.int32))
     clip_params = synth_params(spec_c, 2)
     clip2_params = None
@@ -236,9 +262,11 @@ def bench_config(name):
     n_tok = len(tok.tokenize(prompt))
     cfg = SamplerConfig(method=method, sched="uniform", n_step=n_steps,
                         cfg_scale=cfg_scale,
-                        f_t_ini=(0.75 if use_i2i else 1.0))
+                        f_t_ini=(0.75 if use_i2i else 1.0),
+                        flow_shift=(getattr(unet_p, "flow_shift", 0.0)
+                                    if flow else 0.0))
 
-    init_latent = np.zeros((n_batch, 4, lat, lat), np.float32)
+    init_latent = np.zeros((n_batch, vae_p.ch_z, lat, lat), np.float32)
     lmask = None
     if use_i2i:
         # synthetic init image + circular alpha mask (the runtime path of
@@ -315,7 +343,21 @@ def bench_config(name):
     tokrows = np.repeat(enc_pair, n_batch, axis=0)
     wrows = np.ones(tokrows.shape, np.float32)
     enc_extra = ()
-    if clip2_p is not None:
+    if flow:
+        # SD3: both towers' feature heads + zero T5 rows (the no-T5 shape;
+        # the rows still participate in joint attention like the real
+        # pipelines')
+        tok2pair = np.asarray([tok.wrap_tokens(clip2_p, tok.tokenize(prompt)),
+                               tok.wrap_tokens(clip2_p, [])], np.int32)
+        tok2rows = np.repeat(
+            tok2pair if cfg_scale > 1 else tok2pair[:1], n_batch, axis=0)
+        fidxrows = np.repeat(
+            featpair if cfg_scale > 1 else featpair[:1], n_batch, axis=0)
+        t5_rows = np.zeros((tokrows.shape[0], 77, unet_p.d_ctx_in),
+                           np.float32)
+        enc_extra = (clip2_params, tok2rows, fidxrows, fidxrows.copy(),
+                     t5_rows, clip2_p)
+    elif clip2_p is not None:
         tok2pair = np.asarray([tok.wrap_tokens(clip2_p, tok.tokenize(prompt)),
                                tok.wrap_tokens(clip2_p, [])], np.int32)
         tok2rows = np.repeat(
@@ -345,7 +387,8 @@ def bench_config(name):
 
     def run(seed):
         x0 = encode_init() if use_i2i else init_latent
-        plan = make_plan(cfg, (n_batch, 4, lat, lat), RngPhilox(seed=seed),
+        plan = make_plan(cfg, (n_batch, vae_p.ch_z, lat, lat),
+                         RngPhilox(seed=seed),
                          nfe_per_dxdt=(2 if cfg_scale > 1 else 1))
         # decode fused into the loop program; skip the latent fetch —
         # minimizes host round-trips
@@ -360,6 +403,9 @@ def bench_config(name):
                 cfg, unet_p, dtype=dtype, decode=decode, want_latent=False,
                 encode=encode, control=control)
             return img
+        if flow:
+            raise RuntimeError("sd3 bench requires the fused-encode path "
+                               "(MLIS_BENCH_FUSE=0 unsupported)")
         emb, nemb, label, nlabel = encode_both()
         if n_batch > 1:
             emb = np.repeat(emb, n_batch, 0)
@@ -408,7 +454,8 @@ def bench_config(name):
             f"(reference claims SDXL <= 4 GiB with unet-split+vae-tile)")
     label = {"sdxl": "SDXL", "sd21": "SD2.1 dpm++2m vparam",
              "sd15-tae": "SD1.5+TAE",
-             "sdxl-refiner": "SDXL-refiner"}.get(name_base, "SD1.5")
+             "sdxl-refiner": "SDXL-refiner",
+             "sd3": "SD3-medium MMDiT flow"}.get(name_base, "SD1.5")
     if use_i2i:
         label += " img2img+inpaint"
     if use_q8:

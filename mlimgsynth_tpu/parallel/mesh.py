@@ -45,6 +45,13 @@ _TP_RULES = [
     (r"\.mlp\.fc1\.weight$", P(None, TP_AXIS)),
     (r"\.mlp\.fc1\.bias$", P(TP_AXIS)),
     (r"\.mlp\.fc2\.weight$", P(TP_AXIS, None)),
+    # MMDiT (SD3): fused qkv column-parallel, attention out-proj
+    # row-parallel (the .mlp rules above already cover both streams' FFNs).
+    # GSPMD re-tiles across the packed q/k/v boundary when tp doesn't align
+    # with it — correct always, collective-optimal when tp divides heads.
+    (r"\.attn\.qkv\.weight$", P(None, TP_AXIS)),
+    (r"\.attn\.qkv\.bias$", P(TP_AXIS)),
+    (r"\.attn\.proj\.weight$", P(TP_AXIS, None)),
 ]
 
 

@@ -1,0 +1,33 @@
+"""CPU smoke of the bench harness wiring for the newest config.
+
+The real benches run on TPU at full model size (tools/tpu_queue*.sh); this
+catches shape/spec bugs in the bench-side plumbing (fused encode spec,
+latent channels, flow plan) before a TPU session is spent on them, by
+monkeypatching the model tables to tiny geometries."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+
+def test_bench_sd3_smoke(monkeypatch):
+    import bench
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import mmdit as MM
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.testing import TINY_CLIP, TINY_CLIP2, TINY_VAE_SD3
+
+    tiny_mm = MM.MmditParams(
+        depth=2, d_model=32, n_head=2, patch=2, n_ch_in=4, n_ch_out=4,
+        d_ctx_in=80, d_pooled=64, pos_embed_max=8, d_t_embed=16,
+        n_ctx=80, ch_adm_in=64)
+    monkeypatch.setattr(MM, "MMDIT_SD3_MEDIUM", tiny_mm)
+    monkeypatch.setattr(V, "VAE_SD3", TINY_VAE_SD3)
+    monkeypatch.setattr(C, "CLIP_VIT_L_14", TINY_CLIP)
+    monkeypatch.setattr(C, "CLIP_VIT_BIGG_14", TINY_CLIP2)
+    monkeypatch.setattr(bench, "STEPS", 2)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_config("sd3")
+    assert r["unit"] == "s/image"
+    assert r["value"] > 0
+    assert "SD3-medium" in r["metric"]
