@@ -77,7 +77,11 @@ typedef enum MLIS_ModelType {
 	/* beyond-reference: the SDXL refiner model (single OpenCLIP-bigG
 	 * text tower + aesthetic-score conditioning). */
 	MLIS_MODEL_TYPE_SDXL_REFINER,
-	MLIS_MODEL_TYPE__LAST = MLIS_MODEL_TYPE_SDXL_REFINER,
+	/* beyond-reference: the SD3 family (MMDiT rectified-flow
+	 * transformer, dual CLIP towers + optional T5, 16-channel VAE). */
+	MLIS_MODEL_TYPE_SD3,
+	MLIS_MODEL_TYPE_SD35_LARGE,
+	MLIS_MODEL_TYPE__LAST = MLIS_MODEL_TYPE_SD35_LARGE,
 } MLIS_ModelType;
 
 typedef enum MLIS_SubModel {
@@ -157,7 +161,12 @@ typedef enum MLIS_Option {
 	 * sigma (no re-noising) and decodes. */
 	MLIS_OPT_REFINER,           /* (const char* model path; "" disables) */
 	MLIS_OPT_REFINER_SWITCH,    /* (double base fraction, default 0.8) */
-	MLIS_OPT__LAST = MLIS_OPT_REFINER_SWITCH,
+	/* Additive extension: SD3's optional T5 context tower (weights file,
+	 * HF-tokenizers tokenizer.json, context token count). */
+	MLIS_OPT_T5,                /* (const char* weights path) */
+	MLIS_OPT_T5_TOKENIZER,      /* (const char* tokenizer.json path) */
+	MLIS_OPT_T5_TOKENS,         /* (int n, default 77) */
+	MLIS_OPT__LAST = MLIS_OPT_T5_TOKENS,
 } MLIS_Option;
 
 enum MLIS_TensorUseFlag {

@@ -248,6 +248,7 @@ int mlis_option_set(MLIS_Ctx *S, MLIS_Option id, ...)
 	case MLIS_OPT_MODEL: case MLIS_OPT_TAE: case MLIS_OPT_LORA_DIR:
 	case MLIS_OPT_PROMPT: case MLIS_OPT_NPROMPT: case MLIS_OPT_AUX_DIR:
 	case MLIS_OPT_CONTROL_NET: case MLIS_OPT_EMBED_DIR:
+	case MLIS_OPT_REFINER: case MLIS_OPT_T5: case MLIS_OPT_T5_TOKENIZER:
 		r = mlis_option_set_str(S, name, va_arg(ap, const char*));
 		break;
 	case MLIS_OPT_LORA: {
@@ -269,14 +270,14 @@ int mlis_option_set(MLIS_Ctx *S, MLIS_Option id, ...)
 	case MLIS_OPT_VAE_TILE: case MLIS_OPT_UNET_SPLIT: case MLIS_OPT_THREADS:
 	case MLIS_OPT_DUMP_FLAGS: case MLIS_OPT_LOG_LEVEL:
 	case MLIS_OPT_NO_PROMPT_PARSE: case MLIS_OPT_WEIGHT_TYPE:
-	case MLIS_OPT_HIRES_STEPS:
+	case MLIS_OPT_HIRES_STEPS: case MLIS_OPT_T5_TOKENS:
 		snprintf(buf, sizeof(buf), "%d", va_arg(ap, int));
 		r = mlis_option_set_str(S, name, buf);
 		break;
 	case MLIS_OPT_CFG_SCALE: case MLIS_OPT_F_T_INI: case MLIS_OPT_F_T_END:
 	case MLIS_OPT_S_NOISE: case MLIS_OPT_S_ANCESTRAL:
 	case MLIS_OPT_CONTROL_STRENGTH: case MLIS_OPT_HIRES_FIX:
-	case MLIS_OPT_HIRES_DENOISE:
+	case MLIS_OPT_HIRES_DENOISE: case MLIS_OPT_REFINER_SWITCH:
 		snprintf(buf, sizeof(buf), "%.9g", va_arg(ap, double));
 		r = mlis_option_set_str(S, name, buf);
 		break;
@@ -557,10 +558,11 @@ static const char *g_method_names[] = {
 static const char *g_sched_names[] = {"none", "uniform", "karras",
 	"lcm"};
 static const char *g_model_type_names[] = {"none", "sd1", "sd2", "sdxl",
-	"sdxl_refiner"};
+	"sdxl_refiner", "sd3", "sd35_large"};
 static const char *g_model_type_descs[] = {
 	"None", "Stable Diffusion 1.x", "Stable Diffusion 2.x",
-	"Stable Diffusion XL", "Stable Diffusion XL refiner"};
+	"Stable Diffusion XL", "Stable Diffusion XL refiner",
+	"Stable Diffusion 3 (MMDiT)", "Stable Diffusion 3.5 Large"};
 static const char *g_option_names[] = {
 	"none", "backend", "model", "tae", "lora_dir", "lora", "lora_clear",
 	"prompt", "nprompt", "image_dim", "batch_size", "clip_skip", "cfg_scale",
@@ -570,7 +572,7 @@ static const char *g_option_names[] = {
 	"callback", "error_handler", "log_level", "model_type", "weight_type",
 	"no_prompt_parse", "control_net", "control_image", "control_strength",
 	"embed_dir", "hires_fix", "hires_denoise", "hires_steps",
-	"refiner", "refiner_switch"};
+	"refiner", "refiner_switch", "t5", "t5_tokenizer", "t5_tokens"};
 static const struct { const char *name; int id; } g_loglvl_attr[] = {
 	{ "none",    MLIS_LOGLVL_NONE },
 	{ "error",   MLIS_LOGLVL_ERROR },
