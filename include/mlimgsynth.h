@@ -81,7 +81,8 @@ typedef enum MLIS_ModelType {
 	 * transformer, dual CLIP towers + optional T5, 16-channel VAE). */
 	MLIS_MODEL_TYPE_SD3,
 	MLIS_MODEL_TYPE_SD35_LARGE,
-	MLIS_MODEL_TYPE__LAST = MLIS_MODEL_TYPE_SD35_LARGE,
+	MLIS_MODEL_TYPE_SD35_MEDIUM,  /* MMDiT-X (dual attention) */
+	MLIS_MODEL_TYPE__LAST = MLIS_MODEL_TYPE_SD35_MEDIUM,
 } MLIS_ModelType;
 
 typedef enum MLIS_SubModel {

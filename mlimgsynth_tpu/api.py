@@ -70,7 +70,7 @@ METHOD_NAMES = ["none", "euler", "heun", "taylor3", "dpmpp2m",
                 "dpmpp2s", "dpmpp2m_sde", "lcm"]
 SCHED_NAMES = ["none", "uniform", "karras", "lcm"]
 MODEL_TYPE_NAMES = ["none", "sd1", "sd2", "sdxl", "sdxl_refiner", "sd3",
-                    "sd35_large"]
+                    "sd35_large", "sd35_medium"]
 
 # Tensor-use flags (include/mlimgsynth.h:277-283)
 TUF_IMAGE = 1
@@ -140,6 +140,10 @@ def _model_types():
                                    clip_mod.CLIP_VIT_BIGG_14,
                                    mmdit_mod.MMDIT_SD35_LARGE,
                                    vae_mod.VAE_SD3, 1024, 2),
+        "sd35_medium": ModelTypeDef("sd35_medium", clip_mod.CLIP_VIT_L_14,
+                                    clip_mod.CLIP_VIT_BIGG_14,
+                                    mmdit_mod.MMDIT_SD35_MEDIUM,
+                                    vae_mod.VAE_SD3, 1024, 2),
     }
 
 

@@ -53,6 +53,9 @@ class MmditParams:
     pos_embed_max: int = 192    # pos-embed grid side (192 for SD3-medium)
     d_t_embed: int = 256
     qk_norm: bool = False       # RMSNorm on per-head q/k (SD3.5)
+    # MMDiT-X (SD3.5-medium): block indices whose x_block carries a SECOND
+    # self-attention over the latent tokens only (attn2, 9-chunk adaLN)
+    x_self_attn_layers: Tuple[int, ...] = ()
     # fields shared with UnetParams that the session/sampler read
     n_ctx: int = 4096
     ch_adm_in: int = 2048
@@ -74,9 +77,11 @@ class MmditParams:
 
 
 MMDIT_SD3_MEDIUM = MmditParams(depth=24)
-# SD3.5-medium's MMDiT-X differs (dual attention in early blocks); the plain
-# MMDiT variants below cover SD3-medium and the SD3.5-large geometry.
 MMDIT_SD35_LARGE = MmditParams(depth=38, qk_norm=True)
+# SD3.5-medium is MMDiT-X: same width/depth as SD3-medium plus qk-norm, a
+# 384-grid pos embed, and dual attention in x-blocks 0..12
+MMDIT_SD35_MEDIUM = MmditParams(depth=24, qk_norm=True, pos_embed_max=384,
+                                x_self_attn_layers=tuple(range(13)))
 
 
 def _modulate(x, shift, scale):
@@ -143,14 +148,19 @@ def _block_mod(ctx: B.Ctx, pre: str, c, n_chunks: int, P: MmditParams):
 
 
 def joint_block(ctx: B.Ctx, pre: str, cx, x, c, P: MmditParams,
-                ctx_pre_only: bool):
+                ctx_pre_only: bool, x_self_attn: bool = False):
     """One MMDiT joint block.
 
     ``cx`` [N,Sc,d] context stream, ``x`` [N,Sx,d] latent stream, ``c``
     [N,d] conditioning vector.  Both streams project q/k/v, attention runs
     over the CONCATENATED sequence, outputs split back per stream.  The
     final block's context side is ``pre_only``: it feeds attention but has
-    no output projection or MLP (its stream ends here)."""
+    no output projection or MLP (its stream ends here).
+
+    ``x_self_attn`` (MMDiT-X / SD3.5-medium): the x-block additionally runs
+    a SECOND self-attention over the latent tokens only, with its own
+    qkv/proj (``attn2``) and modulation (the adaLN emits 9 chunks); its
+    gated output is added after the joint-attention residual."""
     cpre = pre + ".context_block"
     xpre = pre + ".x_block"
     if ctx_pre_only:
@@ -160,15 +170,20 @@ def joint_block(ctx: B.Ctx, pre: str, cx, x, c, P: MmditParams,
     else:
         (c_shift, c_scale, c_gate,
          c_shift2, c_scale2, c_gate2) = _block_mod(ctx, cpre, c, 6, P)
-    (x_shift, x_scale, x_gate,
-     x_shift2, x_scale2, x_gate2) = _block_mod(ctx, xpre, c, 6, P)
+    xs_shift = xs_scale = xs_gate = None
+    if x_self_attn:
+        (x_shift, x_scale, x_gate, x_shift2, x_scale2, x_gate2,
+         xs_shift, xs_scale, xs_gate) = _block_mod(ctx, xpre, c, 9, P)
+    else:
+        (x_shift, x_scale, x_gate,
+         x_shift2, x_scale2, x_gate2) = _block_mod(ctx, xpre, c, 6, P)
 
     cn = B.layer_norm(ctx, cpre + ".norm1", cx, eps=1e-6, affine=False)
     cn = _modulate(cn, c_shift, c_scale)
     cq, ck, cv = _qkv(ctx, cpre + ".attn", cn, P)
 
-    xn = B.layer_norm(ctx, xpre + ".norm1", x, eps=1e-6, affine=False)
-    xn = _modulate(xn, x_shift, x_scale)
+    xn0 = B.layer_norm(ctx, xpre + ".norm1", x, eps=1e-6, affine=False)
+    xn = _modulate(xn0, x_shift, x_scale)
     xq, xk, xv = _qkv(ctx, xpre + ".attn", xn, P)
 
     sc = cx.shape[1]
@@ -179,6 +194,13 @@ def joint_block(ctx: B.Ctx, pre: str, cx, x, c, P: MmditParams,
 
     xo = _attn_out(ctx, xpre + ".attn", o[:, :, sc:], P)
     x = x + (x_gate[:, None, :]).astype(x.dtype) * xo
+    if x_self_attn:
+        # latent-only self-attention branch off the SAME norm1 output
+        xn2 = _modulate(xn0, xs_shift, xs_scale)
+        q2, k2, v2 = _qkv(ctx, xpre + ".attn2", xn2, P)
+        o2 = attention(q2, k2, v2)
+        x = x + (xs_gate[:, None, :]).astype(x.dtype) * _attn_out(
+            ctx, xpre + ".attn2", o2, P)
     xn = B.layer_norm(ctx, xpre + ".norm2", x, eps=1e-6, affine=False)
     xn = _modulate(xn, x_shift2, x_scale2)
     x = x + (x_gate2[:, None, :]).astype(x.dtype) * _mlp(ctx, xpre + ".mlp",
@@ -237,7 +259,8 @@ def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
 
     for i in range(P.depth):
         cx, xe = joint_block(ctx, f"{pre}.joint_blocks.{i}", cx, xe, c, P,
-                             ctx_pre_only=(i == P.depth - 1))
+                             ctx_pre_only=(i == P.depth - 1),
+                             x_self_attn=(i in P.x_self_attn_layers))
 
     fpre = pre + ".final_layer"
     shift, scale = _block_mod(ctx, fpre, c, 2, P)

@@ -391,6 +391,15 @@ def _tiny_mmdit():
 
 
 TINY_MMDIT = _tiny_mmdit()
+
+
+def _tiny_mmdit_x():
+    import dataclasses
+    return dataclasses.replace(_tiny_mmdit(), qk_norm=True,
+                               x_self_attn_layers=(0,))
+
+
+TINY_MMDIT_X = _tiny_mmdit_x()
 TINY_VAE_SD3 = vae_mod.VaeParams(ch=32, ch_mult=(1, 1, 2, 2),
                                  scale_factor=1.5305, shift_factor=0.0609,
                                  quant_conv=False)
@@ -421,13 +430,14 @@ def _sd3_ckpt_name(internal: str):
     return cv  # vae.*
 
 
-def write_checkpoint_sd3(path, seed=0):
+def write_checkpoint_sd3(path, seed=0, P=None):
     """Tiny SD3-like single-file checkpoint: MMDiT + dual HF-layout text
     towers (incl. Linear-stored text_projection) + 4-channel flow VAE
-    (shift factor, no quant convs)."""
+    (shift factor, no quant convs).  ``P`` swaps the MMDiT geometry (e.g.
+    TINY_MMDIT_X for an SD3.5-medium-style dual-attention file)."""
     from safetensors.numpy import save_file
     from mlimgsynth_tpu.models import mmdit as mmdit_mod
-    P = TINY_MMDIT
+    P = P or TINY_MMDIT
     spec = {}
     spec.update(B.trace_spec(
         lambda ctx, toks: clip_mod.clip_text_apply(

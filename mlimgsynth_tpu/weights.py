@@ -74,12 +74,16 @@ def identify_model(store: TensorStore, name_map: Dict[str, NameRef],
             continue
         e = store.tensors[ref.raw]
         return width_table.get(int(e.shape[-1])), e.dtype
-    # SD3 family: MMDiT joint blocks; model width distinguishes the variants
+    # SD3 family: MMDiT joint blocks; width distinguishes 3.5-large, the
+    # MMDiT-X dual-attention tensor distinguishes 3.5-medium from 3-medium
     ref = name_map.get("mmdit.joint_blocks.0.x_block.attn.qkv.weight")
     if ref is not None:
         e = store.tensors[ref.raw]
-        mm_table = {2432: "sd35_large"}
-        return mm_table.get(int(e.shape[-1]), "sd3"), e.dtype
+        if int(e.shape[-1]) == 2432:
+            return "sd35_large", e.dtype
+        if "mmdit.joint_blocks.0.x_block.attn2.qkv.weight" in name_map:
+            return "sd35_medium", e.dtype
+        return "sd3", e.dtype
     return None, None
 
 

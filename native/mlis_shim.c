@@ -558,11 +558,12 @@ static const char *g_method_names[] = {
 static const char *g_sched_names[] = {"none", "uniform", "karras",
 	"lcm"};
 static const char *g_model_type_names[] = {"none", "sd1", "sd2", "sdxl",
-	"sdxl_refiner", "sd3", "sd35_large"};
+	"sdxl_refiner", "sd3", "sd35_large", "sd35_medium"};
 static const char *g_model_type_descs[] = {
 	"None", "Stable Diffusion 1.x", "Stable Diffusion 2.x",
 	"Stable Diffusion XL", "Stable Diffusion XL refiner",
-	"Stable Diffusion 3 (MMDiT)", "Stable Diffusion 3.5 Large"};
+	"Stable Diffusion 3 (MMDiT)", "Stable Diffusion 3.5 Large",
+	"Stable Diffusion 3.5 Medium (MMDiT-X)"};
 static const char *g_option_names[] = {
 	"none", "backend", "model", "tae", "lora_dir", "lora", "lora_clear",
 	"prompt", "nprompt", "image_dim", "batch_size", "clip_skip", "cfg_scale",

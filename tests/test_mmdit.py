@@ -102,3 +102,31 @@ def test_mmdit_pos_embed_crop_center():
     grid = np.arange(g * g, dtype=np.float32).reshape(g, g)
     want = grid[3:5, 3:5].reshape(-1)
     np.testing.assert_allclose(np.asarray(got)[0, :, 0], want)
+
+
+def test_mmdit_x_dual_attention_matches_torch():
+    """MMDiT-X (SD3.5-medium): dual attention in the flagged x-blocks
+    (attn2 over latent tokens only, 9-chunk adaLN) vs torch."""
+    P = dataclasses.replace(TINY_MMDIT, qk_norm=True,
+                            x_self_attn_layers=(0, 1))
+    spec = _spec(P)
+    assert "mmdit.joint_blocks.0.x_block.attn2.qkv.weight" in spec
+    assert "mmdit.joint_blocks.2.x_block.attn2.qkv.weight" not in spec
+    ckpt, model = _make_params(spec, seed=3)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, P.n_ch_in, 8, 8)).astype(np.float32)
+    t = np.array([800.0, 100.0], np.float32)
+    cond = rng.standard_normal((2, 5, P.d_ctx_in)).astype(np.float32) * 0.3
+    pooled = rng.standard_normal((2, P.d_pooled)).astype(np.float32) * 0.3
+
+    ctx = B.Ctx(model, dtype=jnp.float32)
+    got = np.asarray(mmdit_mod.mmdit_apply(
+        ctx, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+        jnp.asarray(cond), jnp.asarray(pooled), P),
+        np.float32).transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        ref = torch_mmdit(ckpt, torch.from_numpy(x), torch.from_numpy(t),
+                          torch.from_numpy(cond), torch.from_numpy(pooled),
+                          P).numpy()
+    np.testing.assert_allclose(got, ref, atol=3e-4,
+                               err_msg="MMDiT-X forward mismatch vs torch")

@@ -238,3 +238,28 @@ def test_sd3_generate_batch_matches_singles(session):
         singles.append(session.generate()[0])
     np.testing.assert_allclose(batch[0], singles[0], atol=2e-4)
     np.testing.assert_allclose(batch[1], singles[1], atol=2e-4)
+
+
+def test_sd35_medium_identify_and_generate(monkeypatch, tmp_path):
+    """An MMDiT-X checkpoint (attn2 tensors present) identifies as
+    sd35_medium and generates through the session API."""
+    from mlimgsynth_tpu.testing import TINY_MMDIT_X, TINY_VAE_SD3
+    from mlimgsynth_tpu.testing import TINY_CLIP, TINY_CLIP2
+    from mlimgsynth_tpu.api import ModelTypeDef
+    from mlimgsynth_tpu.testing import write_checkpoint_sd3 as w
+    mt = ModelTypeDef("sd35_medium", TINY_CLIP, TINY_CLIP2, TINY_MMDIT_X,
+                      TINY_VAE_SD3, 64, 2)
+    patch_tiny_model_types(monkeypatch, {"sd35_medium": mt})
+    path = tmp_path / "tiny-sd35m.safetensors"
+    w(path, P=TINY_MMDIT_X)
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", str(path))
+    s.option_set("image-dim", 64, 64)
+    s.option_set("steps", 2)
+    s.option_set("seed", 4)
+    s.option_set("prompt", "dual attention")
+    img = s.generate()
+    assert s.c["model_type"] == "sd35_medium"
+    assert img.shape == (1, 3, 64, 64)
+    assert np.isfinite(img).all()

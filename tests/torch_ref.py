@@ -374,19 +374,30 @@ def torch_mmdit(params, x, t, cond, pooled, P, pre="mmdit"):
         cpre = f"{pre}.joint_blocks.{i}.context_block"
         xpre = f"{pre}.joint_blocks.{i}.x_block"
         pre_only = i == P.depth - 1
+        dual = i in getattr(P, "x_self_attn_layers", ())
         if pre_only:
             csh, csc = mod(cpre, c, 2)
         else:
             csh, csc, cg, csh2, csc2, cg2 = mod(cpre, c, 6)
-        xsh, xsc, xg, xsh2, xsc2, xg2 = mod(xpre, c, 6)
+        if dual:
+            (xsh, xsc, xg, xsh2, xsc2, xg2,
+             x2sh, x2sc, x2g) = mod(xpre, c, 9)
+        else:
+            xsh, xsc, xg, xsh2, xsc2, xg2 = mod(xpre, c, 6)
         cq, ck, cv = qkv(cpre + ".attn", modulate(ln(cx), csh, csc))
-        xq, xk, xv = qkv(xpre + ".attn", modulate(ln(xe), xsh, xsc))
+        xn0 = ln(xe)
+        xq, xk, xv = qkv(xpre + ".attn", modulate(xn0, xsh, xsc))
         sc_len = cx.shape[1]
         o = F.scaled_dot_product_attention(
             torch.cat([cq, xq], 2), torch.cat([ck, xk], 2),
             torch.cat([cv, xv], 2))
         xo = o[:, :, sc_len:].transpose(1, 2).reshape(n, -1, d)
         xe = xe + xg[:, None, :] * R.linear(xpre + ".attn.proj", xo)
+        if dual:
+            q2, k2, v2 = qkv(xpre + ".attn2", modulate(xn0, x2sh, x2sc))
+            o2 = F.scaled_dot_product_attention(q2, k2, v2)
+            o2 = o2.transpose(1, 2).reshape(n, -1, d)
+            xe = xe + x2g[:, None, :] * R.linear(xpre + ".attn2.proj", o2)
         xe = xe + xg2[:, None, :] * R.linear(xpre + ".mlp.fc2", F.gelu(
             R.linear(xpre + ".mlp.fc1",
                      modulate(ln(xe), xsh2, xsc2)), approximate="tanh"))
