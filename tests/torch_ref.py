@@ -414,3 +414,133 @@ def torch_mmdit(params, x, t, cond, pooled, P, pre="mmdit"):
     xe = xe.view(n, hp, wp, p, p, P.n_ch_out)
     xe = xe.permute(0, 5, 1, 3, 2, 4).reshape(n, P.n_ch_out, hp * p, wp * p)
     return xe
+
+
+def torch_flux(params, x, t, cond, pooled, P, pre="flux", guidance=None):
+    """Flux forward on torch kernels, transcribed from the public flux
+    reference semantics (independent of models/flux.py): rope built as
+    [S, half, 2, 2] rotation matrices applied to adjacent pairs, txt++img
+    double streams, parallel-attention single stream.  x NCHW [N,16,H,W];
+    returns NCHW."""
+    import numpy as np
+    R = TorchRef(params)
+    n, _, hh, ww = x.shape
+    hp, wp = hh // 2, ww // 2
+    d, nh = P.d_model, P.n_head
+    dh = d // nh
+    s_txt = cond.shape[1]
+
+    def rms(z, name):
+        zn = z.float() * torch.rsqrt(z.float().pow(2).mean(-1, keepdim=True)
+                                     + 1e-6)
+        return zn * R.p[name + ".scale"]
+
+    def ln(z):
+        return F.layer_norm(z, z.shape[-1:], eps=1e-6)
+
+    def mod_vec(name, vec, k):
+        return torch.chunk(R.linear(name + ".lin", F.silu(vec)), k, dim=-1)
+
+    def modulate(z, sh, sc):
+        return (1.0 + sc[:, None, :]) * z + sh[:, None, :]
+
+    # rope rotation matrices per position (flux reference form)
+    ids = np.zeros((s_txt + hp * wp, 3), np.float64)
+    yy, xx = np.mgrid[0:hp, 0:wp]
+    ids[s_txt:, 1] = yy.reshape(-1)
+    ids[s_txt:, 2] = xx.reshape(-1)
+    mats = []
+    for ax, dim in enumerate(P.axes_dim):
+        omega = 1.0 / (P.theta ** (np.arange(0, dim, 2, dtype=np.float64)
+                                   / dim))
+        ang = torch.from_numpy((ids[:, ax:ax + 1] * omega[None, :])
+                               .astype(np.float32))
+        m = torch.stack([torch.cos(ang), -torch.sin(ang),
+                         torch.sin(ang), torch.cos(ang)], dim=-1)
+        mats.append(m.reshape(ang.shape[0], ang.shape[1], 2, 2))
+    pe = torch.cat(mats, dim=1)          # [S, dh//2, 2, 2]
+
+    def rope(z):
+        zf = z.float().reshape(*z.shape[:-1], -1, 1, 2)
+        out = (pe[None, None, :, :, 0] * zf[..., 0]
+               + pe[None, None, :, :, 1] * zf[..., 1])
+        return out.reshape(z.shape)
+
+    def qkv_split(name, z):
+        y = R.linear(name + ".qkv", z)
+        s = y.shape[1]
+        y = y.view(n, s, 3, nh, dh).permute(2, 0, 3, 1, 4)
+        q = rms(y[0], name + ".norm.query_norm")
+        k = rms(y[1], name + ".norm.key_norm")
+        return q, k, y[2]
+
+    cl = P.n_ch_in // 4
+    img = x.reshape(n, cl, hp, 2, wp, 2).permute(0, 2, 4, 3, 5, 1)
+    img = img.reshape(n, hp * wp, P.n_ch_in)
+    img = R.linear(pre + ".img_in", img)
+    txt = R.linear(pre + ".txt_in", cond)
+
+    def embed(name, z):
+        return R.linear(name + ".out_layer",
+                        F.silu(R.linear(name + ".in_layer", z)))
+
+    tf = t.float() / P.n_step_train
+    vec = embed(pre + ".time_in", R.timestep_embedding(tf * 1000.0, 256))
+    if P.guidance_embed:
+        g = (torch.zeros(n) if guidance is None else guidance.float())
+        vec = vec + embed(pre + ".guidance_in",
+                          R.timestep_embedding(g * 1000.0, 256))
+    vec = vec + embed(pre + ".vector_in", pooled)
+
+    for i in range(P.depth_double):
+        bp = f"{pre}.double_blocks.{i}"
+        ish1, isc1, ig1, ish2, isc2, ig2 = mod_vec(bp + ".img_mod", vec, 6)
+        tsh1, tsc1, tg1, tsh2, tsc2, tg2 = mod_vec(bp + ".txt_mod", vec, 6)
+        iq, ik, iv = qkv_split(bp + ".img_attn", modulate(ln(img), ish1,
+                                                         isc1))
+        tq, tk, tv = qkv_split(bp + ".txt_attn", modulate(ln(txt), tsh1,
+                                                          tsc1))
+        q = rope(torch.cat([tq, iq], 2))
+        k = rope(torch.cat([tk, ik], 2))
+        v = torch.cat([tv, iv], 2)
+        o = F.scaled_dot_product_attention(q, k, v)
+        o = o.transpose(1, 2).reshape(n, -1, d)
+        img = img + ig1[:, None, :] * R.linear(bp + ".img_attn.proj",
+                                               o[:, s_txt:])
+        img = img + ig2[:, None, :] * R.linear(
+            bp + ".img_mlp.2", F.gelu(R.linear(
+                bp + ".img_mlp.0", modulate(ln(img), ish2, isc2)),
+                approximate="tanh"))
+        txt = txt + tg1[:, None, :] * R.linear(bp + ".txt_attn.proj",
+                                               o[:, :s_txt])
+        txt = txt + tg2[:, None, :] * R.linear(
+            bp + ".txt_mlp.2", F.gelu(R.linear(
+                bp + ".txt_mlp.0", modulate(ln(txt), tsh2, tsc2)),
+                approximate="tanh"))
+
+    z = torch.cat([txt, img], dim=1)
+    mlp_d = P.mlp_ratio * d
+    for i in range(P.depth_single):
+        bp = f"{pre}.single_blocks.{i}"
+        sh, sc, gate = mod_vec(bp + ".modulation", vec, 3)
+        zm = modulate(ln(z), sh, sc)
+        y = R.linear(bp + ".linear1", zm)
+        qkv, mlp = y[..., :3 * d], y[..., 3 * d:]
+        s = y.shape[1]
+        qkv = qkv.view(n, s, 3, nh, dh).permute(2, 0, 3, 1, 4)
+        q = rope(rms(qkv[0], bp + ".norm.query_norm"))
+        k = rope(rms(qkv[1], bp + ".norm.key_norm"))
+        o = F.scaled_dot_product_attention(q, k, qkv[2])
+        o = o.transpose(1, 2).reshape(n, s, d)
+        out = R.linear(bp + ".linear2",
+                       torch.cat([o, F.gelu(mlp, approximate="tanh")], -1))
+        z = z + gate[:, None, :] * out
+    img = z[:, s_txt:]
+
+    fp = pre + ".final_layer"
+    y = R.linear(fp + ".adaLN_modulation.1", F.silu(vec))
+    sh, sc = torch.chunk(y, 2, dim=-1)
+    img = modulate(ln(img), sh, sc)
+    img = R.linear(fp + ".linear", img)
+    img = img.reshape(n, hp, wp, 2, 2, cl).permute(0, 5, 1, 3, 2, 4)
+    return img.reshape(n, cl, hh, ww)
