@@ -82,7 +82,11 @@ typedef enum MLIS_ModelType {
 	MLIS_MODEL_TYPE_SD3,
 	MLIS_MODEL_TYPE_SD35_LARGE,
 	MLIS_MODEL_TYPE_SD35_MEDIUM,  /* MMDiT-X (dual attention) */
-	MLIS_MODEL_TYPE__LAST = MLIS_MODEL_TYPE_SD35_MEDIUM,
+	/* beyond-reference: Flux.1 (double/single-stream rectified-flow DiT
+	 * with rotary embeddings; dev embeds the guidance instead of CFG). */
+	MLIS_MODEL_TYPE_FLUX_SCHNELL,
+	MLIS_MODEL_TYPE_FLUX_DEV,
+	MLIS_MODEL_TYPE__LAST = MLIS_MODEL_TYPE_FLUX_DEV,
 } MLIS_ModelType;
 
 typedef enum MLIS_SubModel {
@@ -167,7 +171,11 @@ typedef enum MLIS_Option {
 	MLIS_OPT_T5,                /* (const char* weights path) */
 	MLIS_OPT_T5_TOKENIZER,      /* (const char* tokenizer.json path) */
 	MLIS_OPT_T5_TOKENS,         /* (int n, default 77) */
-	MLIS_OPT__LAST = MLIS_OPT_T5_TOKENS,
+	/* Additive extension: aux weight files for transformer-only
+	 * distributions (flux): a CLIP text tower / a standalone VAE. */
+	MLIS_OPT_CLIP,              /* (const char* weights path) */
+	MLIS_OPT_VAE,               /* (const char* weights path) */
+	MLIS_OPT__LAST = MLIS_OPT_VAE,
 } MLIS_Option;
 
 enum MLIS_TensorUseFlag {

@@ -70,7 +70,7 @@ METHOD_NAMES = ["none", "euler", "heun", "taylor3", "dpmpp2m",
                 "dpmpp2s", "dpmpp2m_sde", "lcm"]
 SCHED_NAMES = ["none", "uniform", "karras", "lcm"]
 MODEL_TYPE_NAMES = ["none", "sd1", "sd2", "sdxl", "sdxl_refiner", "sd3",
-                    "sd35_large", "sd35_medium"]
+                    "sd35_large", "sd35_medium", "flux_schnell", "flux_dev"]
 
 # Tensor-use flags (include/mlimgsynth.h:277-283)
 TUF_IMAGE = 1
@@ -111,6 +111,7 @@ def _model_types():
         from .testing import tiny_model_types
         return tiny_model_types()
     from .models import clip as clip_mod
+    from .models import flux as flux_mod
     from .models import mmdit as mmdit_mod
     from .models import unet as unet_mod
     from .models import vae as vae_mod
@@ -144,6 +145,16 @@ def _model_types():
                                     clip_mod.CLIP_VIT_BIGG_14,
                                     mmdit_mod.MMDIT_SD35_MEDIUM,
                                     vae_mod.VAE_SD3, 1024, 2),
+        # beyond-reference: Flux.1 — double/single-stream rectified-flow
+        # DiT with RoPE; T5 context (--t5) + CLIP-L pooled conditioning;
+        # dev replaces CFG with an embedded guidance input.  Weights
+        # usually ship as transformer-only files: pair with --clip/--vae.
+        "flux_schnell": ModelTypeDef("flux_schnell", clip_mod.CLIP_VIT_L_14,
+                                     None, flux_mod.FLUX_SCHNELL,
+                                     vae_mod.VAE_FLUX, 1024, 1),
+        "flux_dev": ModelTypeDef("flux_dev", clip_mod.CLIP_VIT_L_14, None,
+                                 flux_mod.FLUX_DEV, vae_mod.VAE_FLUX,
+                                 1024, 1),
     }
 
 
@@ -221,6 +232,7 @@ class MLImgSynth:
             "hires_fix": 0.0, "hires_denoise": 0.7, "hires_steps": 0,
             "refiner": "", "refiner_switch": 0.8,
             "t5": "", "t5_tokenizer": "", "t5_tokens": 77,
+            "clip": "", "vae": "",
         }
         self.prompt = prompt_mod.PromptText()
         self.nprompt = prompt_mod.PromptText()
@@ -447,6 +459,14 @@ class MLImgSynth:
             c["t5_tokenizer"] = str(args[0]) if args else ""
         elif opt == "t5_tokens":
             c["t5_tokens"] = _int(args[0], 77)
+        elif opt in ("clip", "vae"):
+            # aux weight files for transformer-only distributions (flux):
+            # a CLIP text tower / a standalone VAE merged into the store
+            v = str(args[0]) if args else ""
+            if v != c[opt]:
+                c[opt] = v
+                self._params.pop("clip" if opt == "clip" else "vae", None)
+                self._ready.discard("model")
         elif opt == "callback":
             self.callback = args[0]
         elif opt == "error_handler":
@@ -470,7 +490,8 @@ class MLImgSynth:
         opt = self._find_option(name)
         value = value if value is not None else ""
         if opt in ("model", "tae", "lora_dir", "aux_dir", "prompt",
-                   "nprompt", "control_net", "t5", "t5_tokenizer"):
+                   "nprompt", "control_net", "t5", "t5_tokenizer",
+                   "clip", "vae"):
             self.option_set(opt, value)  # no comma-splitting for paths/text
         elif opt in ("callback", "error_handler", "image", "image_mask",
                      "control_image"):
@@ -802,6 +823,14 @@ class MLImgSynth:
                 raise MlisError(MlisError.E_FILE_NOT_FOUND,
                                 f"t5 file not found '{self.c['t5']}'")
             store.read_file(t5_path, prefix="t5_ckpt.")
+        for aux in ("clip", "vae"):
+            if self.c[aux]:
+                p = self._aux_find(self.c[aux])
+                if not os.path.exists(p):
+                    raise MlisError(
+                        MlisError.E_FILE_NOT_FOUND,
+                        f"{aux} file not found '{self.c[aux]}'")
+                store.read_file(p, prefix=f"{aux}_ckpt.")
         self._store = store
         if self.c["dump_flags"] & 1:  # MLIS_DUMP_MODEL
             with open("dump-tensors-model.txt", "w") as f:
@@ -839,6 +868,33 @@ class MLImgSynth:
                 raise MlisError(-1, "no T5 tensors recognized in "
                                 f"'{self.c['t5']}'")
             log.info2(f"T5: {n_t5} tensors mapped")
+        if self.c["clip"]:
+            # HF CLIPTextModel layout (text_model.*), possibly nested
+            from .nameconv import normalize_name as _nn
+
+            def _clip_tf(t):
+                if t.startswith("text_model."):
+                    return _nn("cond_stage_model.transformer." + t)
+                return _nn(t)
+            n_c = weights_mod.merge_prefixed(self._name_map, store,
+                                             "clip_ckpt.", _clip_tf)
+            if not n_c:
+                raise MlisError(-1, "no CLIP tensors recognized in "
+                                f"'{self.c['clip']}'")
+            log.info2(f"clip file: {n_c} tensors mapped")
+        if self.c["vae"]:
+            from .nameconv import normalize_name as _nn
+
+            def _vae_tf(t):
+                if t.startswith("first_stage_model."):
+                    return _nn(t)
+                return _nn("first_stage_model." + t)
+            n_v = weights_mod.merge_prefixed(self._name_map, store,
+                                             "vae_ckpt.", _vae_tf)
+            if not n_v:
+                raise MlisError(-1, "no VAE tensors recognized in "
+                                f"'{self.c['vae']}'")
+            log.info2(f"vae file: {n_v} tensors mapped")
         if self.c["control_net"]:
             from .nameconv import normalize_cnet_name
             n_cn = 0
@@ -932,15 +988,30 @@ class MLImgSynth:
         if submodel in ("clip", "clip2"):
             P = mt.clip_p if submodel == "clip" else mt.clip2_p
             has_proj = (f"{submodel}.text.text_proj" in self._name_map)
+            # flux conditions on the UNPROJECTED pooled row (HF
+            # pooler_output), so its clip tower wants the feat head even
+            # when the file ships no text_projection tensor
+            is_flux = getattr(mt.unet_p, "flux", False)
+            want_feat = has_proj or (is_flux and submodel == "clip")
             spec = B.trace_spec(
                 lambda ctx, toks: clip_mod.clip_text_apply(
                     ctx, toks, P, feat_tok_idx=(
-                        jnp.zeros((1,), jnp.int32) if has_proj else None),
-                    pre=submodel),
+                        jnp.zeros((1,), jnp.int32) if want_feat else None),
+                    pre=submodel, feat_proj=not is_flux),
                 jnp.zeros((1, P.n_token), jnp.int32))
         elif submodel == "unet":
             P = mt.unet_p
-            if getattr(P, "flow", False):
+            if getattr(P, "flux", False):
+                from .models import flux as flux_mod
+                spec = B.trace_spec(
+                    lambda ctx, x, t, c, y: flux_mod.flux_apply(
+                        ctx, x, t, c, y, P,
+                        guidance=(jnp.zeros((1,)) if P.guidance_embed
+                                  else None)),
+                    jnp.zeros((1, 8, 8, P.n_ch_in // 4)), jnp.zeros((1,)),
+                    jnp.zeros((1, 77, P.d_ctx_in)),
+                    jnp.zeros((1, P.d_pooled)))
+            elif getattr(P, "flow", False):
                 from .models import mmdit as mmdit_mod
                 spec = B.trace_spec(
                     lambda ctx, x, t, c, y: mmdit_mod.mmdit_apply(
@@ -1127,6 +1198,7 @@ class MLImgSynth:
         embed, feat = _clip_jit(
             params, wrapped, fidx, clip_p=P, submodel=submodel,
             clip_skip=clip_skip, norm=norm, want_feat=want_feat,
+            feat_proj=not getattr(self._mt.unet_p, "flux", False),
             dtype=self._dtype)
         embed = np.asarray(embed, np.float32)
         if weights_rows is not None:
@@ -1166,6 +1238,7 @@ class MLImgSynth:
         mt = self._mt
         norm = mt.unet_p.clip_norm
         flow = getattr(mt.unet_p, "flow", False)
+        flux = getattr(mt.unet_p, "flux", False)
         single_label = mt.unet_p.cond_label and mt.clip2_p is None \
             and not flow
         rows, wrows = [], []
@@ -1179,7 +1252,13 @@ class MLImgSynth:
                                              single_label or flow, norm,
                                              self.c["clip_skip"])
         label = None
-        if flow:
+        if flux:
+            # Flux: context = T5 rows only; label = the clip tower's
+            # unprojected pooled row (the guidance column, if any, is
+            # appended by the caller — it is generation-scoped)
+            label = feat1
+            cond = self._t5_encode_rows(pts, mt.unet_p.d_ctx_in)
+        elif flow:
             # SD3 conditioning: both towers' skip-layer hiddens concat on
             # the feature axis, zero-padded to the t5 width, then the T5
             # context rows (zeros when no --t5 file is loaded — the same
@@ -1441,7 +1520,8 @@ class MLImgSynth:
         # SD-inpaint convention).  The learned conditioning replaces the
         # per-step latent-blend hack, so lmask is consumed here.
         extra_spec = None
-        if mt.unet_p.n_ch_in > mt.vae_p.ch_z:
+        if mt.unet_p.n_ch_in > mt.vae_p.ch_z \
+                and not getattr(mt.unet_p, "flow", False):
             if mt.unet_p.n_ch_in != 2 * mt.vae_p.ch_z + 1:
                 raise MlisError(
                     -1, f"unsupported UNet input channels "
@@ -1476,15 +1556,20 @@ class MLImgSynth:
         # additionally fuses the bigG tower, the feature head, and the
         # size-label concat.
         flow = getattr(mt.unet_p, "flow", False)
+        flux = getattr(mt.unet_p, "flux", False)
+        # guidance-distilled models (flux dev): cfg_scale becomes the
+        # EMBEDDED guidance value — no uncond pass, NFE per step is 1
+        guidance_embed = getattr(mt.unet_p, "guidance_embed", False)
+        eff_cfg = 1.0 if guidance_embed else c["cfg_scale"]
         fuse_encode = (self.step_observer is None and self._mesh is None
                        and not c["unet_split"]
                        and not (c["tuflags"] & TUF_CONDITIONING))
         encode_spec = None
         if fuse_encode:
-            pts = [self.prompt] + ([self.nprompt] if c["cfg_scale"] > 1
+            pts = [self.prompt] + ([self.nprompt] if eff_cfg > 1
                                    else [])
             tokens, wmat = self._cond_token_rows(pts)
-            if (mt.unet_p.uncond_empty_zero and c["cfg_scale"] > 1
+            if (mt.unet_p.uncond_empty_zero and eff_cfg > 1
                     and not c["nprompt_raw"]):
                 # zero uncond embedding rows via the weight matrix
                 # (reference: src/mlimgsynth.c:1702)
@@ -1494,7 +1579,21 @@ class MLImgSynth:
                 wmat = np.repeat(wmat, n_batch, axis=0)
             encode_spec = (self._get_params("clip"), tokens, wmat,
                            mt.clip_p, c["clip_skip"], mt.unet_p.clip_norm)
-            if flow:
+            if flux:
+                # Flux: T5 rows are the whole context; the clip pooled
+                # head fuses into the loop, with the embedded-guidance
+                # column for dev models
+                _, fidx = self._cond_token_rows(pts, want_fidx=True)
+                t5_rows = self._t5_encode_rows(pts, mt.unet_p.d_ctx_in)
+                grow = (np.full((len(pts), 1), c["cfg_scale"], np.float32)
+                        if guidance_embed else None)
+                if n_batch > 1:
+                    fidx = np.repeat(fidx, n_batch, axis=0)
+                    t5_rows = np.repeat(t5_rows, n_batch, axis=0)
+                    grow = (np.repeat(grow, n_batch, axis=0)
+                            if grow is not None else None)
+                encode_spec = encode_spec + (fidx, t5_rows, grow)
+            elif flow:
                 # SD3: both towers + pooled heads fuse into the loop
                 # program; T5 rows are precomputed (zeros without --t5)
                 _, fidx = self._cond_token_rows(pts, want_fidx=True)
@@ -1551,7 +1650,7 @@ class MLImgSynth:
             self._cb(STAGE_COND_ENCODE, 1, 1)
         elif not (c["tuflags"] & TUF_CONDITIONING):
             ncond = nlabel = None
-            if c["cfg_scale"] > 1:
+            if eff_cfg > 1:
                 # prompt + nprompt ride one batched encoder call
                 both, lboth = self._text_cond_encode_rows(
                     [self.prompt, self.nprompt], uncond_rows=1)
@@ -1569,6 +1668,17 @@ class MLImgSynth:
             cond = self.tensors["cond"]
             ncond = self.tensors["ncond"]
             label, nlabel = self.tensors["label"], self.tensors["nlabel"]
+            if guidance_embed and label is not None \
+                    and label.shape[-1] == mt.unet_p.d_pooled:
+                # append the generation-scoped embedded-guidance column
+                gcol = np.full((label.shape[0], 1), c["cfg_scale"],
+                               np.float32)
+                label = np.concatenate([np.asarray(label, np.float32),
+                                        gcol], axis=-1)
+                if nlabel is not None:
+                    nlabel = np.concatenate(
+                        [np.asarray(nlabel, np.float32),
+                         gcol[:nlabel.shape[0]]], axis=-1)
             if log.check(LVL_DEBUG):
                 from .utils.tensorstat import stat_line
                 log.debug(stat_line(cond, "cond"))
@@ -1586,14 +1696,17 @@ class MLImgSynth:
                     if nlabel is not None else None
 
         # sampling
+        flow_shift = getattr(mt.unet_p, "flow_shift", 0.0) if flow else 0.0
+        if flow and getattr(mt.unet_p, "dynamic_shift", False):
+            from .models.flux import dynamic_flow_shift
+            flow_shift = dynamic_flow_shift(mt.unet_p, h, w)
         scfg = SamplerConfig(
             method=c["method"], sched=c["scheduler"], n_step=c["steps"],
-            cfg_scale=c["cfg_scale"], s_ancestral=c["s_ancestral"],
+            cfg_scale=eff_cfg, s_ancestral=c["s_ancestral"],
             s_noise=c["s_noise"], f_t_ini=c["f_t_ini"], f_t_end=c["f_t_end"],
             keep_tail=self._keep_tail, noise_add=self._noise_add,
-            flow_shift=(getattr(mt.unet_p, "flow_shift", 0.0)
-                        if flow else 0.0))
-        nfe_per_dxdt = 2 if c["cfg_scale"] > 1 else 1
+            flow_shift=flow_shift)
+        nfe_per_dxdt = 2 if eff_cfg > 1 else 1
         plan = make_plan(scfg, latent.shape, self.rng, nfe_per_dxdt)
         log.info(
             f"Generating (solver: {c['method']}, sched: {c['scheduler']}, "
@@ -1666,11 +1779,11 @@ class MLImgSynth:
             # lazy device arrays: fetched only if a caller reads the slots
             n = latent.shape[0]
             self.tensors["cond"] = cond_dev[:n]
-            self.tensors["ncond"] = (cond_dev[n:] if c["cfg_scale"] > 1
+            self.tensors["ncond"] = (cond_dev[n:] if eff_cfg > 1
                                      else None)
             if lab_dev is not None:   # SDXL size labels computed in-loop
                 self.tensors["label"] = lab_dev[:n]
-                self.tensors["nlabel"] = (lab_dev[n:] if c["cfg_scale"] > 1
+                self.tensors["nlabel"] = (lab_dev[n:] if eff_cfg > 1
                                           else None)
         elif decode_spec is not None:
             latent, u8 = out
@@ -1952,7 +2065,8 @@ class MLImgSynth:
                         f"init_latents batch {init_latents.shape[0]} != "
                         f"{n} requests")
                 h, w = init_latents.shape[2], init_latents.shape[3]
-            use_cfg = c["cfg_scale"] > 1
+            guidance_embed = getattr(mt.unet_p, "guidance_embed", False)
+            use_cfg = c["cfg_scale"] > 1 and not guidance_embed
             # ALL requests' prompts ride one batched encoder call (ditto
             # nprompts): 2 text-encode dispatches per merged batch total
             pts = [self._parse_prompt_text(str(r.get("prompt", "")))
@@ -1979,7 +2093,17 @@ class MLImgSynth:
                 encode_spec = (self._get_params("clip"), tokens, wmat,
                                mt.clip_p, c["clip_skip"],
                                mt.unet_p.clip_norm)
-                if getattr(mt.unet_p, "flow", False):
+                if getattr(mt.unet_p, "flux", False):
+                    # Flux: T5-only context + fused pooled head (+ the
+                    # embedded-guidance column for dev)
+                    _, fidx = self._cond_token_rows(rows_pts,
+                                                    want_fidx=True)
+                    t5_rows = self._t5_encode_rows(rows_pts,
+                                                   mt.unet_p.d_ctx_in)
+                    grow = (np.full((len(rows_pts), 1), c["cfg_scale"],
+                                    np.float32) if guidance_embed else None)
+                    encode_spec = encode_spec + (fidx, t5_rows, grow)
+                elif getattr(mt.unet_p, "flow", False):
                     # SD3 flow: dual towers + pooled heads fused (see
                     # _generate); T5 rows precomputed per request row
                     _, fidx = self._cond_token_rows(rows_pts,
@@ -2036,16 +2160,27 @@ class MLImgSynth:
                             ncond[i] = 0.0
             else:
                 cond, label = self._text_cond_encode_rows(pts)
+            if guidance_embed and label is not None \
+                    and label.shape[-1] == mt.unet_p.d_pooled:
+                gcol = np.full((label.shape[0], 1), c["cfg_scale"],
+                               np.float32)
+                label = np.concatenate([np.asarray(label, np.float32),
+                                        gcol], axis=-1)
 
+            flow_shift = (getattr(mt.unet_p, "flow_shift", 0.0)
+                          if getattr(mt.unet_p, "flow", False) else 0.0)
+            if getattr(mt.unet_p, "dynamic_shift", False):
+                from .models.flux import dynamic_flow_shift
+                flow_shift = dynamic_flow_shift(mt.unet_p, h, w)
             scfg = SamplerConfig(
                 method=c["method"], sched=c["scheduler"], n_step=c["steps"],
-                cfg_scale=c["cfg_scale"], s_ancestral=c["s_ancestral"],
+                cfg_scale=(1.0 if guidance_embed else c["cfg_scale"]),
+                s_ancestral=c["s_ancestral"],
                 s_noise=c["s_noise"],
                 f_t_ini=c["f_t_ini"] if init_latents is not None else 1.0,
                 f_t_end=c["f_t_end"],
                 keep_tail=self._keep_tail, noise_add=self._noise_add,
-                flow_shift=(getattr(mt.unet_p, "flow_shift", 0.0)
-                            if getattr(mt.unet_p, "flow", False) else 0.0))
+                flow_shift=flow_shift)
             nfe_per_dxdt = 2 if use_cfg else 1
             latent = (np.asarray(init_latents, np.float32)
                       if init_latents is not None
@@ -2077,7 +2212,8 @@ class MLImgSynth:
                 raise MlisError(MlisError.E_OPT_VALUE,
                                 "inpainting masks need init images")
             extra_spec = None
-            if mt.unet_p.n_ch_in > mt.vae_p.ch_z:
+            if mt.unet_p.n_ch_in > mt.vae_p.ch_z \
+                    and not getattr(mt.unet_p, "flow", False):
                 if init_latents is not None:
                     raise MlisError(
                         MlisError.E_OPT_VALUE,
@@ -2294,6 +2430,8 @@ _OPTIONS = [
     "refiner", "refiner_switch",
     # SD3 T5-XXL context tower (optional third text encoder)
     "t5", "t5_tokenizer", "t5_tokens",
+    # aux weight files for transformer-only distributions (flux)
+    "clip", "vae",
 ]
 
 
@@ -2306,15 +2444,17 @@ def _make_clip_jit():
     import jax
 
     @functools.partial(jax.jit, static_argnames=(
-        "clip_p", "submodel", "clip_skip", "norm", "want_feat", "dtype"))
+        "clip_p", "submodel", "clip_skip", "norm", "want_feat", "dtype",
+        "feat_proj"))
     def f(params, tokens, feat_idx, *, clip_p, submodel, clip_skip, norm,
-          want_feat, dtype):
+          want_feat, dtype, feat_proj=True):
         from .models import blocks as B
         from .models import clip as clip_mod
         ctx = B.Ctx(params, dtype=dtype)
         return clip_mod.clip_text_apply(
             ctx, tokens, clip_p, clip_skip=clip_skip, norm=norm,
-            feat_tok_idx=(feat_idx if want_feat else None), pre=submodel)
+            feat_tok_idx=(feat_idx if want_feat else None), pre=submodel,
+            feat_proj=feat_proj)
     return f
 
 

@@ -18,8 +18,8 @@ import numpy as np
 
 HELP = """mlimgsynth-tpu v{version}
 Image synthesis using AI, TPU-native (JAX/XLA/Pallas).
-Currently Stable Diffusion 1, 2, XL, XL-refiner and 3 (MMDiT) are
-implemented.
+Currently Stable Diffusion 1, 2, XL, XL-refiner, 3 / 3.5 (MMDiT) and
+Flux.1 are implemented.
 
 Usage: mlimgsynth [COMMAND] [OPTIONS]
 

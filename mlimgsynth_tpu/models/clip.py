@@ -48,13 +48,17 @@ def clip_layer(ctx: B.Ctx, pre: str, x, P: ClipParams, mask: bool = True):
 
 
 def clip_text_apply(ctx: B.Ctx, tokens, P: ClipParams, clip_skip: int = 0,
-                    norm: bool = True, feat_tok_idx=None, pre: str = "clip"):
+                    norm: bool = True, feat_tok_idx=None, pre: str = "clip",
+                    feat_proj: bool = True):
     """Text encoder forward.  tokens: int32 [N, n_token].
 
     Returns ``(embed, feat)``: per-token embeddings [N, n_token, d_embed]
     (after optional final LayerNorm) and, if ``feat_tok_idx`` is given, the
     projected feature of that token position [N, d_embed]
     (ref: mlb_clip_text + mlb_clip_text_proj, src/clip.c:395-437).
+    ``feat_proj=False`` returns the UNPROJECTED pooled row (HF
+    CLIPTextModel pooler_output — what Flux conditions on; files without a
+    text_projection tensor then load fine).
     """
     tpre = pre + ".text"
     x = clip_embeddings(ctx, tpre + ".embed", tokens, P).astype(ctx.dtype)
@@ -76,9 +80,13 @@ def clip_text_apply(ctx: B.Ctx, tokens, P: ClipParams, clip_skip: int = 0,
     if feat_tok_idx is not None:
         # feat path always uses the full stack + final norm (src/clip.c:446)
         xn = B.layer_norm(ctx, tpre + ".ln_final", x)
-        p = ctx.param(tpre + ".text_proj", (P.d_embed, P.d_embed), B.MAT)
         rows = xn[jnp.arange(xn.shape[0]), feat_tok_idx]  # [N, d_embed]
-        feat = jnp.dot(rows.astype(jnp.float32), p.astype(jnp.float32))
+        if feat_proj:
+            p = ctx.param(tpre + ".text_proj", (P.d_embed, P.d_embed),
+                          B.MAT)
+            feat = jnp.dot(rows.astype(jnp.float32), p.astype(jnp.float32))
+        else:
+            feat = rows.astype(jnp.float32)
     x = x_skip
     if norm:
         x = B.layer_norm(ctx, tpre + ".ln_final", x)

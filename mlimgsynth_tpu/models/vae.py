@@ -41,6 +41,9 @@ VAE_SDXL = VaeParams(scale_factor=0.13025)
 # SD3 family: 16-channel latent, shift factor, no quant convs
 VAE_SD3 = VaeParams(ch_z=16, d_embed=16, scale_factor=1.5305,
                     shift_factor=0.0609, quant_conv=False)
+# Flux: same architecture as the SD3 VAE, different scaling
+VAE_FLUX = VaeParams(ch_z=16, d_embed=16, scale_factor=0.3611,
+                     shift_factor=0.1159, quant_conv=False)
 
 
 def attn_2d_self(ctx: B.Ctx, pre: str, x):

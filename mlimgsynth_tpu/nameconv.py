@@ -368,11 +368,36 @@ def normalize_name(name: str):
        m.match("model.diffusion_model.context_embedder") or \
        m.match("model.diffusion_model.final_layer.") or \
        m.match("model.diffusion_model.pos_embed"):
+        # final_layer.* is shared by the MMDiT and Flux layouts; the loader
+        # aliases mmdit.final_layer.* under flux. too (weights.py), so one
+        # mapping serves both families.
         m.rep("model.diffusion_model.", "mmdit.")
         return m.done()
+    # Flux transformer tails — prefixed (ComfyUI-style single files) or
+    # bare (black-forest-labs distribution flux1-*.safetensors; bare files
+    # unambiguously own final_layer too)
+    for fpre, heads in (("model.diffusion_model.", _FLUX_HEADS),
+                        ("", _FLUX_HEADS + ("final_layer.",))):
+        for head in heads:
+            if _match_prefix(name, fpre + head):
+                m2 = _M(name)
+                if fpre:
+                    m2.rep(fpre, "flux.")
+                else:
+                    m2.out.append("flux.")
+                return m2.done()
     if m.rep("model.diffusion_model.", "unet.") or m.push("unet."):
         return _unet(m)
+    # bare VAE files (flux ae.safetensors): encoder./decoder. at top level
+    if _match_prefix(name, "encoder.") or _match_prefix(name, "decoder."):
+        m2 = _M(name)
+        m2.out.append("vae.")
+        return _vae(m2)
     return None
+
+
+_FLUX_HEADS = ("double_blocks.", "single_blocks.", "img_in.", "txt_in.",
+               "time_in.", "vector_in.", "guidance_in.")
 
 
 def _t5(name: str):

@@ -194,7 +194,10 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
     # model timestep is sigma * n_step_train (no table lookup) and the
     # velocity output is dx/dsigma directly (models/mmdit.py denoise).
     flow = bool(getattr(unet_p, "flow", False))
-    if flow:
+    if flow and getattr(unet_p, "flux", False):
+        from ..models import flux as flux_mod
+        den = flux_mod.denoise
+    elif flow:
         from ..models import mmdit as mmdit_mod
         den = mmdit_mod.denoise
     else:
@@ -276,6 +279,20 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
                                           clip_skip=clip_skip, norm=norm)
         cond_out = emb.astype(jnp.float32) * wmat[:, :, None]
         consts = (cond_out,) + consts[1:]
+    elif clip2_p is None and len(encode) == 6:
+        # Flux: context = precomputed T5 rows; label = the clip tower's
+        # UNPROJECTED pooled row (HF pooler_output), with the embedded
+        # guidance value appended as one extra column for dev models
+        clip_params, tokens, wmat, fidx, t5_rows, grow = encode
+        ctx_c = B2.Ctx(clip_params, dtype=dtype)
+        _, feat = clip_mod.clip_text_apply(
+            ctx_c, tokens, clip_p, clip_skip=clip_skip, norm=norm,
+            feat_tok_idx=fidx, feat_proj=False)
+        lab_out = feat.astype(jnp.float32)
+        if grow is not None:
+            lab_out = jnp.concatenate([lab_out, grow], axis=-1)
+        cond_out = t5_rows.astype(jnp.float32)
+        consts = (cond_out, lab_out) + consts[2:]
     elif clip2_p is None:
         # single-tower label model (SDXL-refiner): ONE bigG pass yields
         # both the skip-layer embedding and the projected pooled feature;
@@ -542,6 +559,12 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 jnp.asarray(fidx2, jnp.int32),
                 jnp.asarray(t5_rows, jnp.float32))
             enc_static2 = clip2_p_s
+        elif len(encode) == 9:      # flux spec (t5 rows + pooled clip)
+            fidx, t5_rows, grow = encode[6:]
+            enc_args = enc_args + (
+                jnp.asarray(fidx, jnp.int32),
+                jnp.asarray(t5_rows, jnp.float32),
+                None if grow is None else jnp.asarray(grow, jnp.float32))
         elif len(encode) == 8:      # single-tower label spec (SDXL-refiner)
             fidx, serows = encode[6:]
             enc_args = enc_args + (jnp.asarray(fidx, jnp.int32),

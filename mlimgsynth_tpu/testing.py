@@ -504,3 +504,83 @@ def write_tiny_t5_tokenizer(path):
     tok.pre_tokenizer = Whitespace()
     tok.save(str(path))
     return vocab
+
+
+# ---------------------------------------------------------------------------
+# Flux-like tiny (double/single-stream DiT, aux clip/vae files)
+# ---------------------------------------------------------------------------
+
+def _tiny_flux(guidance=False):
+    from mlimgsynth_tpu.models import flux as flux_mod
+    return flux_mod.FluxParams(
+        depth_double=1, depth_single=1, d_model=32, n_head=2,
+        axes_dim=(4, 6, 6), n_ch_in=16, n_ch_out=16, d_ctx_in=48,
+        d_pooled=32, n_ctx=48, ch_adm_in=32, guidance_embed=guidance,
+        dynamic_shift=guidance)
+
+
+TINY_FLUX_SCHNELL = _tiny_flux(False)
+TINY_FLUX_DEV = _tiny_flux(True)
+TINY_VAE_FLUX = vae_mod.VaeParams(ch=32, ch_mult=(1, 1, 2, 2),
+                                  scale_factor=0.3611, shift_factor=0.1159,
+                                  quant_conv=False)
+
+
+def _hf_clip_name(internal):
+    """Internal clip.text.* -> bare HF CLIPTextModel tail (text_model.*)."""
+    t = "text_model." + internal.split(".text.", 1)[1]
+    t = t.replace("embed.position.", "embeddings.position_embedding.")
+    t = t.replace("embed.token.", "embeddings.token_embedding.")
+    t = t.replace(".norm1.", ".layer_norm1.")
+    t = t.replace(".norm2.", ".layer_norm2.")
+    t = t.replace(".attn.", ".self_attn.")
+    t = t.replace("text_model.ln_final.", "text_model.final_layer_norm.")
+    return t
+
+
+def write_tiny_flux_files(dirpath, P=None, seed=0):
+    """Tiny flux distribution: transformer-only model file (bare
+    double_blocks.* tails), a bare-HF clip file (text_model.*, no
+    text_projection — flux pools without it) and a bare VAE file
+    (encoder./decoder.).  Returns {model, clip, vae} paths."""
+    import os
+    from safetensors.numpy import save_file
+    from mlimgsynth_tpu.models import flux as flux_mod
+    P = P or TINY_FLUX_SCHNELL
+    rng = np.random.default_rng(seed)
+
+    spec_f = B.trace_spec(
+        lambda ctx, x, t, c, y: flux_mod.flux_apply(
+            ctx, x, t, c, y, P,
+            guidance=(jnp.zeros((1,)) if P.guidance_embed else None)),
+        jnp.zeros((1, 8, 8, P.n_ch_in // 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 7, P.d_ctx_in)), jnp.zeros((1, P.d_pooled)))
+    model = {name[len("flux."):]: _random_for_spec(rng, ps, 0.05)
+             for name, ps in spec_f.items()}
+
+    spec_c = B.trace_spec(
+        lambda ctx, toks: clip_mod.clip_text_apply(
+            ctx, toks, TINY_CLIP, feat_tok_idx=jnp.zeros((1,), jnp.int32),
+            feat_proj=False),
+        jnp.zeros((1, 77), jnp.int32))
+    clip = {_hf_clip_name(name): _random_for_spec(rng, ps, 0.05)
+            for name, ps in spec_c.items()}
+
+    spec_v = {}
+    spec_v.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_encode_apply(ctx, x, TINY_VAE_FLUX),
+        jnp.zeros((1, 64, 64, 3))))
+    spec_v.update(B.trace_spec(
+        lambda ctx, x: vae_mod.vae_decode_apply(ctx, x, TINY_VAE_FLUX),
+        jnp.zeros((1, 8, 8, 4))))
+    vae = {}
+    for name, ps in spec_v.items():
+        cv = nameconv.internal_to_compvis(name)
+        vae[cv[len("first_stage_model."):]] = _random_for_spec(rng, ps, 0.05)
+
+    paths = {}
+    for key, arrays in (("model", model), ("clip", clip), ("vae", vae)):
+        p = os.path.join(str(dirpath), f"tiny-flux-{key}.safetensors")
+        save_file(arrays, p)
+        paths[key] = p
+    return paths

@@ -36,26 +36,48 @@ class NameRef:
     transpose: bool = False      # HF Linear-stored text_projection.weight
 
 
+def register_name(out: Dict[str, NameRef], raw: str, r) -> None:
+    """Register one normalize_name result (str / QKV / TProj) for ``raw``;
+    first mapping wins."""
+    if r is None:
+        return
+    if isinstance(r, QKV):
+        base = r.name
+        if base.endswith("in_proj_weight"):
+            stem, suffix = base[:-len("in_proj_weight")], "weight"
+        else:
+            stem, suffix = base[:-len("in_proj_bias")], "bias"
+        for i, which in enumerate(("q_proj", "k_proj", "v_proj")):
+            out.setdefault(f"{stem}{which}.{suffix}", NameRef(raw, split=i))
+    elif isinstance(r, TProj):
+        out.setdefault(r.name, NameRef(raw, transpose=True))
+    else:
+        out.setdefault(r, NameRef(raw))
+        if r.startswith("mmdit.final_layer."):
+            # final_layer.* is name-identical in the MMDiT and Flux
+            # layouts; alias so either family's spec keys resolve
+            out.setdefault("flux." + r[len("mmdit."):], NameRef(raw))
+
+
 def build_name_map(store: TensorStore) -> Dict[str, NameRef]:
     """Map internal names -> checkpoint entries, splitting fused qkv."""
     out: Dict[str, NameRef] = {}
     for raw in store.tensors:
-        r = normalize_name(raw)
-        if r is None:
-            continue
-        if isinstance(r, QKV):
-            base = r.name
-            if base.endswith("in_proj_weight"):
-                stem, suffix = base[:-len("in_proj_weight")], "weight"
-            else:
-                stem, suffix = base[:-len("in_proj_bias")], "bias"
-            for i, which in enumerate(("q_proj", "k_proj", "v_proj")):
-                out[f"{stem}{which}.{suffix}"] = NameRef(raw, split=i)
-        elif isinstance(r, TProj):
-            out[r.name] = NameRef(raw, transpose=True)
-        else:
-            out[r] = NameRef(raw)
+        register_name(out, raw, normalize_name(raw))
     return out
+
+
+def merge_prefixed(name_map: Dict[str, NameRef], store: TensorStore,
+                   prefix: str, transform) -> int:
+    """Map aux-file tensors (read under ``prefix``) into ``name_map``
+    through ``transform(tail) -> normalize_name-style result``; returns
+    how many mapped."""
+    n0 = len(name_map)
+    for raw in store.tensors:
+        if not raw.startswith(prefix):
+            continue
+        register_name(name_map, raw, transform(raw[len(prefix):]))
+    return len(name_map) - n0
 
 
 def identify_model(store: TensorStore, name_map: Dict[str, NameRef],
@@ -84,6 +106,12 @@ def identify_model(store: TensorStore, name_map: Dict[str, NameRef],
         if "mmdit.joint_blocks.0.x_block.attn2.qkv.weight" in name_map:
             return "sd35_medium", e.dtype
         return "sd3", e.dtype
+    # Flux: double/single-stream transformer; dev carries guidance_in
+    ref = name_map.get("flux.double_blocks.0.img_attn.qkv.weight")
+    if ref is not None:
+        e = store.tensors[ref.raw]
+        dev = "flux.guidance_in.in_layer.weight" in name_map
+        return ("flux_dev" if dev else "flux_schnell"), e.dtype
     return None, None
 
 

@@ -249,6 +249,7 @@ int mlis_option_set(MLIS_Ctx *S, MLIS_Option id, ...)
 	case MLIS_OPT_PROMPT: case MLIS_OPT_NPROMPT: case MLIS_OPT_AUX_DIR:
 	case MLIS_OPT_CONTROL_NET: case MLIS_OPT_EMBED_DIR:
 	case MLIS_OPT_REFINER: case MLIS_OPT_T5: case MLIS_OPT_T5_TOKENIZER:
+	case MLIS_OPT_CLIP: case MLIS_OPT_VAE:
 		r = mlis_option_set_str(S, name, va_arg(ap, const char*));
 		break;
 	case MLIS_OPT_LORA: {
@@ -558,12 +559,14 @@ static const char *g_method_names[] = {
 static const char *g_sched_names[] = {"none", "uniform", "karras",
 	"lcm"};
 static const char *g_model_type_names[] = {"none", "sd1", "sd2", "sdxl",
-	"sdxl_refiner", "sd3", "sd35_large", "sd35_medium"};
+	"sdxl_refiner", "sd3", "sd35_large", "sd35_medium", "flux_schnell",
+	"flux_dev"};
 static const char *g_model_type_descs[] = {
 	"None", "Stable Diffusion 1.x", "Stable Diffusion 2.x",
 	"Stable Diffusion XL", "Stable Diffusion XL refiner",
 	"Stable Diffusion 3 (MMDiT)", "Stable Diffusion 3.5 Large",
-	"Stable Diffusion 3.5 Medium (MMDiT-X)"};
+	"Stable Diffusion 3.5 Medium (MMDiT-X)", "Flux.1 schnell",
+	"Flux.1 dev"};
 static const char *g_option_names[] = {
 	"none", "backend", "model", "tae", "lora_dir", "lora", "lora_clear",
 	"prompt", "nprompt", "image_dim", "batch_size", "clip_skip", "cfg_scale",
@@ -573,7 +576,8 @@ static const char *g_option_names[] = {
 	"callback", "error_handler", "log_level", "model_type", "weight_type",
 	"no_prompt_parse", "control_net", "control_image", "control_strength",
 	"embed_dir", "hires_fix", "hires_denoise", "hires_steps",
-	"refiner", "refiner_switch", "t5", "t5_tokenizer", "t5_tokens"};
+	"refiner", "refiner_switch", "t5", "t5_tokenizer", "t5_tokens",
+	"clip", "vae"};
 static const struct { const char *name; int id; } g_loglvl_attr[] = {
 	{ "none",    MLIS_LOGLVL_NONE },
 	{ "error",   MLIS_LOGLVL_ERROR },

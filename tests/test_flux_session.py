@@ -1,0 +1,109 @@
+"""Flux session e2e: aux-file loading (--clip/--vae), identification,
+guidance-embedded generation, schedule shift.
+
+The distribution shape under test is the real one: a transformer-only
+model file (bare double_blocks.* names), a bare-HF CLIP file without
+text_projection, and a bare VAE file — plus optional T5."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlimgsynth_tpu.api import MLImgSynth, ModelTypeDef
+from mlimgsynth_tpu.testing import (TINY_CLIP, TINY_FLUX_DEV,
+                                    TINY_FLUX_SCHNELL, TINY_VAE_FLUX,
+                                    write_tiny_flux_files,
+                                    write_tiny_t5, write_tiny_t5_tokenizer)
+from helpers import patch_tiny_model_types
+
+
+@pytest.fixture(scope="module")
+def files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("flux")
+    return write_tiny_flux_files(d)
+
+
+@pytest.fixture(scope="module")
+def files_dev(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fluxdev")
+    return write_tiny_flux_files(d, P=TINY_FLUX_DEV)
+
+
+def _types():
+    return {
+        "flux_schnell": ModelTypeDef("flux_schnell", TINY_CLIP, None,
+                                     TINY_FLUX_SCHNELL, TINY_VAE_FLUX,
+                                     64, 1),
+        "flux_dev": ModelTypeDef("flux_dev", TINY_CLIP, None,
+                                 TINY_FLUX_DEV, TINY_VAE_FLUX, 64, 1),
+    }
+
+
+def _session(files, monkeypatch, **opts):
+    patch_tiny_model_types(monkeypatch, _types())
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", files["model"])
+    s.option_set("clip", files["clip"])
+    s.option_set("vae", files["vae"])
+    s.option_set("image-dim", 64, 64)
+    s.option_set("steps", 2)
+    s.option_set("seed", 21)
+    for k, v in opts.items():
+        s.option_set(k, v)
+    return s
+
+
+def test_flux_schnell_identify_and_generate(files, monkeypatch):
+    s = _session(files, monkeypatch)
+    s.option_set("prompt", "a rope-rotated cat")
+    img = s.generate()
+    assert s.c["model_type"] == "flux_schnell"
+    assert img.shape == (1, 3, 64, 64)
+    assert np.isfinite(img).all()
+
+
+def test_flux_dev_guidance(files_dev, monkeypatch):
+    """dev identifies from guidance_in; cfg_scale feeds the embedded
+    guidance (no uncond pass) and different guidance changes the image."""
+    s = _session(files_dev, monkeypatch)
+    s.option_set("prompt", "g")
+    s.option_set("cfg-scale", 3.5)
+    a = s.generate()
+    assert s.c["model_type"] == "flux_dev"
+    # NFE: guidance-embedded => 1 per step despite cfg > 1
+    assert s.progress["nfe"] == 2
+    s.option_set("seed", 21)
+    s.option_set("prompt", "g")
+    s.option_set("cfg-scale", 1.5)
+    b = s.generate()
+    assert np.abs(a - b).max() > 1e-6
+
+
+def test_flux_reproducible_and_batch(files, monkeypatch):
+    s = _session(files, monkeypatch)
+    s.option_set("prompt", "a dog")
+    a = s.generate()
+    s.option_set("seed", 21)
+    s.option_set("prompt", "a dog")
+    b = s.generate()
+    np.testing.assert_array_equal(a, b)
+    imgs, infos = s.generate_batch([{"prompt": "a dog", "seed": 21}])
+    np.testing.assert_allclose(imgs[0], a[0], atol=2e-4)
+
+
+def test_flux_with_t5_context(files, monkeypatch, tmp_path):
+    t5p = tmp_path / "t5.safetensors"
+    tok = tmp_path / "tok.json"
+    write_tiny_t5(t5p)
+    write_tiny_t5_tokenizer(tok)
+    s = _session(files, monkeypatch)
+    s.option_set("prompt", "a photo of a cat")
+    base = s.generate()
+    s2 = _session(files, monkeypatch, t5=str(t5p), t5_tokenizer=str(tok))
+    s2.option_set("prompt", "a photo of a cat")
+    out = s2.generate()
+    assert np.isfinite(out).all()
+    assert np.abs(out - base).max() > 1e-6  # T5 context is live
+    cond = np.asarray(s2.tensors["cond"])
+    assert cond.shape[-1] == TINY_FLUX_SCHNELL.d_ctx_in
+    assert np.abs(cond).max() > 0
