@@ -22,6 +22,9 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
         family: 2B joint-attention transformer, dual CLIP towers fused
         into the loop, no-T5 context shape, 16-ch VAE; baseline bar = the
         reference's comparable 1024px SDXL 4 s target)
+  flux-schnell / flux-dev: Flux.1 12B DiT 1024px, int8 weight-only
+        (schnell: 4-step distilled; dev: 20-step embedded guidance);
+        same 1024px 4 s bar for reference
   sdxl-ens: SDXL base + refiner ensemble-of-experts two-stage pipeline
         (switch 0.8: base stops at sigma(0.2) via keep_tail, refiner
         continues from the same sigma without re-noising; both models
@@ -91,6 +94,60 @@ def synth_params(spec, seed=0, chunk_elems=1 << 28):
     for bi, bucket in enumerate(buckets):
         part = make_gen(bucket)(jax.random.PRNGKey(seed * 1000003 + bi))
         jax.block_until_ready(part)   # bound the staging-buffer overlap
+        out.update(part)
+    return out
+
+
+def synth_q8_params(spec, seed=0, chunk_elems=1 << 28):
+    """Synthesize int8 weight-only params ON DEVICE: eligible linear
+    weights become (weight_q8 int8, weight_scale f32) pairs directly — no
+    host round-trip, which matters at flux scale (the 12B transformer
+    only fits one v5e chip quantized; host->HBM runs ~40MB/s here)."""
+    import jax
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.models.blocks import LINEAR_W
+    from mlimgsynth_tpu.ops.q8_matmul import KBLOCK
+    plain, q8 = {}, []
+    for name, ps in sorted(spec.items()):
+        if ps.kind == LINEAR_W and ps.shape[0] % KBLOCK == 0:
+            q8.append((name, ps))
+        else:
+            plain[name] = ps
+    out = synth_params(plain, seed)
+
+    buckets, cur, cur_n = [], [], 0
+    for name, ps in q8:
+        n_el = int(np.prod(ps.shape))
+        if cur and cur_n + n_el > chunk_elems:
+            buckets.append(cur)
+            cur, cur_n = [], 0
+        cur.append((name, ps))
+        cur_n += n_el
+    if cur:
+        buckets.append(cur)
+
+    def make_gen(bucket):
+        total = sum(int(np.prod(ps.shape)) for _, ps in bucket)
+
+        @jax.jit
+        def gen(key):
+            flat = jax.random.randint(key, (total,), -127, 128, jnp.int8)
+            res = {}
+            off = 0
+            for name, ps in bucket:
+                k, n = ps.shape
+                res[name + "_q8"] = flat[off:off + k * n].reshape(k, n)
+                off += k * n
+                res[name + "_scale"] = jnp.full(
+                    (k // KBLOCK, n), 1.7 * 0.5 / (k ** 0.5) / 73.0,
+                    jnp.float32)
+            return res
+        return gen
+
+    import jax
+    for bi, bucket in enumerate(buckets):
+        part = make_gen(bucket)(jax.random.PRNGKey(seed * 99991 + bi))
+        jax.block_until_ready(part)
         out.update(part)
     return out
 
@@ -474,6 +531,109 @@ def bench_config(name):
     }
 
 
+def bench_flux(name):
+    """Flux.1 e2e (beyond-reference family): 12B double/single-stream DiT
+    at 1024px, int8 weight-only (the only way it fits one v5e chip:
+    ~11.7 GiB weights + VAE/CLIP + activations), T5-shape zero context
+    (256 rows), fused pooled-clip encode.  flux-schnell: 4 steps cfg 1
+    (distilled); flux-dev: 20 steps embedded guidance 3.5 (1 NFE/step)."""
+    import jax
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.models import blocks as B
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import flux as FX
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.rng import RngPhilox
+    from mlimgsynth_tpu.sampling.sampler import (SamplerConfig, make_plan,
+                                                 run_sampler)
+    from mlimgsynth_tpu import tokenizer as tok
+
+    dev = name == "flux-dev"
+    P = FX.FLUX_DEV if dev else FX.FLUX_SCHNELL
+    clip_p, vae_p = C.CLIP_VIT_L_14, V.VAE_FLUX
+    size, baseline = 1024, 4.0
+    size = int(os.environ.get("MLIS_BENCH_SIZE") or size)
+    lat = size // 8
+    n_steps = 20 if dev else 4
+    guidance = 3.5
+    dtype = jnp.bfloat16
+    s_t5 = 256
+
+    t0 = time.time()
+    spec_u = B.trace_spec(
+        lambda ctx, x, t, c, y: FX.flux_apply(
+            ctx, x, t, c, y, P,
+            guidance=(jnp.zeros((1,)) if P.guidance_embed else None)),
+        jnp.zeros((1, 8, 8, P.n_ch_in // 4)), jnp.zeros((1,)),
+        jnp.zeros((1, s_t5, P.d_ctx_in)), jnp.zeros((1, P.d_pooled)))
+    unet_params = synth_q8_params(spec_u, 0)
+    spec_v = B.trace_spec(
+        lambda ctx, x: V.vae_decode_apply(ctx, x, vae_p),
+        jnp.zeros((1, 8, 8, vae_p.ch_z)))
+    vae_params = synth_params(spec_v, 1)
+    spec_c = B.trace_spec(
+        lambda ctx, toks: C.clip_text_apply(
+            ctx, toks, clip_p, feat_tok_idx=jnp.zeros((1,), jnp.int32),
+            feat_proj=False),
+        jnp.zeros((1, 77), jnp.int32))
+    clip_params = synth_params(spec_c, 2)
+    log(f"[{name}] weight synthesis {time.time() - t0:.1f}s")
+
+    prompt = "a photograph of an astronaut riding a horse"
+    toks = tok.wrap_tokens(clip_p, tok.tokenize(prompt))
+    n_tok = len(tok.tokenize(prompt))
+    tokrows = np.asarray([toks], np.int32)
+    wrows = np.ones(tokrows.shape, np.float32)
+    fidx = np.asarray([n_tok + 1], np.int32)
+    t5_rows = np.zeros((1, s_t5, P.d_ctx_in), np.float32)
+    grow = (np.full((1, 1), guidance, np.float32) if P.guidance_embed
+            else None)
+    encode = (clip_params, tokrows, wrows, clip_p, 1, False,
+              fidx, t5_rows, grow)
+    cfg = SamplerConfig(
+        method="euler", sched="uniform", n_step=n_steps, cfg_scale=1.0,
+        flow_shift=(FX.dynamic_flow_shift(P, lat, lat) if dev else 1.0))
+    init_latent = np.zeros((1, vae_p.ch_z, lat, lat), np.float32)
+
+    def run(seed):
+        plan = make_plan(cfg, init_latent.shape, RngPhilox(seed=seed),
+                         nfe_per_dxdt=1)
+        _, img, _ = run_sampler(
+            unet_params, init_latent, plan, None, None, None, None, None,
+            cfg, P, dtype=dtype, decode=("vae", vae_params, vae_p),
+            want_latent=False, encode=encode)
+        return img
+
+    t0 = time.time()
+    os.environ["MLIS_MEM_ANALYSIS"] = "1"
+    img = run(42)
+    os.environ.pop("MLIS_MEM_ANALYSIS", None)
+    log(f"[{name}] compile+first-run {time.time() - t0:.1f}s; "
+        f"finite: {np.isfinite(img).all()}")
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        run(42 + i)
+        times.append(time.time() - t0)
+        log(f"[{name}] run {i}: {times[-1]:.3f}s")
+    best = min(times)
+    from mlimgsynth_tpu.sampling import sampler as _sampler
+    ma = getattr(_sampler, "LAST_MEMORY_ANALYSIS", None)
+    if ma:
+        log(f"[{name}] compiled loop memory: args "
+            f"{ma['argument_bytes'] / 1024**3:.2f} GiB + temps "
+            f"{ma['temp_bytes'] / 1024**3:.2f} GiB")
+    label = ("Flux.1-dev 12B int8 guidance-embedded" if dev
+             else "Flux.1-schnell 12B int8 distilled")
+    return {
+        "metric": f"{label} {size}px {n_steps}-step txt2img e2e latency "
+                  "(text encode + denoise + decode)",
+        "value": round(best, 4),
+        "unit": "s/image",
+        "vs_baseline": round(baseline / best, 3),
+    }
+
+
 def bench_ensemble(name):
     """SDXL base + refiner ensemble (the product path run by
     api._refiner_generate / --refiner): stage 1 denoises [1.0 .. 0.2]
@@ -605,8 +765,12 @@ def main():
     for c in configs:
         # No scoped-VMEM retry: planner v3.2 picks provably-safe blocks
         # (10/10 fresh scanned compiles clean, docs/BENCH.md queue #8).
-        results.append(bench_ensemble(c) if c == "sdxl-ens"
-                       else bench_config(c))
+        if c == "sdxl-ens":
+            results.append(bench_ensemble(c))
+        elif c.startswith("flux-"):
+            results.append(bench_flux(c))
+        else:
+            results.append(bench_config(c))
     for r in results[1:]:
         log(json.dumps(r))
     print(json.dumps(results[0]))

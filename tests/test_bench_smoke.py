@@ -31,3 +31,21 @@ def test_bench_sd3_smoke(monkeypatch):
     assert r["unit"] == "s/image"
     assert r["value"] > 0
     assert "SD3-medium" in r["metric"]
+
+
+def test_bench_flux_smoke(monkeypatch):
+    import bench
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import flux as FX
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.testing import (TINY_CLIP, TINY_FLUX_DEV,
+                                        TINY_VAE_FLUX)
+
+    monkeypatch.setattr(FX, "FLUX_DEV", TINY_FLUX_DEV)
+    monkeypatch.setattr(V, "VAE_FLUX", TINY_VAE_FLUX)
+    monkeypatch.setattr(C, "CLIP_VIT_L_14", TINY_CLIP)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_flux("flux-dev")
+    assert r["unit"] == "s/image"
+    assert r["value"] > 0
+    assert "Flux.1-dev" in r["metric"]
