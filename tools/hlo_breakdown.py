@@ -76,6 +76,29 @@ def main():
     from mlimgsynth_tpu.models import unet as U
 
     which = sys.argv[1] if len(sys.argv) > 1 else "sd15"
+    if which == "sd3":
+        # MMDiT step at the 1024px shape (4096 latent + 154 ctx tokens)
+        from mlimgsynth_tpu.models import mmdit as MM
+        P3, res, n, s_ctx = MM.MMDIT_SD3_MEDIUM, 128, 2, 154
+        spec = B.trace_spec(
+            lambda ctx, x, t, c, y: MM.mmdit_apply(ctx, x, t, c, y, P3),
+            jnp.zeros((1, 8, 8, P3.n_ch_in)), jnp.zeros((1,)),
+            jnp.zeros((1, s_ctx, P3.d_ctx_in)),
+            jnp.zeros((1, P3.d_pooled)))
+        params = {k: jax.ShapeDtypeStruct(ps.shape, ps.dtype)
+                  for k, ps in spec.items()}
+
+        def step3(params, x, t, c, y):
+            ctx = B.Ctx(params, dtype=jnp.bfloat16)
+            return MM.mmdit_apply(ctx, x, t, c, y, P3)
+
+        txt = jax.jit(step3).lower(
+            params,
+            jax.ShapeDtypeStruct((n, res, res, P3.n_ch_in), np.float32),
+            jax.ShapeDtypeStruct((n,), np.float32),
+            jax.ShapeDtypeStruct((n, s_ctx, P3.d_ctx_in), np.float32),
+            jax.ShapeDtypeStruct((n, P3.d_pooled), np.float32)).as_text()
+        return analyze(txt, which)
     if which == "sdxl":
         P, res, n = U.UNET_SDXL, 128, 2
     elif which == "sd2":
@@ -103,7 +126,10 @@ def main():
     if lab is not None:
         args.append(lab)
     txt = jax.jit(step).lower(*args).as_text()
+    return analyze(txt, which)
 
+
+def analyze(txt, which):
     groups = defaultdict(lambda: [0, 0])       # class -> [flops, count]
     biggest = []
     for line in txt.splitlines():
@@ -120,7 +146,7 @@ def main():
         biggest.append((f, cls, ls[:140]))
 
     total = sum(v[0] for v in groups.values())
-    print(f"== {which}: CFG step n={n} res={res} — "
+    print(f"== {which}: CFG step — "
           f"total {total / 1e12:.3f} TFLOP, "
           f"MXU floor {total / 1e12 / V5E_BF16_TFLOPS * 1000:.2f} ms ==")
     for cls, (f, c) in sorted(groups.items(), key=lambda kv: -kv[1][0]):

@@ -35,6 +35,8 @@ def main():
     which = os.environ.get("MLIS_STEP_MODEL", "sd15")
     if which == "sd15loop":
         return loop_bench(n_scan)
+    if which == "sd3":
+        return mmdit_step_bench(n_scan)
     if which.startswith("sdxl"):
         P, res, n = U.UNET_SDXL, 128, 2
     elif which == "sd15b8":
@@ -81,6 +83,59 @@ def main():
     print(f"RESULT {which} n={n} res={res} steps={n_scan}: "
           f"{best / n_scan * 1000:.2f} ms/step (total {best:.3f}s, "
           f"runs {['%.3f' % t for t in times]}) env={cfg}", flush=True)
+
+
+def mmdit_step_bench(n_scan):
+    """One CFG-batched SD3-medium MMDiT evaluation, scanned (1024px shape:
+    4096 latent + 154 context tokens).  MLIS_ABLATE=attn splits the
+    joint-attention cost out like the UNet variant."""
+    import jax
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.models import blocks as B
+    from mlimgsynth_tpu.models import mmdit as MM
+    from bench import synth_params
+
+    P = MM.MMDIT_SD3_MEDIUM
+    n, res, s_ctx = 2, 128, 154
+    spec = B.trace_spec(
+        lambda ctx, x, t, c, y: MM.mmdit_apply(ctx, x, t, c, y, P),
+        jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
+        jnp.zeros((1, s_ctx, P.d_ctx_in)), jnp.zeros((1, P.d_pooled)))
+    params = synth_params(spec, 0)
+
+    def loop(params, x, t, c, y):
+        ctx = B.Ctx(params, dtype=jnp.bfloat16)
+
+        def body(x, _):
+            d = MM.mmdit_apply(ctx, x, t, c, y, P)
+            return x + 0.01 * d.astype(x.dtype), None
+
+        x, _ = jax.lax.scan(body, x, None, length=n_scan)
+        return x
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, res, res, P.n_ch_in))
+                    .astype(np.float32) * 0.5, jnp.bfloat16)
+    t = jnp.full((n,), 500.0, jnp.float32)
+    c = jnp.asarray(rng.standard_normal((n, s_ctx, P.d_ctx_in))
+                    .astype(np.float32) * 0.3)
+    y = jnp.asarray(rng.standard_normal((n, P.d_pooled))
+                    .astype(np.float32) * 0.3)
+    fn = jax.jit(loop)
+    t0 = time.time()
+    out = np.asarray(fn(params, x, t, c, y))
+    print(f"compile+first: {time.time() - t0:.1f}s "
+          f"(finite={np.isfinite(out).all()})", flush=True)
+    times = []
+    for i in range(4):
+        t0 = time.time()
+        out = np.asarray(fn(params, x, t, c, y))
+        times.append(time.time() - t0)
+    best = min(times)
+    print(f"RESULT sd3 n={n} res={res} steps={n_scan}: "
+          f"{best / n_scan * 1000:.2f} ms/step (total {best:.3f}s, "
+          f"runs {['%.3f' % t for t in times]}) "
+          f"ablate={os.environ.get('MLIS_ABLATE', '')}", flush=True)
 
 
 def loop_bench(n_steps):
