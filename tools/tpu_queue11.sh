@@ -16,4 +16,9 @@ run() {
 run "MLIS_STEP_MODEL=sd3 python tools/step_bench.py"
 run "MLIS_STEP_MODEL=sd3 MLIS_ABLATE=attn python tools/step_bench.py"
 run "MLIS_STEP_MODEL=sd3 MLIS_FLASH_T=0 python tools/step_bench.py"
+# block-geometry sensitivity at the 4250-seq shape (bigger tiles = fewer
+# online-softmax boundary corrections per element, deeper MXU runs)
+run "MLIS_STEP_MODEL=sd3 MLIS_FLASH_BLOCK=1024,512 python tools/step_bench.py"
+run "MLIS_STEP_MODEL=sd3 MLIS_FLASH_BLOCK=512,1024 python tools/step_bench.py"
+run "MLIS_STEP_MODEL=sd3 MLIS_FLASH_BLOCK=1024,1024 python tools/step_bench.py"
 echo "=== QUEUE11 DONE ==="
