@@ -124,3 +124,55 @@ def test_lora_names():
         "lora_unet.input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight"
         ) == "unet.in.1.1.transf.0.attn2.k_proj.weight"
     assert normalize_lora_name("not_a_lora.weight") is None
+
+
+def test_sd3_layout_names():
+    from mlimgsynth_tpu.nameconv import TProj, normalize_name as nn
+    assert nn("model.diffusion_model.joint_blocks.3.x_block.attn.qkv"
+              ".weight") == "mmdit.joint_blocks.3.x_block.attn.qkv.weight"
+    assert nn("model.diffusion_model.pos_embed") == "mmdit.pos_embed"
+    assert nn("model.diffusion_model.final_layer.linear.weight") \
+        == "mmdit.final_layer.linear.weight"
+    assert nn("text_encoders.clip_l.transformer.text_model.encoder.layers"
+              ".0.self_attn.q_proj.weight") \
+        == "clip.text.encoder.layers.0.attn.q_proj.weight"
+    r = nn("text_encoders.clip_g.transformer.text_model.text_projection"
+           ".weight")
+    assert isinstance(r, TProj) and r.name == "clip2.text.text_proj"
+    assert nn("text_encoders.t5xxl.transformer.shared.weight") \
+        == "t5.shared.weight"
+    assert nn("text_encoders.t5xxl.transformer.encoder.block.0.layer.0"
+              ".SelfAttention.q.weight") \
+        == "t5.encoder.block.0.layer.0.SelfAttention.q.weight"
+
+
+def test_flux_layout_names():
+    from mlimgsynth_tpu.nameconv import normalize_name as nn
+    # bare (bfl distribution) tails
+    assert nn("double_blocks.0.img_attn.qkv.weight") \
+        == "flux.double_blocks.0.img_attn.qkv.weight"
+    assert nn("single_blocks.7.linear1.weight") \
+        == "flux.single_blocks.7.linear1.weight"
+    assert nn("guidance_in.in_layer.weight") \
+        == "flux.guidance_in.in_layer.weight"
+    assert nn("final_layer.adaLN_modulation.1.weight") \
+        == "flux.final_layer.adaLN_modulation.1.weight"
+    # prefixed (ComfyUI-style single files)
+    assert nn("model.diffusion_model.double_blocks.0.txt_mod.lin.weight") \
+        == "flux.double_blocks.0.txt_mod.lin.weight"
+    # bare VAE files (flux ae.safetensors)
+    assert nn("decoder.up.3.block.1.nin_shortcut.weight") \
+        == "vae.decoder.up.3.block.1.skip_conv.weight"
+    assert nn("encoder.conv_in.bias") == "vae.encoder.conv_in.bias"
+
+
+def test_flux_final_layer_alias_in_loader():
+    """build_name_map aliases the shared final_layer tails under flux."""
+    from mlimgsynth_tpu.weights import register_name, NameRef
+    out = {}
+    register_name(out, "model.diffusion_model.final_layer.linear.weight",
+                  "mmdit.final_layer.linear.weight")
+    assert out["mmdit.final_layer.linear.weight"].raw \
+        == "model.diffusion_model.final_layer.linear.weight"
+    assert out["flux.final_layer.linear.weight"].raw \
+        == "model.diffusion_model.final_layer.linear.weight"
