@@ -101,12 +101,38 @@ def _rms_norm(x, w, eps: float = 1e-6):
 def _qkv(ctx: B.Ctx, pre: str, x, P: MmditParams):
     """Fused qkv projection -> ([N,H,S,D], [N,H,S,D], [N,H,S,D]).
 
-    One [d, 3d] matmul (checkpoint-native packing, full-width MXU
+    Default: one [d, 3d] matmul (checkpoint-native packing, full-width MXU
     contraction; B.linear also gives the int8 weight-only path); heads
-    split by reshape of the packed [N,S,3,H,D] result."""
+    split by reshape of the packed [N,S,3,H,D] result.
+
+    MLIS_MMDIT_EINSUM=1: three head-split einsums on slices of the fused
+    weight produce [N,H,S,D] directly from the matmul — no [3,H] transpose
+    relayouts of the packed result (the measured-good attn_mhead pattern;
+    A/B experiment, read at trace time)."""
+    import os
     d = P.width
     h = P.heads
     dh = d // h
+    if (not ctx.record
+            and os.environ.get("MLIS_MMDIT_EINSUM", "0") == "1"
+            and (pre + ".qkv.weight") in ctx.params):
+        w = ctx.param(pre + ".qkv.weight", (x.shape[-1], 3 * d),
+                      B.LINEAR_W).astype(x.dtype)
+        bqkv = ctx.param(pre + ".qkv.bias", (3 * d,), B.VEC)
+        wr = w.reshape(x.shape[-1], 3, h, dh)
+        br = bqkv.reshape(3, h, 1, dh)
+
+        def proj(i):
+            y = jnp.einsum("nsk,khd->nhsd", x, wr[:, i])
+            return y + br[i].astype(y.dtype)
+
+        q, k, v = proj(0), proj(1), proj(2)
+        if P.qk_norm:
+            q = _rms_norm(q, ctx.param(pre + ".ln_q.weight", (dh,), B.VEC,
+                                       jnp.float32))
+            k = _rms_norm(k, ctx.param(pre + ".ln_k.weight", (dh,), B.VEC,
+                                       jnp.float32))
+        return q, k, v
     y = B.linear(ctx, pre + ".qkv", x, 3 * d)
     n, s = y.shape[0], y.shape[1]
     y = y.reshape(n, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
