@@ -3,6 +3,12 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# transformers must not pull TensorFlow/Flax into a process that already
+# hosts jax+torch (TF+JAX in one process segfaults in libgcc unwinding —
+# observed in full-suite runs once the parity tests import transformers)
+os.environ.setdefault("USE_TF", "0")
+os.environ.setdefault("USE_FLAX", "0")
+os.environ.setdefault("TRANSFORMERS_NO_ADVISORY_WARNINGS", "1")
 os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")  # never dial the TPU relay
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
