@@ -1093,12 +1093,13 @@ class MLImgSynth:
             self._dump_graph(spec)
         dev = weights_mod.pack_to_device(host)
         if self._mesh is not None:
-            # UNet matmuls get Megatron tp shardings; everything else is
-            # replicated over the mesh (dp parallelism comes from batch
-            # sharding of the sampler inputs).
+            # UNet/DiT matmuls get Megatron tp shardings (so do the T5
+            # tower's — at SD3 scale the 4.7B encoder is worth sharding);
+            # everything else is replicated over the mesh (dp parallelism
+            # comes from batch sharding of the sampler inputs).
             from .parallel import mesh as pmesh
             dev = pmesh.shard_params(dev, self._mesh,
-                                     tp=(submodel in ("unet", "cnet")))
+                                     tp=(submodel in ("unet", "cnet", "t5")))
         self._params[submodel] = dev
         t_load = time.time() - t0
         mem = sum(int(np.prod(ps.shape)) * np.dtype(ps.dtype).itemsize

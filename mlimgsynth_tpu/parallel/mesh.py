@@ -49,9 +49,32 @@ _TP_RULES = [
     # row-parallel (the .mlp rules above already cover both streams' FFNs).
     # GSPMD re-tiles across the packed q/k/v boundary when tp doesn't align
     # with it — correct always, collective-optimal when tp divides heads.
-    (r"\.attn\.qkv\.weight$", P(None, TP_AXIS)),
-    (r"\.attn\.qkv\.bias$", P(TP_AXIS)),
-    (r"\.attn\.proj\.weight$", P(TP_AXIS, None)),
+    # attn2 is MMDiT-X's (SD3.5-medium) dual self-attention branch.
+    (r"\.(attn|attn2)\.qkv\.weight$", P(None, TP_AXIS)),
+    (r"\.(attn|attn2)\.qkv\.bias$", P(TP_AXIS)),
+    (r"\.(attn|attn2)\.proj\.weight$", P(TP_AXIS, None)),
+    # Flux double-stream blocks: per-stream fused qkv + out-proj + MLP.
+    (r"\.(img_attn|txt_attn)\.qkv\.weight$", P(None, TP_AXIS)),
+    (r"\.(img_attn|txt_attn)\.qkv\.bias$", P(TP_AXIS)),
+    (r"\.(img_attn|txt_attn)\.proj\.weight$", P(TP_AXIS, None)),
+    (r"\.(img_mlp|txt_mlp)\.0\.weight$", P(None, TP_AXIS)),
+    (r"\.(img_mlp|txt_mlp)\.0\.bias$", P(TP_AXIS)),
+    (r"\.(img_mlp|txt_mlp)\.2\.weight$", P(TP_AXIS, None)),
+    # Flux single-stream blocks: linear1 emits the [qkv | mlp] concat
+    # (column-parallel over the fused output), linear2 merges it back
+    # (row-parallel).  Scoped to single_blocks so the generic names don't
+    # capture unrelated layers.
+    (r"\.single_blocks\.\d+\.linear1\.weight$", P(None, TP_AXIS)),
+    (r"\.single_blocks\.\d+\.linear1\.bias$", P(TP_AXIS)),
+    (r"\.single_blocks\.\d+\.linear2\.weight$", P(TP_AXIS, None)),
+    # T5 v1.1 encoder (SD3's third tower): q/k/v column-parallel, o
+    # row-parallel ([in,out] storage, models/t5.py reshapes to heads at
+    # trace time — GSPMD propagates the sharding through the reshape);
+    # gated-gelu FFN wi_0/wi_1 column, wo row.  No biases in T5.
+    (r"\.SelfAttention\.(q|k|v)\.weight$", P(None, TP_AXIS)),
+    (r"\.SelfAttention\.o\.weight$", P(TP_AXIS, None)),
+    (r"\.DenseReluDense\.(wi_0|wi_1)\.weight$", P(None, TP_AXIS)),
+    (r"\.DenseReluDense\.wo\.weight$", P(TP_AXIS, None)),
 ]
 
 

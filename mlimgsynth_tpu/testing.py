@@ -77,7 +77,8 @@ def write_tiny_checkpoint(path, seed=0, dtype=np.float32):
 
 def tiny_model_types():
     return {"sd1": TINY_MODEL_TYPE, "sd2": TINY_MODEL_TYPE_SD2,
-            "sdxl": TINY_MODEL_TYPE_XL, "sd3": TINY_MODEL_TYPE_SD3}
+            "sdxl": TINY_MODEL_TYPE_XL, "sd3": TINY_MODEL_TYPE_SD3,
+            "flux_schnell": TINY_MODEL_TYPE_FLUX}
 
 
 # ---------------------------------------------------------------------------
@@ -524,6 +525,8 @@ TINY_FLUX_DEV = _tiny_flux(True)
 TINY_VAE_FLUX = vae_mod.VaeParams(ch=32, ch_mult=(1, 1, 2, 2),
                                   scale_factor=0.3611, shift_factor=0.1159,
                                   quant_conv=False)
+TINY_MODEL_TYPE_FLUX = ModelTypeDef("flux_schnell", TINY_CLIP, None,
+                                    TINY_FLUX_SCHNELL, TINY_VAE_FLUX, 64, 1)
 
 
 def _hf_clip_name(internal):
