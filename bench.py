@@ -22,6 +22,8 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
         family: 2B joint-attention transformer, dual CLIP towers fused
         into the loop, no-T5 context shape, 16-ch VAE; baseline bar = the
         reference's comparable 1024px SDXL 4 s target)
+  sd35-large: SD3.5-large 8B MMDiT (qk-norm) 1024px, always int8
+        weight-only (bf16 weights alone would be ~16 GiB); same 4 s bar
   flux-schnell / flux-dev: Flux.1 12B DiT 1024px, int8 weight-only
         (schnell: 4-step distilled; dev: 20-step embedded guidance);
         same 1024px 4 s bar for reference
@@ -207,6 +209,17 @@ def bench_config(name):
                                           C.CLIP_VIT_L_14,
                                           C.CLIP_VIT_BIGG_14, V.VAE_SD3)
         flow = True
+    elif name_base == "sd35-large":
+        # beyond-reference model family: SD3.5-large (8B MMDiT, qk-norm).
+        # bf16 would need ~16 GiB for weights alone, so this config is
+        # always int8 weight-only (same route that fits Flux 12B).
+        from mlimgsynth_tpu.models import mmdit as MM
+        size, baseline = 1024, 4.0
+        unet_p, clip_p, clip2_p, vae_p = (MM.MMDIT_SD35_LARGE,
+                                          C.CLIP_VIT_L_14,
+                                          C.CLIP_VIT_BIGG_14, V.VAE_SD3)
+        flow = True
+        use_q8 = True
     elif name_base == "sdxl-refiner":
         # beyond-reference model family: single bigG tower + aesthetic label
         size, baseline = 1024, 4.0
@@ -250,18 +263,14 @@ def bench_config(name):
                 else None, unet_p),
             jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
             jnp.zeros((1, 77, unet_p.n_ctx)))
-    unet_params = synth_params(spec_u, 0)
     if use_q8:
-        from mlimgsynth_tpu.weights import pack_to_device, \
-            quantize_linear_weights
-        import ml_dtypes
-        host = {k: np.asarray(v, np.float32) for k, v in unet_params.items()}
-        n_q = quantize_linear_weights(host, spec_u)
-        host = {k: (v if v.dtype == np.int8 or k.endswith("_scale")
-                    else v.astype(ml_dtypes.bfloat16))
-                for k, v in host.items()}
-        unet_params = pack_to_device(host)
-        log(f"[{name}] {n_q} linear weights int8-quantized")
+        # device-side int8 synthesis (no host round-trip: the 40MB/s
+        # host->HBM link would take minutes at sd35-large/flux scale)
+        unet_params = synth_q8_params(spec_u, 0)
+        n_q = sum(1 for k in unet_params if k.endswith("_q8"))
+        log(f"[{name}] {n_q} linear weights synthesized int8 on device")
+    else:
+        unet_params = synth_params(spec_u, 0)
     control = None
     if use_cnet:
         from mlimgsynth_tpu.models import controlnet as CN
@@ -512,7 +521,9 @@ def bench_config(name):
     label = {"sdxl": "SDXL", "sd21": "SD2.1 dpm++2m vparam",
              "sd15-tae": "SD1.5+TAE",
              "sdxl-refiner": "SDXL-refiner",
-             "sd3": "SD3-medium MMDiT flow"}.get(name_base, "SD1.5")
+             "sd3": "SD3-medium MMDiT flow",
+             "sd35-large": "SD3.5-large 8B MMDiT flow"}.get(name_base,
+                                                            "SD1.5")
     if use_i2i:
         label += " img2img+inpaint"
     if use_q8:
