@@ -4,8 +4,32 @@ First compilation of the fused 20-step sampling loop takes minutes; the
 persistent cache makes subsequent process launches start hot.  Enabled by the
 CLI and bench; opt out with MLIS_NO_COMPILE_CACHE=1 or relocate with
 MLIS_COMPILE_CACHE=dir.
+
+CPU-forced processes (the test suite, host tools) get a subdirectory keyed
+by a fingerprint of the host CPU's feature flags: XLA:CPU AOT results do
+NOT key on the target machine features, so a cache written on one host is
+happily loaded on another ("Machine type used for XLA:CPU compilation
+doesn't match the machine type for execution ... could lead to execution
+errors such as SIGILL") — observed here as sporadic test-suite segfaults
+when ~/.cache survived a change of host.  TPU cache entries are unaffected
+(compiled device-side; moving hosts must not discard them — warming the
+flux synth cache alone costs ~13 min).
 """
 import os
+
+
+def _host_cpu_tag():
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.machine() or "unknown"
 
 
 def enable():
@@ -15,6 +39,8 @@ def enable():
         "MLIS_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "mlimgsynth_tpu",
                      "xla"))
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        path = os.path.join(path, "cpu-" + _host_cpu_tag())
     try:
         os.makedirs(path, exist_ok=True)
         import jax

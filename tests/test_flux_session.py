@@ -91,6 +91,33 @@ def test_flux_reproducible_and_batch(files, monkeypatch):
     np.testing.assert_allclose(imgs[0], a[0], atol=2e-4)
 
 
+def test_flux_img2img_and_inpaint(files, monkeypatch):
+    """Flow img2img at the sigma level (x interpolated toward noise at
+    sigma(f_t_ini)) and alpha-mask inpainting both ride the shared sampler
+    path for flux."""
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    s = _session(files, monkeypatch)
+    s.option_set("image", img)
+    s.option_set("f-t-ini", 0.6)
+    s.option_set("prompt", "a repainted cat")
+    out = s.generate()
+    assert out.shape == (1, 3, 64, 64)
+    assert np.isfinite(out).all()
+    assert "Mode: img2img" in s.infotext
+
+    mask = np.zeros((1, 1, 64, 64), np.float32)
+    mask[..., 16:48, 16:48] = 1.0
+    s2 = _session(files, monkeypatch)
+    s2.option_set("image", img)
+    s2.option_set("image_mask", mask)
+    s2.option_set("f-t-ini", 0.6)
+    s2.option_set("prompt", "a repainted cat")
+    out2 = s2.generate()
+    assert np.isfinite(out2).all()
+    assert "inpaint" in s2.infotext.lower()
+
+
 def test_flux_with_t5_context(files, monkeypatch, tmp_path):
     t5p = tmp_path / "t5.safetensors"
     tok = tmp_path / "tok.json"
