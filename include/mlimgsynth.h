@@ -56,7 +56,10 @@ typedef enum MLIS_Method {
 	/* beyond-reference addition: latent-consistency sampling (LCM /
 	 * LCM-LoRA distilled models; diffusers LCMScheduler semantics) */
 	MLIS_METHOD_LCM,
-	MLIS_METHOD__LAST = MLIS_METHOD_LCM,
+	/* beyond-reference addition: UniPC order-2 (bh2, data prediction,
+	 * predictor-corrector; arXiv:2302.04867) */
+	MLIS_METHOD_UNIPC,
+	MLIS_METHOD__LAST = MLIS_METHOD_UNIPC,
 } MLIS_Method;
 
 typedef enum MLIS_Scheduler {

@@ -82,8 +82,9 @@ Sampling:
   -S --seed INT        RNG seed.
   -s --steps INT       Denoising steps with UNet.
   --method NAME        euler, euler_a, heun, taylor3, dpm++2m, dpm++2s,
-                       dpm++2s_a, dpm++2m_sde, lcm (default euler; lcm is
-                       consistency sampling for LCM/LCM-LoRA models).
+                       dpm++2s_a, dpm++2m_sde, lcm, unipc (default euler;
+                       lcm is consistency sampling for LCM/LCM-LoRA models;
+                       unipc is order-2 bh2 predictor-corrector).
   --scheduler NAME     uniform (default), karras, lcm (implied by
                        --method lcm).
   --s-noise FLOAT      Per-step noise injection (try 1).

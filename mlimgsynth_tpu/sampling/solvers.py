@@ -153,15 +153,84 @@ DPMPP2M_SDE = SolverClass("dpmpp2m_sde", 1, _dpmpp2m_init, _dpmpp2m_step)
 # placeholder that the body never calls for this method.
 LCM = SolverClass("lcm", 1, _euler_init, _euler_step)
 
+# UniPC (beyond-reference; Zhao et al. 2023, arXiv:2302.04867) — the
+# predictor-corrector multistep method, order 2, bh2 variant, data (x0)
+# prediction, transcribed into k-diffusion sigma space (lambda = -ln(sigma),
+# alpha == 1):
+#   predictor: the UniPC-2 bh2 predictor reduces ALGEBRAICALLY to the
+#     DPM++(2M) update — rhos_p = [1/2], D1_0 = (m_prev - m_t)/r0 with
+#     r0 = -h_prev/h gives x' = a*x + (1-a)*((1+c)*m_t - c*m_prev),
+#     c = h/(2*h_prev) — so the step below reuses that exact form;
+#   corrector: at each arrival point the fresh model output m_t corrects
+#     the PREVIOUS prediction before the next one departs:
+#       x_c = a_c*last_x + (1-a_c)*m_prev - B_h*corr,   B_h = expm1(-h_p)
+#     with [rho0, rho1] solved from [[1,1],[r0,1]] @ rhos = [b1,b2]
+#     (order 2, i>=2) or rhos = [1/2] (order 1, i==1), matching the
+#     general-order linear system of the paper (the torch oracle in
+#     tests/torch_ref.py builds that system literally and solves it).
+# The corrector is applied in DELTA form (x + (corrected - predicted)) and
+# only when this step's t_cur equals the previous prediction's target
+# sigma: stochastic churn re-noises to s_hat and ancestral steps land on
+# t_next != s_down, where the correction's premises do not hold — there
+# UniPC degrades gracefully to plain DPM++(2M).  1 model eval per step.
+
+
+def _unipc_init(x):
+    z = jnp.zeros_like(x)
+    s = jnp.zeros((), x.dtype)
+    return {"m_prev": z, "m_prev2": z, "last_x": z, "x_pred": z,
+            "h_prev": s, "h_prev2": s, "t_pred": s}
+
+
+def _unipc_step(dxdt, x, state, i_step, t_cur, t_next):
+    dx = dxdt(x, t_cur)
+    m_t = x - t_cur * dx
+
+    # ---- bh2 corrector of the arrival point (delta form) ----
+    use_corr = jnp.logical_and(i_step >= 1, t_cur == state["t_pred"])
+    hp = jnp.where(state["h_prev"] > 0, state["h_prev"], 1.0)
+    a_c = jnp.exp(-hp)
+    B_h = a_c - 1.0                      # expm1(-h_p): bh2's B(h)
+    hh = -hp
+    k1 = B_h / hh - 1.0                  # h_phi_k for i=1
+    b1 = k1 / B_h
+    b2 = (k1 / hh - 0.5) * 2.0 / B_h     # h_phi_k for i=2, times 2!
+    r0 = jnp.where(i_step >= 2, -state["h_prev2"] / hp, -1.0)
+    den = 1.0 - r0
+    rho0 = (b1 - b2) / den
+    rho1 = (b2 - r0 * b1) / den
+    D1_t = m_t - state["m_prev"]
+    D1_p = (state["m_prev2"] - state["m_prev"]) / r0
+    corr = jnp.where(i_step >= 2, rho0 * D1_p + rho1 * D1_t, 0.5 * D1_t)
+    x_t_ = a_c * state["last_x"] + (1 - a_c) * state["m_prev"]
+    delta = (x_t_ - B_h * corr) - state["x_pred"]
+    x_use = jnp.where(use_corr, x + delta, x)
+
+    # ---- order-2 bh2 predictor == the DPM++(2M) update from x_use ----
+    a = t_next / t_cur
+    h = -jnp.log(a)
+    c = h / (2 * hp)
+    c = jnp.where(jnp.logical_or(i_step == 0,
+                                 jnp.logical_not(t_next > 0)), 0.0, c)
+    d = (1 + c) * m_t - c * state["m_prev"]
+    x_new = a * x_use + (1 - a) * d
+    return x_new, {"m_prev": m_t, "m_prev2": state["m_prev"],
+                   "last_x": x_use, "x_pred": x_new,
+                   "h_prev": h, "h_prev2": state["h_prev"],
+                   "t_pred": t_next}
+
+
+UNIPC = SolverClass("unipc", 1, _unipc_init, _unipc_step)
+
 SOLVERS: Dict[str, SolverClass] = {
     s.name: s for s in (EULER, HEUN, TAYLOR3, DPMPP2M, DPMPP2S, DPMPP2M_SDE,
-                        LCM)
+                        LCM, UNIPC)
 }
 
 # Method ids matching MLIS_Method (include/mlimgsynth.h); 6+ are this
 # build's additive extensions.
 METHOD_IDS = {1: "euler", 2: "heun", 3: "taylor3", 4: "dpmpp2m",
-              5: "dpmpp2s", 6: "dpmpp2m_sde", 7: "lcm"}
+              5: "dpmpp2s", 6: "dpmpp2m_sde", 7: "lcm", 8: "unipc"}
 
 
 def get_solver(method) -> SolverClass:

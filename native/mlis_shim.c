@@ -555,7 +555,7 @@ static const char *g_stage_descs[] = {
 	"Denoising"};
 static const char *g_method_names[] = {
 	"none", "euler", "heun", "taylor3", "dpmpp2m", "dpmpp2s",
-	"dpmpp2m_sde", "lcm"};
+	"dpmpp2m_sde", "lcm", "unipc"};
 static const char *g_sched_names[] = {"none", "uniform", "karras",
 	"lcm"};
 static const char *g_model_type_names[] = {"none", "sd1", "sd2", "sdxl",

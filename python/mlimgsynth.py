@@ -43,7 +43,9 @@ MLIS_METHOD_TAYLOR3 = 3
 MLIS_METHOD_DPMPP2M = 4
 MLIS_METHOD_DPMPP2S = 5
 MLIS_METHOD_DPMPP2MSDE = 6  # beyond-reference addition (DPM++ 2M SDE)
-MLIS_METHOD__LAST = 6
+MLIS_METHOD_LCM = 7         # beyond-reference addition (latent consistency)
+MLIS_METHOD_UNIPC = 8       # beyond-reference addition (UniPC order-2 bh2)
+MLIS_METHOD__LAST = 8
 
 MLIS_SCHED_NONE = 0
 MLIS_SCHED_UNIFORM = 1

@@ -92,6 +92,17 @@ CASES = [
     ("sd1",  "lcm", "lcm", 4, 7.0, 0.0, 0.0, 1.0, False, False),
     ("sd2v", "lcm", "lcm", 4, 1.0, 0.0, 0.0, 1.0, False, False),
     ("sd1",  "lcm", "lcm", 3, 1.0, 0.0, 0.0, 0.6, True,  True),
+    # unipc (beyond-reference): oracle solves the corrector's R/b linear
+    # system literally (float64 torch.linalg.solve, diffusers structure);
+    # production folds it into precomputed 2x2-inverse scalars and the
+    # dpmpp2m-form predictor.  The ancestral case exercises the
+    # corrector-disabled (t_cur != t_pred) degradation; the i2i+mask case
+    # the delta-form correction under mask mixing.
+    ("sd1",  "unipc", "uniform", 5, 7.0, 0.0, 0.0, 1.0, False, False),
+    ("sd1",  "unipc", "karras",  7, 7.0, 0.0, 0.0, 1.0, False, False),
+    ("sd2v", "unipc", "karras",  5, 7.0, 0.0, 0.0, 1.0, False, False),
+    ("sd1",  "unipc", "uniform", 5, 7.0, 1.0, 0.0, 1.0, False, False),
+    ("sd1",  "unipc", "karras",  6, 7.0, 0.0, 0.0, 0.7, True,  True),
 ]
 
 

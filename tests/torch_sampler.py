@@ -181,8 +181,17 @@ class TorchSolver:
         self.dp2 = None
         self.h_last = 0.0
         self.dprev = None
+        # UniPC history (predictions, not corrections)
+        self.u_m0 = None       # model output (x0 pred) at the last step
+        self.u_m1 = None       # ... at the step before that
+        self.u_hprev = 0.0     # h of the last prediction
+        self.u_hprev2 = 0.0
+        self.u_lastx = None    # sample the last prediction departed from
+        self.u_s0prev = 0.0    # sigma it departed from
+        self.u_xpred = None    # the prediction itself
+        self.u_tpred = -1.0    # sigma it predicted to
         self.n_fe = {"euler": 1, "heun": 2, "taylor3": 1,
-                     "dpmpp2m": 1, "dpmpp2s": 2}[method]
+                     "dpmpp2m": 1, "dpmpp2s": 2, "unipc": 1}[method]
 
     def step(self, t, x):
         x = getattr(self, "_step_" + self.method)(t, x)
@@ -235,6 +244,70 @@ class TorchSolver:
         self.h_last = h
         return x
 
+    def _step_unipc(self, t, x):
+        """UniPC order-2, bh2, x0-prediction (arXiv:2302.04867), following
+        the diffusers UniPCMultistepScheduler STRUCTURE: the corrector's
+        rhos are solved from the literal R/b linear system (float64
+        torch.linalg.solve), the predictor uses the rhos_p=[1/2] order-2
+        special case; sigma-space with alpha == 1 so lambda = -ln(sigma).
+        Deliberately NOT the production closed form (solvers.py folds the
+        predictor into the DPM++(2M) c-coefficient and the corrector into
+        precomputed 2x2-inverse scalars) — the two derivations cross-check.
+        The corrector only fires when this step starts exactly at the
+        previous prediction's target (churn/ancestral noise moves sigma,
+        production gates identically)."""
+        s0 = self.t
+        dx = self.dxdt(x, s0)
+        m_t = x - s0 * dx
+
+        # ---- corrector for the arrival at s0 ----
+        if self.u_m0 is not None and s0 == self.u_tpred:
+            h = self.u_hprev
+            hh = -h
+            B_h = math.expm1(hh)                      # bh2
+            x_t_ = (s0 / self.u_s0prev) * self.u_lastx + (-B_h) * self.u_m0
+            D1_t = m_t - self.u_m0
+            if self.u_m1 is not None:                 # order-2 corrector
+                rks = [-self.u_hprev2 / h, 1.0]
+                D1_p = (self.u_m1 - self.u_m0) / rks[0]
+                R, b = [], []
+                h_phi_k = B_h / hh - 1.0
+                fact = 1
+                for i in (1, 2):
+                    R.append([r ** (i - 1) for r in rks])
+                    b.append(h_phi_k * fact / B_h)
+                    fact *= i + 1
+                    h_phi_k = h_phi_k / hh - 1.0 / fact
+                rhos = torch.linalg.solve(
+                    torch.tensor(R, dtype=torch.float64),
+                    torch.tensor(b, dtype=torch.float64))
+                corr = float(rhos[0]) * D1_p + float(rhos[1]) * D1_t
+            else:                                     # order-1: rhos=[1/2]
+                corr = 0.5 * D1_t
+            # delta form: the correction rides on top of whatever the
+            # sampler did to x after the prediction (mask mixing)
+            x = x + (x_t_ - B_h * corr) - self.u_xpred
+
+        # ---- predictor s0 -> t ----
+        if t > 0:
+            a = t / s0
+            h_new = math.log(s0) - math.log(t)
+            x_new = a * x + (1 - a) * m_t
+            if self.u_m0 is not None:
+                B_h = math.expm1(-h_new)
+                r0 = -self.u_hprev / h_new
+                D1_0 = (self.u_m0 - m_t) / r0
+                x_new = x_new - B_h * 0.5 * D1_0
+        else:
+            h_new = math.inf
+            x_new = m_t
+
+        self.u_m1, self.u_m0 = self.u_m0, m_t
+        self.u_hprev2, self.u_hprev = self.u_hprev, h_new
+        self.u_lastx, self.u_s0prev = x, s0
+        self.u_xpred, self.u_tpred = x_new, t
+        return x_new
+
     def _step_dpmpp2s(self, t, x):
         dx = self.dxdt(x, self.t)
         if not (t > 0):            # last step: just euler
@@ -263,7 +336,7 @@ def torch_sample(params, P, x0, cond, uncond=None, label=None, nlabel=None,
     src/sampling.c:119-178)."""
     log_sigmas = make_log_sigmas(P.n_step_train)
     n_fe = {"euler": 1, "heun": 2, "taylor3": 1, "dpmpp2m": 1,
-            "dpmpp2s": 2, "dpmpp2m_sde": 1, "lcm": 1}[method]
+            "dpmpp2s": 2, "dpmpp2m_sde": 1, "lcm": 1, "unipc": 1}[method]
     sigmas = make_sigmas(log_sigmas, n_step, sched, n_fe, f_t_ini, f_t_end,
                          P.n_step_train)
     n_step = len(sigmas) - 1
