@@ -510,9 +510,77 @@ def internal_to_cnet_ckpt(name: str):
     return cv.replace("model.diffusion_model.", "control_model.", 1)
 
 
+# kohya (sd-scripts) DiT LoRA module names: the module path is flattened
+# to underscores ("lora_unet_double_blocks_0_img_attn_qkv.lora_down.weight"),
+# so the canonical dotted internal tail is reconstructed from a fixed
+# vocabulary.  Values are the internal module paths of models/flux.py and
+# models/mmdit.py; all targets are fused linears, so lora_apply patches
+# them without split refs (beyond-reference: the reference has no DiT
+# families at all).
+_DIT_LORA_MODULES = {
+    # flux double-stream
+    "img_attn_qkv": "img_attn.qkv", "img_attn_proj": "img_attn.proj",
+    "txt_attn_qkv": "txt_attn.qkv", "txt_attn_proj": "txt_attn.proj",
+    "img_mlp_0": "img_mlp.0", "img_mlp_2": "img_mlp.2",
+    "txt_mlp_0": "txt_mlp.0", "txt_mlp_2": "txt_mlp.2",
+    "img_mod_lin": "img_mod.lin", "txt_mod_lin": "txt_mod.lin",
+    # flux single-stream
+    "linear1": "linear1", "linear2": "linear2",
+    "modulation_lin": "modulation.lin",
+    # SD3 MMDiT joint blocks (attn2 = MMDiT-X dual attention)
+    "x_block_attn_qkv": "x_block.attn.qkv",
+    "x_block_attn_proj": "x_block.attn.proj",
+    "x_block_attn2_qkv": "x_block.attn2.qkv",
+    "x_block_attn2_proj": "x_block.attn2.proj",
+    "context_block_attn_qkv": "context_block.attn.qkv",
+    "context_block_attn_proj": "context_block.attn.proj",
+    "x_block_mlp_fc1": "x_block.mlp.fc1",
+    "x_block_mlp_fc2": "x_block.mlp.fc2",
+    "context_block_mlp_fc1": "context_block.mlp.fc1",
+    "context_block_mlp_fc2": "context_block.mlp.fc2",
+    "x_block_adaLN_modulation_1": "x_block.adaLN_modulation.1",
+    "context_block_adaLN_modulation_1": "context_block.adaLN_modulation.1",
+}
+
+_DIT_LORA_RE = re.compile(
+    r"(double_blocks|single_blocks|joint_blocks)[._/](\d+)[._/]"
+    r"([A-Za-z0-9_]+)\.(lora_down\.weight|lora_up\.weight|lora_A\.weight|"
+    r"lora_B\.weight|alpha|scale)$")
+
+
+def _lora_dit(t: str):
+    """Flux / SD3-MMDiT LoRA tails under the kohya ``unet_`` prefix."""
+    if not _match_prefix(t, "unet."):
+        return None
+    m = _DIT_LORA_RE.match(t[len("unet."):])
+    if m is None:
+        return None
+    blocks, idx, mod, sfx = m.groups()
+    modpath = _DIT_LORA_MODULES.get(mod)
+    if modpath is None:
+        return None
+    single = blocks == "single_blocks"
+    if (blocks == "joint_blocks") != mod.startswith(("x_block",
+                                                     "context_block")):
+        return None
+    if single != (mod in ("linear1", "linear2", "modulation_lin")):
+        return None
+    fam = "mmdit." if blocks == "joint_blocks" else "flux."
+    # peft suffix aliases: lora_A == lora_down, lora_B == lora_up
+    sfx = {"lora_A.weight": "lora_down.weight",
+           "lora_B.weight": "lora_up.weight"}.get(sfx, sfx)
+    return f"{fam}{blocks}.{idx}.{modpath}.{sfx}"
+
+
 def normalize_lora_name(name: str):
     """Normalize a lora tensor name: strip ``lora_`` prefix then normalize
-    (reference: tensor_callback_lora, src/mlimgsynth.c:1060-1083)."""
+    (reference: tensor_callback_lora, src/mlimgsynth.c:1060-1083).  DiT
+    module paths (flux/SD3 kohya LoRAs) are reconstructed from their
+    flattened-underscore form first."""
     if not name.startswith("lora_"):
         return None
-    return normalize_name(name[len("lora_"):])
+    t = name[len("lora_"):]
+    r = _lora_dit(t)
+    if r is not None:
+        return r
+    return normalize_name(t)

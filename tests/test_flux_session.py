@@ -118,6 +118,50 @@ def test_flux_img2img_and_inpaint(files, monkeypatch):
     assert "inpaint" in s2.infotext.lower()
 
 
+def test_flux_kohya_lora(files, monkeypatch, tmp_path):
+    """A kohya-format flux LoRA (flattened-underscore module names,
+    lora_unet_ prefix) patches the fused double/single-stream linears."""
+    from safetensors.numpy import save_file
+
+    P = TINY_FLUX_SCHNELL
+    rng = np.random.default_rng(3)
+    rank, d = 2, P.d_model
+
+    def pair(base, in_d, out_d, peft=False):
+        dn, up = ("lora_A", "lora_B") if peft else ("lora_down", "lora_up")
+        return {
+            f"{base}.{dn}.weight":
+                (rng.standard_normal((rank, in_d)) * 0.2).astype(np.float32),
+            f"{base}.{up}.weight":
+                (rng.standard_normal((out_d, rank)) * 0.2).astype(np.float32),
+            f"{base}.alpha": np.array(4.0, np.float32),
+        }
+
+    arrays = {}
+    arrays.update(pair("lora_unet_double_blocks_0_img_attn_qkv", d, 3 * d))
+    arrays.update(pair("lora_unet_double_blocks_0_txt_mlp_0", d,
+                       P.mlp_ratio * d, peft=True))
+    arrays.update(pair("lora_unet_single_blocks_0_linear1", d,
+                       3 * d + P.mlp_ratio * d))
+    lora_path = tmp_path / "flux-style.safetensors"
+    save_file(arrays, str(lora_path))
+
+    s = _session(files, monkeypatch)
+    s.option_set("prompt", "a stylized cat")
+    base = s.generate()
+
+    s2 = _session(files, monkeypatch)
+    s2.option_set("lora", str(lora_path), 0.8)
+    s2.option_set("prompt", "a stylized cat")
+    out = s2.generate()
+    assert not np.allclose(base, out)
+
+    s3 = _session(files, monkeypatch)
+    s3.option_set("lora", str(lora_path), 0.0)
+    s3.option_set("prompt", "a stylized cat")
+    np.testing.assert_allclose(s3.generate(), base, atol=1e-5)
+
+
 def test_flux_with_t5_context(files, monkeypatch, tmp_path):
     t5p = tmp_path / "t5.safetensors"
     tok = tmp_path / "tok.json"

@@ -176,3 +176,41 @@ def test_flux_final_layer_alias_in_loader():
         == "model.diffusion_model.final_layer.linear.weight"
     assert out["flux.final_layer.linear.weight"].raw \
         == "model.diffusion_model.final_layer.linear.weight"
+
+
+def test_lora_dit_names():
+    """kohya (sd-scripts) flux/SD3 LoRA names: flattened-underscore module
+    paths reconstruct to the internal dotted scheme; peft lora_A/lora_B
+    suffixes alias to lora_down/lora_up."""
+    nl = normalize_lora_name
+    assert nl("lora_unet_double_blocks_0_img_attn_qkv.lora_down.weight") \
+        == "flux.double_blocks.0.img_attn.qkv.lora_down.weight"
+    assert nl("lora_unet_double_blocks_12_txt_mlp_2.lora_up.weight") \
+        == "flux.double_blocks.12.txt_mlp.2.lora_up.weight"
+    assert nl("lora_unet_single_blocks_7_linear1.alpha") \
+        == "flux.single_blocks.7.linear1.alpha"
+    assert nl("lora_unet_single_blocks_7_modulation_lin.lora_down.weight") \
+        == "flux.single_blocks.7.modulation.lin.lora_down.weight"
+    assert nl("lora_unet_joint_blocks_3_x_block_attn_qkv.lora_down.weight") \
+        == "mmdit.joint_blocks.3.x_block.attn.qkv.lora_down.weight"
+    assert nl("lora_unet_joint_blocks_3_context_block_mlp_fc2.lora_up"
+              ".weight") \
+        == "mmdit.joint_blocks.3.context_block.mlp.fc2.lora_up.weight"
+    assert nl("lora_unet_joint_blocks_0_x_block_attn2_proj.lora_down"
+              ".weight") \
+        == "mmdit.joint_blocks.0.x_block.attn2.proj.lora_down.weight"
+    assert nl("lora_unet_joint_blocks_0_x_block_adaLN_modulation_1.alpha") \
+        == "mmdit.joint_blocks.0.x_block.adaLN_modulation.1.alpha"
+    # peft suffix aliases
+    assert nl("lora_unet_double_blocks_0_img_attn_qkv.lora_A.weight") \
+        == "flux.double_blocks.0.img_attn.qkv.lora_down.weight"
+    assert nl("lora_unet_double_blocks_0_img_attn_qkv.lora_B.weight") \
+        == "flux.double_blocks.0.img_attn.qkv.lora_up.weight"
+    # family/module mismatches rejected
+    assert nl("lora_unet_joint_blocks_0_img_attn_qkv.lora_down.weight") \
+        is None
+    assert nl("lora_unet_double_blocks_0_x_block_attn_qkv.lora_down"
+              ".weight") is None
+    assert nl("lora_unet_double_blocks_0_linear1.lora_down.weight") is None
+    assert nl("lora_unet_single_blocks_0_img_attn_qkv.lora_down.weight") \
+        is None

@@ -145,6 +145,50 @@ def test_img2img_sd3(session):
     assert "Mode: img2img" in session.infotext
 
 
+def test_sd3_kohya_lora(ckpt, monkeypatch, tmp_path):
+    """kohya SD3 LoRA names (lora_unet_joint_blocks_N_x_block_...) patch
+    the MMDiT's fused linears through the session lora option."""
+    from safetensors.numpy import save_file
+
+    P = TINY_MMDIT
+    rng = np.random.default_rng(5)
+    rank, d = 2, P.d_model
+
+    def pair(base, in_d, out_d):
+        return {
+            f"{base}.lora_down.weight":
+                (rng.standard_normal((rank, in_d)) * 0.2).astype(np.float32),
+            f"{base}.lora_up.weight":
+                (rng.standard_normal((out_d, rank)) * 0.2).astype(np.float32),
+            f"{base}.alpha": np.array(4.0, np.float32),
+        }
+
+    arrays = {}
+    arrays.update(pair("lora_unet_joint_blocks_0_x_block_attn_qkv",
+                       d, 3 * d))
+    arrays.update(pair("lora_unet_joint_blocks_0_context_block_mlp_fc2",
+                       4 * d, d))
+    lora_path = tmp_path / "sd3-style.safetensors"
+    save_file(arrays, str(lora_path))
+
+    def make():
+        patch_tiny_model_types(monkeypatch, {"sd3": TINY_MODEL_TYPE_SD3})
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", ckpt)
+        s.option_set("image-dim", 64, 64)
+        s.option_set("steps", 2)
+        s.option_set("seed", 42)
+        s.option_set("prompt", "a styled scene")
+        return s
+
+    base = make().generate()
+    s2 = make()
+    s2.option_set("lora", str(lora_path), 0.7)
+    out = s2.generate()
+    assert not np.allclose(base, out)
+
+
 def test_sd3_dpmpp2m(session):
     """dpmpp2m's x0-prediction update is exact for rectified flow; the
     solver must run unchanged on the flow sigma table."""
