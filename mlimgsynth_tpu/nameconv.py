@@ -572,11 +572,106 @@ def _lora_dit(t: str):
     return f"{fam}{blocks}.{idx}.{modpath}.{sfx}"
 
 
-def normalize_lora_name(name: str):
+# diffusers-peft DiT LoRA module names ("transformer."-prefixed, lora_A/B
+# suffixes — the ai-toolkit / SimpleTuner / diffusers-trained format).
+# diffusers splits the fused qkv (and flux's single-block linear1) into
+# separate to_q/to_k/to_v/proj_mlp linears, so the internal target is a
+# fused weight plus a fractional ROW slice of its raw [out,in] tensor,
+# encoded as "...qkv@num/span/den" (den divides out_features; flux
+# single-block linear1 is [3d+4d, d] => sevenths, mlp_ratio is 4 for both
+# flux models).  weights.lora_apply decodes the fragment.
+_PEFT_DOUBLE = {  # flux transformer_blocks.N. (img = x stream, txt = add)
+    "attn.to_q": ("img_attn.qkv", (0, 1, 3)),
+    "attn.to_k": ("img_attn.qkv", (1, 1, 3)),
+    "attn.to_v": ("img_attn.qkv", (2, 1, 3)),
+    "attn.add_q_proj": ("txt_attn.qkv", (0, 1, 3)),
+    "attn.add_k_proj": ("txt_attn.qkv", (1, 1, 3)),
+    "attn.add_v_proj": ("txt_attn.qkv", (2, 1, 3)),
+    "attn.to_out.0": ("img_attn.proj", None),
+    "attn.to_add_out": ("txt_attn.proj", None),
+    "ff.net.0.proj": ("img_mlp.0", None),
+    "ff.net.2": ("img_mlp.2", None),
+    "ff_context.net.0.proj": ("txt_mlp.0", None),
+    "ff_context.net.2": ("txt_mlp.2", None),
+    "norm1.linear": ("img_mod.lin", None),
+    "norm1_context.linear": ("txt_mod.lin", None),
+}
+_PEFT_SINGLE = {  # flux single_transformer_blocks.N.
+    "attn.to_q": ("linear1", (0, 1, 7)),
+    "attn.to_k": ("linear1", (1, 1, 7)),
+    "attn.to_v": ("linear1", (2, 1, 7)),
+    "proj_mlp": ("linear1", (3, 4, 7)),
+    "proj_out": ("linear2", None),
+    "norm.linear": ("modulation.lin", None),
+}
+_PEFT_MMDIT = {  # SD3 transformer_blocks.N. (x = sample, context = add)
+    "attn.to_q": ("x_block.attn.qkv", (0, 1, 3)),
+    "attn.to_k": ("x_block.attn.qkv", (1, 1, 3)),
+    "attn.to_v": ("x_block.attn.qkv", (2, 1, 3)),
+    "attn.add_q_proj": ("context_block.attn.qkv", (0, 1, 3)),
+    "attn.add_k_proj": ("context_block.attn.qkv", (1, 1, 3)),
+    "attn.add_v_proj": ("context_block.attn.qkv", (2, 1, 3)),
+    "attn.to_out.0": ("x_block.attn.proj", None),
+    "attn.to_add_out": ("context_block.attn.proj", None),
+    "attn2.to_q": ("x_block.attn2.qkv", (0, 1, 3)),
+    "attn2.to_k": ("x_block.attn2.qkv", (1, 1, 3)),
+    "attn2.to_v": ("x_block.attn2.qkv", (2, 1, 3)),
+    "attn2.to_out.0": ("x_block.attn2.proj", None),
+    "ff.net.0.proj": ("x_block.mlp.fc1", None),
+    "ff.net.2": ("x_block.mlp.fc2", None),
+    "ff_context.net.0.proj": ("context_block.mlp.fc1", None),
+    "ff_context.net.2": ("context_block.mlp.fc2", None),
+    "norm1.linear": ("x_block.adaLN_modulation.1", None),
+    "norm1_context.linear": ("context_block.adaLN_modulation.1", None),
+}
+
+_PEFT_SFX = {"lora_A.weight": "lora_down.weight",
+             "lora_B.weight": "lora_up.weight",
+             "lora_down.weight": "lora_down.weight",
+             "lora_up.weight": "lora_up.weight",
+             "alpha": "alpha", "scale": "scale"}
+
+_PEFT_RE = re.compile(
+    r"transformer\.(transformer_blocks|single_transformer_blocks)\."
+    r"(\d+)\.(.+?)\.(lora_A\.weight|lora_B\.weight|lora_down\.weight|"
+    r"lora_up\.weight|alpha|scale)$")
+
+
+def _peft_dit_lora(name: str, family: str):
+    """diffusers-peft flux/SD3 LoRA names.  ``transformer_blocks`` is used
+    by BOTH families with identical module names, so the target family
+    (from the loaded model's param names) disambiguates."""
+    m = _PEFT_RE.match(name)
+    if m is None:
+        return None
+    blocks, idx, mod, sfx = m.groups()
+    if blocks == "single_transformer_blocks":
+        if family != "flux":
+            return None
+        table, fam, blk = _PEFT_SINGLE, "flux.", "single_blocks"
+    elif family == "flux":
+        table, fam, blk = _PEFT_DOUBLE, "flux.", "double_blocks"
+    elif family == "mmdit":
+        table, fam, blk = _PEFT_MMDIT, "mmdit.", "joint_blocks"
+    else:
+        return None
+    hit = table.get(mod)
+    if hit is None:
+        return None
+    modpath, frac = hit
+    at = "@%d/%d/%d" % frac if frac else ""
+    return f"{fam}{blk}.{idx}.{modpath}{at}.{_PEFT_SFX[sfx]}"
+
+
+def normalize_lora_name(name: str, family: str = "sd"):
     """Normalize a lora tensor name: strip ``lora_`` prefix then normalize
     (reference: tensor_callback_lora, src/mlimgsynth.c:1060-1083).  DiT
     module paths (flux/SD3 kohya LoRAs) are reconstructed from their
-    flattened-underscore form first."""
+    flattened-underscore form; diffusers-peft ``transformer.*`` names map
+    through the fused-weight slice tables (``family`` = "flux"/"mmdit"
+    from the loaded model disambiguates the shared layout)."""
+    if name.startswith("transformer."):
+        return _peft_dit_lora(name, family)
     if not name.startswith("lora_"):
         return None
     t = name[len("lora_"):]

@@ -32,7 +32,16 @@ def _host_cpu_tag():
     return platform.machine() or "unknown"
 
 
-def enable():
+def enable(readonly: bool = False):
+    """``readonly=True`` keeps cache READS but disables writes by raising
+    the min-compile-time gate above any real compile (the gate is checked
+    BEFORE ``executable.serialize()`` in jax's _cache_write).  XLA:CPU AOT
+    serialization segfaults probabilistically in long many-compile
+    processes (observed twice in full-suite runs, stack in
+    compilation_cache.put_executable_and_time), so the test suite runs
+    read-only and cache warming is an explicit, retryable pass
+    (MLIS_TEST_CACHE_WRITE=1) — a crashed warming run still keeps every
+    entry written before the crash, so re-running converges."""
     if os.environ.get("MLIS_NO_COMPILE_CACHE"):
         return
     path = os.environ.get(
@@ -45,6 +54,7 @@ def enable():
         os.makedirs(path, exist_ok=True)
         import jax
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1e9 if readonly else 0.5)
     except Exception:  # cache is an optimization, never fatal
         pass

@@ -218,11 +218,26 @@ def pack_to_device(host_params: Dict[str, np.ndarray]) -> Dict[str, object]:
 def lora_apply(model_store: TensorStore, model_map: Dict[str, NameRef],
                lora_store: TensorStore, mult: float) -> int:
     """Merge ``dst += scale * up @ down`` into the model store's cache for
-    every ``*.lora_down.weight`` in the lora file.  Returns patch count."""
+    every ``*.lora_down.weight`` in the lora file.  Returns patch count.
+
+    diffusers-peft DiT LoRA stems may carry an ``@num/span/den`` fragment:
+    the delta targets rows ``[num*d, (num+span)*d)`` of the fused raw
+    [out,in] tensor, ``d = out // den`` (flux/SD3 split to_q/to_k/to_v —
+    and flux's single-block proj_mlp — out of fused linears)."""
+    # the loaded model's family disambiguates the shared diffusers
+    # "transformer_blocks" layout (flux double vs SD3 joint blocks)
+    family = "sd"
+    for k in model_map:
+        if k.startswith("flux.double_blocks."):
+            family = "flux"
+            break
+        if k.startswith("mmdit.joint_blocks."):
+            family = "mmdit"
+            break
     # normalize lora names once
     lora_map: Dict[str, str] = {}
     for raw in lora_store.tensors:
-        r = normalize_lora_name(raw)
+        r = normalize_lora_name(raw, family)
         if isinstance(r, str):
             lora_map[r] = raw
     n = 0
@@ -230,9 +245,14 @@ def lora_apply(model_store: TensorStore, model_map: Dict[str, NameRef],
         if not internal.endswith(".lora_down.weight"):
             continue
         stem = internal[:-len(".lora_down.weight")]
-        dst_ref = model_map.get(stem + ".weight")
+        base, frac = stem, None
+        if "@" in stem:
+            base, f = stem.split("@", 1)
+            num, span, den = (int(v) for v in f.split("/"))
+            frac = (num, span, den)
+        dst_ref = model_map.get(base + ".weight")
         if dst_ref is None:
-            raise KeyError(f"lora tensor not found in model: {stem}.weight")
+            raise KeyError(f"lora tensor not found in model: {base}.weight")
         up_raw = lora_map.get(stem + ".lora_up.weight")
         if up_raw is None:
             raise KeyError(f"lora up tensor not found: {stem}.lora_up.weight")
@@ -247,7 +267,17 @@ def lora_apply(model_store: TensorStore, model_map: Dict[str, NameRef],
         scale *= mult
         delta = (up.reshape(up.shape[0], -1) @
                  down.reshape(down.shape[0], -1) * scale)
-        if dst_ref.split is None:
+        if frac is not None:
+            # fused-weight row slice (diffusers-peft DiT LoRA)
+            full = model_store.read(dst_ref.raw, "f32").copy()
+            num_, span_, den_ = frac
+            if full.shape[0] % den_:
+                raise KeyError(f"lora slice {stem}: out dim "
+                               f"{full.shape[0]} not divisible by {den_}")
+            d = full.shape[0] // den_
+            sl = slice(num_ * d, (num_ + span_) * d)
+            full[sl] = full[sl] + delta.reshape(full[sl].shape)
+        elif dst_ref.split is None:
             base = read_entry(model_store, dst_ref)
             full = base + delta.reshape(base.shape)
         else:

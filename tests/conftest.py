@@ -17,7 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # Persistent XLA compile cache: the suite spends most of its wall time
 # recompiling the same tiny-model jits every run; with the cache warm it
-# runs in a fraction of the cold time.
+# runs in a fraction of the cold time.  READ-ONLY by default: XLA:CPU
+# executable serialization segfaults probabilistically in long
+# many-compile processes (utils/compcache.py docstring).  Warm the cache
+# with MLIS_TEST_CACHE_WRITE=1 (retry if the warming pass crashes —
+# entries persist up to the crash point, so it converges).
 from mlimgsynth_tpu.utils.compcache import enable as _compcache_enable  # noqa: E402
 
-_compcache_enable()
+_compcache_enable(readonly=not os.environ.get("MLIS_TEST_CACHE_WRITE"))

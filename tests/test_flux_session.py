@@ -162,6 +162,84 @@ def test_flux_kohya_lora(files, monkeypatch, tmp_path):
     np.testing.assert_allclose(s3.generate(), base, atol=1e-5)
 
 
+def test_flux_peft_lora_slice_equivalence(files, monkeypatch, tmp_path):
+    """A diffusers-peft flux LoRA on attn.to_q (a THIRD of the fused qkv)
+    must produce the same image as a kohya full-qkv LoRA whose up matrix
+    is the same rows zero-padded into the k/v thirds — the fused-slice
+    delta math, checked end to end.  Also patches a single-block to_v and
+    proj_mlp (sevenths of linear1)."""
+    from safetensors.numpy import save_file
+
+    P = TINY_FLUX_SCHNELL
+    rng = np.random.default_rng(9)
+    rank, d = 2, P.d_model
+    down_q = (rng.standard_normal((rank, d)) * 0.3).astype(np.float32)
+    up_q = (rng.standard_normal((d, rank)) * 0.3).astype(np.float32)
+    down_v1 = (rng.standard_normal((rank, d)) * 0.3).astype(np.float32)
+    up_v1 = (rng.standard_normal((d, rank)) * 0.3).astype(np.float32)
+    down_m = (rng.standard_normal((rank, d)) * 0.3).astype(np.float32)
+    up_m = (rng.standard_normal((P.mlp_ratio * d, rank)) * 0.3) \
+        .astype(np.float32)
+
+    peft = {
+        "transformer.transformer_blocks.0.attn.to_q.lora_A.weight": down_q,
+        "transformer.transformer_blocks.0.attn.to_q.lora_B.weight": up_q,
+        "transformer.single_transformer_blocks.0.attn.to_v.lora_A.weight":
+            down_v1,
+        "transformer.single_transformer_blocks.0.attn.to_v.lora_B.weight":
+            up_v1,
+        "transformer.single_transformer_blocks.0.proj_mlp.lora_A.weight":
+            down_m,
+        "transformer.single_transformer_blocks.0.proj_mlp.lora_B.weight":
+            up_m,
+    }
+    p_peft = tmp_path / "peft.safetensors"
+    save_file(peft, str(p_peft))
+
+    # equivalent kohya LoRAs against the FUSED weights: zero-pad the up
+    # matrices into the untouched rows (scale: peft has no alpha => 1.0;
+    # kohya alpha=rank gives alpha/rank = 1.0 too)
+    z = np.zeros((d, rank), np.float32)
+    up_qkv = np.concatenate([up_q, z, z], 0)
+    up_l1 = np.concatenate([z, z, up_v1, np.zeros((P.mlp_ratio * d, rank),
+                                                  np.float32)], 0)
+    up_l1m = np.concatenate([z, z, z, up_m], 0)
+    kohya = {
+        "lora_unet_double_blocks_0_img_attn_qkv.lora_down.weight": down_q,
+        "lora_unet_double_blocks_0_img_attn_qkv.lora_up.weight": up_qkv,
+        "lora_unet_double_blocks_0_img_attn_qkv.alpha":
+            np.array(rank, np.float32),
+        "lora_unet_single_blocks_0_linear1.lora_down.weight": down_v1,
+        "lora_unet_single_blocks_0_linear1.lora_up.weight": up_l1,
+        "lora_unet_single_blocks_0_linear1.alpha":
+            np.array(rank, np.float32),
+    }
+    p_kohya = tmp_path / "kohya.safetensors"
+    save_file(kohya, str(p_kohya))
+    kohya2 = dict(kohya)
+    kohya2["lora_unet_single_blocks_0_linear1.lora_down.weight"] = down_m
+    kohya2["lora_unet_single_blocks_0_linear1.lora_up.weight"] = up_l1m
+    # two patches on the same tensor accumulate -> ship as a second file
+    del kohya2["lora_unet_double_blocks_0_img_attn_qkv.lora_down.weight"]
+    del kohya2["lora_unet_double_blocks_0_img_attn_qkv.lora_up.weight"]
+    del kohya2["lora_unet_double_blocks_0_img_attn_qkv.alpha"]
+    p_kohya2 = tmp_path / "kohya2.safetensors"
+    save_file(kohya2, str(p_kohya2))
+
+    def gen(*loras):
+        s = _session(files, monkeypatch)
+        for p in loras:
+            s.option_set("lora", str(p), 1.0)
+        s.option_set("prompt", "slice equivalence")
+        return s.generate()
+
+    base = gen()
+    img_peft = gen(p_peft)
+    img_kohya = gen(p_kohya, p_kohya2)
+    assert not np.allclose(base, img_peft)
+    np.testing.assert_allclose(img_peft, img_kohya, atol=2e-5)
+
+
 def test_flux_with_t5_context(files, monkeypatch, tmp_path):
     t5p = tmp_path / "t5.safetensors"
     tok = tmp_path / "tok.json"

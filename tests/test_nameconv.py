@@ -214,3 +214,49 @@ def test_lora_dit_names():
     assert nl("lora_unet_double_blocks_0_linear1.lora_down.weight") is None
     assert nl("lora_unet_single_blocks_0_img_attn_qkv.lora_down.weight") \
         is None
+
+
+def test_lora_peft_dit_names():
+    """diffusers-peft DiT LoRA names: transformer.*-prefixed, lora_A/B,
+    family-disambiguated, fused-weight slices encoded as @num/span/den."""
+    nl = normalize_lora_name
+    assert nl("transformer.transformer_blocks.0.attn.to_q.lora_A.weight",
+              "flux") == \
+        "flux.double_blocks.0.img_attn.qkv@0/1/3.lora_down.weight"
+    assert nl("transformer.transformer_blocks.0.attn.add_v_proj.lora_B"
+              ".weight", "flux") == \
+        "flux.double_blocks.0.txt_attn.qkv@2/1/3.lora_up.weight"
+    assert nl("transformer.transformer_blocks.3.attn.to_out.0.lora_A"
+              ".weight", "flux") == \
+        "flux.double_blocks.3.img_attn.proj.lora_down.weight"
+    assert nl("transformer.transformer_blocks.3.ff_context.net.0.proj"
+              ".lora_A.weight", "flux") == \
+        "flux.double_blocks.3.txt_mlp.0.lora_down.weight"
+    assert nl("transformer.single_transformer_blocks.7.attn.to_k.lora_A"
+              ".weight", "flux") == \
+        "flux.single_blocks.7.linear1@1/1/7.lora_down.weight"
+    assert nl("transformer.single_transformer_blocks.7.proj_mlp.lora_B"
+              ".weight", "flux") == \
+        "flux.single_blocks.7.linear1@3/4/7.lora_up.weight"
+    assert nl("transformer.single_transformer_blocks.7.proj_out.lora_A"
+              ".weight", "flux") == \
+        "flux.single_blocks.7.linear2.lora_down.weight"
+    # same layout, mmdit family
+    assert nl("transformer.transformer_blocks.0.attn.to_q.lora_A.weight",
+              "mmdit") == \
+        "mmdit.joint_blocks.0.x_block.attn.qkv@0/1/3.lora_down.weight"
+    assert nl("transformer.transformer_blocks.2.attn.add_k_proj.lora_A"
+              ".weight", "mmdit") == \
+        "mmdit.joint_blocks.2.context_block.attn.qkv@1/1/3.lora_down.weight"
+    assert nl("transformer.transformer_blocks.2.norm1_context.linear"
+              ".lora_A.weight", "mmdit") == \
+        "mmdit.joint_blocks.2.context_block.adaLN_modulation.1" \
+        ".lora_down.weight"
+    assert nl("transformer.transformer_blocks.0.attn2.to_v.lora_A.weight",
+              "mmdit") == \
+        "mmdit.joint_blocks.0.x_block.attn2.qkv@2/1/3.lora_down.weight"
+    # family gating
+    assert nl("transformer.single_transformer_blocks.0.proj_out.lora_A"
+              ".weight", "mmdit") is None
+    assert nl("transformer.transformer_blocks.0.attn.to_q.lora_A.weight",
+              "sd") is None

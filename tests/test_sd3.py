@@ -189,6 +189,44 @@ def test_sd3_kohya_lora(ckpt, monkeypatch, tmp_path):
     assert not np.allclose(base, out)
 
 
+def test_sd3_peft_lora(ckpt, monkeypatch, tmp_path):
+    """diffusers-peft SD3 LoRA (transformer.* names, shared with flux —
+    the model's mmdit.joint_blocks params select the mmdit mapping)."""
+    from safetensors.numpy import save_file
+
+    P = TINY_MMDIT
+    rng = np.random.default_rng(11)
+    rank, d = 2, P.d_model
+    arrays = {
+        "transformer.transformer_blocks.0.attn.to_q.lora_A.weight":
+            (rng.standard_normal((rank, d)) * 0.3).astype(np.float32),
+        "transformer.transformer_blocks.0.attn.to_q.lora_B.weight":
+            (rng.standard_normal((d, rank)) * 0.3).astype(np.float32),
+        "transformer.transformer_blocks.1.ff.net.2.lora_A.weight":
+            (rng.standard_normal((rank, 4 * d)) * 0.3).astype(np.float32),
+        "transformer.transformer_blocks.1.ff.net.2.lora_B.weight":
+            (rng.standard_normal((d, rank)) * 0.3).astype(np.float32),
+    }
+    lora_path = tmp_path / "sd3-peft.safetensors"
+    save_file(arrays, str(lora_path))
+
+    def make():
+        patch_tiny_model_types(monkeypatch, {"sd3": TINY_MODEL_TYPE_SD3})
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", ckpt)
+        s.option_set("image-dim", 64, 64)
+        s.option_set("steps", 2)
+        s.option_set("seed", 42)
+        s.option_set("prompt", "a peft-styled scene")
+        return s
+
+    base = make().generate()
+    s2 = make()
+    s2.option_set("lora", str(lora_path), 1.0)
+    assert not np.allclose(base, s2.generate())
+
+
 def test_sd3_dpmpp2m(session):
     """dpmpp2m's x0-prediction update is exact for rectified flow; the
     solver must run unchanged on the flow sigma table."""
