@@ -37,6 +37,8 @@ def main():
         return loop_bench(n_scan)
     if which == "sd3":
         return mmdit_step_bench(n_scan)
+    if which.startswith("flux"):
+        return flux_step_bench(n_scan, guidance=which == "flux-dev")
     if which.startswith("sdxl"):
         P, res, n = U.UNET_SDXL, 128, 2
     elif which == "sd15b8":
@@ -83,6 +85,62 @@ def main():
     print(f"RESULT {which} n={n} res={res} steps={n_scan}: "
           f"{best / n_scan * 1000:.2f} ms/step (total {best:.3f}s, "
           f"runs {['%.3f' % t for t in times]}) env={cfg}", flush=True)
+
+
+def flux_step_bench(n_scan, guidance=False):
+    """One Flux.1 12B int8 evaluation, scanned (1024px shape: 4096 packed
+    latent + 256 T5 tokens = S 4352; no CFG batch — schnell is distilled,
+    dev rides embedded guidance).  MLIS_ABLATE=attn splits attention out."""
+    import jax
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.models import blocks as B
+    from mlimgsynth_tpu.models import flux as FX
+    from bench import synth_q8_params
+
+    P = FX.FLUX_DEV if guidance else FX.FLUX_SCHNELL
+    n, res, s_t5 = 1, 128, 256
+    g = jnp.full((1,), 3.5) if guidance else None
+    spec = B.trace_spec(
+        lambda ctx, x, t, c, y: FX.flux_apply(ctx, x, t, c, y, P,
+                                              guidance=g),
+        jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
+        jnp.zeros((1, s_t5, P.d_ctx_in)), jnp.zeros((1, P.d_pooled)))
+    params = synth_q8_params(spec, 0)
+
+    def loop(params, x, t, c, y):
+        ctx = B.Ctx(params, dtype=jnp.bfloat16)
+
+        def body(x, _):
+            d = FX.flux_apply(ctx, x, t, c, y, P, guidance=g)
+            return x + 0.01 * d.astype(x.dtype), None
+
+        x, _ = jax.lax.scan(body, x, None, length=n_scan)
+        return x
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, res, res, P.n_ch_in))
+                    .astype(np.float32) * 0.5, jnp.bfloat16)
+    t = jnp.full((n,), 500.0, jnp.float32)
+    c = jnp.asarray(rng.standard_normal((n, s_t5, P.d_ctx_in))
+                    .astype(np.float32) * 0.3, jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((n, P.d_pooled))
+                    .astype(np.float32) * 0.3)
+    fn = jax.jit(loop)
+    t0 = time.time()
+    out = np.asarray(fn(params, x, t, c, y))
+    print(f"compile+first: {time.time() - t0:.1f}s "
+          f"(finite={np.isfinite(out).all()})", flush=True)
+    times = []
+    for i in range(4):
+        t0 = time.time()
+        out = np.asarray(fn(params, x, t, c, y))
+        times.append(time.time() - t0)
+    best = min(times)
+    which = "flux-dev" if guidance else "flux"
+    print(f"RESULT {which} n={n} res={res} steps={n_scan}: "
+          f"{best / n_scan * 1000:.2f} ms/step (total {best:.3f}s, "
+          f"runs {['%.3f' % t for t in times]}) "
+          f"ablate={os.environ.get('MLIS_ABLATE', '')}", flush=True)
 
 
 def mmdit_step_bench(n_scan):
