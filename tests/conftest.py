@@ -15,13 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Persistent XLA compile cache: the suite spends most of its wall time
-# recompiling the same tiny-model jits every run; with the cache warm it
-# runs in a fraction of the cold time.  READ-ONLY by default: XLA:CPU
-# executable serialization segfaults probabilistically in long
-# many-compile processes (utils/compcache.py docstring).  Warm the cache
-# with MLIS_TEST_CACHE_WRITE=1 (retry if the warming pass crashes —
-# entries persist up to the crash point, so it converges).
-from mlimgsynth_tpu.utils.compcache import enable as _compcache_enable  # noqa: E402
-
-_compcache_enable(readonly=not os.environ.get("MLIS_TEST_CACHE_WRITE"))
+# NO persistent XLA compile cache in the suite: XLA:CPU executable
+# serialization AND deserialization both segfault sporadically in long
+# many-compile processes on this box (three full-suite crashes with
+# stacks in put_executable_and_time / get_executable_and_time —
+# utils/compcache.py docstring).  A cold suite is slow; a crashing suite
+# is worse.  Opt back in at your own risk with MLIS_TEST_CACHE=1.
+if os.environ.get("MLIS_TEST_CACHE"):
+    from mlimgsynth_tpu.utils.compcache import enable as _compcache_enable
+    _compcache_enable(readonly=not os.environ.get("MLIS_TEST_CACHE_WRITE"))
