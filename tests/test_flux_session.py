@@ -240,6 +240,24 @@ def test_flux_peft_lora_slice_equivalence(files, monkeypatch, tmp_path):
     np.testing.assert_allclose(img_peft, img_kohya, atol=2e-5)
 
 
+def test_flux_gguf_quantized(files, monkeypatch, tmp_path):
+    """A q8_0 GGUF flux transformer (the city96-style distribution format:
+    bare double_blocks.* names in a GGUF container) loads through the
+    session with safetensors aux clip/vae and generates."""
+    from mlimgsynth_tpu.io.tensorstore import TensorStore, write_gguf
+
+    st = TensorStore.open(files["model"])
+    gg = tmp_path / "flux-q8_0.gguf"
+    write_gguf(st, str(gg), dtype="q8_0")
+    st.close()
+
+    s = _session(dict(files, model=str(gg)), monkeypatch)
+    s.option_set("prompt", "a quantized rope cat")
+    img = s.generate()
+    assert s.c["model_type"] == "flux_schnell"
+    assert np.isfinite(img).all()
+
+
 def test_flux_with_t5_context(files, monkeypatch, tmp_path):
     t5p = tmp_path / "t5.safetensors"
     tok = tmp_path / "tok.json"
