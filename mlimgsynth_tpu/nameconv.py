@@ -672,6 +672,19 @@ def normalize_lora_name(name: str, family: str = "sd"):
     from the loaded model disambiguates the shared layout)."""
     if name.startswith("transformer."):
         return _peft_dit_lora(name, family)
+    if name.startswith(("unet.", "text_encoder.", "text_encoder_2.")):
+        # diffusers-peft SD LoRA state dicts: the module paths are the
+        # plain diffusers checkpoint scheme, which normalize_name already
+        # maps (suffixes pass through); only the prefixes and the
+        # lora_A/lora_B suffix names differ.
+        t = name
+        if t.startswith("text_encoder_2."):
+            t = "te2." + t[len("text_encoder_2."):]
+        elif t.startswith("text_encoder."):
+            t = "te." + t[len("text_encoder."):]
+        t = t.replace(".lora_A.weight", ".lora_down.weight") \
+             .replace(".lora_B.weight", ".lora_up.weight")
+        return normalize_name(t)
     if not name.startswith("lora_"):
         return None
     t = name[len("lora_"):]

@@ -260,3 +260,22 @@ def test_lora_peft_dit_names():
               ".weight", "mmdit") is None
     assert nl("transformer.transformer_blocks.0.attn.to_q.lora_A.weight",
               "sd") is None
+
+
+def test_lora_peft_sd_names():
+    """diffusers-peft SD LoRA state dicts (unet./text_encoder. prefixes,
+    plain diffusers module paths, lora_A/B) ride the existing diffusers
+    checkpoint mapping."""
+    nl = normalize_lora_name
+    assert nl("unet.down_blocks.1.attentions.0.transformer_blocks.0"
+              ".attn1.to_q.lora_A.weight") == \
+        "unet.in.4.1.transf.0.attn1.q_proj.lora_down.weight"
+    assert nl("unet.mid_block.attentions.0.transformer_blocks.0"
+              ".ff.net.0.proj.lora_B.weight") == \
+        "unet.mid.1.transf.0.ff.net.0.proj.lora_up.weight"
+    assert nl("text_encoder.text_model.encoder.layers.0.self_attn"
+              ".q_proj.lora_A.weight") == \
+        "clip.text.encoder.layers.0.attn.q_proj.lora_down.weight"
+    assert nl("text_encoder_2.text_model.encoder.layers.2.mlp.fc1"
+              ".lora_B.weight") == \
+        "clip2.text.encoder.layers.2.mlp.fc1.lora_up.weight"
