@@ -84,6 +84,36 @@ def test_transposed_matches_xla(sq, sk, d):
                                np.asarray(ref), atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("sq,sk,d", [
+    (512, 512, 64),
+    (512, 600, 64),      # ragged kv (tail masking composes with exp2(st))
+    (513, 512, 40),      # ragged q + single-k-block fast path
+])
+def test_transposed_static_max_matches_xla(sq, sk, d):
+    """static_max drops the online-max bookkeeping; softmax shift
+    invariance must make it numerically identical at realistic logit
+    magnitudes (incl. bf16 p precision)."""
+    q = rand(1, 2, sq, d, seed=1) * 0.5
+    k = rand(1, 2, sk, d, seed=2) * 0.5
+    v = rand(1, 2, sk, d, seed=3)
+    out_t = fa.flash_attention_t(q, k, v.swapaxes(-1, -2),
+                                 block_q=256, block_k=256, static_max=True)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_t.swapaxes(-1, -2)),
+                               np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_transposed_static_max_bf16():
+    q = rand(1, 2, 512, 64, seed=1).astype(jnp.bfloat16)
+    k = rand(1, 2, 512, 64, seed=2).astype(jnp.bfloat16)
+    v = rand(1, 2, 512, 64, seed=3).astype(jnp.bfloat16)
+    out_t = fa.flash_attention_t(q, k, v.swapaxes(-1, -2),
+                                 block_q=256, block_k=256, static_max=True)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_t.swapaxes(-1, -2), np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2)
+
+
 def test_transposed_causal_matches_xla():
     q = rand(1, 1, 512, 64, seed=1) * 0.5
     k = rand(1, 1, 512, 64, seed=2) * 0.5
