@@ -124,6 +124,14 @@ def test_lora_names():
         "lora_unet.input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight"
         ) == "unet.in.1.1.transf.0.attn2.k_proj.weight"
     assert normalize_lora_name("not_a_lora.weight") is None
+    # kohya SDXL dual-tower prefixes
+    assert normalize_lora_name(
+        "lora_te1_text_model_encoder_layers_0_self_attn_q_proj"
+        ".lora_down.weight") == \
+        "clip.text.encoder.layers.0.attn.q_proj.lora_down.weight"
+    assert normalize_lora_name(
+        "lora_te2_text_model_encoder_layers_3_mlp_fc1.lora_up.weight") == \
+        "clip2.text.encoder.layers.3.mlp.fc1.lora_up.weight"
 
 
 def test_sd3_layout_names():
