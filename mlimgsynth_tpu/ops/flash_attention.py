@@ -445,6 +445,10 @@ def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr, *,
             l = pvt[d_sum:d_sum + 1, :]
         else:
             l = jnp.sum(p, axis=0, keepdims=True, dtype=jnp.float32)
+        if static_max:
+            # all-underflow guard: a q row whose every logit sits below
+            # ~-126 (log2) sums to 0 — emit 0s instead of 0/0 NaN
+            l = jnp.maximum(l, 1e-30)
         o_ref[0] = (pvt / l).astype(o_ref.dtype)
         return
 
@@ -476,7 +480,8 @@ def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr, *,
         def _done_sm():
             acc = acc_scr[:]
             l = (acc[d_sum:d_sum + 1, :] if mxu_sum else l_scr[:])
-            o_ref[0] = (acc / l).astype(o_ref.dtype)
+            # all-underflow guard (see single_k branch)
+            o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         return
 
     @pl.when(ik == 0)
@@ -512,9 +517,6 @@ def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("scale", "causal", "block_q", "block_k",
-                                    "static_max"))
 def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
                       block_q=None, block_k=None, static_max=None):
     """Transposed-v flash attention.
@@ -522,9 +524,25 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
     q: [B,H,Sq,D], k: [B,H,Sk,D], vt: [B,H,D,Sk] -> [B,H,D,Sq].
     Same online softmax as :func:`flash_attention`; the PV product and the
     output are transposed so d_head sits on MXU sublanes instead of lanes.
-    ``static_max=True`` (or MLIS_FLASH_STATICMAX=1, read at trace time)
+    ``static_max=True`` (default: MLIS_FLASH_STATICMAX, resolved HERE so
+    it becomes an explicit jit static arg — flipping the env between
+    calls retraces instead of silently hitting the old cache entry)
     drops the online-max bookkeeping — see the kernel comment.
     """
+    if static_max is None:
+        import os
+        static_max = os.environ.get(
+            "MLIS_FLASH_STATICMAX", "0") not in ("0", "false", "no")
+    return _flash_attention_t_jit(q, k, vt, scale=scale, causal=causal,
+                                  block_q=block_q, block_k=block_k,
+                                  static_max=bool(static_max))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "causal", "block_q", "block_k",
+                                    "static_max"))
+def _flash_attention_t_jit(q, k, vt, scale=None, causal: bool = False,
+                           block_q=None, block_k=None, static_max=False):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     assert vt.shape == (b, h, d, sk), (vt.shape, (b, h, d, sk))
@@ -563,10 +581,6 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
     dv = dv_alt if alt else dv0             # sublane-tile padded rows
     vtp = _pad_to(_pad_to(vtr, 1, dv), 2, sk_p)
 
-    if static_max is None:
-        import os
-        static_max = os.environ.get(
-            "MLIS_FLASH_STATICMAX", "0") not in ("0", "false", "no")
     kernel = functools.partial(
         _flash_kernel_t, kv_len=sk, block_k=bk, causal=causal,
         q_len=sq, block_q=bq, mask_tail=(sk_p != sk), d_sum=d,

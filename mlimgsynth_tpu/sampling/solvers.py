@@ -167,7 +167,7 @@ LCM = SolverClass("lcm", 1, _euler_init, _euler_step)
 #     with [rho0, rho1] solved from [[1,1],[r0,1]] @ rhos = [b1,b2]
 #     (order 2, i>=2) or rhos = [1/2] (order 1, i==1), matching the
 #     general-order linear system of the paper (the torch oracle in
-#     tests/torch_ref.py builds that system literally and solves it).
+#     tests/torch_sampler.py builds that system literally and solves it).
 # The corrector is applied in DELTA form (x + (corrected - predicted)) and
 # only when this step's t_cur equals the previous prediction's target
 # sigma: stochastic churn re-noises to s_hat and ancestral steps land on

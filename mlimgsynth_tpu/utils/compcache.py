@@ -36,23 +36,28 @@ def enable(readonly: bool = False):
     """``readonly=True`` keeps cache READS but disables writes by raising
     the min-compile-time gate above any real compile (the gate is checked
     BEFORE ``executable.serialize()`` in jax's _cache_write).  XLA:CPU AOT
-    serialization segfaults probabilistically in long many-compile
-    processes (observed twice in full-suite runs, stack in
-    compilation_cache.put_executable_and_time), so the test suite runs
-    read-only and cache warming is an explicit, retryable pass
-    (MLIS_TEST_CACHE_WRITE=1) — a crashed warming run still keeps every
-    entry written before the crash, so re-running converges."""
+    serialization AND deserialization both segfault probabilistically in
+    long many-compile processes (three full-suite crashes; stacks in
+    put_executable_and_time / get_executable_and_time), which is why the
+    test suite does not enable this at all by default (conftest.py:
+    MLIS_TEST_CACHE=1 opts in, + MLIS_TEST_CACHE_WRITE=1 to write)."""
     if os.environ.get("MLIS_NO_COMPILE_CACHE"):
         return
     path = os.environ.get(
         "MLIS_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "mlimgsynth_tpu",
                      "xla"))
-    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
-        path = os.path.join(path, "cpu-" + _host_cpu_tag())
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
+        # Partition by the ACTUAL backend, not JAX_PLATFORMS: a TPU
+        # process that falls back to CPU (axon relay outage) must not
+        # write machine-feature-less XLA:CPU AOT entries into the shared
+        # TPU dir — after a host swap those entries SIGILL on load.
+        # default_backend() initializes the backend; every caller of
+        # enable() is about to do that anyway.
+        if jax.default_backend() == "cpu":
+            path = os.path.join(path, "cpu-" + _host_cpu_tag())
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           1e9 if readonly else 0.5)
