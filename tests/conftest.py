@@ -17,10 +17,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # NO persistent XLA compile cache in the suite: XLA:CPU executable
 # serialization AND deserialization both segfault sporadically in long
-# many-compile processes on this box (three full-suite crashes with
+# many-compile processes on this box (FOUR full-suite crashes with
 # stacks in put_executable_and_time / get_executable_and_time —
 # utils/compcache.py docstring).  A cold suite is slow; a crashing suite
-# is worse.  Opt back in at your own risk with MLIS_TEST_CACHE=1.
+# is worse.  MLIS_NO_COMPILE_CACHE also covers the in-process
+# compcache.enable() calls made by the CLI/server mains that test_cli /
+# test_server execute.  Opt back in at your own risk with
+# MLIS_TEST_CACHE=1 (+ MLIS_TEST_CACHE_WRITE=1 to write).
 if os.environ.get("MLIS_TEST_CACHE"):
     from mlimgsynth_tpu.utils.compcache import enable as _compcache_enable
     _compcache_enable(readonly=not os.environ.get("MLIS_TEST_CACHE_WRITE"))
+else:
+    os.environ["MLIS_NO_COMPILE_CACHE"] = "1"
