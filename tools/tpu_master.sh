@@ -1,0 +1,17 @@
+#!/bin/bash
+# Waits for the axon relay to come back (outage since ~20:20), then runs
+# the queued perf passes in order.  Probe: one devices() dial, bounded.
+set -u
+cd "$(dirname "$0")/.."
+echo "$(date +%H:%M) waiting for axon relay..."
+for i in $(seq 1 80); do
+  if timeout 300 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; then
+    echo "$(date +%H:%M) relay healthy (probe $i)"
+    break
+  fi
+  sleep 420
+done
+bash tools/tpu_queue13.sh
+bash tools/tpu_queue14.sh
+bash tools/tpu_queue15.sh
+echo "=== MASTER DONE ==="
