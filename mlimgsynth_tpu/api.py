@@ -258,6 +258,7 @@ class MLImgSynth:
         self._dtype = jnp.bfloat16
         self._store: Optional[TensorStore] = None
         self._name_map = None
+        self._tae_p = None  # inferred TaeParams (16-ch for taesd3/taef1)
         self._mt: Optional[ModelTypeDef] = None
         self._params: Dict[str, dict] = {}   # submodel -> device params
         # textual-inversion registry: name -> {"ids": [int], "tables":
@@ -1036,13 +1037,29 @@ class MLImgSynth:
                 lambda ctx, x: vae_mod.vae_decode_apply(ctx, x, P),
                 jnp.zeros((1, 8, 8, P.ch_z))))
         elif submodel == "tae":
+            # latent channel count inferred from the checkpoint (taesd is
+            # 4-ch; taesd3/taef1 are the 16-ch flow-family variants —
+            # decoder.layers.0.weight is [64, ch_z, 3, 3])
             P = tae_mod.TAE_SD1
+            ref = self._name_map.get("tae.decoder.layers.0.weight")
+            if ref is not None:
+                ch_z = int(self._store.tensors[ref.raw].shape[1])
+                if ch_z != P.ch_z:
+                    import dataclasses
+                    P = dataclasses.replace(P, ch_z=ch_z)
+            if mt is not None and P.ch_z != mt.vae_p.ch_z:
+                raise MlisError(
+                    MlisError.E_IMAGE,
+                    f"TAE latent channels ({P.ch_z}) do not match the "
+                    f"model family's ({mt.vae_p.ch_z}) — e.g. taesd is "
+                    "for SD, taesd3 for SD3, taef1 for Flux")
+            self._tae_p = P
             spec = B.trace_spec(
                 lambda ctx, x: tae_mod.tae_encode_apply(ctx, x, P),
                 jnp.zeros((1, 64, 64, 3)))
             spec.update(B.trace_spec(
                 lambda ctx, x: tae_mod.tae_decode_apply(ctx, x, P),
-                jnp.zeros((1, 8, 8, 4))))
+                jnp.zeros((1, 8, 8, P.ch_z))))
         elif submodel == "t5":
             from .models import t5 as t5_mod
             shapes = {n: tuple(self._store.tensors[r.raw].shape)
@@ -1438,18 +1455,19 @@ class MLImgSynth:
         return (img + 1.0) / 2.0
 
     def _tae_encode(self, img: np.ndarray) -> np.ndarray:
-        from .models.tae import TAE_SD1
         params = self._get_params("tae")
         lat = np.asarray(_tae_encode_jit(
             params, np.asarray(img, np.float32).transpose(0, 2, 3, 1),
-            dtype=self._dtype), np.float32).transpose(0, 3, 1, 2)
+            dtype=self._dtype, tae_p=self._tae_p),
+            np.float32).transpose(0, 3, 1, 2)
         return lat
 
     def _tae_decode(self, latent: np.ndarray) -> np.ndarray:
         params = self._get_params("tae")
         img = np.asarray(_tae_decode_jit(
             params, np.asarray(latent, np.float32).transpose(0, 2, 3, 1),
-            dtype=self._dtype), np.float32).transpose(0, 3, 1, 2)
+            dtype=self._dtype, tae_p=self._tae_p),
+            np.float32).transpose(0, 3, 1, 2)
         return np.clip(img, 0.0, 1.0)
 
     # ------------------------------------------------------------------
@@ -1759,7 +1777,7 @@ class MLImgSynth:
         if (self.step_observer is None and not c["no_decode"]
                 and c["vae_tile"] <= 0 and not c["unet_split"]):
             if c["tae"]:
-                decode_spec = ("tae", self._get_params("tae"), None)
+                decode_spec = ("tae", self._get_params("tae"), self._tae_p)
             else:
                 decode_spec = ("vae", self._get_params("vae"), mt.vae_p)
 
@@ -1819,7 +1837,7 @@ class MLImgSynth:
             elif c["tae"]:
                 u8 = np.asarray(_tae_decode_u8_jit(
                     self._get_params("tae"), latent.transpose(0, 2, 3, 1),
-                    dtype=self._dtype))
+                    dtype=self._dtype, tae_p=self._tae_p))
                 self.tensors["image"] = \
                     u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
                 self._cb(STAGE_IMAGE_DECODE, 1, 1)
@@ -2228,12 +2246,12 @@ class MLImgSynth:
             # cancellable (step-callback) path.  ``_latent_only`` (the
             # ensemble base stage) skips it and returns latents.
             decode_spec = None if _latent_only else (
-                ("tae", self._get_params("tae"), None)
+                ("tae", self._get_params("tae"), self._tae_p)
                 if c["tae"] else
                 ("vae", self._get_params("vae"), mt.vae_p))
             preview_spec = None
             if preview_callback is not None:
-                pv = (("tae", self._get_params("tae"), None) if c["tae"]
+                pv = (("tae", self._get_params("tae"), self._tae_p) if c["tae"]
                       else ("latent", {}, None))
                 n_total = plan.n_step
                 preview_spec = pv + (
@@ -2525,24 +2543,24 @@ def _vae_decode_u8_jit(params, lat, **kw):
 def _make_tae_jits():
     import jax
 
-    @functools.partial(jax.jit, static_argnames=("dtype",))
-    def enc(params, img, *, dtype):
+    @functools.partial(jax.jit, static_argnames=("dtype", "tae_p"))
+    def enc(params, img, *, dtype, tae_p=None):
         from .models import blocks as B
         from .models import tae as tae_mod
         ctx = B.Ctx(params, dtype=dtype)
-        return tae_mod.tae_encode_apply(ctx, img, tae_mod.TAE_SD1)
+        return tae_mod.tae_encode_apply(ctx, img, tae_p or tae_mod.TAE_SD1)
 
-    @functools.partial(jax.jit, static_argnames=("dtype",))
-    def dec(params, lat, *, dtype):
+    @functools.partial(jax.jit, static_argnames=("dtype", "tae_p"))
+    def dec(params, lat, *, dtype, tae_p=None):
         from .models import blocks as B
         from .models import tae as tae_mod
         ctx = B.Ctx(params, dtype=dtype)
-        return tae_mod.tae_decode_apply(ctx, lat, tae_mod.TAE_SD1)
+        return tae_mod.tae_decode_apply(ctx, lat, tae_p or tae_mod.TAE_SD1)
 
-    @functools.partial(jax.jit, static_argnames=("dtype",))
-    def dec_u8(params, lat, *, dtype):
+    @functools.partial(jax.jit, static_argnames=("dtype", "tae_p"))
+    def dec_u8(params, lat, *, dtype, tae_p=None):
         from .sampling.sampler import _decode_u8
-        return _decode_u8(params, lat, "tae", None, dtype)
+        return _decode_u8(params, lat, "tae", tae_p, dtype)
 
     return enc, dec, dec_u8
 

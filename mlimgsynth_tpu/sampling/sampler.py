@@ -402,9 +402,11 @@ def _decode_u8(decode_params, x, decode_kind, vae_p, dtype):
         img = vae_mod.vae_decode_apply(ctx, x, vae_p).astype(jnp.float32)
         img = (img + 1.0) * (255.0 / 2.0)
     elif decode_kind == "tae":
+        # vae_p doubles as the decode-params slot: TaeParams here (the
+        # 16-ch taesd3/taef1 variants ride the same path), None = taesd
         from ..models import tae as tae_mod
-        img = tae_mod.tae_decode_apply(ctx, x, tae_mod.TAE_SD1).astype(
-            jnp.float32) * 255.0
+        img = tae_mod.tae_decode_apply(
+            ctx, x, vae_p or tae_mod.TAE_SD1).astype(jnp.float32) * 255.0
     elif decode_kind == "latent":
         # cheap linear latent->RGB approximation (for streaming previews
         # when no TAE is loaded): latent-resolution u8 image, ~free to

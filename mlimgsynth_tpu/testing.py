@@ -232,18 +232,19 @@ def write_checkpoint_sdxl(path, seed=0):
     return arrays
 
 
-def write_tiny_tae(path, seed=0):
-    """Tiny taesd-format file (diffusers AutoencoderTiny names, no prefix)."""
+def write_tiny_tae(path, seed=0, ch_z=4):
+    """Tiny taesd-format file (diffusers AutoencoderTiny names, no prefix).
+    ``ch_z=16`` makes the taesd3/taef1 flow-family shape."""
     from safetensors.numpy import save_file
     from mlimgsynth_tpu.models import tae as tae_mod
-    P = tae_mod.TaeParams(ch_inner=16, n_blk=1)
+    P = tae_mod.TaeParams(ch_inner=16, n_blk=1, ch_z=ch_z)
     spec = {}
     spec.update(B.trace_spec(
         lambda ctx, x: tae_mod.tae_encode_apply(ctx, x, P),
         jnp.zeros((1, 64, 64, 3))))
     spec.update(B.trace_spec(
         lambda ctx, x: tae_mod.tae_decode_apply(ctx, x, P),
-        jnp.zeros((1, 8, 8, 4))))
+        jnp.zeros((1, 8, 8, ch_z))))
     rng = np.random.default_rng(seed)
     arrays = {}
     for name, ps in spec.items():

@@ -258,6 +258,37 @@ def test_flux_gguf_quantized(files, monkeypatch, tmp_path):
     assert np.isfinite(img).all()
 
 
+def test_flux_tae_fast_decode_and_mismatch(files, monkeypatch, tmp_path):
+    """TAE fast decode for the flow families: the session infers the TAE's
+    latent channel count from the checkpoint (taef1/taesd3 are 16-ch) and
+    rides the same fused decode path; a channel mismatch with the model
+    family is a clear error instead of a shape explosion."""
+    from mlimgsynth_tpu.api import MlisError
+    from mlimgsynth_tpu.models import tae as tae_mod
+    from mlimgsynth_tpu.testing import write_tiny_tae
+
+    # matching TAE (tiny flux family is 4-ch latents: n_ch_in 16 = 4 x 2x2)
+    tae_path = tmp_path / "taef-tiny.safetensors"
+    tae_p = write_tiny_tae(tae_path, ch_z=4)
+    monkeypatch.setattr(tae_mod, "TAE_SD1", tae_p)
+    s = _session(files, monkeypatch)
+    s.option_set("tae", str(tae_path))
+    s.option_set("prompt", "a fast-decoded cat")
+    img = s.generate()
+    assert np.isfinite(img).all()
+    assert "VAE: tae" in s.infotext
+
+    # a 16-ch TAE (the real taef1 shape) against this 4-ch tiny family
+    # must raise the channel-mismatch error from the inferred geometry
+    tae16 = tmp_path / "taef1-16.safetensors"
+    write_tiny_tae(tae16, ch_z=16)
+    s2 = _session(files, monkeypatch)
+    s2.option_set("tae", str(tae16))
+    s2.option_set("prompt", "mismatch")
+    with pytest.raises(MlisError, match="latent channels"):
+        s2.generate()
+
+
 def test_flux_with_t5_context(files, monkeypatch, tmp_path):
     t5p = tmp_path / "t5.safetensors"
     tok = tmp_path / "tok.json"
