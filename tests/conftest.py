@@ -29,3 +29,30 @@ if os.environ.get("MLIS_TEST_CACHE"):
     _compcache_enable(readonly=not os.environ.get("MLIS_TEST_CACHE_WRITE"))
 else:
     os.environ["MLIS_NO_COMPILE_CACHE"] = "1"
+
+
+# --- VMA-exhaustion guard -----------------------------------------------
+# The recurring full-suite segfaults (5 so far) all die at the same IP in
+# libgcc's unwinder, always ~65-70% through the run, in WHATEVER code
+# happens to allocate there (XLA compile, cache serialize/deserialize) —
+# and /proc/sys/vm/max_map_count is 65530.  Each compiled XLA:CPU
+# executable holds several mappings and jit caches are never dropped, so
+# a 400+-test run exhausts the VMA table and the next mmap-backed
+# allocation crashes.  Two mitigations:
+#   1. raise vm.max_map_count when we can (root container);
+#   2. drop all jit caches every N tests (frees executables + mappings;
+#      costs recompiles across test-file boundaries only).
+try:
+    with open("/proc/sys/vm/max_map_count", "w") as _f:
+        _f.write("1048576")
+except OSError:
+    pass
+
+_test_counter = {"n": 0}
+
+
+def pytest_runtest_teardown(item, nextitem):
+    _test_counter["n"] += 1
+    if _test_counter["n"] % 30 == 0:
+        import jax
+        jax.clear_caches()
