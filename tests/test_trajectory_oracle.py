@@ -170,6 +170,10 @@ FLOW_CASES = [
     ("heun",    "uniform", 5, 4.0, 1.0, False),
     ("euler",   "uniform", 6, 4.0, 0.7, True),   # img2img strength
     ("dpmpp2m", "karras",  5, 4.0, 1.0, False),
+    # unipc on the rectified-flow grid: the corrector composes with the
+    # shifted flow sigmas exactly like on the VE grid
+    ("unipc",   "uniform", 5, 4.0, 1.0, False),
+    ("unipc",   "karras",  6, 4.0, 0.7, True),
 ]
 
 

@@ -533,7 +533,7 @@ def torch_sample_flow(params, P, x0, cond, pooled, uncond=None, npooled=None,
     analytic flow step."""
     log_sigmas = make_log_sigmas_flow(P.flow_shift, P.n_step_train)
     n_fe = {"euler": 1, "heun": 2, "taylor3": 1, "dpmpp2m": 1,
-            "dpmpp2s": 2}[method]
+            "dpmpp2s": 2, "unipc": 1}[method]
     sigmas = make_sigmas(log_sigmas, n_step, sched, n_fe, f_t_ini, f_t_end,
                          P.n_step_train)
     n_step = len(sigmas) - 1
