@@ -271,6 +271,52 @@ def _plan_flash(bq, bk, dp, dv, it, bh, sq, causal, dv_alt=None):
     return 512, 256, pl.cdiv(sq, 512) * 512, False
 
 
+def _plan_flash_padopt(bq_cap, bk_cap, dp, dv, it, bh, sq, sk, dv_alt=None):
+    """Padding-aware block search (MLIS_FLASH_PADOPT=1, off by default).
+
+    _plan_flash's pow2 ladder wastes logits-space work at non-pow2
+    sequence lengths — the kernel is VPU-(logits-)bound, so padding IS
+    runtime: SD3's joint S=4250 pads 23% (bq=512/bk=1024 -> 4608x5120),
+    SD2-768's L1 S=2304 pads 48% (2560x3072).  This search instead
+    minimizes sq_p*sk_p over ALL 128-aligned block sizes (both kernels'
+    tile constraints are multiples of 128 on the relevant minor dims)
+    under the SAME deterministic-safety regimes as _plan_flash: regime
+    (a) stack+output <= budget, regime (b) bf16 output above the scoped
+    limit, regime (d) dv_alt shrink.  Tie-breaks mirror _plan_flash
+    (largest bq*bk, most square, largest bq, mxu_sum variant).  Returns
+    None when nothing is feasible (caller falls back to _plan_flash's
+    q-padding escape).  At pow2 shapes the zero-padding set contains the
+    pow2 ladder, so behavior only changes where there was waste."""
+    dvs = [(dv, False)]
+    if dv_alt is not None and dv_alt < dv:
+        dvs.append((dv_alt, True))
+    best = None
+    for bq_ in range(256, min(bq_cap, 4096) + 1, 128):
+        sq_p = pl.cdiv(sq, bq_) * bq_
+        for dv_, alt in dvs:
+            out_b = bh * sq_p * dv_ * it
+            for bk_ in range(128, min(bk_cap, 2048) + 1, 128):
+                sk_p = pl.cdiv(sk, bk_) * bk_
+                s = _scoped_vmem(bq_, bk_, dp, dv_, it)
+                if s <= VMEM_BUDGET and (out_b > SCOPED_LIMIT
+                                         or s + out_b <= VMEM_BUDGET):
+                    key = (-(sq_p * sk_p), bq_ * bk_, min(bq_, bk_), bq_,
+                           0 if alt else 1)
+                    if best is None or key > best[0]:
+                        best = (key, bq_, bk_, sq_p, alt)
+    if best is None:
+        return None
+    _, bq_, bk_, sq_p, alt = best
+    return bq_, bk_, sq_p, alt
+
+
+def _padopt_enabled() -> bool:
+    import os
+    return (os.environ.get("MLIS_FLASH_PADOPT", "0") not in ("0", "false",
+                                                             "no")
+            and not os.environ.get("MLIS_FLASH_BLOCK"))
+
+
 def _pad_to(x, axis, size):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -335,7 +381,12 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     dv0 = d + 1 if d < dp else dp           # actual output minor (below)
     it = q.dtype.itemsize
-    bq, bk, sq_p, _ = _plan_flash(bq, bk, dp, dv0, it, b * h, sq, causal)
+    plan = (_plan_flash_padopt(2048, 2048, dp, dv0, it, b * h, sq, sk)
+            if not causal and block_q is None and block_k is None
+            and _padopt_enabled() else None)
+    if plan is None:
+        plan = _plan_flash(bq, bk, dp, dv0, it, b * h, sq, causal)
+    bq, bk, sq_p, _ = plan
     sk_p = pl.cdiv(sk, bk) * bk
 
     q = q * (scale * 1.4426950408889634)    # folded scale+log2(e), see kernel
@@ -563,8 +614,14 @@ def _flash_attention_t_jit(q, k, vt, scale=None, causal: bool = False,
     dv0 = (d + 1 + 15) // 16 * 16           # with the MXU-sum ones row
     dv_alt = (d + 15) // 16 * 16            # bare sublane tile (regime (d))
     it = q.dtype.itemsize
-    bq, bk, sq_p, alt = _plan_flash(bq, bk, dp, dv0, it, b * h, sq, causal,
-                                    dv_alt=dv_alt)
+    plan = (_plan_flash_padopt(2048, 2048, dp, dv0, it, b * h, sq, sk,
+                               dv_alt=dv_alt)
+            if not causal and block_q is None and block_k is None
+            and _padopt_enabled() else None)
+    if plan is None:
+        plan = _plan_flash(bq, bk, dp, dv0, it, b * h, sq, causal,
+                           dv_alt=dv_alt)
+    bq, bk, sq_p, alt = plan
     mxu_sum = not alt
     sk_p = pl.cdiv(sk, bk) * bk
 

@@ -323,3 +323,40 @@ def test_vmem_invariant_all_model_shapes(monkeypatch):
                     or vmem + out_b <= fa.VMEM_BUDGET), (
                 fn.__name__, b, h, s, d, vmem, out_b)
 
+
+
+def test_plan_flash_padopt_geometry():
+    """Padding-aware planner: non-pow2 joint-attention shapes get
+    (near-)zero-padding block geometry; pow2 shapes stay exact."""
+    from jax.experimental import pallas as pl
+
+    # SD3 joint attention: S=4250 -> 4352x4352 (4.9% logits waste vs the
+    # pow2 ladder's 23%)
+    bq, bk, sq_p, alt = fa._plan_flash_padopt(2048, 2048, 64, 80, 2,
+                                              48, 4250, 4250, dv_alt=64)
+    assert sq_p == 4352
+    assert pl.cdiv(4250, bk) * bk == 4352
+    # SD2-768 L1: S=2304 = 2^8*9 -> exact fit, zero padding (the pow2
+    # ladder pads 48%)
+    bq, bk, sq_p, alt = fa._plan_flash_padopt(2048, 2048, 64, 80, 2,
+                                              16, 2304, 2304, dv_alt=64)
+    assert sq_p == 2304
+    assert pl.cdiv(2304, bk) * bk == 2304
+    # pow2 (SD1.5-512): nothing to gain, stays exact with large blocks
+    bq, bk, sq_p, alt = fa._plan_flash_padopt(2048, 2048, 48, 64, 2,
+                                              16, 4096, 4096, dv_alt=48)
+    assert sq_p == 4096
+    assert pl.cdiv(4096, bk) * bk == 4096
+    assert bq * bk >= 512 * 512
+
+
+def test_padopt_matches_xla(monkeypatch):
+    """MLIS_FLASH_PADOPT=1 end-to-end numerics at a non-pow2 shape."""
+    monkeypatch.setenv("MLIS_FLASH_PADOPT", "1")
+    q = rand(1, 2, 600, 64, seed=1) * 0.5
+    k = rand(1, 2, 600, 64, seed=2) * 0.5
+    v = rand(1, 2, 600, 64, seed=3)
+    out_t = fa.flash_attention_t(q, k, v.swapaxes(-1, -2))
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_t.swapaxes(-1, -2)),
+                               np.asarray(ref), atol=2e-3, rtol=2e-3)

@@ -41,6 +41,8 @@ def main():
         return flux_step_bench(n_scan, guidance=which == "flux-dev")
     if which.startswith("sdxl"):
         P, res, n = U.UNET_SDXL, 128, 2
+    elif which == "sd21":
+        P, res, n = U.UNET_SD2, 96, 2    # 768px shape (S=2304 at L1)
     elif which == "sd15b8":
         P, res, n = U.UNET_SD1, 64, 16   # batch-8 images, CFG-doubled
     else:

@@ -23,4 +23,11 @@ run "MLIS_FLASH_STATICMAX=1 python tools/step_bench.py"
 run "MLIS_FLASH_STATICMAX=1 MLIS_STEP_MODEL=sdxl python tools/step_bench.py"
 run "MLIS_FLASH_STATICMAX=1 MLIS_STEP_MODEL=sd3 python tools/step_bench.py"
 run "MLIS_FLASH_STATICMAX=1 MLIS_STEP_MODEL=sd3 MLIS_FLASH_BLOCK=2176,256 python tools/step_bench.py"
+# padding-aware planner (MLIS_FLASH_PADOPT): zero-padding geometry at
+# the non-pow2 shapes — SD2-768 L1 currently pads 48% of its logits,
+# SD3 23%.  flash_check first (on-HW numerics at the new geometries).
+run "MLIS_FLASH_PADOPT=1 python tools/flash_check.py"
+run "MLIS_FLASH_PADOPT=1 MLIS_STEP_MODEL=sd21 python tools/step_bench.py"
+run "MLIS_FLASH_PADOPT=1 MLIS_STEP_MODEL=sd3 python tools/step_bench.py"
+run "MLIS_FLASH_PADOPT=1 MLIS_FLASH_STATICMAX=1 MLIS_STEP_MODEL=sd3 python tools/step_bench.py"
 echo "=== QUEUE15 DONE ==="
