@@ -30,4 +30,5 @@ run "MLIS_FLASH_PADOPT=1 python tools/flash_check.py"
 run "MLIS_FLASH_PADOPT=1 MLIS_STEP_MODEL=sd21 python tools/step_bench.py"
 run "MLIS_FLASH_PADOPT=1 MLIS_STEP_MODEL=sd3 python tools/step_bench.py"
 run "MLIS_FLASH_PADOPT=1 MLIS_FLASH_STATICMAX=1 MLIS_STEP_MODEL=sd3 python tools/step_bench.py"
+run "MLIS_FLASH_PADOPT=1 python tools/vmem_determinism.py 5"
 echo "=== QUEUE15 DONE ==="
