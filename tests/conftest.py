@@ -15,20 +15,19 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-# NO persistent XLA compile cache in the suite: XLA:CPU executable
-# serialization AND deserialization both segfault sporadically in long
-# many-compile processes on this box (FOUR full-suite crashes with
-# stacks in put_executable_and_time / get_executable_and_time —
-# utils/compcache.py docstring).  A cold suite is slow; a crashing suite
-# is worse.  MLIS_NO_COMPILE_CACHE also covers the in-process
-# compcache.enable() calls made by the CLI/server mains that test_cli /
-# test_server execute.  Opt back in at your own risk with
-# MLIS_TEST_CACHE=1 (+ MLIS_TEST_CACHE_WRITE=1 to write).
-if os.environ.get("MLIS_TEST_CACHE"):
-    from mlimgsynth_tpu.utils.compcache import enable as _compcache_enable
-    _compcache_enable(readonly=not os.environ.get("MLIS_TEST_CACHE_WRITE"))
-else:
+# Persistent XLA compile cache (per-host-fingerprint subdir): warm runs
+# are ~3-5x faster.  The round-3 full-suite segfaults that were first
+# blamed on cache (de)serialization turned out to be VMA-table
+# exhaustion (all five died at the same libgcc-unwinder IP; see the
+# guard below) — with the guard in place a full write-enabled warming
+# run and a warm verify run are both green.  Cache read errors degrade
+# to a miss inside jax (warning, not failure).  Opt out with
+# MLIS_NO_TEST_CACHE=1.
+if os.environ.get("MLIS_NO_TEST_CACHE"):
     os.environ["MLIS_NO_COMPILE_CACHE"] = "1"
+else:
+    from mlimgsynth_tpu.utils.compcache import enable as _compcache_enable
+    _compcache_enable()
 
 
 # --- VMA-exhaustion guard -----------------------------------------------
