@@ -223,7 +223,7 @@ class MLImgSynth:
             "steps": 0, "f_t_ini": 1.0, "f_t_end": 0.0,
             "s_noise": 0.0, "s_ancestral": 0.0,
             "n_batch": 1, "vae_tile": 0, "unet_split": False,
-            "tp": 1, "dp": 1,
+            "tp": 1, "dp": 1, "sp": 1,
             "threads": 0, "dump_flags": 0,
             "no_decode": False, "no_prompt_parse": False,
             "model_type": "", "weight_type": "",
@@ -407,7 +407,7 @@ class MLImgSynth:
         elif opt == "unet_split":
             c["unet_split"] = bool(_parse_bool(str(args[0]))
                                    if isinstance(args[0], str) else args[0])
-        elif opt in ("tp", "dp"):
+        elif opt in ("tp", "dp", "sp"):
             v = max(1, _int(args[0], 1))
             if c[opt] != v:
                 c[opt] = v
@@ -778,19 +778,19 @@ class MLImgSynth:
                 raise MlisError(
                     -1, f"backend '{want}' not available (have {backend})")
         log.info(f"Backend: {backend} ({len(jax.devices())} device(s))")
-        tp, dp = self.c["tp"], self.c["dp"]
-        # MLIS_FORCE_MESH=1 builds the mesh even at tp=dp=1: lets the
+        tp, dp, sp = self.c["tp"], self.c["dp"], self.c["sp"]
+        # MLIS_FORCE_MESH=1 builds the mesh even at tp=dp=sp=1: lets the
         # shard_map'ed kernel path run single-chip (tools/mesh_flash_smoke)
-        if tp * dp > 1 or os.environ.get("MLIS_FORCE_MESH"):
+        if tp * dp * sp > 1 or os.environ.get("MLIS_FORCE_MESH"):
             from .parallel import mesh as pmesh
-            n = tp * dp
+            n = tp * dp * sp
             if len(jax.devices()) < n:
                 raise MlisError(
                     MlisError.E_OPT_VALUE,
-                    f"tp={tp} x dp={dp} needs {n} devices, have "
+                    f"tp={tp} x dp={dp} x sp={sp} needs {n} devices, have "
                     f"{len(jax.devices())}")
-            self._mesh = pmesh.make_mesh(n, tp=tp)
-            log.info(f"Mesh: dp={dp} tp={tp} over {n} devices "
+            self._mesh = pmesh.make_mesh(n, tp=tp, sp=sp)
+            log.info(f"Mesh: dp={dp} sp={sp} tp={tp} over {n} devices "
                      f"(SPMD over ICI; collectives inserted by XLA)")
         else:
             self._mesh = None
@@ -2437,7 +2437,7 @@ _OPTIONS = [
     "nprompt", "image_dim", "batch_size", "clip_skip", "cfg_scale", "method",
     "scheduler", "steps", "f_t_ini", "f_t_end", "s_noise", "s_ancestral",
     "image", "image_mask", "no_decode", "tensor_use_flags", "seed",
-    "vae_tile", "unet_split", "tp", "dp", "threads", "dump_flags",
+    "vae_tile", "unet_split", "tp", "dp", "sp", "threads", "dump_flags",
     "aux_dir", "callback",
     "error_handler", "log_level", "model_type", "weight_type",
     "no_prompt_parse",

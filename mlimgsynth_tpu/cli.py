@@ -77,6 +77,9 @@ Models and backend:
                        mesh (batch-size must be a multiple; TPU multi-chip).
   --tp INT             Tensor-parallel devices: Megatron-style sharding of
                        the UNet attention/FF matmuls over the mesh.
+  --sp INT             Sequence-parallel devices: shards the attention token
+                       axis over the mesh (ring attention over ICI; for the
+                       long-sequence DiT families).
 
 Sampling:
   -S --seed INT        RNG seed.

@@ -47,6 +47,28 @@ def _mesh_divides(b: int, h: int) -> bool:
     return b % dp == 0 and h % tp == 0
 
 
+def _sp_size() -> int:
+    from ..parallel.mesh import SP_AXIS
+    return MESH.shape.get(SP_AXIS, 1) if MESH is not None else 1
+
+
+def _sp_attention(q, k, v, scale, causal):
+    """Sequence-parallel routing: ring attention when the token axis is
+    sharded over ``sp`` (self/joint attention), q-sharded local attention for
+    short cross-attention contexts.  Returns None when shapes don't divide
+    the mesh (caller falls through to the replicated-sequence paths).
+    Causal masking is not wired through the ring (no caller needs it)."""
+    if causal:
+        return None
+    from ..parallel import ring_attention as ring
+    if not ring.sp_compatible(MESH, q.shape[0], q.shape[1],
+                              q.shape[2], k.shape[2]):
+        return None
+    if q.shape[2] == k.shape[2]:
+        return ring.ring_attention(q, k, v, MESH, scale=scale)
+    return ring.sp_cross_attention(q, k, v, MESH, scale=scale)
+
+
 def _shard_map_bhsd(fn, *args):
     """Run ``fn`` per-device over MESH with every arg/result sharded
     (dp, tp, None, None) — batch over data-parallel, heads over
@@ -86,6 +108,10 @@ def attention(q, k, v, scale=None, causal=False):
         # attention itself, keep projections — NOT for real generation
         mean_v = jnp.mean(v, axis=2, keepdims=True)
         return jnp.broadcast_to(mean_v, q.shape[:3] + (v.shape[-1],))
+    if _sp_size() > 1:
+        o = _sp_attention(q, k, v, scale, causal)
+        if o is not None:
+            return o
     if use_flash():
         from .flash_attention import (flash_attention,
                                       flash_attention_compatible)
@@ -117,6 +143,10 @@ def attention_t(q, k, vt, scale=None):
     if "attn" in os.environ.get("MLIS_ABLATE", ""):
         mean_vt = jnp.mean(vt, axis=3, keepdims=True)
         return jnp.broadcast_to(mean_vt, vt.shape[:3] + (q.shape[2],))
+    if _sp_size() > 1:
+        o = _sp_attention(q, k, vt.swapaxes(-1, -2), scale, False)
+        if o is not None:
+            return o.swapaxes(-1, -2)
     if use_flash():
         from .flash_attention import (flash_attention_compatible,
                                       flash_attention_t)

@@ -17,20 +17,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DP_AXIS = "dp"
+SP_AXIS = "sp"
 TP_AXIS = "tp"
 
 
-def make_mesh(n_devices: Optional[int] = None, tp: int = 1,
+def make_mesh(n_devices: Optional[int] = None, tp: int = 1, sp: int = 1,
               devices=None) -> Mesh:
-    """Create a (dp, tp) mesh over the first ``n_devices`` devices."""
+    """Create a (dp, sp, tp) mesh over the first ``n_devices`` devices.
+
+    ``tp`` is innermost (fastest-varying device index — the per-matmul
+    all-reduces ride the shortest ICI hops), ``sp`` sits between (the ring
+    attention ppermute ring), ``dp`` is outermost (no per-step collectives).
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = np.asarray(devices[:n_devices])
-    assert n_devices % tp == 0, (n_devices, tp)
-    grid = devices.reshape(n_devices // tp, tp)
-    return Mesh(grid, (DP_AXIS, TP_AXIS))
+    assert n_devices % (tp * sp) == 0, (n_devices, tp, sp)
+    grid = devices.reshape(n_devices // (tp * sp), sp, tp)
+    return Mesh(grid, (DP_AXIS, SP_AXIS, TP_AXIS))
 
 
 # Megatron-style tensor-parallel rules for transformer blocks:

@@ -36,9 +36,11 @@ def _tiny_setup():
 
 def test_mesh_shapes():
     m = pmesh.make_mesh(8, tp=4)
-    assert m.shape == {"dp": 2, "tp": 4}
+    assert dict(m.shape) == {"dp": 2, "sp": 1, "tp": 4}
     m = pmesh.make_mesh(8, tp=1)
-    assert m.shape == {"dp": 8, "tp": 1}
+    assert dict(m.shape) == {"dp": 8, "sp": 1, "tp": 1}
+    m = pmesh.make_mesh(8, tp=2, sp=2)
+    assert dict(m.shape) == {"dp": 2, "sp": 2, "tp": 2}
 
 
 def test_tp_rules():
@@ -158,7 +160,7 @@ def test_generate_tp_dp_matches_single(tmp_path, monkeypatch):
 
     s = make(2, 2)
     img = s.generate()
-    assert s._mesh is not None and s._mesh.shape == {"dp": 2, "tp": 2}
+    assert s._mesh is not None and dict(s._mesh.shape) == {"dp": 2, "sp": 1, "tp": 2}
     # different reduction orders over the mesh -> small float drift; the
     # output is uint8-quantized, so drift near a rounding boundary shows as
     # exactly one 1/255 level on isolated pixels — allow one level
@@ -262,7 +264,7 @@ def test_generate_flux_tp_dp_matches_single(tmp_path, monkeypatch):
     base = make(1, 1).generate()
     s = make(2, 2)
     img = s.generate()
-    assert s._mesh is not None and s._mesh.shape == {"dp": 2, "tp": 2}
+    assert s._mesh is not None and dict(s._mesh.shape) == {"dp": 2, "sp": 1, "tp": 2}
     np.testing.assert_allclose(img, base, atol=1.5 / 255)
 
 
@@ -294,3 +296,161 @@ def test_t5_block_sharded_matches_single():
         == P(None, "tp")
     out = np.asarray(jax.jit(f)(sp, pmesh.shard_batch(toks, mesh)))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Sequence parallelism (sp axis): ring attention + q-sharded cross attention
+# ---------------------------------------------------------------------------
+
+def _rand_qkv(rng, b, h, sq, sk, d, dtype=np.float32):
+    q = jnp.asarray(rng.standard_normal((b, h, sq, d)).astype(dtype))
+    k = jnp.asarray(rng.standard_normal((b, h, sk, d)).astype(dtype))
+    v = jnp.asarray(rng.standard_normal((b, h, sk, d)).astype(dtype))
+    return q, k, v
+
+
+def test_ring_attention_matches_dense():
+    from mlimgsynth_tpu.ops.attention import attention_xla
+    from mlimgsynth_tpu.parallel import ring_attention as ring
+
+    rng = np.random.default_rng(5)
+    # pure sp=8 ring
+    mesh = pmesh.make_mesh(8, tp=1, sp=8)
+    q, k, v = _rand_qkv(rng, 2, 3, 64, 64, 16)
+    ref = np.asarray(attention_xla(q, k, v))
+    out = np.asarray(jax.jit(
+        lambda q, k, v: ring.ring_attention(q, k, v, mesh))(q, k, v))
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+    # mixed (dp=2, sp=2, tp=2) mesh
+    mesh2 = pmesh.make_mesh(8, tp=2, sp=2)
+    q, k, v = _rand_qkv(rng, 4, 4, 32, 32, 8)
+    ref = np.asarray(attention_xla(q, k, v))
+    out = np.asarray(jax.jit(
+        lambda q, k, v: ring.ring_attention(q, k, v, mesh2))(q, k, v))
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+def test_ring_attention_bf16():
+    """bf16 inputs: f32 statistics inside the ring keep the result within
+    bf16 rounding of the f32-softmax reference."""
+    from mlimgsynth_tpu.ops.attention import attention_xla
+    from mlimgsynth_tpu.parallel import ring_attention as ring
+
+    rng = np.random.default_rng(6)
+    mesh = pmesh.make_mesh(8, tp=1, sp=4)  # dp=2 x sp=4
+    q = jnp.asarray(rng.standard_normal((2, 2, 32, 8)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((2, 2, 32, 8)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((2, 2, 32, 8)), jnp.bfloat16)
+    ref = np.asarray(attention_xla(q, k, v).astype(jnp.float32))
+    out = np.asarray(ring.ring_attention(q, k, v, mesh).astype(jnp.float32))
+    np.testing.assert_allclose(out, ref, atol=2e-2)
+
+
+def test_sp_cross_attention_matches_dense():
+    from mlimgsynth_tpu.ops.attention import attention_xla
+    from mlimgsynth_tpu.parallel import ring_attention as ring
+
+    rng = np.random.default_rng(7)
+    mesh = pmesh.make_mesh(8, tp=2, sp=2)
+    q, k, v = _rand_qkv(rng, 2, 4, 32, 7, 16)  # 7 kv rows: replicated
+    ref = np.asarray(attention_xla(q, k, v))
+    out = np.asarray(jax.jit(
+        lambda q, k, v: ring.sp_cross_attention(q, k, v, mesh))(q, k, v))
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+def test_attention_dispatch_sp(monkeypatch):
+    """attention() routes through the ring when the session mesh has sp>1,
+    and falls back to the XLA path on non-dividing shapes."""
+    from mlimgsynth_tpu.ops import attention as attn_mod
+    from mlimgsynth_tpu.parallel import ring_attention as ring
+
+    rng = np.random.default_rng(8)
+    mesh = pmesh.make_mesh(8, tp=1, sp=8)
+    monkeypatch.setattr(attn_mod, "MESH", mesh)
+    calls = {"ring": 0, "cross": 0}
+    real_ring = ring.ring_attention
+    real_cross = ring.sp_cross_attention
+    monkeypatch.setattr(
+        ring, "ring_attention",
+        lambda *a, **kw: (calls.__setitem__("ring", calls["ring"] + 1),
+                          real_ring(*a, **kw))[1])
+    monkeypatch.setattr(
+        ring, "sp_cross_attention",
+        lambda *a, **kw: (calls.__setitem__("cross", calls["cross"] + 1),
+                          real_cross(*a, **kw))[1])
+
+    q, k, v = _rand_qkv(rng, 1, 2, 64, 64, 8)
+    ref = np.asarray(attn_mod.attention_xla(q, k, v))
+    out = np.asarray(attn_mod.attention(q, k, v))
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+    assert calls["ring"] == 1
+
+    # cross-attention shape (Sk != Sq, Sk tiny): q-sharded path
+    q, k, v = _rand_qkv(rng, 1, 2, 64, 7, 8)
+    ref = np.asarray(attn_mod.attention_xla(q, k, v))
+    out = np.asarray(attn_mod.attention(q, k, v))
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+    assert calls["cross"] == 1
+
+    # non-dividing token count (S=50 on sp=8): silent XLA fallback
+    q, k, v = _rand_qkv(rng, 1, 2, 50, 50, 8)
+    ref = np.asarray(attn_mod.attention_xla(q, k, v))
+    out = np.asarray(attn_mod.attention(q, k, v))
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+    assert calls["ring"] == 1 and calls["cross"] == 1
+
+    # transposed-v entry point rides the same ring
+    q, k, v = _rand_qkv(rng, 1, 2, 64, 64, 8)
+    ref = np.asarray(attn_mod.attention_xla(q, k, v))
+    out = np.asarray(attn_mod.attention_t(q, k, v.swapaxes(-1, -2)))
+    np.testing.assert_allclose(out.swapaxes(-1, -2), ref, atol=2e-6)
+    assert calls["ring"] == 2
+
+
+def test_generate_sd3_sp_matches_single(tmp_path, monkeypatch):
+    """SD3 generate() on a (dp=2, sp=2, tp=2) mesh: the MMDiT joint
+    attention (S = 154 ctx + 16 img = 170 tokens at 64px tiny geometry)
+    runs sequence-parallel through the ring and reproduces the
+    single-device image."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from helpers import patch_tiny_model_types
+    from mlimgsynth_tpu.api import MLImgSynth
+    from mlimgsynth_tpu.parallel import ring_attention as ring
+    from mlimgsynth_tpu.testing import (TINY_MODEL_TYPE_SD3,
+                                        write_checkpoint_sd3)
+
+    ckpt = tmp_path / "sd3.safetensors"
+    write_checkpoint_sd3(ckpt)
+    types = {"sd3": TINY_MODEL_TYPE_SD3}
+
+    def make(tp, dp, sp):
+        patch_tiny_model_types(monkeypatch, types)
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(ckpt))
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 2)
+        s.option_set("seed", 21)
+        s.option_set("batch-size", 2)
+        s.option_set("tp", tp)
+        s.option_set("dp", dp)
+        s.option_set("sp", sp)
+        s.option_set("prompt", "a ring attention test")
+        return s
+
+    base = make(1, 1, 1).generate()
+
+    calls = {"ring": 0}
+    real_ring = ring.ring_attention
+    monkeypatch.setattr(
+        ring, "ring_attention",
+        lambda *a, **kw: (calls.__setitem__("ring", calls["ring"] + 1),
+                          real_ring(*a, **kw))[1])
+    s = make(2, 2, 2)
+    img = s.generate()
+    assert dict(s._mesh.shape) == {"dp": 2, "sp": 2, "tp": 2}
+    assert calls["ring"] > 0, "joint attention did not take the ring path"
+    np.testing.assert_allclose(img, base, atol=1.5 / 255)
