@@ -764,7 +764,36 @@ def bench_ensemble(name):
     }
 
 
+def _wait_for_backend(max_wait_s: float):
+    """Bounded wait for the TPU relay: the axon tunnel has multi-hour outage
+    windows (dials fail fast with "Unable to initialize backend 'axon'" or
+    hang on TCP recv).  Probe in a SUBPROCESS so a failed/hung dial can't
+    poison this process's jax backend state; proceed on first success."""
+    import subprocess
+    import sys
+    import time
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=600)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            raise RuntimeError(
+                f"TPU backend unavailable after {max_wait_s:.0f}s "
+                f"({attempt} probes) — relay outage")
+        log(f"backend probe {attempt} failed (relay outage?); retrying in 300s")
+        time.sleep(300)
+
+
 def main():
+    _wait_for_backend(float(os.environ.get("MLIS_BENCH_WAIT", "3600")))
     import jax
     from mlimgsynth_tpu.utils.compcache import enable as _cc
     _cc()
