@@ -223,7 +223,7 @@ class MLImgSynth:
             "steps": 0, "f_t_ini": 1.0, "f_t_end": 0.0,
             "s_noise": 0.0, "s_ancestral": 0.0,
             "n_batch": 1, "vae_tile": 0, "unet_split": False,
-            "tp": 1, "dp": 1, "sp": 1,
+            "tp": 1, "dp": 1, "sp": 1, "pp": 1,
             "threads": 0, "dump_flags": 0,
             "no_decode": False, "no_prompt_parse": False,
             "model_type": "", "weight_type": "",
@@ -407,7 +407,7 @@ class MLImgSynth:
         elif opt == "unet_split":
             c["unet_split"] = bool(_parse_bool(str(args[0]))
                                    if isinstance(args[0], str) else args[0])
-        elif opt in ("tp", "dp", "sp"):
+        elif opt in ("tp", "dp", "sp", "pp"):
             v = max(1, _int(args[0], 1))
             if c[opt] != v:
                 c[opt] = v
@@ -779,21 +779,27 @@ class MLImgSynth:
                     -1, f"backend '{want}' not available (have {backend})")
         log.info(f"Backend: {backend} ({len(jax.devices())} device(s))")
         tp, dp, sp = self.c["tp"], self.c["dp"], self.c["sp"]
+        pp = self.c["pp"]
         # MLIS_FORCE_MESH=1 builds the mesh even at tp=dp=sp=1: lets the
         # shard_map'ed kernel path run single-chip (tools/mesh_flash_smoke)
-        if tp * dp * sp > 1 or os.environ.get("MLIS_FORCE_MESH"):
+        if tp * dp * sp * pp > 1 or os.environ.get("MLIS_FORCE_MESH"):
             from .parallel import mesh as pmesh
-            n = tp * dp * sp
+            n = tp * dp * sp * pp
             if len(jax.devices()) < n:
                 raise MlisError(
                     MlisError.E_OPT_VALUE,
-                    f"tp={tp} x dp={dp} x sp={sp} needs {n} devices, have "
-                    f"{len(jax.devices())}")
-            self._mesh = pmesh.make_mesh(n, tp=tp, sp=sp)
-            log.info(f"Mesh: dp={dp} sp={sp} tp={tp} over {n} devices "
-                     f"(SPMD over ICI; collectives inserted by XLA)")
+                    f"tp={tp} x dp={dp} x sp={sp} x pp={pp} needs {n} "
+                    f"devices, have {len(jax.devices())}")
+            self._mesh = pmesh.make_mesh(n, tp=tp, sp=sp, pp=pp)
+            log.info(f"Mesh: dp={dp} pp={pp} sp={sp} tp={tp} over {n} "
+                     "devices (SPMD over ICI; collectives inserted by XLA)")
         else:
             self._mesh = None
+        from .parallel import pipeline as pl
+        pl.PLAN = (pl.PipelinePlan(
+            self._mesh, pp,
+            int(os.environ.get("MLIS_PP_MICRO", "0")))
+            if pp > 1 else None)
         from .ops import attention as attn_mod
         # flash under a mesh runs through an explicit shard_map (Mosaic
         # custom calls can't be GSPMD-partitioned); non-dividing shapes
@@ -1108,6 +1114,8 @@ class MLImgSynth:
             log.info2(f"{submodel}: {n_q} linear weights quantized to int8")
         if self.c["dump_flags"] & 4 and submodel == "unet":  # MLIS_DUMP_GRAPH
             self._dump_graph(spec)
+        if submodel == "unet" and self.c["pp"] > 1:
+            host = self._stack_pipeline_blocks(host)
         dev = weights_mod.pack_to_device(host)
         if self._mesh is not None:
             # UNet/DiT matmuls get Megatron tp shardings (so do the T5
@@ -1126,6 +1134,59 @@ class MLImgSynth:
         log.info(f"{submodel}: {len(spec)} tensors, "
                  f"{mem / 1024**2:.1f} MiB params {{{t_load:.3f}s}}")
         return dev
+
+    def _stack_pipeline_blocks(self, host):
+        """Restack the MMDiT block params for pipeline parallelism (--pp):
+        all ``depth`` blocks become ``mmdit.joint_blocks_p.*`` slabs of
+        shape [pp, depth/pp, ...] (sharded over the 'pp' mesh axis by
+        parallel/mesh.param_spec).  The final pre_only block's missing
+        context-side tensors (attn.proj, mlp, the 6-chunk adaLN tail) are
+        zero-filled so every block runs the uniform joint_block: the zero
+        gates make the extra context-side compute a no-op.  See
+        parallel/pipeline.py for the runtime."""
+        import re
+
+        P = self._mt.unet_p
+        pp = self.c["pp"]
+        if getattr(P, "flux", False) or not getattr(P, "flow", False):
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
+                "--pp is currently supported for MMDiT (SD3-family) models")
+        if getattr(P, "x_self_attn_layers", ()):
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
+                "--pp needs a uniform block stack; MMDiT-X (SD3.5-medium) "
+                "dual-attention blocks are not stackable")
+        if P.depth % pp != 0:
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
+                f"--pp {pp} must divide the block count ({P.depth})")
+        pat = re.compile(r"^mmdit\.joint_blocks\.(\d+)(\..+)$")
+        rels = []
+        for k in list(host):
+            m = pat.match(k)
+            if m and int(m.group(1)) == 0:
+                rels.append(m.group(2))
+        for rel in rels:
+            ref = host[f"mmdit.joint_blocks.0{rel}"]
+            per = []
+            for i in range(P.depth):
+                a = host.pop(f"mmdit.joint_blocks.{i}{rel}", None)
+                if a is None:
+                    a = np.zeros(ref.shape, ref.dtype)
+                elif a.shape != ref.shape:
+                    # final block's 2-chunk adaLN -> zero-pad to 6 chunks
+                    # (chunk order is shift, scale first, so a prefix copy
+                    # preserves them and zeroes the gates)
+                    pad = np.zeros(ref.shape, ref.dtype)
+                    pad[tuple(slice(0, d) for d in a.shape)] = a
+                    a = pad
+                per.append(a)
+            host[f"mmdit.joint_blocks_p{rel}"] = np.stack(per).reshape(
+                pp, P.depth // pp, *ref.shape)
+        log.info(f"unet: {len(rels)} block tensors restacked into "
+                 f"{pp}-stage pipeline slabs")
+        return host
 
     def _dump_graph(self, spec):
         """Write the UNet jaxpr to dump-graph.txt (MLIS_DUMP_GRAPH
@@ -2437,7 +2498,7 @@ _OPTIONS = [
     "nprompt", "image_dim", "batch_size", "clip_skip", "cfg_scale", "method",
     "scheduler", "steps", "f_t_ini", "f_t_end", "s_noise", "s_ancestral",
     "image", "image_mask", "no_decode", "tensor_use_flags", "seed",
-    "vae_tile", "unet_split", "tp", "dp", "sp", "threads", "dump_flags",
+    "vae_tile", "unet_split", "tp", "dp", "sp", "pp", "threads", "dump_flags",
     "aux_dir", "callback",
     "error_handler", "log_level", "model_type", "weight_type",
     "no_prompt_parse",

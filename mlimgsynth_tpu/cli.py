@@ -80,6 +80,9 @@ Models and backend:
   --sp INT             Sequence-parallel devices: shards the attention token
                        axis over the mesh (ring attention over ICI; for the
                        long-sequence DiT families).
+  --pp INT             Pipeline-parallel stages: cuts the MMDiT block stack
+                       into stages with microbatches streamed over ICI
+                       (each stage holds 1/pp of the block weights).
 
 Sampling:
   -S --seed INT        RNG seed.

@@ -283,10 +283,35 @@ def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
 
     cx = B.linear(ctx, pre + ".context_embedder", cond, P.width)
 
-    for i in range(P.depth):
-        cx, xe = joint_block(ctx, f"{pre}.joint_blocks.{i}", cx, xe, c, P,
-                             ctx_pre_only=(i == P.depth - 1),
-                             x_self_attn=(i in P.x_self_attn_layers))
+    stacked = f"{pre}.joint_blocks_p."
+    if any(k.startswith(stacked) for k in ctx.params):
+        # pipeline-parallel block stack (--pp): the session restacked all
+        # depth blocks into [pp, L, ...] slabs sharded over the 'pp' mesh
+        # axis (the final pre_only block's missing context-side params are
+        # zero-filled, so its gates read 0 and the uniform joint_block is
+        # exact — see api._stack_pipeline_blocks).  Microbatches stream
+        # through the stages via parallel/pipeline.py.
+        from ..ops import attention as attn_mod
+        from ..parallel import pipeline as pl
+        plan = pl.PLAN
+        slab = {k[len(stacked) - 1:]: v for k, v in ctx.params.items()
+                if k.startswith(stacked)}
+
+        def block_fn(pj, acts):
+            cx_, xe_, c_ = acts
+            bctx = B.Ctx(pj, dtype=ctx.dtype)
+            with attn_mod.local_only():
+                cx2, xe2 = joint_block(bctx, "", cx_, xe_, c_, P,
+                                       ctx_pre_only=False)
+            return (cx2, xe2, c_)
+
+        xe = pl.pipeline_apply(plan.mesh, block_fn, slab, (cx, xe, c),
+                               n_micro=plan.n_micro, collect=1)
+    else:
+        for i in range(P.depth):
+            cx, xe = joint_block(ctx, f"{pre}.joint_blocks.{i}", cx, xe, c,
+                                 P, ctx_pre_only=(i == P.depth - 1),
+                                 x_self_attn=(i in P.x_self_attn_layers))
 
     fpre = pre + ".final_layer"
     shift, scale = _block_mod(ctx, fpre, c, 2, P)

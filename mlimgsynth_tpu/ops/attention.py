@@ -28,6 +28,27 @@ MESH = None
 # Back-compat escape hatch: force the XLA softmax path everywhere.
 FORCE_XLA = False
 
+# Trace-time depth counter: >0 while tracing code that already runs
+# per-device inside a shard_map (e.g. the pipeline-parallel block stack).
+# Nested shard_maps are illegal, so the mesh/sp wrappers are skipped and
+# the flash kernel (legal inside shard_map) is called directly.
+_LOCAL_ONLY = 0
+
+
+class local_only:
+    """Context manager: treat the session mesh as absent while tracing a
+    region that is already per-device (inside an enclosing shard_map)."""
+
+    def __enter__(self):
+        global _LOCAL_ONLY
+        _LOCAL_ONLY += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _LOCAL_ONLY
+        _LOCAL_ONLY -= 1
+        return False
+
 
 def use_flash() -> bool:
     if FORCE_XLA:
@@ -48,8 +69,10 @@ def _mesh_divides(b: int, h: int) -> bool:
 
 
 def _sp_size() -> int:
+    if MESH is None or _LOCAL_ONLY:
+        return 1
     from ..parallel.mesh import SP_AXIS
-    return MESH.shape.get(SP_AXIS, 1) if MESH is not None else 1
+    return MESH.shape.get(SP_AXIS, 1)
 
 
 def _sp_attention(q, k, v, scale, causal):
@@ -117,7 +140,7 @@ def attention(q, k, v, scale=None, causal=False):
                                       flash_attention_compatible)
         if flash_attention_compatible(q, k, v, causal):
             fn = functools.partial(flash_attention, scale=scale, causal=causal)
-            if MESH is not None:
+            if MESH is not None and not _LOCAL_ONLY:
                 if _mesh_divides(q.shape[0], q.shape[1]):
                     return _shard_map_bhsd(fn, q, k, v)
             else:
@@ -152,7 +175,7 @@ def attention_t(q, k, vt, scale=None):
                                       flash_attention_t)
         if flash_attention_compatible(q, k, k, False):
             fn = functools.partial(flash_attention_t, scale=scale)
-            if MESH is not None:
+            if MESH is not None and not _LOCAL_ONLY:
                 if _mesh_divides(q.shape[0], q.shape[1]):
                     return _shard_map_bhsd(fn, q, k, vt)
             else:

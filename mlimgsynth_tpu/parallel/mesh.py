@@ -17,26 +17,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DP_AXIS = "dp"
+PP_AXIS = "pp"
 SP_AXIS = "sp"
 TP_AXIS = "tp"
 
 
 def make_mesh(n_devices: Optional[int] = None, tp: int = 1, sp: int = 1,
-              devices=None) -> Mesh:
-    """Create a (dp, sp, tp) mesh over the first ``n_devices`` devices.
+              pp: int = 1, devices=None) -> Mesh:
+    """Create a (dp, pp, sp, tp) mesh over the first ``n_devices`` devices.
 
     ``tp`` is innermost (fastest-varying device index — the per-matmul
-    all-reduces ride the shortest ICI hops), ``sp`` sits between (the ring
-    attention ppermute ring), ``dp`` is outermost (no per-step collectives).
+    all-reduces ride the shortest ICI hops), ``sp`` next (the ring
+    attention ppermute ring), ``pp`` next (stage handoffs are one hop per
+    microbatch tick), ``dp`` is outermost (no per-step collectives).
     """
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = np.asarray(devices[:n_devices])
-    assert n_devices % (tp * sp) == 0, (n_devices, tp, sp)
-    grid = devices.reshape(n_devices // (tp * sp), sp, tp)
-    return Mesh(grid, (DP_AXIS, SP_AXIS, TP_AXIS))
+    assert n_devices % (tp * sp * pp) == 0, (n_devices, tp, sp, pp)
+    grid = devices.reshape(n_devices // (tp * sp * pp), pp, sp, tp)
+    return Mesh(grid, (DP_AXIS, PP_AXIS, SP_AXIS, TP_AXIS))
 
 
 # Megatron-style tensor-parallel rules for transformer blocks:
@@ -85,6 +87,10 @@ _TP_RULES = [
 
 
 def param_spec(name: str, ndim: int, tp: bool = True) -> P:
+    # pipeline-stacked block slabs ([pp, L, ...], parallel/pipeline.py):
+    # stage axis over 'pp', independent of the tp toggle
+    if ".joint_blocks_p." in name or name.endswith("joint_blocks_p"):
+        return P(PP_AXIS)
     if tp:
         for pat, spec in _TP_RULES:
             if re.search(pat, name):

@@ -454,3 +454,102 @@ def test_generate_sd3_sp_matches_single(tmp_path, monkeypatch):
     assert dict(s._mesh.shape) == {"dp": 2, "sp": 2, "tp": 2}
     assert calls["ring"] > 0, "joint attention did not take the ring path"
     np.testing.assert_allclose(img, base, atol=1.5 / 255)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism (pp axis): GPipe-style microbatched block stack
+# ---------------------------------------------------------------------------
+
+def test_pipeline_apply_matches_sequential():
+    from mlimgsynth_tpu.parallel import pipeline as pl
+
+    rng = np.random.default_rng(0)
+    D, pp = 8, 4
+    mesh = pmesh.make_mesh(4, pp=4)
+    ws = jnp.asarray(rng.standard_normal((D, 16, 16)).astype(np.float32) * .3)
+    bs = jnp.asarray(rng.standard_normal((D, 16)).astype(np.float32) * .1)
+    slab = {"w": ws.reshape(pp, D // pp, 16, 16),
+            "b": bs.reshape(pp, D // pp, 16)}
+
+    def block_fn(pj, acts):
+        u, x, c = acts
+        x = jnp.tanh(x @ pj["w"] + pj["b"] + 0.1 * u + c[:, :1][..., None])
+        return (u + 1.0, x, c)
+
+    n = 6
+    u0 = jnp.zeros((n, 4, 16))
+    c0 = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    x0 = jnp.asarray(rng.standard_normal((n, 4, 16)).astype(np.float32))
+    acts = (u0, x0, c0)
+    for i in range(D):
+        acts = block_fn({"w": ws[i], "b": bs[i]}, acts)
+    ref = np.asarray(acts[1])
+
+    for m in (0, 2, 3, 6):   # microbatch splits (0 -> one per sample)
+        out = np.asarray(jax.jit(lambda s, u, x, c: pl.pipeline_apply(
+            mesh, block_fn, s, (u, x, c), n_micro=m))(slab, u0, x0, c0))
+        np.testing.assert_allclose(out, ref, atol=1e-6, err_msg=f"m={m}")
+
+
+def _sd3_pp_session(monkeypatch, ckpt, depth=4):
+    import dataclasses
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from helpers import patch_tiny_model_types
+    from mlimgsynth_tpu.api import ModelTypeDef
+    from mlimgsynth_tpu.testing import (TINY_CLIP, TINY_CLIP2, TINY_MMDIT,
+                                        TINY_VAE_SD3, write_checkpoint_sd3)
+    P = dataclasses.replace(TINY_MMDIT, depth=depth)
+    if not ckpt.exists():
+        write_checkpoint_sd3(ckpt, P=P)
+    types = {"sd3": ModelTypeDef("sd3", TINY_CLIP, TINY_CLIP2, P,
+                                 TINY_VAE_SD3, 64, 2)}
+    patch_tiny_model_types(monkeypatch, types)
+
+
+def test_generate_sd3_pp_matches_single(tmp_path, monkeypatch):
+    """SD3 generate() with the block stack cut into pipeline stages
+    (microbatched over the pp mesh axis) reproduces the single-device
+    image bit-exactly (same reduction orders: the pipeline only reorders
+    WHICH device runs a block, not the math inside it)."""
+    from mlimgsynth_tpu.api import MLImgSynth
+
+    ckpt = tmp_path / "sd3pp.safetensors"
+
+    def make(pp):
+        _sd3_pp_session(monkeypatch, ckpt, depth=4)
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(ckpt))
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 2)
+        s.option_set("seed", 13)
+        s.option_set("batch-size", 2)
+        s.option_set("pp", pp)
+        s.option_set("prompt", "a pipeline test")
+        return s
+
+    base = make(1).generate()
+    s2 = make(2)
+    img2 = s2.generate()
+    assert dict(s2._mesh.shape) == {"dp": 1, "pp": 2, "sp": 1, "tp": 1}
+    np.testing.assert_array_equal(img2, base)
+    img4 = make(4).generate()    # one block per stage
+    np.testing.assert_array_equal(img4, base)
+
+
+def test_pp_rejects_unsupported(tmp_path, monkeypatch):
+    from mlimgsynth_tpu.api import MLImgSynth, MlisError
+
+    ckpt = tmp_path / "sd3pp3.safetensors"
+    _sd3_pp_session(monkeypatch, ckpt, depth=4)
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", str(ckpt))
+    s.option_set("image-dim", 64)
+    s.option_set("steps", 1)
+    s.option_set("batch-size", 2)
+    s.option_set("pp", 3)        # does not divide depth 4
+    s.option_set("prompt", "x")
+    with pytest.raises(MlisError):
+        s.generate()
