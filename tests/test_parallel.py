@@ -36,11 +36,11 @@ def _tiny_setup():
 
 def test_mesh_shapes():
     m = pmesh.make_mesh(8, tp=4)
-    assert dict(m.shape) == {"dp": 2, "sp": 1, "tp": 4}
+    assert dict(m.shape) == {"dp": 2, "pp": 1, "sp": 1, "tp": 4}
     m = pmesh.make_mesh(8, tp=1)
-    assert dict(m.shape) == {"dp": 8, "sp": 1, "tp": 1}
+    assert dict(m.shape) == {"dp": 8, "pp": 1, "sp": 1, "tp": 1}
     m = pmesh.make_mesh(8, tp=2, sp=2)
-    assert dict(m.shape) == {"dp": 2, "sp": 2, "tp": 2}
+    assert dict(m.shape) == {"dp": 2, "pp": 1, "sp": 2, "tp": 2}
 
 
 def test_tp_rules():
@@ -142,7 +142,7 @@ def test_generate_tp_dp_matches_single(tmp_path, monkeypatch):
     write_tiny_checkpoint(ckpt)
     patch_tiny_model_types(monkeypatch)
 
-    def make(tp, dp):
+    def make(tp, dp, sp=1):
         s = MLImgSynth()
         s._dtype = jnp.float32
         s.option_set("model", str(ckpt))
@@ -153,6 +153,7 @@ def test_generate_tp_dp_matches_single(tmp_path, monkeypatch):
         s.option_set("batch-size", 2)
         s.option_set("tp", tp)
         s.option_set("dp", dp)
+        s.option_set("sp", sp)
         s.option_set("prompt", "a shard test")
         return s
 
@@ -160,7 +161,7 @@ def test_generate_tp_dp_matches_single(tmp_path, monkeypatch):
 
     s = make(2, 2)
     img = s.generate()
-    assert s._mesh is not None and dict(s._mesh.shape) == {"dp": 2, "sp": 1, "tp": 2}
+    assert s._mesh is not None and dict(s._mesh.shape) == {"dp": 2, "pp": 1, "sp": 1, "tp": 2}
     # different reduction orders over the mesh -> small float drift; the
     # output is uint8-quantized, so drift near a rounding boundary shows as
     # exactly one 1/255 level on isolated pixels — allow one level
@@ -169,6 +170,11 @@ def test_generate_tp_dp_matches_single(tmp_path, monkeypatch):
     # dp-only path (replicated weights, sharded batch)
     img_dp = make(1, 2).generate()
     np.testing.assert_allclose(img_dp, base, atol=1.5 / 255)
+
+    # sp over the UNet: spatial self-attention rides the ring, the
+    # 77-token cross-attention rides the q-sharded path
+    img_sp = make(1, 2, sp=2).generate()
+    np.testing.assert_allclose(img_sp, base, atol=1.5 / 255)
 
 
 def test_tp_option_needs_devices(monkeypatch):
@@ -264,8 +270,17 @@ def test_generate_flux_tp_dp_matches_single(tmp_path, monkeypatch):
     base = make(1, 1).generate()
     s = make(2, 2)
     img = s.generate()
-    assert s._mesh is not None and dict(s._mesh.shape) == {"dp": 2, "sp": 1, "tp": 2}
+    assert s._mesh is not None and dict(s._mesh.shape) == {"dp": 2, "pp": 1, "sp": 1, "tp": 2}
     np.testing.assert_allclose(img, base, atol=1.5 / 255)
+
+    # sp option plumbing on flux: the tiny joint sequence (93 tokens) does
+    # NOT divide sp=2, so this exercises the silent GSPMD fallback the real
+    # S=4352 shape would skip (ring math itself is covered above)
+    s_sp = make(1, 1)
+    s_sp.option_set("sp", 2)
+    s_sp.option_set("dp", 2)
+    img_sp = s_sp.generate()
+    np.testing.assert_allclose(img_sp, base, atol=1.5 / 255)
 
 
 def test_t5_block_sharded_matches_single():
@@ -451,7 +466,7 @@ def test_generate_sd3_sp_matches_single(tmp_path, monkeypatch):
                           real_ring(*a, **kw))[1])
     s = make(2, 2, 2)
     img = s.generate()
-    assert dict(s._mesh.shape) == {"dp": 2, "sp": 2, "tp": 2}
+    assert dict(s._mesh.shape) == {"dp": 2, "pp": 1, "sp": 2, "tp": 2}
     assert calls["ring"] > 0, "joint attention did not take the ring path"
     np.testing.assert_allclose(img, base, atol=1.5 / 255)
 
