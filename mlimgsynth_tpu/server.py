@@ -591,7 +591,6 @@ def serve(session, port: int = 8188, host: str = "127.0.0.1",
 
 def main(argv: Optional[list] = None) -> int:
     import argparse
-    from .api import MLImgSynth
     from .utils.compcache import enable
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model", required=True, action="append",
@@ -600,25 +599,42 @@ def main(argv: Optional[list] = None) -> int:
     ap.add_argument("--port", type=int, default=8188)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--weight-type", default="")
+    ap.add_argument("-o", "--opt", action="append", default=[],
+                    metavar="NAME=VALUE",
+                    help="session option applied to every model (any "
+                         "library option name, e.g. -o tp=4 -o sp=2 "
+                         "-o tae=taesd.safetensors); repeatable")
     ap.add_argument("--warmup-gen", action="store_true",
                     help="run one throwaway generation per model before "
                          "accepting traffic (compiles the serving program "
                          "for the default size/steps)")
     args = ap.parse_args(argv)
     enable()
-    sessions = {}
-    for i, spec in enumerate(args.model):
-        name, _, path = spec.rpartition("=")
-        name = name or (os.path.splitext(os.path.basename(path))[0]
-                        if len(args.model) > 1 else "default")
-        s = MLImgSynth()
-        s.option_set("model", path)
-        if args.weight_type:
-            s.option_set("weight-type", args.weight_type)
-        sessions[name or f"model{i}"] = s
+    sessions = build_sessions(args.model, args.weight_type, args.opt)
     serve(sessions if len(sessions) > 1 else next(iter(sessions.values())),
           port=args.port, host=args.host, warmup_gen=args.warmup_gen)
     return 0
+
+
+def build_sessions(model_specs, weight_type="", opts=()):
+    """NAME=PATH model specs -> {name: session}, with launch-time session
+    options (-o NAME=VALUE) applied to every model through the same
+    string-option surface the CLI and C ABI use."""
+    from .api import MLImgSynth
+    sessions = {}
+    for i, spec in enumerate(model_specs):
+        name, _, path = spec.rpartition("=")
+        name = name or (os.path.splitext(os.path.basename(path))[0]
+                        if len(model_specs) > 1 else "default")
+        s = MLImgSynth()
+        s.option_set("model", path)
+        if weight_type:
+            s.option_set("weight-type", weight_type)
+        for kv in opts:
+            oname, _, oval = kv.partition("=")
+            s.option_set_str(oname, oval)
+        sessions[name or f"model{i}"] = s
+    return sessions
 
 
 if __name__ == "__main__":

@@ -423,3 +423,27 @@ def test_preview_is_a_merge_key():
     a = _shared_of({"prompt": "x", "preview": True})
     b = _shared_of({"prompt": "x"})
     assert a != b
+
+
+def test_build_sessions_opt_passthrough(tmp_path, monkeypatch):
+    """Launch-time -o NAME=VALUE options reach every session through the
+    string-option surface (parallelism axes, aux files, any option)."""
+    from mlimgsynth_tpu.server import build_sessions
+
+    patch_tiny_model_types(monkeypatch)
+    ckpt = tmp_path / "m1.safetensors"
+    write_tiny_checkpoint(ckpt)
+    ckpt2 = tmp_path / "m2.safetensors"
+    write_tiny_checkpoint(ckpt2)
+
+    sessions = build_sessions(
+        [f"a={ckpt}", f"b={ckpt2}"], weight_type="f32",
+        opts=["sp=2", "pp=1", "steps=3", "cfg-scale=4.5"])
+    assert set(sessions) == {"a", "b"}
+    for s in sessions.values():
+        assert s.c["sp"] == 2 and s.c["pp"] == 1
+        assert s.c["steps"] == 3 and s.c["cfg_scale"] == 4.5
+
+    # single unnamed model gets the "default" name
+    one = build_sessions([str(ckpt)])
+    assert set(one) == {"default"}
