@@ -568,3 +568,34 @@ def test_pp_rejects_unsupported(tmp_path, monkeypatch):
     s.option_set("prompt", "x")
     with pytest.raises(MlisError):
         s.generate()
+
+
+def test_generate_sd3_pp_q8_matches_unpipelined(tmp_path, monkeypatch):
+    """--pp with --weight-type q8_0: the int8 weight/scale pairs stack into
+    the same [pp, L, ...] slabs (zero-filled pairs for the final block's
+    missing context-side tensors dequantize to zero).  Unlike the f32 case
+    (bit-exact), the dequant multiply fuses differently around a slab
+    dynamic-slice than around a standalone weight, so isolated pixels may
+    land one u8 level apart — the same drift class (and bound) as the
+    tp/dp reduction-order tests."""
+    from mlimgsynth_tpu.api import MLImgSynth
+
+    ckpt = tmp_path / "sd3ppq8.safetensors"
+
+    def make(pp):
+        _sd3_pp_session(monkeypatch, ckpt, depth=4)
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(ckpt))
+        s.option_set("weight-type", "q8_0")
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 2)
+        s.option_set("seed", 17)
+        s.option_set("batch-size", 2)
+        s.option_set("pp", pp)
+        s.option_set("prompt", "a quantized pipeline test")
+        return s
+
+    base = make(1).generate()
+    img = make(2).generate()
+    np.testing.assert_allclose(img, base, atol=1.5 / 255)
