@@ -772,6 +772,8 @@ def _wait_for_backend(max_wait_s: float):
     import subprocess
     import sys
     import time
+    if max_wait_s <= 0:       # MLIS_BENCH_WAIT=0: skip the probe dial
+        return
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:

@@ -761,6 +761,12 @@ class MLImgSynth:
         if "backend" not in self._ready:
             self._backend_init()
             self._ready.add("backend")
+        else:
+            # the mesh/pipeline globals are trace-time inputs shared by all
+            # sessions in the process; another session's _backend_init may
+            # have clobbered them since ours ran — re-assert every setup so
+            # a later re-trace (image-dim change etc.) sees OUR plan
+            self._publish_mesh_globals()
         if "model" not in self._ready:
             self._model_load()
             self._ready.add("model")
@@ -780,6 +786,15 @@ class MLImgSynth:
         log.info(f"Backend: {backend} ({len(jax.devices())} device(s))")
         tp, dp, sp = self.c["tp"], self.c["dp"], self.c["sp"]
         pp = self.c["pp"]
+        if pp > 1 and (tp > 1 or dp > 1 or sp > 1):
+            # v1 pipeline restriction: the stage slabs shard only over
+            # 'pp' and the pipeline body replicates over the other axes,
+            # so combining would silently burn devices for no block-stack
+            # speedup — refuse loudly instead
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
+                "--pp does not compose with --tp/--dp/--sp yet; "
+                "use pp alone")
         # MLIS_FORCE_MESH=1 builds the mesh even at tp=dp=sp=1: lets the
         # shard_map'ed kernel path run single-chip (tools/mesh_flash_smoke)
         if tp * dp * sp * pp > 1 or os.environ.get("MLIS_FORCE_MESH"):
@@ -795,11 +810,19 @@ class MLImgSynth:
                      "devices (SPMD over ICI; collectives inserted by XLA)")
         else:
             self._mesh = None
+        self._publish_mesh_globals()
+
+    def _publish_mesh_globals(self):
+        """Publish this session's mesh + pipeline plan to the trace-time
+        module globals (ops.attention.MESH, parallel.pipeline.PLAN).  They
+        are process-wide; setup() re-asserts them so the last session to
+        run wins, not the last one to construct."""
+        pp = self.c["pp"]
         from .parallel import pipeline as pl
         pl.PLAN = (pl.PipelinePlan(
             self._mesh, pp,
             int(os.environ.get("MLIS_PP_MICRO", "0")))
-            if pp > 1 else None)
+            if pp > 1 and self._mesh is not None else None)
         from .ops import attention as attn_mod
         # flash under a mesh runs through an explicit shard_map (Mosaic
         # custom calls can't be GSPMD-partitioned); non-dividing shapes
@@ -1163,21 +1186,54 @@ class MLImgSynth:
                 f"--pp {pp} must divide the block count ({P.depth})")
         pat = re.compile(r"^mmdit\.joint_blocks\.(\d+)(\..+)$")
         rels = []
+        extra = []
         for k in list(host):
             m = pat.match(k)
-            if m and int(m.group(1)) == 0:
+            if not m:
+                continue
+            if int(m.group(1)) == 0:
                 rels.append(m.group(2))
+            elif f"mmdit.joint_blocks.0{m.group(2)}" not in host:
+                extra.append(k)
+        if extra:
+            # a tensor block 0 lacks would be silently dropped from the
+            # stacked forward — refuse rather than compute with zeros
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
+                f"--pp needs a uniform block stack; block tensors not in "
+                f"block 0: {extra[:3]}")
+
+        def _final_tail(rel):
+            # the pre_only final block legitimately lacks exactly the
+            # context-side output projection and MLP (reference:
+            # DismantledBlock pre_only, sd3 checkpoints)
+            return rel.startswith(".context_block.") and (
+                ".attn.proj" in rel or ".mlp." in rel)
+
         for rel in rels:
             ref = host[f"mmdit.joint_blocks.0{rel}"]
             per = []
             for i in range(P.depth):
                 a = host.pop(f"mmdit.joint_blocks.{i}{rel}", None)
+                last = (i == P.depth - 1)
                 if a is None:
+                    if not (last and _final_tail(rel)):
+                        raise MlisError(
+                            MlisError.E_OPT_VALUE,
+                            f"--pp: block {i} is missing {rel!r} — "
+                            "non-uniform checkpoint")
                     a = np.zeros(ref.shape, ref.dtype)
                 elif a.shape != ref.shape:
                     # final block's 2-chunk adaLN -> zero-pad to 6 chunks
                     # (chunk order is shift, scale first, so a prefix copy
                     # preserves them and zeroes the gates)
+                    if not (last and ".adaLN_modulation." in rel
+                            and all(x <= y for x, y in
+                                    zip(a.shape, ref.shape))):
+                        raise MlisError(
+                            MlisError.E_OPT_VALUE,
+                            f"--pp: block {i} {rel!r} shape {a.shape} != "
+                            f"block 0 {ref.shape} — non-uniform checkpoint")
                     pad = np.zeros(ref.shape, ref.dtype)
                     pad[tuple(slice(0, d) for d in a.shape)] = a
                     a = pad

@@ -92,6 +92,19 @@ def _sp_attention(q, k, v, scale, causal):
     return ring.sp_cross_attention(q, k, v, MESH, scale=scale)
 
 
+def _sp_attention_t(q, k, vt, scale):
+    """Transposed-v twin of :func:`_sp_attention` (vt [B,H,D,Sk] ->
+    [B,H,D,Sq]): consumes/produces the transposed layout directly so the
+    sp path adds no S x D relayouts around attention_t's fast path."""
+    from ..parallel import ring_attention as ring
+    if not ring.sp_compatible(MESH, q.shape[0], q.shape[1],
+                              q.shape[2], k.shape[2]):
+        return None
+    if q.shape[2] == k.shape[2]:
+        return ring.ring_attention_t(q, k, vt, MESH, scale=scale)
+    return ring.sp_cross_attention_t(q, k, vt, MESH, scale=scale)
+
+
 def _shard_map_bhsd(fn, *args):
     """Run ``fn`` per-device over MESH with every arg/result sharded
     (dp, tp, None, None) — batch over data-parallel, heads over
@@ -167,9 +180,9 @@ def attention_t(q, k, vt, scale=None):
         mean_vt = jnp.mean(vt, axis=3, keepdims=True)
         return jnp.broadcast_to(mean_vt, vt.shape[:3] + (q.shape[2],))
     if _sp_size() > 1:
-        o = _sp_attention(q, k, vt.swapaxes(-1, -2), scale, False)
+        o = _sp_attention_t(q, k, vt, scale)
         if o is not None:
-            return o.swapaxes(-1, -2)
+            return o
     if use_flash():
         from .flash_attention import (flash_attention_compatible,
                                       flash_attention_t)

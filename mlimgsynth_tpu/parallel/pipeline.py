@@ -67,7 +67,10 @@ def pipeline_apply(mesh, block_fn, slab, acts, n_micro=0, collect=1):
     leaves = jax.tree_util.tree_leaves(acts)
     n = leaves[0].shape[0]
     m = n_micro or n
-    assert n % m == 0, (n, m)
+    if m < 1 or n % m:
+        raise ValueError(
+            f"pipeline microbatch count {m} (MLIS_PP_MICRO) must divide "
+            f"the model batch {n}")
     perm = [(i, i + 1) for i in range(pp - 1)]   # stage s -> s+1, 0 gets zeros
     n_tick = m + pp - 1
 

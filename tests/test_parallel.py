@@ -345,6 +345,12 @@ def test_ring_attention_matches_dense():
         lambda q, k, v: ring.ring_attention(q, k, v, mesh2))(q, k, v))
     np.testing.assert_allclose(out, ref, atol=2e-6)
 
+    # transposed-v ring on the same mixed mesh
+    out_t = np.asarray(jax.jit(
+        lambda q, k, vt: ring.ring_attention_t(q, k, vt, mesh2))(
+            q, k, v.swapaxes(-1, -2)))
+    np.testing.assert_allclose(out_t.swapaxes(-1, -2), ref, atol=2e-6)
+
 
 def test_ring_attention_bf16():
     """bf16 inputs: f32 statistics inside the ring keep the result within
@@ -374,6 +380,12 @@ def test_sp_cross_attention_matches_dense():
         lambda q, k, v: ring.sp_cross_attention(q, k, v, mesh))(q, k, v))
     np.testing.assert_allclose(out, ref, atol=2e-6)
 
+    # transposed-v twin: vt [B,H,D,Sk] -> [B,H,D,Sq]
+    out_t = np.asarray(jax.jit(
+        lambda q, k, vt: ring.sp_cross_attention_t(q, k, vt, mesh))(
+            q, k, v.swapaxes(-1, -2)))
+    np.testing.assert_allclose(out_t.swapaxes(-1, -2), ref, atol=2e-6)
+
 
 def test_attention_dispatch_sp(monkeypatch):
     """attention() routes through the ring when the session mesh has sp>1,
@@ -384,9 +396,10 @@ def test_attention_dispatch_sp(monkeypatch):
     rng = np.random.default_rng(8)
     mesh = pmesh.make_mesh(8, tp=1, sp=8)
     monkeypatch.setattr(attn_mod, "MESH", mesh)
-    calls = {"ring": 0, "cross": 0}
+    calls = {"ring": 0, "cross": 0, "ring_t": 0}
     real_ring = ring.ring_attention
     real_cross = ring.sp_cross_attention
+    real_ring_t = ring.ring_attention_t
     monkeypatch.setattr(
         ring, "ring_attention",
         lambda *a, **kw: (calls.__setitem__("ring", calls["ring"] + 1),
@@ -395,6 +408,10 @@ def test_attention_dispatch_sp(monkeypatch):
         ring, "sp_cross_attention",
         lambda *a, **kw: (calls.__setitem__("cross", calls["cross"] + 1),
                           real_cross(*a, **kw))[1])
+    monkeypatch.setattr(
+        ring, "ring_attention_t",
+        lambda *a, **kw: (calls.__setitem__("ring_t", calls["ring_t"] + 1),
+                          real_ring_t(*a, **kw))[1])
 
     q, k, v = _rand_qkv(rng, 1, 2, 64, 64, 8)
     ref = np.asarray(attn_mod.attention_xla(q, k, v))
@@ -416,12 +433,13 @@ def test_attention_dispatch_sp(monkeypatch):
     np.testing.assert_allclose(out, ref, atol=2e-6)
     assert calls["ring"] == 1 and calls["cross"] == 1
 
-    # transposed-v entry point rides the same ring
+    # transposed-v entry point rides the native transposed ring (no
+    # relayouts in or out)
     q, k, v = _rand_qkv(rng, 1, 2, 64, 64, 8)
     ref = np.asarray(attn_mod.attention_xla(q, k, v))
     out = np.asarray(attn_mod.attention_t(q, k, v.swapaxes(-1, -2)))
     np.testing.assert_allclose(out.swapaxes(-1, -2), ref, atol=2e-6)
-    assert calls["ring"] == 2
+    assert calls["ring_t"] == 1 and calls["ring"] == 1
 
 
 def test_generate_sd3_sp_matches_single(tmp_path, monkeypatch):
@@ -569,6 +587,16 @@ def test_pp_rejects_unsupported(tmp_path, monkeypatch):
     with pytest.raises(MlisError):
         s.generate()
 
+    # pp does not compose with the other axes yet: refuse loudly instead
+    # of silently replicating the block stack over tp/dp/sp
+    s2 = MLImgSynth()
+    s2.option_set("model", str(ckpt))
+    s2.option_set("pp", 2)
+    s2.option_set("tp", 2)
+    s2.option_set("prompt", "x")
+    with pytest.raises(MlisError):
+        s2.generate()
+
 
 def test_generate_sd3_pp_q8_matches_unpipelined(tmp_path, monkeypatch):
     """--pp with --weight-type q8_0: the int8 weight/scale pairs stack into
@@ -599,3 +627,42 @@ def test_generate_sd3_pp_q8_matches_unpipelined(tmp_path, monkeypatch):
     base = make(1).generate()
     img = make(2).generate()
     np.testing.assert_allclose(img, base, atol=1.5 / 255)
+
+
+def test_pp_plan_survives_other_sessions(tmp_path, monkeypatch):
+    """The trace-time pipeline plan is a module global; another session's
+    backend init must not poison a pp session's NEXT trace (setup()
+    re-publishes the mesh/plan globals every generate)."""
+    from mlimgsynth_tpu.api import MLImgSynth
+
+    ckpt = tmp_path / "sd3pp_stale.safetensors"
+    _sd3_pp_session(monkeypatch, ckpt, depth=4)
+
+    a = MLImgSynth()
+    a._dtype = jnp.float32
+    a.option_set("model", str(ckpt))
+    a.option_set("image-dim", 64)
+    a.option_set("steps", 2)
+    a.option_set("seed", 19)
+    a.option_set("batch-size", 2)
+    a.option_set("pp", 2)
+    a.option_set("prompt", "stale plan test")
+    img1 = a.generate()
+
+    # session B (pp=1) clobbers parallel.pipeline.PLAN and attention.MESH
+    b = MLImgSynth()
+    b._dtype = jnp.float32
+    b.option_set("model", str(ckpt))
+    b.option_set("image-dim", 64)
+    b.option_set("steps", 1)
+    b.option_set("prompt", "other session")
+    b.generate()
+    from mlimgsynth_tpu.parallel import pipeline as pl
+    assert pl.PLAN is None
+
+    # A re-traces (new image-dim) — must see ITS plan again, not B's None
+    a.option_set("image-dim", 64, 96)
+    img2 = a.generate()
+    assert img2.shape[-1] == 64 and img2.shape[-2] == 96
+    assert np.isfinite(img2).all()
+    assert pl.PLAN is not None and pl.PLAN.pp == 2
