@@ -436,6 +436,80 @@ class Server:
                 self.running = []
 
 
+# ---------------------------------------------------------------------------
+# AUTOMATIC1111-compatible API surface (/sdapi/v1/*): lets the existing SD
+# tool ecosystem (webui clients, plugins, load testers) point at this server
+# unchanged.  Only the generation core is mapped — model management beyond
+# listing is out of scope.
+# ---------------------------------------------------------------------------
+
+# sampler_name -> (method, scheduler or None); " Karras" suffix handled
+# separately (A1111 historically encodes the schedule in the sampler name,
+# newer clients pass a separate "scheduler" field — both accepted)
+_A1111_SAMPLERS = {
+    "euler": ("euler", None),
+    "euler a": ("euler_a", None),
+    "heun": ("heun", None),
+    "dpm++ 2m": ("dpm++2m", None),
+    "dpm++ 2s": ("dpm++2s", None),
+    "dpm++ 2s a": ("dpm++2s_a", None),
+    "dpm++ 2m sde": ("dpm++2m_sde", None),
+    "lcm": ("lcm", None),
+    "unipc": ("unipc", None),
+}
+
+
+def _a1111_to_req(req: dict, img2img: bool = False) -> dict:
+    """Translate an A1111 /sdapi/v1/txt2img|img2img body to the internal
+    /generate request shape."""
+    out = {"format": "json"}
+    if req.get("prompt") is not None:
+        out["prompt"] = str(req["prompt"])
+    if req.get("negative_prompt"):
+        out["nprompt"] = str(req["negative_prompt"])
+    for src, dst in (("steps", "steps"), ("cfg_scale", "cfg_scale"),
+                     ("width", "width"), ("height", "height"),
+                     ("eta", "s_ancestral"), ("model", "model")):
+        if req.get(src) is not None:
+            out[dst] = req[src]
+    seed = req.get("seed")
+    if seed is not None and int(seed) != -1:   # -1 = random (A1111)
+        out["seed"] = int(seed)
+    n = max(1, int(req.get("batch_size", 1))) * \
+        max(1, int(req.get("n_iter", 1)))      # n_iter folds into the batch
+    out["batch_size"] = n
+    name = str(req.get("sampler_name") or req.get("sampler_index")
+               or "euler").strip().lower()
+    sched = str(req.get("scheduler", "")).strip().lower()
+    if name.endswith(" karras"):
+        name, sched = name[:-7], "karras"
+    if name not in _A1111_SAMPLERS:
+        raise ValueError(
+            f"unsupported sampler_name {name!r}; supported: "
+            + ", ".join(sorted(_A1111_SAMPLERS)))
+    method, msched = _A1111_SAMPLERS[name]
+    out["method"] = method
+    if sched in ("karras", "lcm", "uniform"):
+        out["scheduler"] = sched
+    elif msched:
+        out["scheduler"] = msched
+    if img2img:
+        imgs = req.get("init_images") or []
+        if not imgs:
+            raise ValueError("img2img needs init_images")
+        out["image"] = _strip_data_url(imgs[0])
+        if req.get("mask"):
+            out["mask"] = _strip_data_url(req["mask"])
+        if req.get("denoising_strength") is not None:
+            out["f_t_ini"] = float(req["denoising_strength"])
+    return out
+
+
+def _strip_data_url(b64: str) -> str:
+    s = str(b64)
+    return s.split(",", 1)[1] if s.startswith("data:") else s
+
+
 def _u8_png_b64(img_u8_hwc: np.ndarray) -> str:
     """uint8 [H,W,C] preview frame -> base64 PNG string."""
     from PIL import Image
@@ -494,6 +568,34 @@ def make_handler(srv: Server):
                 else:
                     self._json(200, {"request_id": rid, "state": state,
                                      **(frame or {})})
+            elif self.path == "/sdapi/v1/sd-models":
+                self._json(200, [
+                    {"title": name, "model_name": name,
+                     "filename": ses.c["model"], "hash": None,
+                     "sha256": None, "config": None}
+                    for name, ses in srv.sessions.items()])
+            elif self.path == "/sdapi/v1/samplers":
+                self._json(200, [
+                    {"name": k.title(), "aliases": [k, v[0]], "options": {}}
+                    for k, v in _A1111_SAMPLERS.items()])
+            elif self.path == "/sdapi/v1/options":
+                self._json(200, {
+                    "sd_model_checkpoint": srv.default_model,
+                    "samples_format": "png"})
+            elif self.path == "/sdapi/v1/progress":
+                with srv.running_lock:
+                    run = list(srv.running)
+                pv = next((p.preview for p in run if p.preview), None)
+                prog, img = 0.0, None
+                if pv:
+                    prog = pv["step"] / max(1, pv["n_step"])
+                    img = pv["images"][0] if pv["images"] else None
+                self._json(200, {
+                    "progress": prog, "eta_relative": 0.0,
+                    "state": {"job_count": len(run),
+                              "sampling_step": pv["step"] if pv else 0,
+                              "sampling_steps": pv["n_step"] if pv else 0},
+                    "current_image": img, "textinfo": None})
             elif self.path == "/info":
                 info = srv.session.backend_info()
                 cfg = {k: v for k, v in srv.session.c.items()
@@ -517,6 +619,10 @@ def make_handler(srv: Server):
             if self.path == "/cancel":
                 self._json(200, {"status": srv.cancel(
                     str(req.get("request_id", "")))})
+                return
+            if self.path in ("/sdapi/v1/txt2img", "/sdapi/v1/img2img"):
+                self._sdapi_generate(req,
+                                     self.path.endswith("img2img"))
                 return
             if self.path != "/generate":
                 self._json(404, {"error": "not found"})
@@ -551,6 +657,30 @@ def make_handler(srv: Server):
             self.send_header("X-Request-Id", p.id)
             self.end_headers()
             self.wfile.write(body)
+
+        def _sdapi_generate(self, a1111_req, img2img):
+            """A1111 txt2img/img2img: translate, run through the same
+            merging queue, answer in the A1111 response shape."""
+            try:
+                req = _a1111_to_req(a1111_req, img2img=img2img)
+                p = srv.submit(req)
+            except Exception as e:  # noqa
+                self._json(400, {"error": str(e)})
+                return
+            p.event.wait()
+            if p.error:
+                code = 499 if p.error == "cancelled" else 400
+                self._json(code, {"error": p.error, "request_id": p.id})
+                return
+            images = [base64.b64encode(
+                _png_bytes(p.imgs[i], p.infotexts[i])).decode()
+                for i in range(p.imgs.shape[0])]
+            self._json(200, {
+                "images": images,
+                "parameters": a1111_req,
+                "info": json.dumps({"infotexts": p.infotexts,
+                                    "time_s": round(p.time_s, 4),
+                                    "request_id": p.id})})
 
     return Handler
 

@@ -447,3 +447,79 @@ def test_build_sessions_opt_passthrough(tmp_path, monkeypatch):
     # single unnamed model gets the "default" name
     one = build_sessions([str(ckpt)])
     assert set(one) == {"default"}
+
+
+# ---------------------------------------------------------------------------
+# AUTOMATIC1111-compatible API (/sdapi/v1/*)
+# ---------------------------------------------------------------------------
+
+def test_sdapi_listings(server_url):
+    server_url, _ = server_url
+    import urllib.request
+    models = json.loads(urllib.request.urlopen(
+        server_url + "/sdapi/v1/sd-models").read())
+    assert models and models[0]["model_name"]
+    samplers = json.loads(urllib.request.urlopen(
+        server_url + "/sdapi/v1/samplers").read())
+    names = {s["name"].lower() for s in samplers}
+    assert {"euler", "euler a", "dpm++ 2m", "unipc"} <= names
+    opts = json.loads(urllib.request.urlopen(
+        server_url + "/sdapi/v1/options").read())
+    assert "sd_model_checkpoint" in opts
+    prog = json.loads(urllib.request.urlopen(
+        server_url + "/sdapi/v1/progress").read())
+    assert "progress" in prog and "state" in prog
+
+
+def test_sdapi_txt2img(server_url):
+    import base64
+    server_url, _ = server_url
+    ctype, body = _post(server_url, "/sdapi/v1/txt2img",
+                        {"prompt": "an astronaut", "steps": 2, "seed": 7,
+                         "width": 64, "height": 64,
+                         "sampler_name": "Euler a", "batch_size": 1,
+                         "n_iter": 2})
+    data = json.loads(body)
+    assert len(data["images"]) == 2          # n_iter folds into the batch
+    png = base64.b64decode(data["images"][0])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    info = json.loads(data["info"])
+    assert len(info["infotexts"]) == 2
+
+    # Karras-suffixed sampler name maps method + scheduler
+    _, body2 = _post(server_url, "/sdapi/v1/txt2img",
+                     {"prompt": "an astronaut", "steps": 2, "seed": 7,
+                      "width": 64, "height": 64,
+                      "sampler_name": "DPM++ 2M Karras"})
+    info2 = json.loads(json.loads(body2)["info"])
+    assert "Karras" in info2["infotexts"][0] \
+        or "karras" in info2["infotexts"][0].lower()
+
+    # unsupported sampler -> clean 400
+    import urllib.error
+    import urllib.request
+    try:
+        _post(server_url, "/sdapi/v1/txt2img",
+              {"prompt": "x", "sampler_name": "DDIM"})
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
+
+
+def test_sdapi_img2img(server_url):
+    import base64
+    from PIL import Image
+    server_url, _ = server_url
+    rng = __import__("numpy").random.default_rng(1)
+    arr = (rng.random((64, 64, 3)) * 255).astype("uint8")
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    ctype, body = _post(server_url, "/sdapi/v1/img2img",
+                        {"prompt": "a boat", "steps": 2, "seed": 5,
+                         "init_images": ["data:image/png;base64," + b64],
+                         "denoising_strength": 0.6})
+    data = json.loads(body)
+    assert len(data["images"]) == 1
+    assert "img2img" in json.loads(data["info"])["infotexts"][0]
