@@ -624,6 +624,9 @@ def make_handler(srv: Server):
                 self._sdapi_generate(req,
                                      self.path.endswith("img2img"))
                 return
+            if self.path == "/v1/images/generations":
+                self._openai_generate(req)
+                return
             if self.path != "/generate":
                 self._json(404, {"error": "not found"})
                 return
@@ -681,6 +684,41 @@ def make_handler(srv: Server):
                 "info": json.dumps({"infotexts": p.infotexts,
                                     "time_s": round(p.time_s, 4),
                                     "request_id": p.id})})
+
+        def _openai_generate(self, oreq):
+            """OpenAI Images API dialect (POST /v1/images/generations):
+            prompt / n / size "WxH" / model; response_format b64_json
+            (the default; "url" is refused — nothing is hosted)."""
+            try:
+                if oreq.get("response_format", "b64_json") != "b64_json":
+                    raise ValueError(
+                        'only response_format "b64_json" is supported')
+                req = {"format": "json", "prompt": str(oreq.get("prompt",
+                                                                ""))}
+                if oreq.get("model"):
+                    req["model"] = oreq["model"]
+                if oreq.get("size"):
+                    w, _, h = str(oreq["size"]).lower().partition("x")
+                    req["width"], req["height"] = int(w), int(h or w)
+                req["batch_size"] = max(1, int(oreq.get("n", 1)))
+                if oreq.get("seed") is not None:   # extension, not OpenAI
+                    req["seed"] = int(oreq["seed"])
+                p = srv.submit(req)
+            except Exception as e:  # noqa
+                self._json(400, {"error": {"message": str(e),
+                                           "type": "invalid_request_error"}})
+                return
+            p.event.wait()
+            if p.error:
+                self._json(400, {"error": {"message": p.error,
+                                           "type": "server_error"}})
+                return
+            self._json(200, {
+                "created": int(time.time()),
+                "data": [{"b64_json": base64.b64encode(
+                    _png_bytes(p.imgs[i], p.infotexts[i])).decode(),
+                    "revised_prompt": None}
+                    for i in range(p.imgs.shape[0])]})
 
     return Handler
 

@@ -523,3 +523,24 @@ def test_sdapi_img2img(server_url):
     data = json.loads(body)
     assert len(data["images"]) == 1
     assert "img2img" in json.loads(data["info"])["infotexts"][0]
+
+
+def test_openai_images_api(server_url):
+    import base64
+    server_url, _ = server_url
+    ctype, body = _post(server_url, "/v1/images/generations",
+                        {"prompt": "a lighthouse", "n": 2,
+                         "size": "64x64", "seed": 4})
+    data = json.loads(body)
+    assert "created" in data and len(data["data"]) == 2
+    png = base64.b64decode(data["data"][0]["b64_json"])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    import urllib.error
+    try:
+        _post(server_url, "/v1/images/generations",
+              {"prompt": "x", "response_format": "url"})
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
