@@ -12,6 +12,7 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
         config 4: img2img f_t_ini 0.75 + circular alpha-mask inpainting)
   suffix -b8: batch-8 throughput (s/image at batch 8)
   suffix -q8: int8 weights (MLIS_Q8_MODE=int8|dq selects MXU strategy)
+  suffix -q4: packed-int4 weights (in-VMEM nibble unpack; 1/4 bf16 bytes)
   suffix -cnet: ControlNet-conditioned (hint encoder + control branch
         fused into the loop; beyond-reference feature cost)
   suffix -turbo: distilled-model inference shape (4 steps, cfg 1 — the
@@ -154,6 +155,62 @@ def synth_q8_params(spec, seed=0, chunk_elems=1 << 28):
     return out
 
 
+def synth_q4_params(spec, seed=0, chunk_elems=1 << 28):
+    """Synthesize packed-int4 weight-only params ON DEVICE (two nibbles
+    per byte + per-K-block scales; see ops/q4_matmul.py) — quarters the
+    bf16 weight residency, e.g. Flux 12B ~6.2 GiB."""
+    import jax
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.models.blocks import LINEAR_W
+    from mlimgsynth_tpu.ops.q8_matmul import KBLOCK
+    plain, q4 = {}, []
+    for name, ps in sorted(spec.items()):
+        if ps.kind == LINEAR_W and ps.shape[0] % KBLOCK == 0:
+            q4.append((name, ps))
+        else:
+            plain[name] = ps
+    out = synth_params(plain, seed)
+
+    buckets, cur, cur_n = [], [], 0
+    for name, ps in q4:
+        n_el = int(np.prod(ps.shape)) // 2
+        if cur and cur_n + n_el > chunk_elems:
+            buckets.append(cur)
+            cur, cur_n = [], 0
+        cur.append((name, ps))
+        cur_n += n_el
+    if cur:
+        buckets.append(cur)
+
+    def make_gen(bucket):
+        total = sum(int(np.prod(ps.shape)) // 2 for _, ps in bucket)
+
+        @jax.jit
+        def gen(key):
+            k1, k2 = jax.random.split(key)
+            lo = jax.random.randint(k1, (total,), -7, 8, jnp.int8)
+            hi = jax.random.randint(k2, (total,), -7, 8, jnp.int8)
+            flat = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+            res = {}
+            off = 0
+            for name, ps in bucket:
+                k, n = ps.shape
+                res[name + "_q4"] = flat[off:off + k * n // 2].reshape(
+                    k // 2, n)
+                off += k * n // 2
+                res[name + "_scale"] = jnp.full(
+                    (k // KBLOCK, n), 1.7 * 0.5 / (k ** 0.5) / 4.0,
+                    jnp.float32)
+            return res
+        return gen
+
+    for bi, bucket in enumerate(buckets):
+        part = make_gen(bucket)(jax.random.PRNGKey(seed * 77003 + bi))
+        jax.block_until_ready(part)
+        out.update(part)
+    return out
+
+
 def bench_config(name):
     import jax
     import jax.numpy as jnp
@@ -170,7 +227,8 @@ def bench_config(name):
     method = "euler"
     use_tae = False
     use_q8 = name.endswith("-q8")
-    name_base = name[:-3] if use_q8 else name
+    use_q4 = name.endswith("-q4")
+    name_base = name[:-3] if (use_q8 or use_q4) else name
     n_batch = 1
     import re as _re
     m = _re.search(r"-b(\d+)$", name_base)   # batch-throughput config
@@ -263,7 +321,12 @@ def bench_config(name):
                 else None, unet_p),
             jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
             jnp.zeros((1, 77, unet_p.n_ctx)))
-    if use_q8:
+    if use_q4:
+        unet_params = synth_q4_params(spec_u, 0)
+        n_q = sum(1 for k in unet_params if k.endswith("_q4"))
+        log(f"[{name}] {n_q} linear weights synthesized packed-int4 "
+            "on device")
+    elif use_q8:
         # device-side int8 synthesis (no host round-trip: the 40MB/s
         # host->HBM link would take minutes at sd35-large/flux scale)
         unet_params = synth_q8_params(spec_u, 0)
@@ -528,6 +591,8 @@ def bench_config(name):
         label += " img2img+inpaint"
     if use_q8:
         label += " int8-weights"
+    if use_q4:
+        label += " int4-weights"
     if use_turbo:
         label += " turbo-style"
     if n_batch > 1:
@@ -577,7 +642,10 @@ def bench_flux(name):
             guidance=(jnp.zeros((1,)) if P.guidance_embed else None)),
         jnp.zeros((1, 8, 8, P.n_ch_in // 4)), jnp.zeros((1,)),
         jnp.zeros((1, s_t5, P.d_ctx_in)), jnp.zeros((1, P.d_pooled)))
-    unet_params = synth_q8_params(spec_u, 0)
+    if os.environ.get("MLIS_FLUX_Q4"):
+        unet_params = synth_q4_params(spec_u, 0)   # ~6.2 GiB resident
+    else:
+        unet_params = synth_q8_params(spec_u, 0)
     spec_v = B.trace_spec(
         lambda ctx, x: V.vae_decode_apply(ctx, x, vae_p),
         jnp.zeros((1, 8, 8, vae_p.ch_z)))

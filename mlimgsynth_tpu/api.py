@@ -279,6 +279,7 @@ class MLImgSynth:
         self._wtype_set = False
         self._model_type_set = False
         self._weights_q8 = False
+        self._weights_qbits = 8
         # pipeline entry points are serialized; sessions are safe to
         # drive from multiple threads (the reference is documented
         # not thread-safe, include/mlimgsynth.h:9)
@@ -723,9 +724,11 @@ class MLImgSynth:
         if wt in ("", "none", "-1"):
             self._dtype = jnp.bfloat16
             self._wtype_set = False
+            self._weights_q8 = False
+            self._weights_qbits = 8
             return
         m = {"f32": jnp.float32, "f16": jnp.bfloat16, "bf16": jnp.bfloat16,
-             "q8_0": jnp.bfloat16, "q4_1": jnp.bfloat16,
+             "q8_0": jnp.bfloat16, "q4_0": jnp.bfloat16, "q4_1": jnp.bfloat16,
              "q4_k": jnp.bfloat16, "q5_k": jnp.bfloat16,
              "q6_k": jnp.bfloat16}
         key = wt.lower()
@@ -736,9 +739,12 @@ class MLImgSynth:
         else:
             raise MlisError(MlisError.E_OPT_VALUE,
                             f"unknown weight type '{wt}'")
-        # quantized weight types execute linears as weight-only int8
-        # (Pallas dequant-matmul); convs/norms stay in the compute dtype
+        # quantized weight types execute linears weight-only quantized
+        # (Pallas dequant-matmul); convs/norms stay in the compute dtype.
+        # 4-bit families run the packed-int4 path (1/4 the bf16 weight
+        # bytes resident), the rest int8 (1/2).
         self._weights_q8 = key.startswith("q")
+        self._weights_qbits = 4 if key.startswith("q4") else 8
         self.c["weight_type"] = key
         self._wtype_set = True
 
@@ -1133,8 +1139,10 @@ class MLImgSynth:
         if self._weights_q8 and submodel != "t5":
             # (T5's attention projections consume weights directly as
             # head-split einsums — no q8 route; T5 stays in compute dtype)
-            n_q = weights_mod.quantize_linear_weights(host, spec)
-            log.info2(f"{submodel}: {n_q} linear weights quantized to int8")
+            n_q = weights_mod.quantize_linear_weights(
+                host, spec, bits=self._weights_qbits)
+            log.info2(f"{submodel}: {n_q} linear weights quantized to "
+                      f"int{self._weights_qbits}")
         if self.c["dump_flags"] & 4 and submodel == "unet":  # MLIS_DUMP_GRAPH
             self._dump_graph(spec)
         if submodel == "unet" and self.c["pp"] > 1:

@@ -106,12 +106,17 @@ def gelu_quick(x):
 def linear(ctx: Ctx, pre: str, x, n_out: int, bias: bool = True):
     """ref: mlb_nn_linear (src/mlblock_nn.c:16-28).
 
-    When the param dict holds a quantized pair (``.weight_q8`` int8 +
-    ``.weight_scale``), the weight-only int8 path runs instead (Pallas
-    dequant-matmul on TPU; see ops/q8_matmul.py)."""
+    When the param dict holds a quantized pair (``.weight_q8`` int8 or
+    ``.weight_q4`` packed nibbles, + ``.weight_scale``), the weight-only
+    quantized path runs instead (Pallas dequant-matmul on TPU; see
+    ops/q8_matmul.py, ops/q4_matmul.py)."""
     if not ctx.record and (pre + ".weight_q8") in ctx.params:
         from ..ops.q8_matmul import q8_dot
         x = q8_dot(x, ctx.params[pre + ".weight_q8"],
+                   ctx.params[pre + ".weight_scale"])
+    elif not ctx.record and (pre + ".weight_q4") in ctx.params:
+        from ..ops.q4_matmul import q4_dot
+        x = q4_dot(x, ctx.params[pre + ".weight_q4"],
                    ctx.params[pre + ".weight_scale"])
     else:
         w = ctx.param(pre + ".weight", (x.shape[-1], n_out), LINEAR_W)

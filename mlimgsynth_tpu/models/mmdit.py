@@ -148,8 +148,10 @@ def _qkv(ctx: B.Ctx, pre: str, x, P: MmditParams):
 def _attn_out(ctx: B.Ctx, pre: str, o, P: MmditParams):
     """[N,H,S,D] attention output -> [N,S,d] through the proj linear."""
     n, h, s, dh = o.shape
-    if not ctx.record and (pre + ".proj.weight_q8") in ctx.params:
-        # int8 weight-only path (the reshape feeds B.linear's q8 branch)
+    if not ctx.record and ((pre + ".proj.weight_q8") in ctx.params
+                           or (pre + ".proj.weight_q4") in ctx.params):
+        # int8/int4 weight-only path (the reshape feeds B.linear's
+        # quantized branch)
         o2 = o.transpose(0, 2, 1, 3).reshape(n, s, P.width)
         return B.linear(ctx, pre + ".proj", o2, P.width)
     w = ctx.param(pre + ".proj.weight", (P.width, P.width), B.LINEAR_W)

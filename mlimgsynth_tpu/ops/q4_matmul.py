@@ -1,0 +1,144 @@
+"""Weight-only int4 matmul: Pallas kernel with in-VMEM nibble unpack.
+
+The 4-bit tier below ops/q8_matmul.py: weights live in HBM as packed
+nibbles (two 4-bit values per int8 byte) with the same per-[128 x column]
+f32 scales, quartering the bf16 weight footprint (Flux 12B: ~24 GiB bf16
+-> ~11.75 int8 -> ~6.2 GiB int4 resident).  The kernel unpacks and
+dequantizes tiles in VMEM right before the bf16 MXU dot; activations stay
+bf16 and accumulation is float32.  The reference's analog is computing
+directly from ggml q4 blocks (reference: src/ccompute/tensorstore.c
+dequant tables); here 4-bit is a first-class runtime path, not only a
+load-time decode.
+
+Quantization: symmetric per (K-block=128, output-column) group:
+``w = q * scale``, q in [-7, 7], ``scale = max|w_block| / 7``.
+
+Packing layout: within each 128-row K-block, row ``r`` of the 64 packed
+bytes holds block-row ``r`` in the LOW nibble and block-row ``r + 64`` in
+the HIGH nibble — unpacking is two arithmetic shifts and one sublane
+concat (no interleave relayout on the TPU's [sublane, lane] tiles).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .q8_matmul import KBLOCK
+
+HALF = KBLOCK // 2
+
+
+def quantize_weight_q4(w: np.ndarray):
+    """[K, N] float -> (packed int8 [K/2, N], f32 scales [K/128, N])."""
+    k, n = w.shape
+    assert k % KBLOCK == 0, (k, n)
+    wb = np.asarray(w, np.float32).reshape(k // KBLOCK, KBLOCK, n)
+    amax = np.abs(wb).max(axis=1, keepdims=True)
+    scale = (amax / 7.0).astype(np.float32)
+    q = np.clip(np.round(wb / np.maximum(scale, 1e-30)), -7, 7
+                ).astype(np.int8)
+    lo = q[:, :HALF, :] & 0x0F                    # block rows 0..63
+    hi = q[:, HALF:, :] << 4                      # block rows 64..127
+    packed = (lo | hi).astype(np.int8).reshape(k // 2, n)
+    return packed, scale.reshape(k // KBLOCK, n)
+
+
+def _unpack_block(wp):
+    """Packed [HALF, bn] int8 -> [KBLOCK, bn] int8 in block-row order.
+
+    Arithmetic shifts sign-extend the nibbles: low nibble via <<4 then
+    >>4, high nibble via >>4 directly.
+    """
+    lo = (wp << 4) >> 4
+    hi = wp >> 4
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def unpack_q4(packed, k):
+    """[K/2, N] packed -> [K, N] int8 (host/test helper, jnp)."""
+    n = packed.shape[1]
+    pb = jnp.asarray(packed).reshape(k // KBLOCK, HALF, n)
+    lo = (pb << 4) >> 4
+    hi = pb >> 4
+    return jnp.concatenate([lo, hi], axis=1).reshape(k, n)
+
+
+def _q4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]                      # [bm, KBLOCK] bf16/f32
+    wp = w_ref[...]                     # [HALF, bn] packed int8
+    s = s_ref[0, 0:1, :]                # [1, bn] f32
+    wd = _unpack_block(wp).astype(jnp.bfloat16)
+    part = jax.lax.dot_general(
+        x, wd, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] += part * s
+
+    @pl.when(ik == n_kb - 1)
+    def _done():
+        o_ref[...] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def q4_matmul(x, w_q4, w_scale, block_m: int = 256, block_n: int = 512):
+    """x: [..., K], w_q4: [K/2, N] packed int8, w_scale: [K/128, N] f32
+    -> [..., N] in x.dtype."""
+    orig_shape = x.shape
+    k = x.shape[-1]
+    n = w_q4.shape[1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    n_kb = k // KBLOCK
+
+    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    for cand in (block_n, 256, 128):
+        if n % cand == 0:
+            bn = cand
+            break
+    else:
+        bn = n
+    m_p = pl.cdiv(m, bm) * bm
+    if m_p != m:
+        x2 = jnp.pad(x2, ((0, m_p - m), (0, 0)))
+    scale8 = jnp.broadcast_to(w_scale[:, None, :], (n_kb, 8, n))
+
+    out = pl.pallas_call(
+        functools.partial(_q4_kernel, n_kb=n_kb),
+        grid=(m_p // bm, n // bn, n_kb),
+        in_specs=[
+            pl.BlockSpec((bm, KBLOCK), lambda i, j, ik: (i, ik)),
+            pl.BlockSpec((HALF, bn), lambda i, j, ik: (ik, j)),
+            pl.BlockSpec((1, 8, bn), lambda i, j, ik: (ik, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ik: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )(x2, w_q4, scale8)
+    return out[:m].reshape(orig_shape[:-1] + (n,))
+
+
+def q4_matmul_xla(x, w_q4, w_scale):
+    """Weight-only fallback path: unpack + dequantize then matmul."""
+    k = x.shape[-1]
+    n = w_q4.shape[1]
+    q = unpack_q4(w_q4, k)
+    w = (q.astype(jnp.float32).reshape(k // KBLOCK, KBLOCK, n)
+         * w_scale[:, None, :]).reshape(k, n)
+    return jnp.dot(x, w.astype(x.dtype))
+
+
+def q4_dot(x, w_q4, w_scale):
+    """Dispatch: Pallas in-VMEM unpack+dequant on TPU, XLA emulation off."""
+    on_tpu = jax.default_backend() == "tpu" and w_q4.shape[1] % 128 == 0
+    return q4_matmul(x, w_q4, w_scale) if on_tpu \
+        else q4_matmul_xla(x, w_q4, w_scale)

@@ -297,12 +297,15 @@ def lora_apply(model_store: TensorStore, model_map: Dict[str, NameRef],
 
 
 def quantize_linear_weights(host_params: Dict[str, np.ndarray],
-                            spec: Dict[str, ParamSpec]) -> int:
-    """Replace eligible linear weights with int8 + scale pairs in place
-    (weight-only quantized execution; see ops/q8_matmul.py).  Returns the
+                            spec: Dict[str, ParamSpec],
+                            bits: int = 8) -> int:
+    """Replace eligible linear weights with int8 (``bits=8``) or packed
+    int4 (``bits=4``) + scale pairs in place (weight-only quantized
+    execution; see ops/q8_matmul.py and ops/q4_matmul.py).  Returns the
     number of weights quantized."""
     from .models.blocks import LINEAR_W
     from .ops.q8_matmul import KBLOCK, quantize_weight
+    from .ops.q4_matmul import quantize_weight_q4
     n = 0
     for name, ps in list(spec.items()):
         if ps.kind != LINEAR_W or name not in host_params:
@@ -311,9 +314,13 @@ def quantize_linear_weights(host_params: Dict[str, np.ndarray],
         if k % KBLOCK != 0:
             continue  # stays in the compute dtype
         w = np.asarray(host_params[name], np.float32)
-        q, scale = quantize_weight(w)
+        if bits == 4:
+            q, scale = quantize_weight_q4(w)
+            host_params[name + "_q4"] = q
+        else:
+            q, scale = quantize_weight(w)
+            host_params[name + "_q8"] = q
         del host_params[name]
-        host_params[name + "_q8"] = q
         host_params[name + "_scale"] = scale
         n += 1
     return n
