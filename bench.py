@@ -589,10 +589,10 @@ def bench_config(name):
                                                             "SD1.5")
     if use_i2i:
         label += " img2img+inpaint"
-    if use_q8:
-        label += " int8-weights"
     if use_q4:
         label += " int4-weights"
+    elif use_q8:
+        label += " int8-weights"
     if use_turbo:
         label += " turbo-style"
     if n_batch > 1:
