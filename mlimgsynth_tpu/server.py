@@ -627,6 +627,35 @@ def make_handler(srv: Server):
             if self.path == "/v1/images/generations":
                 self._openai_generate(req)
                 return
+            if self.path == "/sdapi/v1/options":
+                # A1111 model switching: sd_model_checkpoint picks the
+                # default model among the launched sessions by name
+                want = str(req.get("sd_model_checkpoint", "") or "")
+                if want:
+                    name = next((n for n in srv.sessions
+                                 if n == want or want.startswith(n)), None)
+                    if name is None:
+                        self._json(400, {
+                            "error": f"unknown model {want!r}; launched: "
+                                     + ", ".join(srv.sessions)})
+                        return
+                    srv.default_model = name
+                self._json(200, {})
+                return
+            if self.path == "/sdapi/v1/png-info":
+                try:
+                    from PIL import Image
+                    raw = base64.b64decode(
+                        _strip_data_url(str(req.get("image", ""))))
+                    img = Image.open(io.BytesIO(raw))
+                    info = (img.text or {}).get("parameters", "") \
+                        if hasattr(img, "text") else ""
+                    self._json(200, {"info": info,
+                                     "items": dict(img.text or {})
+                                     if hasattr(img, "text") else {}})
+                except Exception as e:  # noqa
+                    self._json(400, {"error": str(e)})
+                return
             if self.path != "/generate":
                 self._json(404, {"error": "not found"})
                 return

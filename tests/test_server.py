@@ -544,3 +544,32 @@ def test_openai_images_api(server_url):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+
+
+def test_sdapi_options_switch_and_png_info(server_url):
+    import base64
+    import urllib.error
+    server_url, srv = server_url
+
+    # switch the default model (single-model fixture: name "default")
+    ctype, body = _post(server_url, "/sdapi/v1/options",
+                        {"sd_model_checkpoint": "default"})
+    assert json.loads(body) == {}
+    assert srv.default_model == "default"
+    try:
+        _post(server_url, "/sdapi/v1/options",
+              {"sd_model_checkpoint": "nope"})
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
+
+    # png-info round-trip: infotext written by /generate comes back out
+    ctype, png = _post(server_url, "/generate",
+                       {"prompt": "metadata probe", "seed": 2})
+    assert ctype == "image/png"
+    _, body = _post(server_url, "/sdapi/v1/png-info",
+                    {"image": base64.b64encode(png).decode()})
+    info = json.loads(body)
+    assert "metadata probe" in info["info"]
+    assert "Steps:" in info["info"]
