@@ -2195,7 +2195,13 @@ class MLImgSynth:
         with self._lock:
             self.setup()
             c, mt = self.c, self._mt
-            if c["refiner"] and not self._in_refiner:
+            if (c["hires_fix"] > 1.0 and not self._in_hires
+                    and not _latent_only):
+                return self._generate_batch_hires(
+                    requests, step_callback, init_latents, init_lmask,
+                    preview_callback, preview_chunk)
+            if (c["refiner"] and not self._in_refiner
+                    and not self._in_hires):
                 return self._generate_batch_refiner(
                     requests, step_callback, init_latents, init_lmask,
                     preview_callback, preview_chunk)
@@ -2426,6 +2432,67 @@ class MLImgSynth:
                 (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
                  self.infotext, self.tensors["lmask"]) = save
             return imgs, infotexts
+
+    def _generate_batch_hires(self, requests, step_callback, init_latents,
+                              init_lmask, preview_callback, preview_chunk
+                              ) -> Tuple[np.ndarray, List[str]]:
+        """Two-stage highres-fix on the batched serving path (A1111
+        ``enable_hr`` semantics, mirroring :meth:`_hires_generate`): a
+        latent-only base-stage batch at ``image_dim``, a bilinear latent
+        upscale by ``hires_fix``, then an img2img refine-stage batch at
+        strength ``hires_denoise``.  Request seeds are reused per stage
+        (each stage draws its own Philox streams), matching A1111's
+        same-seed hires pass.  Stage-1 infotexts are kept with the Hires
+        fields appended."""
+        c = self.c
+        factor = float(c["hires_fix"])
+        base_w, base_h = c["width"], c["height"]
+        f = self._mt.vae_p.f_down
+        mult = f * 8
+        fin_w = max(mult, int(round(base_w * factor / mult)) * mult)
+        fin_h = max(mult, int(round(base_h * factor / mult)) * mult)
+        denoise = float(c["hires_denoise"])
+        steps2 = int(c["hires_steps"]) or c["steps"]
+        saved_steps = c["steps"]
+        saved_ini, saved_end = c["f_t_ini"], c["f_t_end"]
+        aborted = []
+
+        def cb1(i_step, n_step):
+            r = bool(step_callback(i_step, n_step)) \
+                if step_callback else False
+            if r:
+                aborted.append(1)
+            return r
+
+        self._in_hires = True
+        try:
+            lats, infos = self.generate_batch(
+                requests, cb1, init_latents, init_lmask,
+                preview_callback, preview_chunk, _latent_only=True)
+            if aborted:
+                raise Aborted("generation cancelled")
+            import jax
+            import jax.numpy as jnp
+            lat = np.asarray(lats, np.float32)
+            lat2 = np.asarray(jax.image.resize(
+                jnp.asarray(lat),
+                (lat.shape[0], lat.shape[1], fin_h // f, fin_w // f),
+                "bilinear"), np.float32)
+            c["width"], c["height"] = fin_w, fin_h
+            c["steps"] = steps2
+            c["f_t_ini"], c["f_t_end"] = denoise, 0.0
+            imgs, _ = self.generate_batch(
+                requests, step_callback, lat2, None,
+                preview_callback, preview_chunk)
+            infos = [t + f", Hires upscale: {factor:g}, "
+                     f"Hires steps: {steps2}, "
+                     f"Denoising strength: {denoise:g}" for t in infos]
+            return imgs, infos
+        finally:
+            self._in_hires = False
+            c["width"], c["height"] = base_w, base_h
+            c["steps"] = saved_steps
+            c["f_t_ini"], c["f_t_end"] = saved_ini, saved_end
 
     def _generate_batch_refiner(self, requests, step_callback, init_latents,
                                 init_lmask, preview_callback, preview_chunk

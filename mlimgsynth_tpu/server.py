@@ -69,6 +69,8 @@ _SHARED_OPTS = {
     "steps": "steps", "cfg_scale": "cfg-scale", "method": "method",
     "scheduler": "scheduler", "s_ancestral": "s-ancestral",
     "s_noise": "s-noise", "clip_skip": "clip-skip", "f_t_ini": "f-t-ini",
+    "hires_fix": "hires-fix", "hires_denoise": "hires-denoise",
+    "hires_steps": "hires-steps",
 }
 _SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height", "model",
                                       "preview", "preview_every")
@@ -502,6 +504,15 @@ def _a1111_to_req(req: dict, img2img: bool = False) -> dict:
             out["mask"] = _strip_data_url(req["mask"])
         if req.get("denoising_strength") is not None:
             out["f_t_ini"] = float(req["denoising_strength"])
+    elif req.get("enable_hr"):
+        # A1111 highres-fix: two-pass latent upscale + refine.  Only the
+        # "Latent" upscaler family is supported (hr_upscaler is accepted
+        # and ignored); hr_resize_x/y absolute-target mode is not.
+        out["hires_fix"] = float(req.get("hr_scale", 2.0))
+        if req.get("hr_second_pass_steps"):
+            out["hires_steps"] = int(req["hr_second_pass_steps"])
+        if req.get("denoising_strength") is not None:
+            out["hires_denoise"] = float(req["denoising_strength"])
     return out
 
 

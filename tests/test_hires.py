@@ -75,6 +75,43 @@ def test_hires_matches_manual_two_stage(ckpt, monkeypatch):
     np.testing.assert_array_equal(auto, manual)
 
 
+def test_hires_generate_batch(ckpt, monkeypatch):
+    """Batched serving path: hires runs base batch -> latent upscale ->
+    refine batch; per-request results are batch-size invariant."""
+    patch_tiny_model_types(monkeypatch)
+    s = make(ckpt)
+    s.option_set_str("hires-fix", "2")
+    s.option_set_str("hires-steps", "2")
+    reqs = [{"prompt": "hires batch a", "seed": 7},
+            {"prompt": "hires batch b", "seed": 8}]
+    imgs, infos = s.generate_batch(reqs)
+    assert imgs.shape == (2, 3, 128, 128)
+    assert np.isfinite(imgs).all()
+    assert all("Hires upscale: 2" in t for t in infos)
+    # options restored for the next batch
+    assert s.c["width"] == 64 and s.c["steps"] == 3
+
+    solo, _ = s.generate_batch([reqs[1]])
+    np.testing.assert_array_equal(imgs[1], solo[0])
+
+
+def test_hires_a1111_translation():
+    from mlimgsynth_tpu.server import _a1111_to_req
+    out = _a1111_to_req({"prompt": "p", "enable_hr": True, "hr_scale": 1.5,
+                         "hr_second_pass_steps": 4,
+                         "denoising_strength": 0.55,
+                         "sampler_name": "Euler"})
+    assert out["hires_fix"] == 1.5
+    assert out["hires_steps"] == 4
+    assert out["hires_denoise"] == 0.55
+    # img2img keeps denoising_strength as f_t_ini, no hires keys
+    out2 = _a1111_to_req({"prompt": "p", "init_images": ["aGk="],
+                          "denoising_strength": 0.4,
+                          "sampler_name": "Euler"}, img2img=True)
+    assert out2["f_t_ini"] == 0.4
+    assert "hires_fix" not in out2
+
+
 def test_hires_option_plumbing(ckpt):
     s = MLImgSynth()
     s.option_set_str("hires-fix", "1.5")

@@ -1,6 +1,6 @@
 #!/bin/bash
-# Waits for the axon relay to come back (outage since ~20:20), then runs
-# the queued perf passes in order.  Probe: one devices() dial, bounded.
+# Waits for the axon relay to come back, then runs the queued perf passes
+# in order.  Probe: one devices() dial, bounded.  Logs to /tmp/tpu_master.log.
 set -u
 cd "$(dirname "$0")/.."
 echo "$(date +%H:%M) waiting for axon relay..."
@@ -14,4 +14,5 @@ done
 bash tools/tpu_queue13.sh
 bash tools/tpu_queue14.sh
 bash tools/tpu_queue15.sh
+bash tools/tpu_queue16.sh
 echo "=== MASTER DONE ==="
