@@ -525,6 +525,14 @@ class MLImgSynth:
                 parsed = prompt_mod.prompt_set_parse(text)
             except prompt_mod.PromptParseError as e:
                 raise MlisError(MlisError.E_PROMPT_PARSE, str(e))
+            if key == "prompt_raw":
+                # drop prompt-tag loras left applied by a previous
+                # generate_batch (the batch path keeps them patched as a
+                # cache across same-tag batches)
+                kept = [l for l in self.loras if not l[2]]
+                if len(kept) != len(self.loras):
+                    self.loras = kept
+                    self._ready.discard("loras")
             for lname, lmult in parsed.loras:
                 self._lora_add(lname, lmult, from_prompt=True)
         pt.text = parsed.text
@@ -2151,19 +2159,44 @@ class MLImgSynth:
     # one-image-per-call, src/mlimgsynth.c:1640-1641)
     # ------------------------------------------------------------------
 
-    def _parse_prompt_text(self, text: str) -> prompt_mod.PromptText:
-        """Parse a prompt without mutating session state (no lora tags)."""
+    def _parse_prompt_text(self, text: str,
+                           allow_loras: bool = False
+                           ) -> prompt_mod.PromptText:
+        """Parse a prompt without mutating session state."""
         if self.c["no_prompt_parse"]:
             return prompt_mod.prompt_set_raw(text)
         try:
             parsed = prompt_mod.prompt_set_parse(text)
         except prompt_mod.PromptParseError as e:
             raise MlisError(MlisError.E_PROMPT_PARSE, str(e))
-        if parsed.loras:
+        if parsed.loras and not allow_loras:
             raise MlisError(
                 MlisError.E_OPT_VALUE,
-                "<lora:...> tags are not supported in batched requests")
+                "<lora:...> tags are not supported in batched negative "
+                "prompts")
         return parsed
+
+    def _batch_loras_apply(self, pts: List[prompt_mod.PromptText]):
+        """Apply the ``<lora:...>`` tag set shared by a merged device
+        batch.  Weights are one set per batch, so every request must
+        carry the SAME tag list (the server's merge key guarantees this
+        for serving traffic).  The patched store persists across batches
+        with identical tags — repeat traffic pays the patch cost once."""
+        tags = list(pts[0].loras) if pts else []
+        for p in pts[1:]:
+            if list(p.loras) != tags:
+                raise MlisError(
+                    MlisError.E_OPT_VALUE,
+                    "all requests in a device batch must share the same "
+                    "<lora:...> tags")
+        wanted = [(self._lora_find(name), float(mult))
+                  for name, mult in tags]
+        cur = [(p_, m_) for p_, m_, fp in self.loras if fp]
+        if cur != wanted:
+            self.loras = ([l for l in self.loras if not l[2]]
+                          + [(p_, m_, True) for p_, m_ in wanted])
+            self._ready.discard("loras")
+            self.setup()
 
     def generate_batch(self, requests: List[dict], step_callback=None,
                        init_latents: Optional[np.ndarray] = None,
@@ -2219,8 +2252,10 @@ class MLImgSynth:
             use_cfg = c["cfg_scale"] > 1 and not guidance_embed
             # ALL requests' prompts ride one batched encoder call (ditto
             # nprompts): 2 text-encode dispatches per merged batch total
-            pts = [self._parse_prompt_text(str(r.get("prompt", "")))
+            pts = [self._parse_prompt_text(str(r.get("prompt", "")),
+                                           allow_loras=True)
                    for r in requests]
+            self._batch_loras_apply(pts)
             # seedless entries get seed+i (matching generate()'s per-row
             # streams) so they don't share one noise stream
             seeds = [int(r["seed"]) if r.get("seed") is not None

@@ -83,6 +83,18 @@ def _image_b64_size(b64: str):
     return Image.open(_io.BytesIO(base64.b64decode(b64))).size
 
 
+def _lora_tags_of(req: dict):
+    """``<lora:...>`` tags of a request's prompt: part of the merge key —
+    one merged device batch shares one patched weight set, so only
+    same-tag requests may merge.  Parse errors get a unique key (no
+    merge; the error surfaces at generate time)."""
+    from .prompt import PromptParseError, prompt_set_parse
+    try:
+        return tuple(prompt_set_parse(str(req.get("prompt", ""))).loras)
+    except PromptParseError:
+        return ("!parse-error", str(req.get("prompt", "")))
+
+
 def _shared_of(req: dict) -> dict:
     d = {k: req.get(k) for k in _SHARED_KEYS}
     # img2img only merges with img2img of the SAME init-image size;
@@ -90,6 +102,7 @@ def _shared_of(req: dict) -> dict:
     d["_image_size"] = (_image_b64_size(req["image"])
                         if req.get("image") else None)
     d["_has_mask"] = bool(req.get("mask"))
+    d["_loras"] = _lora_tags_of(req)
     return d
 
 

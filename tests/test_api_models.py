@@ -172,6 +172,61 @@ def test_lora_prompt_tag(tmp_path, monkeypatch):
     assert s.loras == []
 
 
+def test_lora_prompt_tag_batch(tmp_path, monkeypatch):
+    """<lora:...> tags on the batched serving path: one patched weight
+    set per batch, persisted across same-tag batches, unpatched when the
+    tag set changes (incl. the follow-up single-generate path)."""
+    from mlimgsynth_tpu.api import MlisError
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+    spec = tiny_specs()
+    lora_path = tmp_path / "mystyle.safetensors"
+    # targets with an above-u8-quantization effect (mid-attn deltas wash
+    # out below 1/255 on the tiny model)
+    write_tiny_lora(lora_path, ["unet.in.1.1.transf.0.attn2.k_proj",
+                                "unet.in.1.0.conv1"], spec, alpha=4.0)
+    s = make_session(ckpt, "sd1", monkeypatch, {"sd1": TINY_MODEL_TYPE})
+    s.option_set("lora-dir", str(tmp_path))
+
+    reqs = [{"prompt": "a dog", "seed": 3},
+            {"prompt": "a cat", "seed": 4}]
+    base, _ = s.generate_batch(reqs)
+    tagged = [{"prompt": r["prompt"] + " <lora:mystyle:0.7>",
+               "seed": r["seed"]} for r in reqs]
+    out, _ = s.generate_batch(tagged)
+    assert not np.allclose(base, out)
+    # same-tag repeat reuses the patch (and reproduces exactly)
+    out2, _ = s.generate_batch(tagged)
+    np.testing.assert_array_equal(out, out2)
+    # tag-less batch unpatches back to base
+    back, _ = s.generate_batch(reqs)
+    np.testing.assert_array_equal(base, back)
+
+    # mixed tag sets in one batch are rejected
+    with pytest.raises(MlisError):
+        s.generate_batch([tagged[0], reqs[1]])
+
+    # single-generate after a tagged batch must not keep the patch
+    out3, _ = s.generate_batch(tagged)
+    s.option_set("seed", 3)
+    s.option_set("prompt", "a dog")
+    single = s.generate()
+    s2 = make_session(ckpt, "sd1", monkeypatch, {"sd1": TINY_MODEL_TYPE})
+    s2.option_set("seed", 3)
+    s2.option_set("prompt", "a dog")
+    np.testing.assert_array_equal(single, s2.generate())
+
+
+def test_lora_batch_merge_key():
+    from mlimgsynth_tpu.server import _shared_of
+    a = _shared_of({"prompt": "x <lora:s:0.5>"})
+    b = _shared_of({"prompt": "y <lora:s:0.5>"})
+    c = _shared_of({"prompt": "x <lora:s:0.6>"})
+    d = _shared_of({"prompt": "x"})
+    assert a["_loras"] == b["_loras"]
+    assert a["_loras"] != c["_loras"] and a["_loras"] != d["_loras"]
+
+
 def test_gguf_checkpoint(tmp_path, monkeypatch):
     """Convert the tiny checkpoint to GGUF and load it."""
     import struct
