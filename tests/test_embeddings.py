@@ -110,6 +110,19 @@ def test_embed_equals_word(ckpt, monkeypatch, tmp_path):
     np.testing.assert_array_equal(cond1, cond2)
 
 
+def test_embed_batch_path(ckpt, monkeypatch, tmp_path):
+    """<emb:NAME> tags ride the batched serving path: a batch mixing an
+    embedding prompt with its literal-word twin produces identical rows."""
+    s = make_session(ckpt, monkeypatch, tmp_path)
+    s.setup()
+    _, rows = _word_rows(s, "cat")
+    save_file({"emb_params": rows}, str(tmp_path / "likecat.safetensors"))
+    imgs, _ = s.generate_batch(
+        [{"prompt": "a <emb:likecat> photo", "seed": 5},
+         {"prompt": "a cat photo", "seed": 5}])
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
 def test_embed_multivector_and_generate(ckpt, monkeypatch, tmp_path):
     """Multi-vector embedding == its multi-token phrase, end-to-end
     through generate() (registration happens after params were cached)."""
