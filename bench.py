@@ -267,6 +267,16 @@ def bench_config(name):
                                           C.CLIP_VIT_L_14,
                                           C.CLIP_VIT_BIGG_14, V.VAE_SD3)
         flow = True
+    elif name_base == "sd35-medium":
+        # beyond-reference model family: SD3.5-medium (MMDiT-X: qk-norm,
+        # 384-grid pos embed, dual attention in x-blocks 0..12).  ~2.5B
+        # runs bf16 on one v5e.
+        from mlimgsynth_tpu.models import mmdit as MM
+        size, baseline = 1024, 4.0
+        unet_p, clip_p, clip2_p, vae_p = (MM.MMDIT_SD35_MEDIUM,
+                                          C.CLIP_VIT_L_14,
+                                          C.CLIP_VIT_BIGG_14, V.VAE_SD3)
+        flow = True
     elif name_base == "sd35-large":
         # beyond-reference model family: SD3.5-large (8B MMDiT, qk-norm).
         # bf16 would need ~16 GiB for weights alone, so this config is
@@ -585,6 +595,7 @@ def bench_config(name):
              "sd15-tae": "SD1.5+TAE",
              "sdxl-refiner": "SDXL-refiner",
              "sd3": "SD3-medium MMDiT flow",
+             "sd35-medium": "SD3.5-medium MMDiT-X flow",
              "sd35-large": "SD3.5-large 8B MMDiT flow"}.get(name_base,
                                                             "SD1.5")
     if use_i2i:
