@@ -230,6 +230,7 @@ class MLImgSynth:
             "tuflags": 0,
             "control_net": "", "control_strength": 1.0,
             "hires_fix": 0.0, "hires_denoise": 0.7, "hires_steps": 0,
+            "upscaler": "", "hires_upscaler": "",
             "refiner": "", "refiner_switch": 0.8,
             "t5": "", "t5_tokenizer": "", "t5_tokens": 77,
             "clip": "", "vae": "",
@@ -272,6 +273,7 @@ class MLImgSynth:
         self._refiner: Optional["MLImgSynth"] = None  # stage-2 sub-session
         self._refiner_path = ""
         self._t5_p = None                    # inferred T5 geometry
+        self._upscaler = None                # (device params, EsrganParams)
         self._keep_tail = False              # stop at sigma(f_t_end)
         self._noise_add = True               # add noise at sigma(f_t_ini)
         self._ready = set()
@@ -446,6 +448,13 @@ class MLImgSynth:
             c["hires_denoise"] = _float(args[0], 0.7)
         elif opt == "hires_steps":
             c["hires_steps"] = _int(args[0], 0)
+        elif opt == "upscaler":
+            path = str(args[0]) if args else ""
+            if path != c["upscaler"]:
+                c["upscaler"] = path
+                self._upscaler = None
+        elif opt == "hires_upscaler":
+            c["hires_upscaler"] = str(args[0]) if args else ""
         elif opt == "refiner":
             v = str(args[0]) if args else ""
             c["refiner"] = v
@@ -493,7 +502,7 @@ class MLImgSynth:
         value = value if value is not None else ""
         if opt in ("model", "tae", "lora_dir", "aux_dir", "prompt",
                    "nprompt", "control_net", "t5", "t5_tokenizer",
-                   "clip", "vae"):
+                   "clip", "vae", "upscaler", "hires_upscaler"):
             self.option_set(opt, value)  # no comma-splitting for paths/text
         elif opt in ("callback", "error_handler", "image", "image_mask",
                      "control_image"):
@@ -1550,6 +1559,48 @@ class MLImgSynth:
         f = self._mt.vae_p.f_down if self._mt else 8
         return image_mod.mask_downsize(mask, f)
 
+    # ------------------------------------------------------------------
+    # ESRGAN upscaler (beyond-reference; A1111 "Extras"/hr_upscaler)
+    # ------------------------------------------------------------------
+
+    def _upscaler_get(self):
+        if not self.c["upscaler"]:
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
+                "no upscaler model configured (option 'upscaler')")
+        if self._upscaler is None:
+            from .models import esrgan as esr_mod
+            path = self._aux_find(self.c["upscaler"])
+            t0 = time.time()
+            params, P = esr_mod.load_esrgan(path, dtype=self._dtype)
+            self._upscaler = (params, P)
+            log.info(f"Upscaler: {os.path.basename(path)} x{P.scale} "
+                     f"(RRDBNet f{P.n_feat} b{P.n_block}) "
+                     f"{{{time.time() - t0:.3f}s}}")
+        return self._upscaler
+
+    def upscale(self, img: np.ndarray,
+                resize: Optional[float] = None) -> np.ndarray:
+        """Upscale images NCHW [n,3,h,w] in [0,1] with the configured
+        ESRGAN model.  ``resize`` requests a final scale factor; the
+        model's native-factor output is Lanczos-resized when they differ
+        (A1111 ``upscaling_resize`` semantics)."""
+        with self._lock:
+            import jax.numpy as jnp
+
+            from .models import esrgan as esr_mod
+            params, P = self._upscaler_get()
+            x = jnp.asarray(
+                np.asarray(img, np.float32).transpose(0, 2, 3, 1))
+            out = np.asarray(
+                esr_mod.esrgan_run(params, x, P, dtype=self._dtype),
+                np.float32).transpose(0, 3, 1, 2)
+            if resize and abs(float(resize) - P.scale) > 1e-6:
+                th = int(round(img.shape[2] * float(resize)))
+                tw = int(round(img.shape[3] * float(resize)))
+                out = _lanczos_resize(out, th, tw)
+            return out
+
     def _vae_encode(self, img: np.ndarray, sample: bool) -> np.ndarray:
         params = self._get_params("vae")
         P = self._mt.vae_p
@@ -1997,7 +2048,13 @@ class MLImgSynth:
         refine pass at strength ``hires_denoise`` (``hires_steps`` steps,
         0 = same as ``steps``).  The refine pass operates on the upscaled
         latent only: init image/mask consumed by the base pass do not
-        carry into it (their information is already in the latent)."""
+        carry into it (their information is already in the latent).
+
+        With ``hires_upscaler`` set to anything but ""/"latent", the
+        upscale runs in IMAGE space instead: stage 1 decodes, the
+        configured ESRGAN model (option ``upscaler``) upscales the image
+        (Lanczos-trimmed to the final dims), and the refine pass starts
+        from its VAE re-encode — A1111's non-latent hr_upscaler mode."""
         c = self.c
         factor = float(c["hires_fix"])
         base_w, base_h = c["width"], c["height"]
@@ -2012,16 +2069,26 @@ class MLImgSynth:
         saved_prompt = (c["prompt_raw"], c["nprompt_raw"])
         saved_steps, saved_nodec = c["steps"], c["no_decode"]
         saved_loras = list(self.loras)
+        up_name = str(c["hires_upscaler"]).strip()
+        use_img_up = up_name.lower() not in ("", "latent")
         self._in_hires = True
         try:
-            c["no_decode"] = True
-            lat = np.asarray(self._generate(), np.float32)  # base pass
-            import jax
-            import jax.numpy as jnp
-            lat2 = np.asarray(jax.image.resize(
-                jnp.asarray(lat),
-                (lat.shape[0], lat.shape[1], fin_h // f, fin_w // f),
-                "bilinear"), np.float32)
+            if use_img_up:
+                c["no_decode"] = False
+                img1 = np.asarray(self._generate(), np.float32)
+                up = self.upscale(img1)
+                if up.shape[2] != fin_h or up.shape[3] != fin_w:
+                    up = _lanczos_resize(up, fin_h, fin_w)
+                lat2 = self.image_encode(up)
+            else:
+                c["no_decode"] = True
+                lat = np.asarray(self._generate(), np.float32)  # base pass
+                import jax
+                import jax.numpy as jnp
+                lat2 = np.asarray(jax.image.resize(
+                    jnp.asarray(lat),
+                    (lat.shape[0], lat.shape[1], fin_h // f, fin_w // f),
+                    "bilinear"), np.float32)
             # stage 2: img2img refine at the final resolution
             c["prompt_raw"], c["nprompt_raw"] = saved_prompt
             if saved_loras != self.loras:   # re-pin <lora:...> tag loras
@@ -2037,6 +2104,8 @@ class MLImgSynth:
             self.infotext += (f", Hires upscale: {factor:g}, "
                               f"Hires steps: {steps2}, "
                               f"Denoising strength: {denoise:g}")
+            if use_img_up:
+                self.infotext += f", Hires upscaler: {up_name}"
             return out
         finally:
             self._in_hires = False
@@ -2499,29 +2568,44 @@ class MLImgSynth:
                 aborted.append(1)
             return r
 
+        up_name = str(c["hires_upscaler"]).strip()
+        use_img_up = up_name.lower() not in ("", "latent")
         self._in_hires = True
         try:
-            lats, infos = self.generate_batch(
-                requests, cb1, init_latents, init_lmask,
-                preview_callback, preview_chunk, _latent_only=True)
-            if aborted:
-                raise Aborted("generation cancelled")
-            import jax
-            import jax.numpy as jnp
-            lat = np.asarray(lats, np.float32)
-            lat2 = np.asarray(jax.image.resize(
-                jnp.asarray(lat),
-                (lat.shape[0], lat.shape[1], fin_h // f, fin_w // f),
-                "bilinear"), np.float32)
+            if use_img_up:
+                imgs1, infos = self.generate_batch(
+                    requests, cb1, init_latents, init_lmask,
+                    preview_callback, preview_chunk)
+                if aborted:
+                    raise Aborted("generation cancelled")
+                up = self.upscale(np.asarray(imgs1, np.float32))
+                if up.shape[2] != fin_h or up.shape[3] != fin_w:
+                    up = _lanczos_resize(up, fin_h, fin_w)
+                lat2 = self.image_encode(up)
+            else:
+                lats, infos = self.generate_batch(
+                    requests, cb1, init_latents, init_lmask,
+                    preview_callback, preview_chunk, _latent_only=True)
+                if aborted:
+                    raise Aborted("generation cancelled")
+                import jax
+                import jax.numpy as jnp
+                lat = np.asarray(lats, np.float32)
+                lat2 = np.asarray(jax.image.resize(
+                    jnp.asarray(lat),
+                    (lat.shape[0], lat.shape[1], fin_h // f, fin_w // f),
+                    "bilinear"), np.float32)
             c["width"], c["height"] = fin_w, fin_h
             c["steps"] = steps2
             c["f_t_ini"], c["f_t_end"] = denoise, 0.0
             imgs, _ = self.generate_batch(
                 requests, step_callback, lat2, None,
                 preview_callback, preview_chunk)
+            extra = (f", Hires upscaler: {up_name}" if use_img_up else "")
             infos = [t + f", Hires upscale: {factor:g}, "
                      f"Hires steps: {steps2}, "
-                     f"Denoising strength: {denoise:g}" for t in infos]
+                     f"Denoising strength: {denoise:g}" + extra
+                     for t in infos]
             return imgs, infos
         finally:
             self._in_hires = False
@@ -2672,6 +2756,8 @@ _OPTIONS = [
     # textual-inversion embeddings, two-stage highres-fix
     "control_net", "control_image", "control_strength", "embed_dir",
     "hires_fix", "hires_denoise", "hires_steps",
+    # ESRGAN/RRDBNet upscaler model + image-space highres-fix mode
+    "upscaler", "hires_upscaler",
     # base->refiner ensemble-of-experts pipeline
     "refiner", "refiner_switch",
     # SD3 T5-XXL context tower (optional third text encoder)
@@ -2814,6 +2900,21 @@ def _tae_decode_u8_jit(params, lat, **kw):
 # one-tile activations (the point of tiling) while dispatch overhead stops
 # scaling with the tile count.
 # ---------------------------------------------------------------------------
+
+def _lanczos_resize(img_nchw: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Host-side Lanczos resize of float [n,c,h,w] images in [0,1]
+    (per-channel PIL 'F' images: no u8 round-trip)."""
+    from PIL import Image
+    n, c = img_nchw.shape[:2]
+    out = np.empty((n, c, th, tw), np.float32)
+    for i in range(n):
+        for j in range(c):
+            ch = Image.fromarray(np.asarray(img_nchw[i, j], np.float32),
+                                 mode="F")
+            out[i, j] = np.asarray(ch.resize((tw, th), Image.LANCZOS),
+                                   np.float32)
+    return np.clip(out, 0.0, 1.0, out)
+
 
 def _tile_geometry(full0, full1, n0, n1, k):
     """Row-major tile origins + inner write boxes (tile-relative), matching

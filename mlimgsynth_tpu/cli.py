@@ -32,6 +32,7 @@ Commands:
   vae-test             Encode and decode an image.
   clip-encode          Encode a prompt with the CLIP tokenizer and model.
   tokenize             Tokenize text (testing).
+  upscale              Upscale an image with the --upscaler ESRGAN model.
   check                Check that all operations (models) are working.
 
 Generation options:
@@ -58,6 +59,11 @@ Models and backend:
   --control-net PATH   ControlNet model file (control_model.* / diffusers).
   --control-image PATH Hint image (edge/pose/depth map; output-sized).
   --control-strength F ControlNet residual strength (default 1).
+  --upscaler PATH      ESRGAN/RRDBNet upscaler model (.safetensors/.pth);
+                       used by the upscale command and the image-space
+                       highres-fix (--hires-upscaler NAME).
+  --upscale-factor F   upscale command: final scale factor (default: the
+                       model's native factor, usually 4).
   --refiner PATH       Ensemble-of-experts refiner model: the base model
                        stops at the switch point and this model (e.g. the
                        SDXL refiner) finishes from the same noise level.
@@ -119,7 +125,7 @@ SHORT_OPTS = {
 # long options handled by the CLI itself; everything else forwards to the
 # library option table (reference: main_mlimgsynth.c:243-251)
 CLI_PATH_OPTS = ("input", "imask", "ilatent", "ilmask", "output", "olatent",
-                 "port", "control-image")
+                 "port", "control-image", "upscale-factor")
 
 
 class CliState:
@@ -297,6 +303,21 @@ def cmd_vae(session, state: CliState, encode: bool, decode: bool):
     return 0
 
 
+def cmd_upscale(session, state: CliState):
+    from .utils import image as image_mod
+    if not state.paths["input"]:
+        raise SystemExit("You must set the input image path.")
+    img = _load_image(state.paths["input"])
+    t = image_mod.tensor_from_image_arr(img)[:, :3]
+    factor = state.paths["upscale-factor"]
+    out = session.upscale(t, resize=float(factor) if factor else None)
+    if not state.paths["output"]:
+        raise SystemExit("You must set the output image path.")
+    _save_image(image_mod.tensor_to_image_arr(out), None,
+                state.paths["output"])
+    return 0
+
+
 def cmd_clip_encode(session, state: CliState):
     from .utils import image as image_mod
     text = session.c["prompt_raw"]
@@ -468,6 +489,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "vae-test": lambda s, st: cmd_vae(s, st, True, True),
         "clip-encode": cmd_clip_encode,
         "tokenize": cmd_tokenize,
+        "upscale": cmd_upscale,
         "check": cmd_check,
     }
     if state.cmd is None:

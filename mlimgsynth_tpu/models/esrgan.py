@@ -1,0 +1,220 @@
+"""ESRGAN / Real-ESRGAN (RRDBNet) image upscaler.
+
+Beyond-reference addition (the reference has no upscaler; A1111's
+highres-fix and "Extras" tab use these models, and our serving layer
+exposes the matching endpoints).  Architecture follows the public
+basicsr ``RRDBNet``: a conv stem, ``n_block`` Residual-in-Residual
+Dense Blocks, a trunk conv with a global residual, two nearest-2x +
+conv upsample stages, and an HR head — all 3x3 convs with LeakyReLU(0.2)
+activations and 0.2 residual scaling.
+
+TPU notes: the whole network is 3x3 convs at full image resolution —
+pure conv MXU work in NHWC/bf16, one fused XLA program, no attention and
+no normalization layers at all.  x2/x1 checkpoints keep the same trunk
+but feed a space-to-depth (pixel-unshuffle) input so the fixed 4x
+upsampler nets out at 2x/1x.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import blocks as B
+
+
+@dataclass(frozen=True)
+class EsrganParams:
+    n_feat: int = 64       # trunk width (conv_first out channels)
+    n_block: int = 23      # RRDB count (x4plus: 23; anime-6B: 6)
+    growth: int = 32       # dense-block growth channels
+    unshuffle: int = 1     # input space-to-depth factor (1: x4, 2: x2, 4: x1)
+    ch_img: int = 3
+
+    @property
+    def scale(self) -> int:
+        return 4 // self.unshuffle
+
+
+ESRGAN_X4 = EsrganParams()
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, 0.2 * x)
+
+
+def _rdb(ctx: B.Ctx, pre: str, x, growth: int):
+    """Residual dense block: 5 convs over dense concats, 0.2 residual."""
+    feats = [x]
+    for k in range(1, 5):
+        h = B.conv2d(ctx, f"{pre}.conv{k}",
+                     jnp.concatenate(feats, -1) if len(feats) > 1
+                     else feats[0], growth)
+        feats.append(_lrelu(h))
+    out = B.conv2d(ctx, f"{pre}.conv5", jnp.concatenate(feats, -1),
+                   x.shape[-1])
+    return x + 0.2 * out
+
+
+def _rrdb(ctx: B.Ctx, pre: str, x, growth: int):
+    h = x
+    for j in (1, 2, 3):
+        h = _rdb(ctx, f"{pre}.rdb{j}", h, growth)
+    return x + 0.2 * h
+
+
+def _nearest2x(x):
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def _space_to_depth(x, f: int):
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // f, f, w // f, f, c)
+    # basicsr pixel_unshuffle channel order: [c, fh, fw]
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(n, h // f, w // f, c * f * f)
+
+
+def esrgan_apply(ctx: B.Ctx, img, P: EsrganParams):
+    """img [N,H,W,3] in [0,1] -> [N,scale*H,scale*W,3] in [0,1]."""
+    x = img.astype(ctx.dtype)
+    if P.unshuffle > 1:
+        x = _space_to_depth(x, P.unshuffle)
+    fea = B.conv2d(ctx, "conv_first", x, P.n_feat)
+    h = fea
+    for i in range(P.n_block):
+        h = _rrdb(ctx, f"body.{i}", h, P.growth)
+    fea = fea + B.conv2d(ctx, "conv_body", h, P.n_feat)
+    fea = _lrelu(B.conv2d(ctx, "conv_up1", _nearest2x(fea), P.n_feat))
+    fea = _lrelu(B.conv2d(ctx, "conv_up2", _nearest2x(fea), P.n_feat))
+    out = B.conv2d(ctx, "conv_last", _lrelu(
+        B.conv2d(ctx, "conv_hr", fea, P.n_feat)), P.ch_img)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint loading
+# ---------------------------------------------------------------------------
+
+# old-arch ESRGAN (sequential "model.N" naming) -> basicsr RRDBNet names
+_OLD_FIXED = {
+    "model.0": "conv_first",
+    "model.3": "conv_up1",
+    "model.6": "conv_up2",
+    "model.8": "conv_hr",
+    "model.10": "conv_last",
+}
+
+
+def _canon_name(name: str, n_block_hint: int) -> str:
+    """Map an old-arch key prefix onto the basicsr name; new names pass
+    through unchanged."""
+    if not name.startswith("model."):
+        return name
+    for old, new in _OLD_FIXED.items():
+        if name.startswith(old + "."):
+            return new + name[len(old):]
+    if name.startswith("model.1.sub."):
+        rest = name[len("model.1.sub."):]
+        idx, _, tail = rest.partition(".")
+        if int(idx) == n_block_hint:          # trailing trunk conv
+            return "conv_body." + tail
+        tail = tail.replace(".0.", ".")       # convN.0.weight -> convN.weight
+        return f"body.{idx}." + tail.replace("RDB", "rdb")
+    return name
+
+
+def load_esrgan_state(path: str) -> Dict[str, np.ndarray]:
+    """Read a .safetensors or torch .pth ESRGAN checkpoint into a flat
+    f32 {basicsr_name: array} dict (torch layouts, OIHW convs)."""
+    raw: Dict[str, np.ndarray] = {}
+    if path.endswith((".pth", ".pt", ".ckpt")):
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        for k in ("params_ema", "params", "state_dict"):
+            if isinstance(sd, dict) and k in sd:
+                sd = sd[k]
+                break
+        for k, v in sd.items():
+            raw[k] = np.asarray(v.to(torch.float32).numpy())
+    else:
+        from ..io.tensorstore import TensorStore
+        st = TensorStore.open(path)
+        try:
+            for name in st.names():
+                # copy: reads are zero-copy views into the mmap
+                raw[name] = np.array(st.read(name, "f32"))
+        finally:
+            st.close()
+    n_block_hint = -1
+    subs = [k for k in raw if k.startswith("model.1.sub.")]
+    if subs:
+        n_block_hint = max(int(k.split(".")[3]) for k in subs)
+    return {_canon_name(k, n_block_hint): v for k, v in raw.items()}
+
+
+def infer_params(state: Dict[str, np.ndarray]) -> EsrganParams:
+    """Geometry from checkpoint shapes (conv weights are OIHW here)."""
+    try:
+        first = state["conv_first.weight"]
+        g = state["body.0.rdb1.conv1.weight"].shape[0]
+    except KeyError as e:
+        raise ValueError(f"not an ESRGAN/RRDBNet checkpoint: missing {e}")
+    n_feat, ch_in = first.shape[0], first.shape[1]
+    n_block = 1 + max(int(k.split(".")[1]) for k in state
+                      if k.startswith("body."))
+    if ch_in % 3 != 0 or int((ch_in // 3) ** 0.5) ** 2 * 3 != ch_in:
+        raise ValueError(f"unsupported ESRGAN input channels {ch_in}")
+    return EsrganParams(n_feat=n_feat, n_block=n_block, growth=g,
+                        unshuffle=int((ch_in // 3) ** 0.5))
+
+
+def load_esrgan(path: str, dtype=jnp.bfloat16
+                ) -> Tuple[Dict[str, np.ndarray], EsrganParams]:
+    """Checkpoint -> (model-ready param dict, params).  Convs go
+    OIHW -> HWIO; everything is cast to ``dtype`` except biases."""
+    import jax
+
+    from ..weights import _to_layout
+    state = load_esrgan_state(path)
+    P = infer_params(state)
+    ctx = B.Ctx(record=True, dtype=dtype)
+    jax.eval_shape(lambda x: esrgan_apply(ctx, x, P),
+                   jnp.zeros((1, 8 * P.unshuffle, 8 * P.unshuffle,
+                              P.ch_img)))
+    spec = ctx.spec
+    params: Dict[str, np.ndarray] = {}
+    missing = []
+    for name, ps in spec.items():
+        if name not in state:
+            missing.append(name)
+            continue
+        x = _to_layout(state[name], ps, name)
+        params[name] = x.astype(np.dtype(ps.dtype))
+    if missing:
+        raise ValueError(
+            f"{len(missing)} tensors missing from ESRGAN checkpoint, "
+            "e.g. " + ", ".join(missing[:5]))
+    return params, P
+
+
+@functools.lru_cache(maxsize=None)
+def _make_jit():
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("P", "dtype"))
+    def f(params, x, *, P, dtype):
+        ctx = B.Ctx(params, dtype=dtype)
+        return esrgan_apply(ctx, x, P)
+
+    return f
+
+
+def esrgan_run(params, x, P: EsrganParams, dtype=jnp.bfloat16):
+    """Jitted NHWC forward (module-level cache, shared across sessions)."""
+    return _make_jit()(params, x, P=P, dtype=dtype)

@@ -70,7 +70,7 @@ _SHARED_OPTS = {
     "scheduler": "scheduler", "s_ancestral": "s-ancestral",
     "s_noise": "s-noise", "clip_skip": "clip-skip", "f_t_ini": "f-t-ini",
     "hires_fix": "hires-fix", "hires_denoise": "hires-denoise",
-    "hires_steps": "hires-steps",
+    "hires_steps": "hires-steps", "hires_upscaler": "hires-upscaler",
 }
 _SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height", "model",
                                       "preview", "preview_every")
@@ -518,14 +518,18 @@ def _a1111_to_req(req: dict, img2img: bool = False) -> dict:
         if req.get("denoising_strength") is not None:
             out["f_t_ini"] = float(req["denoising_strength"])
     elif req.get("enable_hr"):
-        # A1111 highres-fix: two-pass latent upscale + refine.  Only the
-        # "Latent" upscaler family is supported (hr_upscaler is accepted
-        # and ignored); hr_resize_x/y absolute-target mode is not.
+        # A1111 highres-fix: two-pass latent upscale + refine.
+        # Latent-family hr_upscaler names run the latent path; any other
+        # name runs the server's configured ESRGAN model in image space.
+        # hr_resize_x/y absolute-target mode is not supported.
         out["hires_fix"] = float(req.get("hr_scale", 2.0))
         if req.get("hr_second_pass_steps"):
             out["hires_steps"] = int(req["hr_second_pass_steps"])
         if req.get("denoising_strength") is not None:
             out["hires_denoise"] = float(req["denoising_strength"])
+        upname = str(req.get("hr_upscaler", "") or "")
+        if upname and not upname.lower().startswith("latent"):
+            out["hires_upscaler"] = upname
     return out
 
 
@@ -606,6 +610,15 @@ def make_handler(srv: Server):
                 self._json(200, {
                     "sd_model_checkpoint": srv.default_model,
                     "samples_format": "png"})
+            elif self.path == "/sdapi/v1/upscalers":
+                ups = [{"name": "Latent", "model_name": None,
+                        "model_path": None, "scale": 2}]
+                path = srv.session.c.get("upscaler", "")
+                if path:
+                    base = os.path.splitext(os.path.basename(path))[0]
+                    ups.append({"name": base, "model_name": base,
+                                "model_path": path, "scale": 4})
+                self._json(200, ups)
             elif self.path == "/sdapi/v1/progress":
                 with srv.running_lock:
                     run = list(srv.running)
@@ -665,6 +678,22 @@ def make_handler(srv: Server):
                         return
                     srv.default_model = name
                 self._json(200, {})
+                return
+            if self.path == "/sdapi/v1/extra-single-image":
+                # A1111 "Extras" upscale: runs the session's configured
+                # ESRGAN model directly (no diffusion), synchronous.
+                try:
+                    img = _decode_image_b64(
+                        _strip_data_url(str(req.get("image", ""))))
+                    resize = float(req.get("upscaling_resize", 2) or 2)
+                    out = srv.session.upscale(img, resize=resize)
+                    self._json(200, {
+                        "image": _u8_png_b64(
+                            (np.clip(out[0], 0, 1).transpose(1, 2, 0)
+                             * 255.0 + 0.5).astype(np.uint8)),
+                        "html_info": ""})
+                except Exception as e:  # noqa
+                    self._json(400, {"error": str(e)})
                 return
             if self.path == "/sdapi/v1/png-info":
                 try:

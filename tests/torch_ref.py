@@ -544,3 +544,45 @@ def torch_flux(params, x, t, cond, pooled, P, pre="flux", guidance=None):
     img = R.linear(fp + ".linear", img)
     img = img.reshape(n, hp, wp, 2, 2, cl).permute(0, 5, 1, 3, 2, 4)
     return img.reshape(n, cl, hh, ww)
+
+
+def torch_esrgan(state, img, n_block, unshuffle=1):
+    """basicsr RRDBNet transcription (torch-layout ``state`` dict, OIHW
+    convs, NCHW activations).  img [N,3,H,W] in [0,1]."""
+    p = {k: torch.from_numpy(np.asarray(v, np.float32))
+         for k, v in state.items()}
+
+    def conv(pre, x):
+        return F.conv2d(x, p[pre + ".weight"], p[pre + ".bias"], 1, 1)
+
+    def lrelu(x):
+        return F.leaky_relu(x, 0.2)
+
+    def rdb(pre, x):
+        x1 = lrelu(conv(pre + ".conv1", x))
+        x2 = lrelu(conv(pre + ".conv2", torch.cat([x, x1], 1)))
+        x3 = lrelu(conv(pre + ".conv3", torch.cat([x, x1, x2], 1)))
+        x4 = lrelu(conv(pre + ".conv4", torch.cat([x, x1, x2, x3], 1)))
+        x5 = conv(pre + ".conv5", torch.cat([x, x1, x2, x3, x4], 1))
+        return x + 0.2 * x5
+
+    def rrdb(pre, x):
+        h = rdb(pre + ".rdb1", x)
+        h = rdb(pre + ".rdb2", h)
+        h = rdb(pre + ".rdb3", h)
+        return x + 0.2 * h
+
+    x = torch.from_numpy(np.asarray(img, np.float32))
+    if unshuffle > 1:
+        x = F.pixel_unshuffle(x, unshuffle)
+    fea = conv("conv_first", x)
+    h = fea
+    for i in range(n_block):
+        h = rrdb(f"body.{i}", h)
+    fea = fea + conv("conv_body", h)
+    fea = lrelu(conv("conv_up1", F.interpolate(fea, scale_factor=2,
+                                               mode="nearest")))
+    fea = lrelu(conv("conv_up2", F.interpolate(fea, scale_factor=2,
+                                               mode="nearest")))
+    out = conv("conv_last", lrelu(conv("conv_hr", fea)))
+    return out.clamp(0, 1).numpy()
