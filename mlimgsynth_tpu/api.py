@@ -1579,12 +1579,15 @@ class MLImgSynth:
                      f"{{{time.time() - t0:.3f}s}}")
         return self._upscaler
 
-    def upscale(self, img: np.ndarray,
-                resize: Optional[float] = None) -> np.ndarray:
+    def upscale(self, img: np.ndarray, resize: Optional[float] = None,
+                tile: int = 0) -> np.ndarray:
         """Upscale images NCHW [n,3,h,w] in [0,1] with the configured
         ESRGAN model.  ``resize`` requests a final scale factor; the
         model's native-factor output is Lanczos-resized when they differ
-        (A1111 ``upscaling_resize`` semantics)."""
+        (A1111 ``upscaling_resize`` semantics).  ``tile`` bounds the
+        per-dispatch activation size (edge px; 0 = whole image): the
+        tiled pass is ONE device dispatch (same scan design as VAE
+        tiling), seams blended by inner-region ownership."""
         with self._lock:
             import jax.numpy as jnp
 
@@ -1592,9 +1595,23 @@ class MLImgSynth:
             params, P = self._upscaler_get()
             x = jnp.asarray(
                 np.asarray(img, np.float32).transpose(0, 2, 3, 1))
-            out = np.asarray(
-                esr_mod.esrgan_run(params, x, P, dtype=self._dtype),
-                np.float32).transpose(0, 3, 1, 2)
+            h, w = img.shape[2], img.shape[3]
+            k = max(P.unshuffle, 16 // P.unshuffle * P.unshuffle)
+            if tile and (tile + 2 * k < w or tile + 2 * k < h):
+                u = P.unshuffle
+                t = max(u, (tile + u - 1) // u * u)
+                n0 = min((t + 2 * k), w) // u * u
+                n1 = min((t + 2 * k), h) // u * u
+                origins, boxes = _tile_geometry(w, h, n0, n1, k)
+                log.info(f"ESRGAN tiled upscale: {len(origins)} tiles "
+                         f"of {n0}x{n1}px in one dispatch")
+                out = np.asarray(esr_mod.esrgan_run_tiled(
+                    params, x, origins, boxes, P, tn1=n1, tn0=n0,
+                    dtype=self._dtype), np.float32).transpose(0, 3, 1, 2)
+            else:
+                out = np.asarray(
+                    esr_mod.esrgan_run(params, x, P, dtype=self._dtype),
+                    np.float32).transpose(0, 3, 1, 2)
             if resize and abs(float(resize) - P.scale) > 1e-6:
                 th = int(round(img.shape[2] * float(resize)))
                 tw = int(round(img.shape[3] * float(resize)))

@@ -64,6 +64,8 @@ Models and backend:
                        highres-fix (--hires-upscaler NAME).
   --upscale-factor F   upscale command: final scale factor (default: the
                        model's native factor, usually 4).
+  --upscale-tile N     upscale command: bound per-dispatch memory by
+                       tiling the input at N px (0 = whole image).
   --refiner PATH       Ensemble-of-experts refiner model: the base model
                        stops at the switch point and this model (e.g. the
                        SDXL refiner) finishes from the same noise level.
@@ -125,7 +127,7 @@ SHORT_OPTS = {
 # long options handled by the CLI itself; everything else forwards to the
 # library option table (reference: main_mlimgsynth.c:243-251)
 CLI_PATH_OPTS = ("input", "imask", "ilatent", "ilmask", "output", "olatent",
-                 "port", "control-image", "upscale-factor")
+                 "port", "control-image", "upscale-factor", "upscale-tile")
 
 
 class CliState:
@@ -310,7 +312,9 @@ def cmd_upscale(session, state: CliState):
     img = _load_image(state.paths["input"])
     t = image_mod.tensor_from_image_arr(img)[:, :3]
     factor = state.paths["upscale-factor"]
-    out = session.upscale(t, resize=float(factor) if factor else None)
+    tile = state.paths["upscale-tile"]
+    out = session.upscale(t, resize=float(factor) if factor else None,
+                          tile=int(tile) if tile else 0)
     if not state.paths["output"]:
         raise SystemExit("You must set the output image path.")
     _save_image(image_mod.tensor_to_image_arr(out), None,

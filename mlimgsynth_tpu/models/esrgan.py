@@ -218,3 +218,51 @@ def _make_jit():
 def esrgan_run(params, x, P: EsrganParams, dtype=jnp.bfloat16):
     """Jitted NHWC forward (module-level cache, shared across sessions)."""
     return _make_jit()(params, x, P=P, dtype=dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_tiled_jit():
+    import jax
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnames=("P", "dtype", "tn1",
+                                                 "tn0"))
+    def up_tiled(params, img, origins, boxes, *, P, dtype, tn1, tn0):
+        """One-dispatch tiled upscale (same design as the VAE tiling
+        scan, api._make_tiled_vae_jits): img NHWC [n,h,w,3]; origins
+        [T,2] (y,x px); boxes [T,4] (y0,y1,x0,x1 tile-relative px).
+        Seams are approximate: the RRDB receptive field exceeds any
+        practical overlap margin, so tiles blend by inner-region
+        ownership like every ESRGAN tiler."""
+        ctx = B.Ctx(params, dtype=dtype)
+        s = P.scale
+        n, h, w, _ = img.shape
+        out = jnp.zeros((n, h * s, w * s, 3), jnp.float32)
+        ys = lax.broadcasted_iota(jnp.int32, (tn1 * s, tn0 * s), 0)
+        xs = lax.broadcasted_iota(jnp.int32, (tn1 * s, tn0 * s), 1)
+
+        def body(out, inp):
+            org, box = inp
+            sub = lax.dynamic_slice(img, (0, org[0], org[1], 0),
+                                    (n, tn1, tn0, 3))
+            up = esrgan_apply(ctx, sub, P).astype(jnp.float32)
+            m = ((ys >= box[0] * s) & (ys < box[1] * s) &
+                 (xs >= box[2] * s) & (xs < box[3] * s))
+            m = m[None, :, :, None].astype(jnp.float32)
+            cur = lax.dynamic_slice(out, (0, org[0] * s, org[1] * s, 0),
+                                    (n, tn1 * s, tn0 * s, 3))
+            out = lax.dynamic_update_slice(
+                out, cur * (1.0 - m) + up * m,
+                (0, org[0] * s, org[1] * s, 0))
+            return out, None
+
+        out, _ = lax.scan(body, out, (origins, boxes))
+        return out
+
+    return up_tiled
+
+
+def esrgan_run_tiled(params, x, origins, boxes, P: EsrganParams,
+                     tn1: int, tn0: int, dtype=jnp.bfloat16):
+    return _make_tiled_jit()(params, x, origins, boxes, P=P, dtype=dtype,
+                             tn1=tn1, tn0=tn0)

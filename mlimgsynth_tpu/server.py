@@ -686,7 +686,9 @@ def make_handler(srv: Server):
                     img = _decode_image_b64(
                         _strip_data_url(str(req.get("image", ""))))
                     resize = float(req.get("upscaling_resize", 2) or 2)
-                    out = srv.session.upscale(img, resize=resize)
+                    out = srv.session.upscale(
+                        img, resize=resize,
+                        tile=int(req.get("upscale_tile", 0) or 0))
                     self._json(200, {
                         "image": _u8_png_b64(
                             (np.clip(out[0], 0, 1).transpose(1, 2, 0)
