@@ -1574,8 +1574,10 @@ class MLImgSynth:
             t0 = time.time()
             params, P = esr_mod.load_esrgan(path, dtype=self._dtype)
             self._upscaler = (params, P)
+            arch = type(P).__name__.replace("Params", "")
+            depth = getattr(P, "n_block", None) or getattr(P, "n_conv", 0)
             log.info(f"Upscaler: {os.path.basename(path)} x{P.scale} "
-                     f"(RRDBNet f{P.n_feat} b{P.n_block}) "
+                     f"({arch} f{P.n_feat} d{depth}) "
                      f"{{{time.time() - t0:.3f}s}}")
         return self._upscaler
 

@@ -182,9 +182,14 @@ def load_esrgan(path: str, dtype=jnp.bfloat16
 
     from ..weights import _to_layout
     state = load_esrgan_state(path)
-    P = infer_params(state)
+    if "conv_first.weight" in state:
+        P = infer_params(state)
+    elif "body.0.weight" in state:          # SRVGGNetCompact
+        P = _infer_srvgg(state)
+    else:
+        raise ValueError("not an ESRGAN/RRDBNet/SRVGG checkpoint")
     ctx = B.Ctx(record=True, dtype=dtype)
-    jax.eval_shape(lambda x: esrgan_apply(ctx, x, P),
+    jax.eval_shape(lambda x: upscaler_apply(ctx, x, P),
                    jnp.zeros((1, 8 * P.unshuffle, 8 * P.unshuffle,
                               P.ch_img)))
     spec = ctx.spec
@@ -210,7 +215,7 @@ def _make_jit():
     @functools.partial(jax.jit, static_argnames=("P", "dtype"))
     def f(params, x, *, P, dtype):
         ctx = B.Ctx(params, dtype=dtype)
-        return esrgan_apply(ctx, x, P)
+        return upscaler_apply(ctx, x, P)
 
     return f
 
@@ -245,7 +250,7 @@ def _make_tiled_jit():
             org, box = inp
             sub = lax.dynamic_slice(img, (0, org[0], org[1], 0),
                                     (n, tn1, tn0, 3))
-            up = esrgan_apply(ctx, sub, P).astype(jnp.float32)
+            up = upscaler_apply(ctx, sub, P).astype(jnp.float32)
             m = ((ys >= box[0] * s) & (ys < box[1] * s) &
                  (xs >= box[2] * s) & (xs < box[3] * s))
             m = m[None, :, :, None].astype(jnp.float32)
@@ -266,3 +271,74 @@ def esrgan_run_tiled(params, x, origins, boxes, P: EsrganParams,
                      tn1: int, tn0: int, dtype=jnp.bfloat16):
     return _make_tiled_jit()(params, x, origins, boxes, P=P, dtype=dtype,
                              tn1=tn1, tn0=tn0)
+
+
+# ---------------------------------------------------------------------------
+# SRVGGNetCompact (realesr-general-x4v3 family): a plain conv+PReLU stack
+# with a pixel-shuffle tail over a nearest-upsampled base.  Shares the
+# loader/runner surface with RRDBNet above.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SrvggParams:
+    n_feat: int = 64
+    n_conv: int = 32
+    scale: int = 4
+    ch_img: int = 3
+    unshuffle: int = 1      # surface parity with EsrganParams
+
+
+def _prelu(ctx: B.Ctx, pre: str, x):
+    a = ctx.param(pre + ".weight", (x.shape[-1],), "vec",
+                  dtype=jnp.float32).astype(x.dtype)
+    return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+
+
+def _depth_to_space(x, r: int):
+    """torch PixelShuffle channel order: [c, fh, fw]."""
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(n, h * r, w * r, c)
+
+
+def srvgg_apply(ctx: B.Ctx, img, P: SrvggParams):
+    """img [N,H,W,3] in [0,1] -> [N,scale*H,scale*W,3] in [0,1]."""
+    x = img.astype(ctx.dtype)
+    h = _prelu(ctx, "body.1", B.conv2d(ctx, "body.0", x, P.n_feat))
+    for i in range(P.n_conv):
+        h = _prelu(ctx, f"body.{2 * i + 3}",
+                   B.conv2d(ctx, f"body.{2 * i + 2}", h, P.n_feat))
+    h = B.conv2d(ctx, f"body.{2 * P.n_conv + 2}", h,
+                 P.ch_img * P.scale * P.scale)
+    out = _depth_to_space(h, P.scale)
+    base = img.astype(out.dtype)
+    for _ in range(P.scale.bit_length() - 1):
+        base = _nearest2x(base)
+    if P.scale == 3:  # non-pow2: generic repeat
+        n, hh, ww, c = img.shape
+        base = jnp.broadcast_to(
+            img.astype(out.dtype)[:, :, None, :, None, :],
+            (n, hh, 3, ww, 3, c)).reshape(n, hh * 3, ww * 3, c)
+    return jnp.clip(out + base, 0.0, 1.0)
+
+
+def upscaler_apply(ctx: B.Ctx, img, P):
+    """Arch dispatch shared by the jitted runners."""
+    if isinstance(P, SrvggParams):
+        return srvgg_apply(ctx, img, P)
+    return esrgan_apply(ctx, img, P)
+
+
+def _infer_srvgg(state: Dict[str, np.ndarray]) -> SrvggParams:
+    idx = sorted(int(k.split(".")[1]) for k in state
+                 if k.startswith("body.") and k.endswith(".weight"))
+    last = idx[-1]
+    n_conv = (last - 2) // 2
+    n_feat = state["body.0.weight"].shape[0]
+    out_ch = state[f"body.{last}.weight"].shape[0]
+    ch_img = state["body.0.weight"].shape[1]
+    r2 = out_ch // ch_img
+    return SrvggParams(n_feat=n_feat, n_conv=n_conv,
+                       scale=int(round(r2 ** 0.5)), ch_img=ch_img)

@@ -41,16 +41,17 @@ def tiny_state(n_feat=8, n_block=2, growth=4, unshuffle=1, seed=0):
 
 
 def run_jax(state, img_nchw, dtype=jnp.float32):
-    P = E.infer_params(state)
+    P = (E.infer_params(state) if "conv_first.weight" in state
+         else E._infer_srvgg(state))
     from mlimgsynth_tpu.weights import _to_layout
     ctx = B.Ctx(record=True, dtype=dtype)
     import jax
-    jax.eval_shape(lambda x: E.esrgan_apply(ctx, x, P),
+    jax.eval_shape(lambda x: E.upscaler_apply(ctx, x, P),
                    jnp.zeros((1, 8 * P.unshuffle, 8 * P.unshuffle, 3)))
     params = {n: _to_layout(state[n], ps, n).astype(np.dtype(ps.dtype))
               for n, ps in ctx.spec.items()}
     x = jnp.asarray(np.asarray(img_nchw, np.float32).transpose(0, 2, 3, 1))
-    out = E.esrgan_apply(B.Ctx(params, dtype=dtype), x, P)
+    out = E.upscaler_apply(B.Ctx(params, dtype=dtype), x, P)
     return np.asarray(out, np.float32).transpose(0, 3, 1, 2), P
 
 
@@ -206,3 +207,53 @@ def test_session_upscale_tiled(tmp_path, unshuffle):
     assert float(d.mean()) < 0.05
     # tile >= image falls back to the untiled path exactly
     np.testing.assert_array_equal(s.upscale(img, tile=64), full)
+
+
+def tiny_srvgg_state(n_feat=8, n_conv=3, scale=4, seed=0):
+    r = np.random.RandomState(seed)
+    st = {}
+
+    def put_conv(i, ci, co):
+        st[f"body.{i}.weight"] = r.randn(co, ci, 3, 3).astype(
+            np.float32) * 0.1
+        st[f"body.{i}.bias"] = r.randn(co).astype(np.float32) * 0.01
+
+    def put_act(i, c):
+        st[f"body.{i}.weight"] = (
+            0.1 + 0.1 * r.rand(c).astype(np.float32))
+
+    put_conv(0, 3, n_feat)
+    put_act(1, n_feat)
+    for i in range(n_conv):
+        put_conv(2 * i + 2, n_feat, n_feat)
+        put_act(2 * i + 3, n_feat)
+    put_conv(2 * n_conv + 2, n_feat, 3 * scale * scale)
+    return st
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+def test_srvgg_torch_parity(scale):
+    from torch_ref import torch_srvgg
+    st = tiny_srvgg_state(scale=scale, seed=scale)
+    img = np.random.RandomState(5).rand(1, 3, 8, 8).astype(np.float32)
+    ours, P = run_jax(st, img)
+    assert type(P).__name__ == "SrvggParams"
+    assert P.scale == scale and P.n_conv == 3
+    ref = torch_srvgg(st, img, n_conv=P.n_conv, scale=scale)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_srvgg_session(tmp_path):
+    from mlimgsynth_tpu.api import MLImgSynth
+    path = tmp_path / "srvgg.safetensors"
+    save_file(tiny_srvgg_state(), str(path))
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set_str("upscaler", str(path))
+    img = np.random.RandomState(0).rand(1, 3, 8, 8).astype(np.float32)
+    out = s.upscale(img)
+    assert out.shape == (1, 3, 32, 32)
+    # tiled path dispatches the same arch
+    big = np.random.RandomState(1).rand(1, 3, 64, 64).astype(np.float32)
+    t = s.upscale(big, tile=16)
+    assert t.shape == (1, 3, 256, 256) and np.isfinite(t).all()

@@ -586,3 +586,26 @@ def torch_esrgan(state, img, n_block, unshuffle=1):
                                                mode="nearest")))
     out = conv("conv_last", lrelu(conv("conv_hr", fea)))
     return out.clamp(0, 1).numpy()
+
+
+def torch_srvgg(state, img, n_conv, scale):
+    """basicsr SRVGGNetCompact transcription (prelu activations,
+    pixel-shuffle tail over a nearest-upsampled base)."""
+    p = {k: torch.from_numpy(np.asarray(v, np.float32))
+         for k, v in state.items()}
+
+    def conv(i, x):
+        return F.conv2d(x, p[f"body.{i}.weight"], p[f"body.{i}.bias"],
+                        1, 1)
+
+    def act(i, x):
+        return F.prelu(x, p[f"body.{i}.weight"])
+
+    x = torch.from_numpy(np.asarray(img, np.float32))
+    h = act(1, conv(0, x))
+    for i in range(n_conv):
+        h = act(2 * i + 3, conv(2 * i + 2, h))
+    h = conv(2 * n_conv + 2, h)
+    out = F.pixel_shuffle(h, scale)
+    out = out + F.interpolate(x, scale_factor=scale, mode="nearest")
+    return out.clamp(0, 1).numpy()
