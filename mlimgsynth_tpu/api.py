@@ -530,10 +530,17 @@ class MLImgSynth:
         if self.c["no_prompt_parse"]:
             parsed = prompt_mod.prompt_set_raw(text)
         else:
+            # prompt editing ([from:to:when] / [a|b]): probe first — the
+            # emphasis parser sees editing colons as weight syntax.  The
+            # parsed fields hold the step-0 expansion; generate re-expands
+            # per step once the schedule length is known.
+            t0, edited = prompt_mod.expand_editing(text, 0, 1000)
             try:
-                parsed = prompt_mod.prompt_set_parse(text)
+                parsed = prompt_mod.prompt_set_parse(t0 if edited
+                                                     else text)
             except prompt_mod.PromptParseError as e:
                 raise MlisError(MlisError.E_PROMPT_PARSE, str(e))
+            parsed.editing = bool(edited)
             if key == "prompt_raw":
                 # drop prompt-tag loras left applied by a previous
                 # generate_batch (the batch path keeps them patched as a
@@ -547,6 +554,7 @@ class MLImgSynth:
         pt.text = parsed.text
         pt.chunks = parsed.chunks
         pt.loras = parsed.loras
+        pt.editing = getattr(parsed, "editing", False)
 
     def _aux_find(self, path: str) -> str:
         """Resolve an auxiliary file (TAE weights, lora) through ``aux_dir``
@@ -1387,6 +1395,103 @@ class MLImgSynth:
         return self._clip_encode(toks, None, submodel, want_feat, norm,
                                  self.c["clip_skip"] if not want_feat else 0)
 
+    def _edit_cond_bank(self, edit_segs, eff_cfg: float, n_batch: int):
+        """Prompt editing: encode every distinct per-step prompt text as
+        one batched encoder call (the conditioning BANK) and build the
+        [S, rows] index matrix the fused loop gathers from per step.
+        Bank layout: prompt segments first, then negative segments."""
+        ep, en, n_plan = edit_segs
+        c = self.c
+        p_texts, p_idx = (ep if ep is not None
+                          else ([c["prompt_raw"]], [0] * n_plan))
+        u_texts, u_idx = [], None
+        if eff_cfg > 1:
+            u_texts, u_idx = (en if en is not None
+                              else ([c["nprompt_raw"]], [0] * n_plan))
+        pts = [self._parse_prompt_text(t, allow_loras=True)
+               for t in p_texts + u_texts]
+        rows, lrows = self._text_cond_encode_rows(
+            pts, uncond_rows=len(u_texts))
+        rows = np.asarray(rows, np.float32)
+        k = len(p_texts)
+        if (eff_cfg > 1 and self._mt.unet_p.uncond_empty_zero
+                and not c["nprompt_raw"]):
+            rows[k:] = 0.0
+        ncols = (2 if eff_cfg > 1 else 1) * n_batch
+        idx = np.empty((n_plan, ncols), np.int32)
+        for s in range(n_plan):
+            idx[s, :n_batch] = p_idx[s]
+            if eff_cfg > 1:
+                idx[s, n_batch:] = k + u_idx[s]
+        log.info(f"Prompt editing: {k} prompt"
+                 + (f" + {len(u_texts)} negative" if eff_cfg > 1 else "")
+                 + f" segment(s) over {n_plan} steps")
+        return rows, lrows, idx
+
+    def _batch_edit_cond_bank(self, requests, use_cfg: bool,
+                              img2img: bool):
+        """Prompt editing on the batched path: per-request per-step text
+        segments (editing-free requests contribute one segment) index one
+        shared conditioning bank, encoded in a single batched call."""
+        c = self.c
+        from .sampling.sampler import plan_n_step
+        n_plan = plan_n_step(SamplerConfig(
+            method=c["method"], sched=c["scheduler"], n_step=c["steps"],
+            cfg_scale=(c["cfg_scale"] if use_cfg else 1.0),
+            s_ancestral=c["s_ancestral"], s_noise=c["s_noise"],
+            f_t_ini=c["f_t_ini"] if img2img else 1.0,
+            f_t_end=c["f_t_end"], keep_tail=self._keep_tail,
+            noise_add=self._noise_add), 2 if use_cfg else 1)
+        n = len(requests)
+
+        def maps_for(raws):
+            texts, tindex, maps = [], {}, []
+
+            def row_of(t):
+                k = tindex.get(t)
+                if k is None:
+                    k = tindex[t] = len(texts)
+                    texts.append(t)
+                return k
+
+            for raw in raws:
+                segs = prompt_mod.editing_segments(raw, n_plan)
+                if segs is None:
+                    maps.append([row_of(raw)] * n_plan)
+                else:
+                    ts, idxs = segs
+                    base = [row_of(t) for t in ts]
+                    maps.append([base[i] for i in idxs])
+            return texts, maps
+
+        p_texts, p_maps = maps_for(
+            [str(r.get("prompt", "")) for r in requests])
+        u_texts, u_maps = [], []
+        if use_cfg:
+            u_texts, u_maps = maps_for(
+                [str(r.get("nprompt", "")) for r in requests])
+        bank_pts = ([self._parse_prompt_text(t, allow_loras=True)
+                     for t in p_texts]
+                    + [self._parse_prompt_text(t) for t in u_texts])
+        rows, lrows = self._text_cond_encode_rows(
+            bank_pts, uncond_rows=len(u_texts))
+        rows = np.asarray(rows, np.float32)
+        k = len(p_texts)
+        if use_cfg and self._mt.unet_p.uncond_empty_zero:
+            for j, t in enumerate(u_texts):
+                if not t:
+                    rows[k + j] = 0.0
+        idx = np.empty((n_plan, (2 * n) if use_cfg else n), np.int32)
+        for s in range(n_plan):
+            for r in range(n):
+                idx[s, r] = p_maps[r][s]
+                if use_cfg:
+                    idx[s, n + r] = k + u_maps[r][s]
+        log.info(f"Prompt editing (batch): {k} prompt"
+                 + (f" + {len(u_texts)} negative" if use_cfg else "")
+                 + f" segment(s) over {n_plan} steps")
+        return rows, lrows, idx
+
     def _text_cond_encode_rows(self, pts: List[prompt_mod.PromptText],
                                uncond_rows: int = 0):
         """Full conditioning for several prompts in batched encoder calls,
@@ -1783,8 +1888,33 @@ class MLImgSynth:
         # EMBEDDED guidance value — no uncond pass, NFE per step is 1
         guidance_embed = getattr(mt.unet_p, "guidance_embed", False)
         eff_cfg = 1.0 if guidance_embed else c["cfg_scale"]
+        # prompt editing ([from:to:when] / [a|b]): expand per schedule
+        # step, encode every distinct text once, gather per-step rows
+        # from the conditioning bank inside the loop
+        edit_segs = edit_steps = None
+        if (not c["no_prompt_parse"]
+                and not (c["tuflags"] & TUF_CONDITIONING)
+                and (self.prompt.editing
+                     or (eff_cfg > 1 and self.nprompt.editing))):
+            if flow:
+                raise MlisError(
+                    MlisError.E_OPT_VALUE,
+                    "prompt editing is not supported for flow models")
+            from .sampling.sampler import plan_n_step
+            n_plan = plan_n_step(SamplerConfig(
+                method=c["method"], sched=c["scheduler"],
+                n_step=c["steps"], cfg_scale=eff_cfg,
+                s_ancestral=c["s_ancestral"], s_noise=c["s_noise"],
+                f_t_ini=c["f_t_ini"], f_t_end=c["f_t_end"],
+                keep_tail=self._keep_tail, noise_add=self._noise_add),
+                2 if eff_cfg > 1 else 1)
+            ep = prompt_mod.editing_segments(c["prompt_raw"], n_plan)
+            en = (prompt_mod.editing_segments(c["nprompt_raw"], n_plan)
+                  if eff_cfg > 1 else None)
+            if ep is not None or en is not None:
+                edit_segs = (ep, en, n_plan)
         fuse_encode = (self.step_observer is None and self._mesh is None
-                       and not c["unet_split"]
+                       and not c["unet_split"] and edit_segs is None
                        and not (c["tuflags"] & TUF_CONDITIONING))
         encode_spec = None
         if fuse_encode:
@@ -1872,7 +2002,13 @@ class MLImgSynth:
             self._cb(STAGE_COND_ENCODE, 1, 1)
         elif not (c["tuflags"] & TUF_CONDITIONING):
             ncond = nlabel = None
-            if eff_cfg > 1:
+            if edit_segs is not None:
+                cond, label, edit_steps = self._edit_cond_bank(
+                    edit_segs, eff_cfg, n_batch)
+                self.tensors["cond"], self.tensors["label"] = cond, label
+                self.tensors["ncond"] = self.tensors["nlabel"] = None
+                self._cb(STAGE_COND_ENCODE, 1, 1)
+            elif eff_cfg > 1:
                 # prompt + nprompt ride one batched encoder call
                 both, lboth = self._text_cond_encode_rows(
                     [self.prompt, self.nprompt], uncond_rows=1)
@@ -1905,10 +2041,10 @@ class MLImgSynth:
                 from .utils.tensorstat import stat_line
                 log.debug(stat_line(cond, "cond"))
                 log.debug(stat_line(label, "label"))
-                if c["cfg_scale"] > 1:
+                if c["cfg_scale"] > 1 and ncond is not None:
                     log.debug(stat_line(ncond, "uncond"))
                     log.debug(stat_line(nlabel, "unlabel"))
-            if cond.shape[0] < n_batch:
+            if edit_steps is None and cond.shape[0] < n_batch:
                 cond = np.repeat(cond, n_batch, axis=0)
                 ncond = np.repeat(ncond, n_batch, axis=0) \
                     if ncond is not None else None
@@ -1992,7 +2128,8 @@ class MLImgSynth:
                           step_observer=self.step_observer,
                           mesh=self._mesh, decode=decode_spec,
                           encode=encode_spec, control=control_spec,
-                          extra_channels=extra_spec)
+                          extra_channels=extra_spec,
+                          cond_steps=edit_steps)
         if encode_spec is not None:
             if decode_spec is not None:
                 latent, u8, (cond_dev, lab_dev) = out
@@ -2253,10 +2390,12 @@ class MLImgSynth:
         """Parse a prompt without mutating session state."""
         if self.c["no_prompt_parse"]:
             return prompt_mod.prompt_set_raw(text)
+        t0, edited = prompt_mod.expand_editing(text, 0, 1000)
         try:
-            parsed = prompt_mod.prompt_set_parse(text)
+            parsed = prompt_mod.prompt_set_parse(t0 if edited else text)
         except prompt_mod.PromptParseError as e:
             raise MlisError(MlisError.E_PROMPT_PARSE, str(e))
+        parsed.editing = bool(edited)
         if parsed.loras and not allow_loras:
             raise MlisError(
                 MlisError.E_OPT_VALUE,
@@ -2352,7 +2491,21 @@ class MLImgSynth:
             cond = ncond = label = nlabel = None
             npts = ([self._parse_prompt_text(str(r.get("nprompt", "")))
                      for r in requests] if use_cfg else [])
-            fuse_encode = self._mesh is None and not c["unet_split"]
+            # prompt editing in batched requests: per-request per-step
+            # segments index one shared conditioning bank (see
+            # _batch_edit_cond_bank)
+            edit_steps = None
+            if (not c["no_prompt_parse"]
+                    and (any(p.editing for p in pts)
+                         or any(q.editing for q in npts))):
+                if getattr(mt.unet_p, "flow", False):
+                    raise MlisError(
+                        MlisError.E_OPT_VALUE,
+                        "prompt editing is not supported for flow models")
+                cond, label, edit_steps = self._batch_edit_cond_bank(
+                    requests, use_cfg, init_latents is not None)
+            fuse_encode = (self._mesh is None and not c["unet_split"]
+                           and edit_steps is None)
             encode_spec = None
             if fuse_encode:
                 # text encode rides the batch's FIRST chunk dispatch; rows
@@ -2419,6 +2572,8 @@ class MLImgSynth:
                             jnp.asarray(sizes.reshape(-1)), 256),
                         np.float32).reshape(len(rows_pts), -1)
                     encode_spec = encode_spec + (fidx, serows)
+            elif edit_steps is not None:
+                pass  # conditioning bank built above
             elif use_cfg:
                 # prompts AND nprompts ride the same batched encoder
                 # call(s): one dispatch per tower for the whole merged batch
@@ -2518,7 +2673,8 @@ class MLImgSynth:
                               encode=encode_spec, preview=preview_spec,
                               chunk_size=preview_chunk or None,
                               control=control_spec,
-                              extra_channels=extra_spec)
+                              extra_channels=extra_spec,
+                              cond_steps=edit_steps)
             u8 = None
             if decode_spec is None:   # _latent_only
                 if encode_spec is not None:

@@ -34,6 +34,9 @@ class PromptText:
     chunks: List[Tuple[str, float]] = field(default_factory=list)
     loras: List[Tuple[str, float]] = field(default_factory=list)
     embeds: List[str] = field(default_factory=list)
+    # the raw text contains [from:to:when]/[a|b] editing constructs;
+    # text/chunks hold the step-0 expansion (see editing_segments)
+    editing: bool = False
 
 
 def _parse_float_prefix(s: str) -> Tuple[float, int]:
@@ -174,3 +177,124 @@ def prompt_set_parse(src: str) -> PromptText:
         result.append((text[seg:end], w))
     return PromptText(text=text, chunks=result, loras=loras,
                       embeds=[name for _, _, name in embeds])
+
+
+# ---------------------------------------------------------------------------
+# A1111 prompt editing / alternation (additive extension; webui
+# prompt_parser semantics).  ``[from:to:when]`` switches text at a step
+# boundary (``when`` >= 1: step number; < 1: fraction of total steps);
+# ``[to:when]`` adds text after the boundary, ``[from::when]`` removes it;
+# ``[a|b|...]`` alternates per step.  Plain ``[x]`` stays emphasis.  The
+# expansion runs BEFORE prompt_set_parse, per step, so emphasis/lora/embed
+# handling is unchanged; downstream the session encodes each distinct
+# expanded text once and the fused loop gathers per-step rows from the
+# conditioning bank.
+# ---------------------------------------------------------------------------
+
+def _split_top(s: str, sep: str) -> List[str]:
+    """Split at top-level (unbracketed, unescaped) occurrences of sep."""
+    parts, depth, cur, i = [], 0, [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            cur.append(s[i:i + 2])
+            i += 2
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if c == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _try_float(s: str):
+    try:
+        return float(s.strip())
+    except ValueError:
+        return None
+
+
+def expand_editing(src: str, step: int, n_steps: int) -> Tuple[str, bool]:
+    """Resolve editing/alternation groups for 0-based ``step`` of
+    ``n_steps``.  Returns (text, any_substitution_made)."""
+    out, i, n, changed = [], 0, len(src), False
+    while i < n:
+        c = src[i]
+        if c == "\\" and i + 1 < n:
+            out.append(src[i:i + 2])
+            i += 2
+            continue
+        if c != "[":
+            out.append(c)
+            i += 1
+            continue
+        depth, j = 1, i + 1
+        while j < n and depth:
+            if src[j] == "\\":
+                j += 1
+            elif src[j] == "[":
+                depth += 1
+            elif src[j] == "]":
+                depth -= 1
+            j += 1
+        if depth:  # unmatched: leave for the emphasis parser to reject
+            out.append(src[i:])
+            break
+        body = src[i + 1:j - 1]
+        alts = _split_top(body, "|")
+        if len(alts) > 1:
+            inner, _ = expand_editing(alts[step % len(alts)], step, n_steps)
+            out.append(inner)
+            changed = True
+            i = j
+            continue
+        parts = _split_top(body, ":")
+        when = _try_float(parts[-1]) if len(parts) >= 2 else None
+        if when is not None:
+            if len(parts) == 2:
+                frm, to = "", parts[0]
+            elif len(parts) == 3:
+                frm, to = parts[0], parts[1]
+            else:
+                frm = to = None
+            if frm is not None:
+                b = int(when) if when >= 1 else int(when * n_steps)
+                inner, _ = expand_editing(frm if step < b else to,
+                                          step, n_steps)
+                out.append(inner)
+                changed = True
+                i = j
+                continue
+        inner, sub = expand_editing(body, step, n_steps)
+        changed = changed or sub
+        out.append("[" + inner + "]")
+        i = j
+    return "".join(out), changed
+
+
+def editing_segments(src: str, n_steps: int):
+    """Per-step expansion, deduplicated: returns (texts, step_to_idx) —
+    ``texts[step_to_idx[i]]`` is the prompt text for step i — or None when
+    the prompt contains no editing constructs."""
+    texts: List[str] = []
+    idx: List[int] = []
+    seen = {}
+    any_changed = False
+    for s in range(max(1, n_steps)):
+        t, changed = expand_editing(src, s, n_steps)
+        any_changed = any_changed or changed
+        k = seen.get(t)
+        if k is None:
+            k = seen[t] = len(texts)
+            texts.append(t)
+        idx.append(k)
+    if not any_changed:
+        return None
+    return texts, idx

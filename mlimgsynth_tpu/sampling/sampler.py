@@ -82,6 +82,23 @@ class SamplingPlan:
     log_sigmas: Optional[np.ndarray] = None
 
 
+def plan_n_step(cfg: SamplerConfig, nfe_per_dxdt: int = 1) -> int:
+    """Loop step count the plan will have (schedule length after NFE
+    division, f_t truncation, and keep_tail) — needed BEFORE encoding
+    when prompt editing maps text segments onto steps."""
+    solver = get_solver(cfg.method)
+    sched = cfg.sched
+    if solver.name == "lcm" and sched in (None, "", sch.SCHED_UNIFORM):
+        sched = sch.SCHED_LCM
+    ls = sch.log_sigmas_flow(cfg.flow_shift) if cfg.flow_shift else None
+    s = sch.make_schedule(cfg.n_step, sched, solver.n_fe, nfe_per_dxdt,
+                          cfg.f_t_ini, cfg.f_t_end, log_sigmas=ls)
+    n = s.n_step
+    if cfg.keep_tail and n >= 2:
+        n -= 1
+    return n
+
+
 def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
               nfe_per_dxdt: int = 1, seeds=None) -> SamplingPlan:
     """Compute sigma schedule and pre-draw all noise in the reference's exact
@@ -189,6 +206,11 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
         control = (hint_apply(ctx, consts[11], unet_p), consts[12])
     if len(consts) > 13 and consts[13] is not None:
         extra_ch = consts[13]
+    # prompt editing: consts[14] is a per-step row-index matrix [S, R]
+    # into the conditioning bank (cond_all/label_all hold the bank rows);
+    # the body gathers the step's [R, ...] conditioning before the solver
+    # step (one tiny gather per step vs the UNet's work)
+    cond_idx = consts[14] if len(consts) > 14 else None
 
     # Rectified-flow models (MMDiT): sigma IS the flow time in [0,1]; the
     # model timestep is sigma * n_step_train (no table lookup) and the
@@ -203,19 +225,31 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
     else:
         den = unet_mod.denoise
 
-    def dxdt(xv, sigma):
-        n = xv.shape[0]
-        if flow:
-            t = sigma * unet_p.n_step_train
-        else:
-            t = jnp_sigma_to_t(log_sigmas, sigma)
-        if use_cfg:
-            xb = jnp.concatenate([xv, xv], axis=0)
-            d = den(ctx, xb, sigma, t, cond_all, label_all,
-                    unet_p, control=control, extra_ch=extra_ch)
-            return d[:n] * cfg_scale + d[n:] * (1.0 - cfg_scale)
-        return den(ctx, xv, sigma, t, cond_all, label_all,
-                   unet_p, control=control, extra_ch=extra_ch)
+    def dxdt_with(ca, la):
+        def dxdt(xv, sigma):
+            n = xv.shape[0]
+            if flow:
+                t = sigma * unet_p.n_step_train
+            else:
+                t = jnp_sigma_to_t(log_sigmas, sigma)
+            if use_cfg:
+                xb = jnp.concatenate([xv, xv], axis=0)
+                d = den(ctx, xb, sigma, t, ca, la,
+                        unet_p, control=control, extra_ch=extra_ch)
+                return d[:n] * cfg_scale + d[n:] * (1.0 - cfg_scale)
+            return den(ctx, xv, sigma, t, ca, la,
+                       unet_p, control=control, extra_ch=extra_ch)
+        return dxdt
+
+    dxdt = dxdt_with(cond_all, label_all)
+
+    def dxdt_at(i):
+        if cond_idx is None:
+            return dxdt
+        return dxdt_with(
+            jnp.take(cond_all, cond_idx[i], axis=0),
+            (jnp.take(label_all, cond_idx[i], axis=0)
+             if label_all is not None else None))
 
     if method == "lcm":
         # Latent-consistency sampling (diffusers LCMScheduler semantics):
@@ -228,7 +262,7 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
         def body(carry, inp):
             x, t, state = carry
             i, c_noise, a_noise = inp
-            d = x - t * dxdt(x, t)
+            d = x - t * dxdt_at(i)(x, t)
             ts = jnp_sigma_to_t(log_sigmas, t) * 10.0
             c_skip = 0.25 / (ts * ts + 0.25)
             c_out = ts * jax.lax.rsqrt(ts * ts + 0.25)
@@ -251,7 +285,7 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
             x = jnp.where(churn > 0, _mask_apply(x, x0_keep, lmask), x)
         t = jnp.where(churn > 0, s_hat[i], t)
         # solver step (src/solvers.c)
-        x, state = solver.step(dxdt, x, state, i, t, s_down[i])
+        x, state = solver.step(dxdt_at(i), x, state, i, t, s_down[i])
         # post-step ancestral noise (src/sampling.c:170-174)
         x = x + a_noise * s_up[i]
         t = t_next[i]
@@ -490,7 +524,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 unet_p: unet_mod.UnetParams, dtype=jnp.bfloat16,
                 step_callback=None, step_observer=None, mesh=None,
                 decode=None, want_latent=True, encode=None, preview=None,
-                chunk_size=None, control=None, extra_channels=None):
+                chunk_size=None, control=None, extra_channels=None,
+                cond_steps=None):
     """Run the sampling loop.  ``x_init`` (NCHW f32), ``lmask`` [N,1,h,w] or
     None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW —
     or ``(latent NCHW, u8 image NHWC)`` when ``decode`` is given.
@@ -539,6 +574,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         # entries; SDXL passes 11 (clip2 params/tokens/feat-idx/size-emb).
         assert step_observer is None and mesh is None, \
             "fused encode: no step observer / mesh"
+        assert cond_steps is None, \
+            "prompt editing uses the precomputed conditioning bank"
         assert not unet_p.ch_adm_in or len(encode) > 6, \
             "cond_label models need a label-bearing encode spec"
         clip_params, tokens, wmat = encode[:3]
@@ -573,6 +610,17 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                                    jnp.asarray(serows, jnp.float32))
         cond_all = jnp.zeros((0,), jnp.float32)  # replaced inside the jit
         label_all = None
+    elif cond_steps is not None:
+        # prompt editing: ``cond`` is a bank of encoded rows [B,77,d]
+        # (labels [B,dl]); ``cond_steps`` [S,R] picks the R loop rows
+        # ([cond xN; uncond xN] layout) per step.  One batched encode,
+        # one gather per step inside the scan.
+        assert uncond is None and nlabel is None, \
+            "cond_steps: pass all rows through the cond/label bank"
+        assert len(cond_steps) == plan.n_step, \
+            (len(cond_steps), plan.n_step)
+        cond_all = f32(cond)
+        label_all = f32(label) if unet_p.ch_adm_in else None
     else:
         cond = f32(cond)
         uncond = f32(uncond) if uncond is not None else cond
@@ -632,7 +680,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                           else sch.get_log_sigmas()),
               f32(plan.s_hat), f32(plan.churn_sigma), f32(plan.s_down),
               f32(plan.s_up), f32(plan.t_next), jnp.float32(cfg.cfg_scale))
-    if control is not None or extra_channels is not None:
+    if (control is not None or extra_channels is not None
+            or cond_steps is not None):
         hint_d = strength_d = extra_d = None
         if control is not None:
             hint, strength = control
@@ -645,6 +694,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
             if mesh is not None:
                 extra_d = put(extra_d)
         consts = consts + (hint_d, strength_d, extra_d)
+        if cond_steps is not None:
+            consts = consts + (jnp.asarray(cond_steps, jnp.int32),)
 
     sigmas0 = jnp.float32(plan.sigmas[0])
     # flow models: the input latent is interpolated toward the noise

@@ -80,3 +80,47 @@ def test_unmatched_raises():
 def test_newline_escape():
     pt = prompt_set_parse("a\\nb")
     assert chunks(pt) == [("a\nb", 1.0)]
+
+
+# -- prompt editing / alternation -------------------------------------------
+
+def test_editing_switch():
+    from mlimgsynth_tpu.prompt import editing_segments, expand_editing
+    texts, idx = editing_segments("a [cat:dog:3] photo", 6)
+    assert texts == ["a cat photo", "a dog photo"]
+    assert idx == [0, 0, 0, 1, 1, 1]
+    # fraction boundary
+    texts, idx = editing_segments("a [cat:dog:0.5] photo", 4)
+    assert texts == ["a cat photo", "a dog photo"]
+    assert idx == [0, 0, 1, 1]
+    # add-after and remove-after forms
+    t, _ = expand_editing("x [extra:2]", 1, 4)
+    assert t == "x "
+    t, _ = expand_editing("x [extra:2]", 2, 4)
+    assert t == "x extra"
+    t, _ = expand_editing("x [gone::2]", 1, 4)
+    assert t == "x gone"
+    t, _ = expand_editing("x [gone::2]", 3, 4)
+    assert t == "x "
+
+
+def test_editing_alternation_and_nesting():
+    from mlimgsynth_tpu.prompt import editing_segments
+    texts, idx = editing_segments("[a|b] q", 4)
+    assert texts == ["a q", "b q"]
+    assert idx == [0, 1, 0, 1]
+    # nested editing inside an emphasis bracket
+    texts, idx = editing_segments("[[red:blue:2] car]", 4)
+    assert texts == ["[red car]", "[blue car]"]
+    assert idx == [0, 0, 1, 1]
+
+
+def test_editing_no_constructs():
+    from mlimgsynth_tpu.prompt import editing_segments
+    assert editing_segments("plain [emphasis] (x:1.3)", 8) is None
+    assert editing_segments("tag <lora:style:0.8> ok", 8) is None
+
+
+def test_editing_escapes():
+    from mlimgsynth_tpu.prompt import editing_segments
+    assert editing_segments(r"literal \[a:b:2\]", 4) is None
