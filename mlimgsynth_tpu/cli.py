@@ -48,6 +48,9 @@ Generation options:
   -o --output PATH     Output image path.
   --olatent PATH       Output latent tensor path.
   --no-prompt-parse B  Use the prompt as raw text (no emphasis/lora parsing).
+                       Prompts support A1111 emphasis ((x:1.5), [x]),
+                       <lora:NAME:MULT>, <emb:NAME>, and prompt editing
+                       ([from:to:when], [add:when], [gone::when], [a|b]).
 
 Models and backend:
   -m --model PATH      Model file (safetensors or GGUF).
