@@ -231,6 +231,7 @@ class MLImgSynth:
             "control_net": "", "control_strength": 1.0,
             "hires_fix": 0.0, "hires_denoise": 0.7, "hires_steps": 0,
             "upscaler": "", "hires_upscaler": "",
+            "subseed": -1, "subseed_strength": 0.0,
             "refiner": "", "refiner_switch": 0.8,
             "t5": "", "t5_tokenizer": "", "t5_tokens": 77,
             "clip": "", "vae": "",
@@ -455,6 +456,10 @@ class MLImgSynth:
                 self._upscaler = None
         elif opt == "hires_upscaler":
             c["hires_upscaler"] = str(args[0]) if args else ""
+        elif opt == "subseed":
+            c["subseed"] = _int(args[0], -1)
+        elif opt == "subseed_strength":
+            c["subseed_strength"] = _float(args[0], 0.0)
         elif opt == "refiner":
             v = str(args[0]) if args else ""
             c["refiner"] = v
@@ -2065,7 +2070,15 @@ class MLImgSynth:
             keep_tail=self._keep_tail, noise_add=self._noise_add,
             flow_shift=flow_shift)
         nfe_per_dxdt = 2 if eff_cfg > 1 else 1
-        plan = make_plan(scfg, latent.shape, self.rng, nfe_per_dxdt)
+        subseeds = None
+        if c["subseed_strength"] > 0:
+            sub0 = (c["subseed"] if c["subseed"] >= 0
+                    else self.rng.seed + 1)
+            c["subseed"] = sub0       # effective value for the infotext
+            subseeds = [sub0 + i for i in range(n_batch)]
+        plan = make_plan(scfg, latent.shape, self.rng, nfe_per_dxdt,
+                         subseeds=subseeds,
+                         subseed_strength=c["subseed_strength"])
         log.info(
             f"Generating (solver: {c['method']}, sched: {c['scheduler']}, "
             f"ancestral: {c['s_ancestral']:g}, snoise: {c['s_noise']:g}, "
@@ -2614,8 +2627,15 @@ class MLImgSynth:
                       if init_latents is not None
                       else np.zeros((n, mt.vae_p.ch_z, h, w),
                                     np.float32))
+            subseeds = None
+            if c["subseed_strength"] > 0:
+                subseeds = [int(r["subseed"])
+                            if r.get("subseed") is not None
+                            else seeds[j] + 1
+                            for j, r in enumerate(requests)]
             plan = make_plan(scfg, latent.shape, RngPhilox(seeds[0], 0),
-                             nfe_per_dxdt, seeds=seeds)
+                             nfe_per_dxdt, seeds=seeds, subseeds=subseeds,
+                             subseed_strength=c["subseed_strength"])
             log.info(f"Generating batch of {n} requests "
                      f"(seeds {seeds}, steps {plan.n_step})")
             params = self._get_params("unet")
@@ -2698,18 +2718,22 @@ class MLImgSynth:
                          * nfe_per_dxdt)
             infotexts = []
             save = (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
-                    self.infotext, self.tensors.get("lmask"))
+                    self.infotext, self.tensors.get("lmask"),
+                    c["subseed"])
             try:
                 self.tensors["lmask"] = init_lmask  # Mode: inpaint label
                 for i, r in enumerate(requests):
                     c["prompt_raw"] = str(r.get("prompt", ""))
                     c["nprompt_raw"] = str(r.get("nprompt", ""))
                     self.rng.seed = seeds[i]
+                    if subseeds is not None:
+                        c["subseed"] = subseeds[i]
                     self._infotext_update(w * f, h * f, plan)
                     infotexts.append(self.infotext)
             finally:
                 (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
-                 self.infotext, self.tensors["lmask"]) = save
+                 self.infotext, self.tensors["lmask"],
+                 c["subseed"]) = save
             return imgs, infotexts
 
     def _generate_batch_hires(self, requests, step_callback, init_latents,
@@ -2864,6 +2888,10 @@ class MLImgSynth:
         if c["nprompt_raw"]:
             out.append(f"Negative prompt: {c['nprompt_raw']}\n")
         out.append(f"Seed: {self.rng.seed}")
+        if c["subseed_strength"] > 0:
+            out.append(f", Variation seed: {c['subseed']}, "
+                       f"Variation seed strength: "
+                       f"{c['subseed_strength']:g}")
         m = c["method"]
         out.append(f", Sampler: {m}")
         if c["s_ancestral"] == 1:
@@ -2933,6 +2961,8 @@ _OPTIONS = [
     "hires_fix", "hires_denoise", "hires_steps",
     # ESRGAN/RRDBNet upscaler model + image-space highres-fix mode
     "upscaler", "hires_upscaler",
+    # seed variations (A1111 subseed slerp)
+    "subseed", "subseed_strength",
     # base->refiner ensemble-of-experts pipeline
     "refiner", "refiner_switch",
     # SD3 T5-XXL context tower (optional third text encoder)

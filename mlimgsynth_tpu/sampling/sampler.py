@@ -99,8 +99,27 @@ def plan_n_step(cfg: SamplerConfig, nfe_per_dxdt: int = 1) -> int:
     return n
 
 
+def _noise_slerp(a: np.ndarray, b: np.ndarray, t: float) -> np.ndarray:
+    """Per-sample spherical interpolation over the flattened noise
+    tensors (A1111 seed-variation semantics, processing.slerp)."""
+    out = np.empty_like(a)
+    for i in range(a.shape[0]):
+        va, vb = a[i].ravel(), b[i].ravel()
+        dot = float(np.dot(va, vb)
+                    / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        if abs(dot) > 0.9995:
+            out[i] = (1.0 - t) * a[i] + t * b[i]
+        else:
+            om = np.arccos(dot)
+            so = np.sin(om)
+            out[i] = ((np.sin((1.0 - t) * om) / so) * a[i]
+                      + (np.sin(t * om) / so) * b[i])
+    return out
+
+
 def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
-              nfe_per_dxdt: int = 1, seeds=None) -> SamplingPlan:
+              nfe_per_dxdt: int = 1, seeds=None, subseeds=None,
+              subseed_strength: float = 0.0) -> SamplingPlan:
     """Compute sigma schedule and pre-draw all noise in the reference's exact
     order (initial, then per step: churn draw, post-step ancestral draw —
     src/sampling.c:119-178).  ``latent_shape`` is NCHW; for batch > 1 each
@@ -152,6 +171,13 @@ def make_plan(cfg: SamplerConfig, latent_shape, rng: RngPhilox,
         return out.astype(np.float32)
 
     noise0 = draw()
+    if subseed_strength > 0 and subseeds is not None and cfg.noise_add:
+        # seed variations: slerp toward an independent fresh stream per
+        # sample (A1111 subseed/subseed_strength); only the INITIAL
+        # noise is blended, per-step draws stay on the seed streams
+        sub = np.stack([RngPhilox(sd, 0).randn_shaped(sample_shape)
+                        for sd in subseeds]).astype(np.float32)
+        noise0 = _noise_slerp(noise0, sub, float(subseed_strength))
     if not cfg.noise_add:
         # the input latent is already at sigma(f_t_ini) (ensemble handoff);
         # the draw above still advanced the stream so per-step draws match

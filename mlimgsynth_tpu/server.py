@@ -71,6 +71,7 @@ _SHARED_OPTS = {
     "s_noise": "s-noise", "clip_skip": "clip-skip", "f_t_ini": "f-t-ini",
     "hires_fix": "hires-fix", "hires_denoise": "hires-denoise",
     "hires_steps": "hires-steps", "hires_upscaler": "hires-upscaler",
+    "subseed_strength": "subseed-strength",
 }
 _SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height", "model",
                                       "preview", "preview_every")
@@ -380,10 +381,14 @@ class Server:
                            if use_img2img else None)
                 mask_arr = (_decode_image_b64(p.req["mask"], gray=True)
                             if use_mask else None)
+                subseed = p.req.get("subseed")
                 for j in range(k):  # seed+j per image, like generate.sh
-                    entries.append({"prompt": p.req.get("prompt", ""),
-                                    "nprompt": p.req.get("nprompt", ""),
-                                    "seed": seed + j})
+                    e = {"prompt": p.req.get("prompt", ""),
+                         "nprompt": p.req.get("nprompt", ""),
+                         "seed": seed + j}
+                    if subseed is not None and int(subseed) >= 0:
+                        e["subseed"] = int(subseed) + j
+                    entries.append(e)
                     if img_arr is not None:
                         init_imgs.append(img_arr)
                     if mask_arr is not None:
@@ -490,6 +495,11 @@ def _a1111_to_req(req: dict, img2img: bool = False) -> dict:
     seed = req.get("seed")
     if seed is not None and int(seed) != -1:   # -1 = random (A1111)
         out["seed"] = int(seed)
+    if req.get("subseed_strength"):
+        out["subseed_strength"] = float(req["subseed_strength"])
+        sub = req.get("subseed")
+        if sub is not None and int(sub) != -1:
+            out["subseed"] = int(sub)
     n = max(1, int(req.get("batch_size", 1))) * \
         max(1, int(req.get("n_iter", 1)))      # n_iter folds into the batch
     out["batch_size"] = n

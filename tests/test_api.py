@@ -183,3 +183,51 @@ def test_missing_tensor_error(tmp_path, monkeypatch, ckpt):
     s.option_set("prompt", "x")
     with pytest.raises((MlisError, KeyError)):
         s.generate()
+
+
+def test_seed_variations(tmp_path, monkeypatch):
+    """A1111 subseed slerp: strength 0 == base run; strength 1 == the
+    subseed's own run (slerp endpoints); in-between differs from both
+    and reproduces exactly."""
+    from helpers import TINY_MODEL_TYPE, patch_tiny_model_types, \
+        write_tiny_checkpoint
+    patch_tiny_model_types(monkeypatch)
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+
+    def mk():
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(ckpt))
+        s.option_set("model-type", "sd1")
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 2)
+        s.option_set("no-decode", 1)
+        return s
+
+    def gen(s, seed, sub=None, strength=0.0):
+        s.option_set("seed", seed)
+        s.option_set("subseed", -1 if sub is None else sub)
+        s.option_set("subseed-strength", strength)
+        s.option_set("prompt", "a photo")
+        return np.asarray(s.generate())
+
+    s = mk()
+    base = gen(s, 7)
+    subrun = gen(s, 99)
+    # endpoint checks
+    np.testing.assert_array_equal(gen(s, 7, 99, 0.0), base)
+    v1 = gen(s, 7, 99, 1.0)
+    np.testing.assert_allclose(v1, subrun, atol=1e-4)
+    mid = gen(s, 7, 99, 0.4)
+    assert not np.array_equal(mid, base)
+    assert not np.array_equal(mid, v1)
+    np.testing.assert_array_equal(mid, gen(s, 7, 99, 0.4))
+    assert "Variation seed: 99" in s.infotext
+    assert "Variation seed strength: 0.4" in s.infotext
+
+    # batched path: per-request subseed, batch-invariant
+    s.option_set("subseed-strength", 0.4)
+    out, infos = s.generate_batch(
+        [{"prompt": "a photo", "seed": 7, "subseed": 99}])
+    assert "Variation seed: 99" in infos[0]
