@@ -232,6 +232,7 @@ class MLImgSynth:
             "hires_fix": 0.0, "hires_denoise": 0.7, "hires_steps": 0,
             "upscaler": "", "hires_upscaler": "",
             "subseed": -1, "subseed_strength": 0.0,
+            "inpaint_full_res": 0, "inpaint_full_res_padding": 32,
             "refiner": "", "refiner_switch": 0.8,
             "t5": "", "t5_tokenizer": "", "t5_tokens": 77,
             "clip": "", "vae": "",
@@ -275,6 +276,7 @@ class MLImgSynth:
         self._refiner_path = ""
         self._t5_p = None                    # inferred T5 geometry
         self._upscaler = None                # (device params, EsrganParams)
+        self._in_fullres = False             # inside a crop-inpaint stage
         self._keep_tail = False              # stop at sigma(f_t_end)
         self._noise_add = True               # add noise at sigma(f_t_ini)
         self._ready = set()
@@ -460,6 +462,10 @@ class MLImgSynth:
             c["subseed"] = _int(args[0], -1)
         elif opt == "subseed_strength":
             c["subseed_strength"] = _float(args[0], 0.0)
+        elif opt == "inpaint_full_res":
+            c["inpaint_full_res"] = _int(args[0], 0)
+        elif opt == "inpaint_full_res_padding":
+            c["inpaint_full_res_padding"] = _int(args[0], 32)
         elif opt == "refiner":
             v = str(args[0]) if args else ""
             c["refiner"] = v
@@ -1804,6 +1810,10 @@ class MLImgSynth:
 
     def _generate(self) -> np.ndarray:
         self.setup()
+        c = self.c
+        if (c["inpaint_full_res"] and not self._in_fullres
+                and c["tuflags"] & TUF_IMAGE and c["tuflags"] & TUF_MASK):
+            return self._inpaint_fullres_generate()
         if self.c["hires_fix"] > 1.0 and not self._in_hires:
             return self._hires_generate()
         if (self.c["refiner"] and not self._in_refiner
@@ -2209,6 +2219,42 @@ class MLImgSynth:
         self._prompt_clear()
         log.info(f"Generation done {{{time.time() - t_start:.3f}s}}")
         return self.tensors["image"] if not c["no_decode"] else latent
+
+    def _inpaint_fullres_generate(self) -> np.ndarray:
+        """Crop-around-mask inpainting (beyond-reference; A1111 "inpaint
+        at full resolution"): the padded mask bounding box — expanded
+        toward the processing aspect — is cropped out, Lanczos-resized to
+        the session dims, inpainted there, resized back, and blended into
+        the original image under the mask."""
+        c = self.c
+        img = np.asarray(self.tensors["image"], np.float32)
+        mask = np.asarray(self.tensors["mask"], np.float32)
+        w = c["width"] or img.shape[3]
+        h = c["height"] or img.shape[2]
+        pad = int(c["inpaint_full_res_padding"])
+        box = image_mod.inpaint_crop_region(
+            mask, w, h, pad, mult=self._mt.vae_p.f_down)
+        if box is None:        # empty mask: plain img2img
+            return self._generate()
+        x0, y0, x1, y1 = box
+        crop_img = image_mod._resize_float_nchw(
+            img[:, :, y0:y1, x0:x1], h, w)
+        crop_mask = np.clip(image_mod._resize_float_nchw(
+            mask[:, :, y0:y1, x0:x1], h, w), 0.0, 1.0)
+        self._in_fullres = True
+        try:
+            self.tensors["image"] = crop_img
+            self.tensors["mask"] = crop_mask
+            out = self._generate()
+            final = image_mod.inpaint_paste(img, out, mask, box)
+            self.tensors["image"] = final
+            self.infotext += (f", Inpaint area: only masked, "
+                              f"Masked padding: {pad}")
+            log.info(f"Inpaint full res: box {x1 - x0}x{y1 - y0}+"
+                     f"{x0}+{y0} processed at {w}x{h}")
+            return final
+        finally:
+            self._in_fullres = False
 
     def _hires_generate(self) -> np.ndarray:
         """Two-stage highres-fix (beyond-reference; A1111 semantics): a
@@ -2963,6 +3009,8 @@ _OPTIONS = [
     "upscaler", "hires_upscaler",
     # seed variations (A1111 subseed slerp)
     "subseed", "subseed_strength",
+    # crop-around-mask inpainting (A1111 "inpaint at full resolution")
+    "inpaint_full_res", "inpaint_full_res_padding",
     # base->refiner ensemble-of-experts pipeline
     "refiner", "refiner_switch",
     # SD3 T5-XXL context tower (optional third text encoder)

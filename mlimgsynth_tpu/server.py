@@ -104,6 +104,8 @@ def _shared_of(req: dict) -> dict:
                         if req.get("image") else None)
     d["_has_mask"] = bool(req.get("mask"))
     d["_loras"] = _lora_tags_of(req)
+    d["_fullres"] = (bool(req.get("inpaint_full_res")),
+                     req.get("inpaint_full_res_padding"))
     return d
 
 
@@ -369,8 +371,17 @@ class Server:
                     # batch's leftover value
                     s.option_set(opt, defaults[opt])
             entries, slices, init_imgs, init_masks = [], [], [], []
+            fullres_orig = []   # (entry_index, orig_img, orig_mask, box)
             use_img2img = bool(r0.get("image"))
             use_mask = bool(r0.get("mask"))
+            use_fullres = (use_img2img and use_mask
+                           and bool(r0.get("inpaint_full_res")))
+            if use_fullres:
+                from .utils.image import (_resize_float_nchw,
+                                          inpaint_crop_region)
+                fw = int(r0.get("width", 0)) or s.c["width"]
+                fh = int(r0.get("height", 0)) or s.c["height"]
+                fpad = int(r0.get("inpaint_full_res_padding", 32) or 32)
             for p in batch:
                 k = max(1, int(p.req.get("batch_size", 1)))
                 seed = p.req.get("seed")
@@ -381,6 +392,24 @@ class Server:
                            if use_img2img else None)
                 mask_arr = (_decode_image_b64(p.req["mask"], gray=True)
                             if use_mask else None)
+                if use_fullres:
+                    # crop-around-mask: each request crops its own box,
+                    # every crop resizes to the SAME processing dims, so
+                    # the device batch stays uniform; results paste back
+                    # per request after the merged generate
+                    fw = fw or img_arr.shape[3]
+                    fh = fh or img_arr.shape[2]
+                    box = inpaint_crop_region(mask_arr, fw, fh, fpad)
+                    if box is None:  # empty mask: whole-image "crop"
+                        box = (0, 0, img_arr.shape[3], img_arr.shape[2])
+                    x0, y0, x1, y1 = box
+                    fullres_orig.append(
+                        (slice(start, start + k), img_arr, mask_arr,
+                         box))
+                    img_arr = _resize_float_nchw(
+                        img_arr[:, :, y0:y1, x0:x1], fh, fw)
+                    mask_arr = np.clip(_resize_float_nchw(
+                        mask_arr[:, :, y0:y1, x0:x1], fh, fw), 0, 1)
                 subseed = p.req.get("subseed")
                 for j in range(k):  # seed+j per image, like generate.sh
                     e = {"prompt": p.req.get("prompt", ""),
@@ -432,6 +461,19 @@ class Server:
                 entries, step_callback=cb, init_latents=init_lat,
                 init_lmask=init_lmask, preview_callback=pv_cb,
                 preview_chunk=int(r0.get("preview_every", 0) or 0))
+            if fullres_orig:
+                # merged requests share one original size (merge key);
+                # paste each crop back into its own original
+                from .utils.image import inpaint_paste
+                oh, ow = fullres_orig[0][1].shape[2:]
+                full = np.empty((imgs.shape[0], imgs.shape[1], oh, ow),
+                                np.float32)
+                for sl, oimg, omask, box in fullres_orig:
+                    nrep = sl.stop - sl.start
+                    full[sl] = inpaint_paste(
+                        np.repeat(oimg, nrep, 0), imgs[sl],
+                        np.repeat(omask, nrep, 0), box)
+                imgs = full
             dt = time.time() - t0
             if all(p.cancelled for p in batch):
                 raise RuntimeError("cancelled")
@@ -527,6 +569,11 @@ def _a1111_to_req(req: dict, img2img: bool = False) -> dict:
             out["mask"] = _strip_data_url(req["mask"])
         if req.get("denoising_strength") is not None:
             out["f_t_ini"] = float(req["denoising_strength"])
+        if req.get("inpaint_full_res"):
+            out["inpaint_full_res"] = 1
+            if req.get("inpaint_full_res_padding") is not None:
+                out["inpaint_full_res_padding"] = \
+                    int(req["inpaint_full_res_padding"])
     elif req.get("enable_hr"):
         # A1111 highres-fix: two-pass latent upscale + refine.
         # Latent-family hr_upscaler names run the latent path; any other

@@ -132,3 +132,65 @@ def tensor_img_redblue(t2d: np.ndarray) -> np.ndarray:
     img[..., 0] = np.clip(-v, 0, None) * (255.0 / scale)
     img[..., 2] = np.clip(v, 0, None) * (255.0 / scale)
     return img
+
+
+def _resize_float_nchw(t: np.ndarray, th: int, tw: int,
+                       resample=None) -> np.ndarray:
+    """Per-channel PIL resize of float NCHW [n,c,h,w] (mode 'F', default
+    Lanczos; no u8 round-trip)."""
+    from PIL import Image
+    if resample is None:
+        resample = Image.LANCZOS
+    n, c = t.shape[:2]
+    out = np.empty((n, c, th, tw), np.float32)
+    for i in range(n):
+        for j in range(c):
+            im = Image.fromarray(np.asarray(t[i, j], np.float32), mode="F")
+            out[i, j] = np.asarray(im.resize((tw, th), resample),
+                                   np.float32)
+    return out
+
+
+def inpaint_crop_region(mask: np.ndarray, w: int, h: int, pad: int,
+                        mult: int = 8):
+    """A1111 "inpaint at full resolution": padded bounding box of the
+    mask (NCHW [1,1,H,W], white = repaint), expanded toward the target
+    w:h aspect and clamped to the image.  Returns (x0, y0, x1, y1) in
+    image pixels (multiples of ``mult``), or None for an empty mask."""
+    m = np.asarray(mask[0, 0]) > 0.5
+    ys, xs = np.nonzero(m)
+    if ys.size == 0:
+        return None
+    H, W = m.shape
+    y0, y1 = max(0, int(ys.min()) - pad), min(H, int(ys.max()) + 1 + pad)
+    x0, x1 = max(0, int(xs.min()) - pad), min(W, int(xs.max()) + 1 + pad)
+    # expand the short side toward the processing aspect ratio
+    want = w / h
+    cw, ch = x1 - x0, y1 - y0
+    if cw / ch < want:     # too narrow: widen
+        need = min(int(round(ch * want)), W) - cw
+        x0 = max(0, x0 - need // 2)
+        x1 = min(W, x0 + cw + need)
+        x0 = max(0, x1 - min(int(round(ch * want)), W))
+    elif cw / ch > want:   # too short: heighten
+        need = min(int(round(cw / want)), H) - ch
+        y0 = max(0, y0 - need // 2)
+        y1 = min(H, y0 + ch + need)
+        y0 = max(0, y1 - min(int(round(cw / want)), H))
+    # round the box out to multiples of mult (clamped)
+    x0, y0 = (x0 // mult) * mult, (y0 // mult) * mult
+    x1, y1 = min(W, -(-x1 // mult) * mult), min(H, -(-y1 // mult) * mult)
+    return x0, y0, x1, y1
+
+
+def inpaint_paste(orig: np.ndarray, result: np.ndarray, mask: np.ndarray,
+                  box) -> np.ndarray:
+    """Resize the processed crop back to the box and blend it into the
+    original image under the mask (float NCHW, [0,1])."""
+    x0, y0, x1, y1 = box
+    res = _resize_float_nchw(result, y1 - y0, x1 - x0)
+    out = np.array(orig, np.float32, copy=True)
+    m = np.asarray(mask[:, :1, y0:y1, x0:x1], np.float32)
+    out[:, :, y0:y1, x0:x1] = (res * m
+                               + out[:, :, y0:y1, x0:x1] * (1.0 - m))
+    return np.clip(out, 0.0, 1.0)

@@ -3,7 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mlimgsynth_tpu.api import MLImgSynth, MlisError
+from mlimgsynth_tpu.api import (MLImgSynth, MlisError, TUF_IMAGE, TUF_MASK)
 from helpers import patch_tiny_model_types, write_tiny_checkpoint
 
 
@@ -231,3 +231,46 @@ def test_seed_variations(tmp_path, monkeypatch):
     out, infos = s.generate_batch(
         [{"prompt": "a photo", "seed": 7, "subseed": 99}])
     assert "Variation seed: 99" in infos[0]
+
+
+def test_inpaint_full_res(tmp_path, monkeypatch):
+    """Crop-around-mask inpainting: pixels outside the mask are
+    preserved exactly; inside they change; crop utilities behave."""
+    from helpers import TINY_MODEL_TYPE, patch_tiny_model_types, \
+        write_tiny_checkpoint
+    from mlimgsynth_tpu.utils.image import inpaint_crop_region
+    patch_tiny_model_types(monkeypatch)
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+
+    # geometry: mask blob -> padded aspect-expanded box
+    m = np.zeros((1, 1, 128, 128), np.float32)
+    m[:, :, 40:60, 30:50] = 1.0
+    box = inpaint_crop_region(m, 64, 64, 8, mult=8)
+    x0, y0, x1, y1 = box
+    assert x0 <= 30 - 8 + 7 and x1 >= 50 + 8 - 7
+    assert (x1 - x0) % 8 == 0 and (y1 - y0) % 8 == 0
+    assert inpaint_crop_region(np.zeros_like(m), 64, 64, 8) is None
+
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", str(ckpt))
+    s.option_set("model-type", "sd1")
+    s.option_set("image-dim", 64)
+    s.option_set("steps", 2)
+    s.option_set("seed", 9)
+    img = np.random.RandomState(0).rand(1, 3, 128, 128).astype(np.float32)
+    s.tensors["image"] = img
+    s.tensors["mask"] = m
+    s.option_set("tensor-use-flags", TUF_IMAGE | TUF_MASK)
+    s.option_set("inpaint-full-res", 1)
+    s.option_set("f-t-ini", 0.6)
+    s.option_set("prompt", "a patch")
+    out = s.generate()
+    assert out.shape == img.shape
+    outside = (m[0, 0] == 0)
+    np.testing.assert_array_equal(out[0, :, outside].T,
+                                  img[0, :, outside].T)
+    assert not np.allclose(out[0, :, ~outside], img[0, :, ~outside],
+                           atol=1e-3)
+    assert "Inpaint area: only masked" in s.infotext
