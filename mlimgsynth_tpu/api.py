@@ -233,6 +233,7 @@ class MLImgSynth:
             "upscaler": "", "hires_upscaler": "",
             "subseed": -1, "subseed_strength": 0.0,
             "inpaint_full_res": 0, "inpaint_full_res_padding": 32,
+            "mask_blur": 0.0,
             "refiner": "", "refiner_switch": 0.8,
             "t5": "", "t5_tokenizer": "", "t5_tokens": 77,
             "clip": "", "vae": "",
@@ -466,6 +467,8 @@ class MLImgSynth:
             c["inpaint_full_res"] = _int(args[0], 0)
         elif opt == "inpaint_full_res_padding":
             c["inpaint_full_res_padding"] = _int(args[0], 32)
+        elif opt == "mask_blur":
+            c["mask_blur"] = _float(args[0], 0.0)
         elif opt == "refiner":
             v = str(args[0]) if args else ""
             c["refiner"] = v
@@ -1849,7 +1852,11 @@ class MLImgSynth:
 
         # masks
         if c["tuflags"] & TUF_MASK:
-            self.tensors["lmask"] = self.mask_encode(self.tensors["mask"])
+            mask_in = self.tensors["mask"]
+            if c["mask_blur"] > 0:
+                mask_in = image_mod.mask_gaussian_blur(
+                    np.asarray(mask_in, np.float32), c["mask_blur"])
+            self.tensors["lmask"] = self.mask_encode(mask_in)
             c["tuflags"] |= TUF_LMASK
         lmask = (self.tensors["lmask"] if c["tuflags"] & TUF_LMASK else None)
         if lmask is not None:
@@ -2229,6 +2236,9 @@ class MLImgSynth:
         c = self.c
         img = np.asarray(self.tensors["image"], np.float32)
         mask = np.asarray(self.tensors["mask"], np.float32)
+        saved_blur = c["mask_blur"]
+        if saved_blur > 0:   # blur once here (paste seam + inner use)
+            mask = image_mod.mask_gaussian_blur(mask, saved_blur)
         w = c["width"] or img.shape[3]
         h = c["height"] or img.shape[2]
         pad = int(c["inpaint_full_res_padding"])
@@ -2243,6 +2253,7 @@ class MLImgSynth:
             mask[:, :, y0:y1, x0:x1], h, w), 0.0, 1.0)
         self._in_fullres = True
         try:
+            c["mask_blur"] = 0.0   # already applied above
             self.tensors["image"] = crop_img
             self.tensors["mask"] = crop_mask
             out = self._generate()
@@ -2255,6 +2266,7 @@ class MLImgSynth:
             return final
         finally:
             self._in_fullres = False
+            c["mask_blur"] = saved_blur
 
     def _hires_generate(self) -> np.ndarray:
         """Two-stage highres-fix (beyond-reference; A1111 semantics): a
@@ -3010,7 +3022,7 @@ _OPTIONS = [
     # seed variations (A1111 subseed slerp)
     "subseed", "subseed_strength",
     # crop-around-mask inpainting (A1111 "inpaint at full resolution")
-    "inpaint_full_res", "inpaint_full_res_padding",
+    "inpaint_full_res", "inpaint_full_res_padding", "mask_blur",
     # base->refiner ensemble-of-experts pipeline
     "refiner", "refiner_switch",
     # SD3 T5-XXL context tower (optional third text encoder)

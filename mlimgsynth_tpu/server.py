@@ -105,7 +105,8 @@ def _shared_of(req: dict) -> dict:
     d["_has_mask"] = bool(req.get("mask"))
     d["_loras"] = _lora_tags_of(req)
     d["_fullres"] = (bool(req.get("inpaint_full_res")),
-                     req.get("inpaint_full_res_padding"))
+                     req.get("inpaint_full_res_padding"),
+                     req.get("mask_blur"))
     return d
 
 
@@ -278,11 +279,14 @@ class Server:
                 f"(have: {', '.join(self.sessions)})")
         p = _Pending(req)  # _shared_of validates the image header too
         size = p.shared["_image_size"]
-        if size is not None and (size[0] % 64 or size[1] % 64):
-            # fail fast with a clean error instead of a doomed UNet compile
+        if (size is not None and (size[0] % 64 or size[1] % 64)
+                and not (req.get("width") or req.get("height"))
+                and not req.get("inpaint_full_res")):
+            # fail fast with a clean error instead of a doomed UNet
+            # compile (explicit width/height resizes the init instead)
             raise ValueError(
                 f"init image size {size[0]}x{size[1]} must be a multiple "
-                "of 64")
+                "of 64 (or pass width/height to resize)")
         if req.get("mask"):
             if size is None:
                 raise ValueError("'mask' (inpainting) needs 'image'")
@@ -376,11 +380,15 @@ class Server:
             use_mask = bool(r0.get("mask"))
             use_fullres = (use_img2img and use_mask
                            and bool(r0.get("inpaint_full_res")))
-            if use_fullres:
+            mblur = float(r0.get("mask_blur", 0) or 0)
+            rw = int(r0.get("width", 0)) or s.c["width"]
+            rh = int(r0.get("height", 0)) or s.c["height"]
+            if use_fullres or use_img2img:
                 from .utils.image import (_resize_float_nchw,
-                                          inpaint_crop_region)
-                fw = int(r0.get("width", 0)) or s.c["width"]
-                fh = int(r0.get("height", 0)) or s.c["height"]
+                                          inpaint_crop_region,
+                                          mask_gaussian_blur)
+            if use_fullres:
+                fw, fh = rw, rh
                 fpad = int(r0.get("inpaint_full_res_padding", 32) or 32)
             for p in batch:
                 k = max(1, int(p.req.get("batch_size", 1)))
@@ -392,6 +400,16 @@ class Server:
                            if use_img2img else None)
                 mask_arr = (_decode_image_b64(p.req["mask"], gray=True)
                             if use_mask else None)
+                if mask_arr is not None and mblur > 0:
+                    mask_arr = mask_gaussian_blur(mask_arr, mblur)
+                if (use_img2img and not use_fullres and rw and rh
+                        and img_arr.shape[2:] != (rh, rw)):
+                    # A1111 resize-mode-0 semantics: the init image (and
+                    # mask) resize to the requested processing dims
+                    img_arr = _resize_float_nchw(img_arr, rh, rw)
+                    if mask_arr is not None:
+                        mask_arr = np.clip(_resize_float_nchw(
+                            mask_arr, rh, rw), 0, 1)
                 if use_fullres:
                     # crop-around-mask: each request crops its own box,
                     # every crop resizes to the SAME processing dims, so
@@ -574,6 +592,8 @@ def _a1111_to_req(req: dict, img2img: bool = False) -> dict:
             if req.get("inpaint_full_res_padding") is not None:
                 out["inpaint_full_res_padding"] = \
                     int(req["inpaint_full_res_padding"])
+        if req.get("mask_blur") is not None:
+            out["mask_blur"] = float(req["mask_blur"])
     elif req.get("enable_hr"):
         # A1111 highres-fix: two-pass latent upscale + refine.
         # Latent-family hr_upscaler names run the latent path; any other

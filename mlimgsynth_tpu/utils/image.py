@@ -194,3 +194,26 @@ def inpaint_paste(orig: np.ndarray, result: np.ndarray, mask: np.ndarray,
     out[:, :, y0:y1, x0:x1] = (res * m
                                + out[:, :, y0:y1, x0:x1] * (1.0 - m))
     return np.clip(out, 0.0, 1.0)
+
+
+def mask_gaussian_blur(mask: np.ndarray, radius: float) -> np.ndarray:
+    """Gaussian-blur a float NCHW [n,1,H,W] mask (A1111 ``mask_blur``:
+    softens inpaint seams).  Separable numpy convolution with
+    edge-replicate padding (PIL's GaussianBlur rejects mode-'F')."""
+    sigma = max(float(radius), 1e-3)
+    r = max(1, int(3.0 * sigma + 0.5))
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+
+    def blur1d(a, axis):
+        p = [(0, 0)] * a.ndim
+        p[axis] = (r, r)
+        a = np.pad(a, p, mode="edge")
+        return np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="valid"), axis, a)
+
+    out = np.asarray(mask, np.float32)
+    out = blur1d(out, 2)
+    out = blur1d(out, 3)
+    return np.clip(out, 0.0, 1.0, out)

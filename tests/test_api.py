@@ -274,3 +274,42 @@ def test_inpaint_full_res(tmp_path, monkeypatch):
     assert not np.allclose(out[0, :, ~outside], img[0, :, ~outside],
                            atol=1e-3)
     assert "Inpaint area: only masked" in s.infotext
+
+
+def test_mask_blur_option(tmp_path, monkeypatch):
+    """mask_blur softens the latent mask: blurred-mask inpainting blends
+    at the seam instead of hard-switching; blur-0 path is unchanged."""
+    from helpers import TINY_MODEL_TYPE, patch_tiny_model_types, \
+        write_tiny_checkpoint
+    from mlimgsynth_tpu.utils.image import mask_gaussian_blur
+    m = np.zeros((1, 1, 64, 64), np.float32)
+    m[:, :, 16:48, 16:48] = 1.0
+    b = mask_gaussian_blur(m, 4.0)
+    assert b.max() <= 1.0 and b.min() >= 0.0
+    assert 0.05 < b[0, 0, 15, 32] < 0.6      # softened outside edge
+    assert b[0, 0, 32, 32] > 0.99
+
+    patch_tiny_model_types(monkeypatch)
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", str(ckpt))
+    s.option_set("model-type", "sd1")
+    s.option_set("image-dim", 64)
+    s.option_set("steps", 2)
+    s.option_set("seed", 4)
+    img = np.random.RandomState(1).rand(1, 3, 64, 64).astype(np.float32)
+
+    def gen(blur):
+        s.option_set("seed", 4)
+        s.tensors["image"] = img
+        s.tensors["mask"] = m
+        s.option_set("tensor-use-flags", TUF_IMAGE | TUF_MASK)
+        s.option_set("mask-blur", blur)
+        s.option_set("f-t-ini", 0.6)
+        s.option_set("prompt", "x")
+        return s.generate()
+
+    hard, soft = gen(0), gen(6.0)
+    assert not np.array_equal(hard, soft)
