@@ -43,6 +43,13 @@ Generation options:
   -i --input PATH      Input image for img2img or inpainting.
                        An alpha channel is used as the inpainting mask.
   --imask PATH         Input image mask for inpainting.
+  --mask-blur R        Gaussian-blur the inpainting mask (A1111 seam
+                       softening; default 0).
+  --inpaint-full-res B Crop-around-mask inpainting: process the padded
+                       mask region at full model resolution, paste back
+                       (--inpaint-full-res-padding N, default 32).
+  --subseed N          Variation seed (with --subseed-strength F: the
+                       initial noise slerps toward this stream).
   --ilatent PATH       Input latent tensor.
   --ilmask PATH        Input latent mask tensor.
   -o --output PATH     Output image path.
