@@ -278,6 +278,7 @@ class MLImgSynth:
         self._t5_p = None                    # inferred T5 geometry
         self._upscaler = None                # (device params, EsrganParams)
         self._in_fullres = False             # inside a crop-inpaint stage
+        self._subseed_eff = -1               # effective variation seed
         self._keep_tail = False              # stop at sigma(f_t_end)
         self._noise_add = True               # add noise at sigma(f_t_ini)
         self._ready = set()
@@ -1428,9 +1429,12 @@ class MLImgSynth:
             pts, uncond_rows=len(u_texts))
         rows = np.asarray(rows, np.float32)
         k = len(p_texts)
-        if (eff_cfg > 1 and self._mt.unet_p.uncond_empty_zero
-                and not c["nprompt_raw"]):
-            rows[k:] = 0.0
+        if eff_cfg > 1 and self._mt.unet_p.uncond_empty_zero:
+            # zero every edited-to-empty negative segment (same rule as
+            # _batch_edit_cond_bank: empty uncond text => zero rows)
+            for j, t in enumerate(u_texts):
+                if not t:
+                    rows[k + j] = 0.0
         ncols = (2 if eff_cfg > 1 else 1) * n_batch
         idx = np.empty((n_plan, ncols), np.int32)
         for s in range(n_plan):
@@ -1714,16 +1718,21 @@ class MLImgSynth:
 
             from .models import esrgan as esr_mod
             params, P = self._upscaler_get()
-            x = jnp.asarray(
-                np.asarray(img, np.float32).transpose(0, 2, 3, 1))
+            img = np.asarray(img, np.float32)
             h, w = img.shape[2], img.shape[3]
+            u = P.unshuffle
+            ph, pw = (-h) % u, (-w) % u
+            if ph or pw:   # x2/x1 models space-to-depth the input: pad
+                img = np.pad(img, ((0, 0), (0, 0), (0, ph), (0, pw)),
+                             mode="edge")
+            x = jnp.asarray(img.transpose(0, 2, 3, 1))
+            hp, wp = img.shape[2], img.shape[3]   # padded dims
             k = max(P.unshuffle, 16 // P.unshuffle * P.unshuffle)
-            if tile and (tile + 2 * k < w or tile + 2 * k < h):
-                u = P.unshuffle
+            if tile and (tile + 2 * k < wp or tile + 2 * k < hp):
                 t = max(u, (tile + u - 1) // u * u)
-                n0 = min((t + 2 * k), w) // u * u
-                n1 = min((t + 2 * k), h) // u * u
-                origins, boxes = _tile_geometry(w, h, n0, n1, k)
+                n0 = min((t + 2 * k), wp) // u * u
+                n1 = min((t + 2 * k), hp) // u * u
+                origins, boxes = _tile_geometry(wp, hp, n0, n1, k)
                 log.info(f"ESRGAN tiled upscale: {len(origins)} tiles "
                          f"of {n0}x{n1}px in one dispatch")
                 out = np.asarray(esr_mod.esrgan_run_tiled(
@@ -1733,10 +1742,10 @@ class MLImgSynth:
                 out = np.asarray(
                     esr_mod.esrgan_run(params, x, P, dtype=self._dtype),
                     np.float32).transpose(0, 3, 1, 2)
+            out = out[:, :, :h * P.scale, :w * P.scale]  # drop pad
             if resize and abs(float(resize) - P.scale) > 1e-6:
-                th = int(round(img.shape[2] * float(resize)))
-                tw = int(round(img.shape[3] * float(resize)))
-                out = _lanczos_resize(out, th, tw)
+                out = _lanczos_resize(out, int(round(h * float(resize))),
+                                      int(round(w * float(resize))))
             return out
 
     def _vae_encode(self, img: np.ndarray, sample: bool) -> np.ndarray:
@@ -2089,9 +2098,11 @@ class MLImgSynth:
         nfe_per_dxdt = 2 if eff_cfg > 1 else 1
         subseeds = None
         if c["subseed_strength"] > 0:
+            # default: offset far from the seed streams (seed+i), so row
+            # i's variation noise never equals row i+1's base noise
             sub0 = (c["subseed"] if c["subseed"] >= 0
-                    else self.rng.seed + 1)
-            c["subseed"] = sub0       # effective value for the infotext
+                    else self.rng.seed + (1 << 31))
+            self._subseed_eff = sub0  # for the infotext; option untouched
             subseeds = [sub0 + i for i in range(n_batch)]
         plan = make_plan(scfg, latent.shape, self.rng, nfe_per_dxdt,
                          subseeds=subseeds,
@@ -2245,7 +2256,11 @@ class MLImgSynth:
         box = image_mod.inpaint_crop_region(
             mask, w, h, pad, mult=self._mt.vae_p.f_down)
         if box is None:        # empty mask: plain img2img
-            return self._generate()
+            self._in_fullres = True   # don't re-enter this dispatch
+            try:
+                return self._generate()
+            finally:
+                self._in_fullres = False
         x0, y0, x1, y1 = box
         crop_img = image_mod._resize_float_nchw(
             img[:, :, y0:y1, x0:x1], h, w)
@@ -2689,7 +2704,7 @@ class MLImgSynth:
             if c["subseed_strength"] > 0:
                 subseeds = [int(r["subseed"])
                             if r.get("subseed") is not None
-                            else seeds[j] + 1
+                            else seeds[j] + (1 << 31)
                             for j, r in enumerate(requests)]
             plan = make_plan(scfg, latent.shape, RngPhilox(seeds[0], 0),
                              nfe_per_dxdt, seeds=seeds, subseeds=subseeds,
@@ -2776,8 +2791,7 @@ class MLImgSynth:
                          * nfe_per_dxdt)
             infotexts = []
             save = (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
-                    self.infotext, self.tensors.get("lmask"),
-                    c["subseed"])
+                    self.infotext, self.tensors.get("lmask"))
             try:
                 self.tensors["lmask"] = init_lmask  # Mode: inpaint label
                 for i, r in enumerate(requests):
@@ -2785,13 +2799,12 @@ class MLImgSynth:
                     c["nprompt_raw"] = str(r.get("nprompt", ""))
                     self.rng.seed = seeds[i]
                     if subseeds is not None:
-                        c["subseed"] = subseeds[i]
+                        self._subseed_eff = subseeds[i]
                     self._infotext_update(w * f, h * f, plan)
                     infotexts.append(self.infotext)
             finally:
                 (c["prompt_raw"], c["nprompt_raw"], self.rng.seed,
-                 self.infotext, self.tensors["lmask"],
-                 c["subseed"]) = save
+                 self.infotext, self.tensors["lmask"]) = save
             return imgs, infotexts
 
     def _generate_batch_hires(self, requests, step_callback, init_latents,
@@ -2947,7 +2960,7 @@ class MLImgSynth:
             out.append(f"Negative prompt: {c['nprompt_raw']}\n")
         out.append(f"Seed: {self.rng.seed}")
         if c["subseed_strength"] > 0:
-            out.append(f", Variation seed: {c['subseed']}, "
+            out.append(f", Variation seed: {self._subseed_eff}, "
                        f"Variation seed strength: "
                        f"{c['subseed_strength']:g}")
         m = c["method"]
@@ -3167,17 +3180,9 @@ def _tae_decode_u8_jit(params, lat, **kw):
 # ---------------------------------------------------------------------------
 
 def _lanczos_resize(img_nchw: np.ndarray, th: int, tw: int) -> np.ndarray:
-    """Host-side Lanczos resize of float [n,c,h,w] images in [0,1]
-    (per-channel PIL 'F' images: no u8 round-trip)."""
-    from PIL import Image
-    n, c = img_nchw.shape[:2]
-    out = np.empty((n, c, th, tw), np.float32)
-    for i in range(n):
-        for j in range(c):
-            ch = Image.fromarray(np.asarray(img_nchw[i, j], np.float32),
-                                 mode="F")
-            out[i, j] = np.asarray(ch.resize((tw, th), Image.LANCZOS),
-                                   np.float32)
+    """Host-side Lanczos resize of float [n,c,h,w] images, clipped to
+    [0,1] (shared per-channel PIL 'F' loop lives in utils/image)."""
+    out = image_mod._resize_float_nchw(img_nchw, th, tw)
     return np.clip(out, 0.0, 1.0, out)
 
 

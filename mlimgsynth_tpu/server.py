@@ -381,14 +381,17 @@ class Server:
             use_fullres = (use_img2img and use_mask
                            and bool(r0.get("inpaint_full_res")))
             mblur = float(r0.get("mask_blur", 0) or 0)
-            rw = int(r0.get("width", 0)) or s.c["width"]
-            rh = int(r0.get("height", 0)) or s.c["height"]
+            # explicit request dims resize the init (A1111 resize-mode-0);
+            # without them native-size img2img is preserved
+            rw = int(r0.get("width", 0))
+            rh = int(r0.get("height", 0))
             if use_fullres or use_img2img:
                 from .utils.image import (_resize_float_nchw,
                                           inpaint_crop_region,
                                           mask_gaussian_blur)
             if use_fullres:
-                fw, fh = rw, rh
+                fw = rw or s.c["width"]
+                fh = rh or s.c["height"]
                 fpad = int(r0.get("inpaint_full_res_padding", 32) or 32)
             for p in batch:
                 k = max(1, int(p.req.get("batch_size", 1)))

@@ -257,3 +257,17 @@ def test_srvgg_session(tmp_path):
     big = np.random.RandomState(1).rand(1, 3, 64, 64).astype(np.float32)
     t = s.upscale(big, tile=16)
     assert t.shape == (1, 3, 256, 256) and np.isfinite(t).all()
+
+
+def test_unshuffle_odd_size(tmp_path):
+    """x2 (unshuffle) models accept dims that aren't unshuffle multiples:
+    the input pads edge-replicated, the output crops back."""
+    from mlimgsynth_tpu.api import MLImgSynth
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set_str("upscaler", _tiny_up_file(
+        tmp_path, name="odd2.safetensors", n_block=1, unshuffle=2))
+    img = np.random.RandomState(2).rand(1, 3, 9, 11).astype(np.float32)
+    out = s.upscale(img)
+    assert out.shape == (1, 3, 18, 22)
+    assert np.isfinite(out).all()

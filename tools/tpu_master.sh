@@ -15,6 +15,5 @@ bash tools/tpu_queue13.sh
 bash tools/tpu_queue14.sh
 bash tools/tpu_queue15.sh
 bash tools/tpu_queue16.sh
-echo "=== MASTER DONE ==="
 bash tools/tpu_queue17.sh
-echo "=== MASTER ALL DONE ==="
+echo "=== MASTER DONE ==="
