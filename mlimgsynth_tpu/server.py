@@ -106,8 +106,32 @@ def _shared_of(req: dict) -> dict:
     d["_loras"] = _lora_tags_of(req)
     d["_fullres"] = (bool(req.get("inpaint_full_res")),
                      req.get("inpaint_full_res_padding"),
-                     req.get("mask_blur"))
+                     req.get("mask_blur"), req.get("resize_mode"))
     return d
+
+
+def _init_resize(t: "np.ndarray", th: int, tw: int,
+                 mode: int) -> "np.ndarray":
+    """A1111 img2img resize modes for float NCHW tensors: 0 just-resize,
+    1 crop-to-fit (cover + center crop), 2 fill-to-fit (contain +
+    edge-replicate pad)."""
+    from .utils.image import _resize_float_nchw
+    h, w = t.shape[2], t.shape[3]
+    if mode == 1:       # cover then center-crop
+        s = max(th / h, tw / w)
+        rh, rw = max(th, int(round(h * s))), max(tw, int(round(w * s)))
+        r = _resize_float_nchw(t, rh, rw)
+        y0, x0 = (rh - th) // 2, (rw - tw) // 2
+        return r[:, :, y0:y0 + th, x0:x0 + tw]
+    if mode == 2:       # contain then pad
+        s = min(th / h, tw / w)
+        rh, rw = min(th, int(round(h * s))), min(tw, int(round(w * s)))
+        r = _resize_float_nchw(t, rh, rw)
+        py, px = th - rh, tw - rw
+        return np.pad(r, ((0, 0), (0, 0),
+                          (py // 2, py - py // 2),
+                          (px // 2, px - px // 2)), mode="edge")
+    return _resize_float_nchw(t, th, tw)
 
 
 def _decode_image_b64(b64: str, gray: bool = False) -> "np.ndarray":
@@ -407,12 +431,14 @@ class Server:
                     mask_arr = mask_gaussian_blur(mask_arr, mblur)
                 if (use_img2img and not use_fullres and rw and rh
                         and img_arr.shape[2:] != (rh, rw)):
-                    # A1111 resize-mode-0 semantics: the init image (and
-                    # mask) resize to the requested processing dims
-                    img_arr = _resize_float_nchw(img_arr, rh, rw)
+                    # A1111 resize modes: 0 just-resize, 1 crop-to-fit,
+                    # 2 fill-to-fit (resize preserving aspect, then
+                    # center-crop / edge-pad)
+                    rmode = int(r0.get("resize_mode", 0) or 0)
+                    img_arr = _init_resize(img_arr, rh, rw, rmode)
                     if mask_arr is not None:
-                        mask_arr = np.clip(_resize_float_nchw(
-                            mask_arr, rh, rw), 0, 1)
+                        mask_arr = np.clip(
+                            _init_resize(mask_arr, rh, rw, rmode), 0, 1)
                 if use_fullres:
                     # crop-around-mask: each request crops its own box,
                     # every crop resizes to the SAME processing dims, so
@@ -597,6 +623,8 @@ def _a1111_to_req(req: dict, img2img: bool = False) -> dict:
                     int(req["inpaint_full_res_padding"])
         if req.get("mask_blur") is not None:
             out["mask_blur"] = float(req["mask_blur"])
+        if req.get("resize_mode") is not None:
+            out["resize_mode"] = int(req["resize_mode"])
     elif req.get("enable_hr"):
         # A1111 highres-fix: two-pass latent upscale + refine.
         # Latent-family hr_upscaler names run the latent path; any other

@@ -573,3 +573,19 @@ def test_sdapi_options_switch_and_png_info(server_url):
     info = json.loads(body)
     assert "metadata probe" in info["info"]
     assert "Steps:" in info["info"]
+
+
+def test_init_resize_modes():
+    from mlimgsynth_tpu.server import _init_resize
+    t = np.zeros((1, 3, 100, 50), np.float32)
+    t[:, :, :, :] = np.linspace(0, 1, 50)[None, None, None, :]
+    # just resize: exact target dims
+    assert _init_resize(t, 64, 64, 0).shape == (1, 3, 64, 64)
+    # crop-to-fit: covers then center-crops (no distortion)
+    c = _init_resize(t, 64, 64, 1)
+    assert c.shape == (1, 3, 64, 64)
+    # fill-to-fit: contains then pads with edge values
+    f = _init_resize(t, 64, 64, 2)
+    assert f.shape == (1, 3, 64, 64)
+    # the tall 100x50 image scaled to fit 64x64 -> 64x32 wide pad bands
+    assert np.allclose(f[0, 0, :, 0], f[0, 0, 0, 0])
