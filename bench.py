@@ -241,6 +241,12 @@ def bench_config(name):
     use_i2i = name_base == "sd15-i2i"
     if use_i2i:
         name_base = "sd15"
+    # Two-pass highres-fix shape (base loop at `size`, bilinear latent 2x,
+    # img2img refine loop at 2*size, fused decode — the serving
+    # enable_hr path's cost profile on raw kernels)
+    use_hires = name_base.endswith("-hires")
+    if use_hires:
+        name_base = name_base[:-6]
     # Distilled-model latency config (SD-Turbo/LCM-style inference shape:
     # few steps, cfg<=1 so the uncond pass is skipped entirely)
     use_turbo = name_base.endswith("-turbo")
@@ -559,6 +565,38 @@ def bench_config(name):
                              want_latent=False, control=control)
         return img
 
+    def run_hires(seed):
+        """Two-pass enable_hr shape: base loop (latent-only, fused
+        encode), bilinear latent 2x, img2img refine loop + fused decode
+        at 2x resolution.  Host touches one latent between stages."""
+        import dataclasses
+
+        import jax
+        encode = (clip_params, tokrows, wrows, clip_p, 1,
+                  unet_p.clip_norm)
+        plan1 = make_plan(cfg, (n_batch, vae_p.ch_z, lat, lat),
+                          RngPhilox(seed=seed),
+                          nfe_per_dxdt=(2 if cfg_scale > 1 else 1))
+        lat1, _ = run_sampler(unet_params, init_latent, plan1, None, None,
+                              None, None, None, cfg, unet_p, dtype=dtype,
+                              encode=encode, want_latent=True)
+        lat2 = np.asarray(jax.image.resize(
+            jnp.asarray(np.asarray(lat1, np.float32)),
+            (n_batch, vae_p.ch_z, lat * 2, lat * 2), "bilinear"),
+            np.float32)
+        cfg2 = dataclasses.replace(cfg, f_t_ini=0.7)
+        plan2 = make_plan(cfg2, lat2.shape, RngPhilox(seed=seed),
+                          nfe_per_dxdt=(2 if cfg_scale > 1 else 1))
+        _, img, _ = run_sampler(unet_params, lat2, plan2, None, None,
+                                None, None, None, cfg2, unet_p,
+                                dtype=dtype,
+                                decode=("vae", vae_params, vae_p),
+                                want_latent=False, encode=encode)
+        return img
+
+    if use_hires:
+        run = run_hires
+
     t0 = time.time()
     os.environ["MLIS_MEM_ANALYSIS"] = "1"   # only on the compile run: the
     img = run(42)                           # AOT lower adds ~2s host time
@@ -600,6 +638,8 @@ def bench_config(name):
                                                             "SD1.5")
     if use_i2i:
         label += " img2img+inpaint"
+    if use_hires:
+        label += f" highres-fix {size}->{size * 2}px"
     if use_q4:
         label += " int4-weights"
     elif use_q8:

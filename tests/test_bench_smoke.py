@@ -123,3 +123,26 @@ def test_bench_sd15_q4_smoke(monkeypatch):
     r = bench.bench_config("sd15-q4")
     assert r["value"] > 0
     assert "int4-weights" in r["metric"]
+
+
+def test_bench_sd15_hires_smoke(monkeypatch):
+    """-hires suffix: base loop -> latent 2x -> refine loop + decode."""
+    import dataclasses
+
+    import bench
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import unet as U
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.testing import TINY_CLIP, TINY_VAE
+
+    tiny_u = dataclasses.replace(
+        U.UNET_SD1, n_ch=32, ch_mult=(1, 2), transf_depth=(1, 1),
+        attn_res=(1, 2), n_head=4, n_te=128, n_ctx=TINY_CLIP.d_embed)
+    monkeypatch.setattr(U, "UNET_SD1", tiny_u)
+    monkeypatch.setattr(V, "VAE_SD1", TINY_VAE)
+    monkeypatch.setattr(C, "CLIP_VIT_L_14", TINY_CLIP)
+    monkeypatch.setattr(bench, "STEPS", 2)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_config("sd15-hires")
+    assert r["value"] > 0
+    assert "highres-fix 64->128px" in r["metric"]
