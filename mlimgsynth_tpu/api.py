@@ -2250,11 +2250,14 @@ class MLImgSynth:
         saved_blur = c["mask_blur"]
         if saved_blur > 0:   # blur once here (paste seam + inner use)
             mask = image_mod.mask_gaussian_blur(mask, saved_blur)
+        # library masks are 1 = KEEP (reference alpha convention); the
+        # crop/paste helpers take white = repaint
+        repaint = 1.0 - mask
         w = c["width"] or img.shape[3]
         h = c["height"] or img.shape[2]
         pad = int(c["inpaint_full_res_padding"])
         box = image_mod.inpaint_crop_region(
-            mask, w, h, pad, mult=self._mt.vae_p.f_down)
+            repaint, w, h, pad, mult=self._mt.vae_p.f_down)
         if box is None:        # empty mask: plain img2img
             self._in_fullres = True   # don't re-enter this dispatch
             try:
@@ -2272,7 +2275,7 @@ class MLImgSynth:
             self.tensors["image"] = crop_img
             self.tensors["mask"] = crop_mask
             out = self._generate()
-            final = image_mod.inpaint_paste(img, out, mask, box)
+            final = image_mod.inpaint_paste(img, out, repaint, box)
             self.tensors["image"] = final
             self.infotext += (f", Inpaint area: only masked, "
                               f"Masked padding: {pad}")

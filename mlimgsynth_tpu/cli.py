@@ -42,7 +42,10 @@ Generation options:
                        1024 (SDXL).
   -i --input PATH      Input image for img2img or inpainting.
                        An alpha channel is used as the inpainting mask.
-  --imask PATH         Input image mask for inpainting.
+  --imask PATH         Input image mask for inpainting (reference/alpha
+                       convention: white/opaque = KEEP, black = repaint;
+                       the HTTP serving API uses the inverse A1111
+                       convention, white = repaint).
   --mask-blur R        Gaussian-blur the inpainting mask (A1111 seam
                        softening; default 0).
   --inpaint-full-res B Crop-around-mask inpainting: process the padded

@@ -134,6 +134,43 @@ def _init_resize(t: "np.ndarray", th: int, tw: int,
     return _resize_float_nchw(t, th, tw)
 
 
+def _parse_multipart(ctype: str, body: bytes) -> dict:
+    """multipart/form-data -> {field: bytes|str} (file parts stay bytes,
+    text parts decode to str)."""
+    import email.parser
+    msg = email.parser.BytesParser().parsebytes(
+        b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + body)
+    if not msg.is_multipart():
+        raise ValueError("malformed multipart body")
+    fields = {}
+    for part in msg.get_payload():
+        name = part.get_param("name", header="content-disposition")
+        if not name:
+            continue
+        payload = part.get_payload(decode=True)
+        if part.get_filename() is None:
+            try:
+                payload = payload.decode()
+            except UnicodeDecodeError:
+                pass
+        fields[name] = payload
+    return fields
+
+
+def _openai_mask_to_gray(mask_png: bytes) -> str:
+    """OpenAI edit masks mark the area to REPAINT with transparency;
+    convert to the internal white-repaints grayscale convention."""
+    import io as _io
+
+    from PIL import Image
+    img = Image.open(_io.BytesIO(mask_png)).convert("RGBA")
+    alpha = np.asarray(img)[:, :, 3]
+    buf = _io.BytesIO()
+    Image.fromarray((255 - alpha).astype(np.uint8), "L").save(
+        buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
 def _decode_image_b64(b64: str, gray: bool = False) -> "np.ndarray":
     """base64 PNG/JPEG -> float NCHW [1,3|1,H,W] in [0,1]."""
     import io as _io
@@ -479,7 +516,11 @@ class Server:
                 # one batched encode for the whole merged batch
                 init_lat = s.image_encode(np.concatenate(init_imgs, 0))
             if use_mask:
-                init_lmask = s.mask_encode(np.concatenate(init_masks, 0))
+                # serving masks are white = REGENERATE (A1111/doc
+                # convention); the library/reference latent mask is
+                # 1 = KEEP (src/sampling.c:98-110), so invert here
+                init_lmask = s.mask_encode(
+                    1.0 - np.concatenate(init_masks, 0))
             if len(batch) > 1:
                 sys.stderr.write(
                     f"[serve] merged {len(batch)} requests into one "
@@ -757,9 +798,18 @@ def make_handler(srv: Server):
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.lower().startswith("multipart/"):
+                    # OpenAI images/edits|variations post form-data
+                    req = _parse_multipart(ctype, self.rfile.read(n))
+                else:
+                    req = json.loads(self.rfile.read(n) or b"{}")
             except Exception as e:  # noqa
                 self._json(400, {"error": str(e)})
+                return
+            if self.path in ("/v1/images/edits", "/v1/images/variations"):
+                self._openai_edit(req,
+                                  self.path.endswith("variations"))
                 return
             if self.path == "/cancel":
                 self._json(200, {"status": srv.cancel(
@@ -876,6 +926,56 @@ def make_handler(srv: Server):
                 "info": json.dumps({"infotexts": p.infotexts,
                                     "time_s": round(p.time_s, 4),
                                     "request_id": p.id})})
+
+        def _openai_edit(self, oreq, variation: bool):
+            """OpenAI images/edits (inpainting: transparent mask areas
+            are repainted) and images/variations (img2img around the
+            input).  Accepts multipart form-data (image/mask file parts)
+            or JSON with base64 fields."""
+            try:
+                if oreq.get("response_format", "b64_json") != "b64_json":
+                    raise ValueError(
+                        'only response_format "b64_json" is supported')
+                img = oreq.get("image")
+                if not img:
+                    raise ValueError("missing 'image'")
+                if isinstance(img, bytes):
+                    img = base64.b64encode(img).decode()
+                req = {"format": "json", "image": _strip_data_url(img),
+                       "prompt": str(oreq.get("prompt", ""))}
+                if variation:
+                    req["f_t_ini"] = 0.7       # nearby-image strength
+                else:
+                    req["f_t_ini"] = 1.0       # full repaint under mask
+                    mask = oreq.get("mask")
+                    if mask:
+                        if isinstance(mask, str):
+                            mask = base64.b64decode(
+                                _strip_data_url(mask))
+                        req["mask"] = _openai_mask_to_gray(mask)
+                if oreq.get("model"):
+                    req["model"] = str(oreq["model"])
+                if oreq.get("size"):
+                    w, _, h = str(oreq["size"]).lower().partition("x")
+                    req["width"], req["height"] = int(w), int(h or w)
+                req["batch_size"] = max(1, int(oreq.get("n", 1)))
+                if oreq.get("seed") is not None:   # extension
+                    req["seed"] = int(oreq["seed"])
+                p = srv.submit(req)
+            except Exception as e:  # noqa
+                self._json(400, {"error": {
+                    "message": str(e), "type": "invalid_request_error"}})
+                return
+            p.event.wait()
+            if p.error:
+                self._json(400, {"error": {"message": p.error,
+                                           "type": "server_error"}})
+                return
+            self._json(200, {
+                "created": int(time.time()),
+                "data": [{"b64_json": base64.b64encode(
+                    _png_bytes(p.imgs[i], p.infotexts[i])).decode()}
+                    for i in range(p.imgs.shape[0])]})
 
         def _openai_generate(self, oreq):
             """OpenAI Images API dialect (POST /v1/images/generations):

@@ -64,8 +64,8 @@ def test_img2img(session):
 def test_inpaint_alpha(session):
     rng = np.random.default_rng(0)
     img = (rng.random((64, 64, 4)) * 255).astype(np.uint8)
-    img[:, :, 3] = 0
-    img[:32, :, 3] = 255  # inpaint top half
+    img[:, :, 3] = 0          # transparent = repainted (reference README)
+    img[:32, :, 3] = 255      # opaque top half is KEPT
     session.option_set("image", img)
     session.option_set("f-t-ini", 0.8)
     session.option_set("prompt", "x")
@@ -243,14 +243,17 @@ def test_inpaint_full_res(tmp_path, monkeypatch):
     ckpt = tmp_path / "sd1.safetensors"
     write_tiny_checkpoint(ckpt)
 
-    # geometry: mask blob -> padded aspect-expanded box
-    m = np.zeros((1, 1, 128, 128), np.float32)
-    m[:, :, 40:60, 30:50] = 1.0
-    box = inpaint_crop_region(m, 64, 64, 8, mult=8)
+    # geometry: repaint blob -> padded aspect-expanded box (the crop
+    # helper takes white = repaint)
+    rep = np.zeros((1, 1, 128, 128), np.float32)
+    rep[:, :, 40:60, 30:50] = 1.0
+    box = inpaint_crop_region(rep, 64, 64, 8, mult=8)
     x0, y0, x1, y1 = box
     assert x0 <= 30 - 8 + 7 and x1 >= 50 + 8 - 7
     assert (x1 - x0) % 8 == 0 and (y1 - y0) % 8 == 0
-    assert inpaint_crop_region(np.zeros_like(m), 64, 64, 8) is None
+    assert inpaint_crop_region(np.zeros_like(rep), 64, 64, 8) is None
+    # session masks are 1 = KEEP (reference alpha convention)
+    m = 1.0 - rep
 
     s = MLImgSynth()
     s._dtype = jnp.float32
@@ -268,10 +271,9 @@ def test_inpaint_full_res(tmp_path, monkeypatch):
     s.option_set("prompt", "a patch")
     out = s.generate()
     assert out.shape == img.shape
-    outside = (m[0, 0] == 0)
-    np.testing.assert_array_equal(out[0, :, outside].T,
-                                  img[0, :, outside].T)
-    assert not np.allclose(out[0, :, ~outside], img[0, :, ~outside],
+    kept = (m[0, 0] == 1)     # keep region: untouched by the paste
+    np.testing.assert_array_equal(out[0, :, kept].T, img[0, :, kept].T)
+    assert not np.allclose(out[0, :, ~kept], img[0, :, ~kept],
                            atol=1e-3)
     assert "Inpaint area: only masked" in s.infotext
 

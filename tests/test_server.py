@@ -589,3 +589,113 @@ def test_init_resize_modes():
     assert f.shape == (1, 3, 64, 64)
     # the tall 100x50 image scaled to fit 64x64 -> 64x32 wide pad bands
     assert np.allclose(f[0, 0, :, 0], f[0, 0, 0, 0])
+
+
+def test_openai_multipart_and_mask():
+    from mlimgsynth_tpu.server import (_openai_mask_to_gray,
+                                       _parse_multipart)
+    import io as _io
+    from PIL import Image
+    # build a multipart body by hand
+    b = b"----testboundary"
+    body = b"--" + b + b"\r\n" \
+        b'Content-Disposition: form-data; name="prompt"\r\n\r\n' \
+        b"a cat\r\n" \
+        b"--" + b + b"\r\n" \
+        b'Content-Disposition: form-data; name="image"; ' \
+        b'filename="x.png"\r\nContent-Type: image/png\r\n\r\n' \
+        b"PNGBYTES\r\n" \
+        b"--" + b + b"--\r\n"
+    fields = _parse_multipart(
+        'multipart/form-data; boundary="----testboundary"', body)
+    assert fields["prompt"] == "a cat"
+    assert fields["image"] == b"PNGBYTES"
+
+    # transparent areas of an OpenAI mask become white (repaint)
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    rgba[:, :, 3] = 255
+    rgba[2:4, 2:4, 3] = 0          # transparent = edit here
+    buf = _io.BytesIO()
+    Image.fromarray(rgba, "RGBA").save(buf, format="PNG")
+    import base64 as b64mod
+    gray = np.asarray(Image.open(_io.BytesIO(
+        b64mod.b64decode(_openai_mask_to_gray(buf.getvalue())))))
+    assert gray[3, 3] == 255 and gray[0, 0] == 0
+
+
+def test_server_mask_inversion():
+    """Served masks are white = REGENERATE; the library latent mask is
+    1 = KEEP (reference src/sampling.c:98-110) — _run_batch must invert
+    before mask_encode."""
+    import base64
+    from PIL import Image
+    from mlimgsynth_tpu.server import Server
+
+    rec = {}
+
+    class _S:
+        c = {"width": 64, "height": 64, "model": "m",
+             "model_type": "sd1"}
+
+        def option_set(self, *a):
+            pass
+
+        def option_get(self, name):
+            return None
+
+        def image_encode(self, imgs):
+            return np.zeros((imgs.shape[0], 4, 8, 8), np.float32)
+
+        def mask_encode(self, m):
+            rec["mask"] = np.array(m)
+            return m[:, :, ::8, ::8]
+
+        def generate_batch(self, entries, **kw):
+            n = len(entries)
+            return np.zeros((n, 3, 64, 64), np.float32), ["x"] * n
+
+    srv = Server(_S(), start_worker=False)
+
+    def b64(a, mode):
+        buf = io.BytesIO()
+        Image.fromarray(a, mode).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    arr = np.zeros((64, 64, 3), "uint8")
+    mask = np.zeros((64, 64), "uint8")
+    mask[:32] = 255        # repaint the top half
+    p = srv.submit({"prompt": "x", "image": b64(arr, "RGB"),
+                    "mask": b64(mask, "L")})
+    with srv.cond:
+        srv.queue.remove(p)
+    srv._run_batch([p])
+    assert p.error is None, p.error
+    m = rec["mask"]
+    assert np.allclose(m[0, 0, :32], 0.0)   # repaint -> keep=0
+    assert np.allclose(m[0, 0, 32:], 1.0)   # untouched -> keep=1
+
+
+def test_inpaint_latent_mask_direction(tmp_path, monkeypatch):
+    """api-level: keep-mask (1) regions of the final latent equal the
+    init latent exactly; repaint (0) regions do not."""
+    import jax.numpy as jnp_
+    from helpers import patch_tiny_model_types, write_tiny_checkpoint
+    from mlimgsynth_tpu.api import MLImgSynth
+    patch_tiny_model_types(monkeypatch)
+    ckpt = tmp_path / "sd1.safetensors"
+    write_tiny_checkpoint(ckpt)
+    s = MLImgSynth()
+    s._dtype = jnp_.float32
+    s.option_set("model", str(ckpt))
+    s.option_set("model-type", "sd1")
+    s.option_set("image-dim", 64)
+    s.option_set("steps", 2)
+    init = np.random.RandomState(0).randn(1, 4, 8, 8).astype(np.float32)
+    lmask = np.ones((1, 1, 8, 8), np.float32)
+    lmask[:, :, :4] = 0.0          # repaint the top half
+    lat, _ = s.generate_batch([{"prompt": "x", "seed": 4}],
+                              init_latents=init, init_lmask=lmask,
+                              _latent_only=True)
+    lat = np.asarray(lat, np.float32)
+    np.testing.assert_array_equal(lat[:, :, 4:], init[:, :, 4:])
+    assert not np.allclose(lat[:, :, :4], init[:, :, :4])
