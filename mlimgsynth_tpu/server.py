@@ -633,6 +633,11 @@ def _a1111_to_req(req: dict, img2img: bool = False) -> dict:
     n = max(1, int(req.get("batch_size", 1))) * \
         max(1, int(req.get("n_iter", 1)))      # n_iter folds into the batch
     out["batch_size"] = n
+    ov = req.get("override_settings") or {}
+    if ov.get("CLIP_stop_at_last_layers") is not None:
+        out["clip_skip"] = int(ov["CLIP_stop_at_last_layers"])
+    if ov.get("sd_model_checkpoint"):
+        out["model"] = str(ov["sd_model_checkpoint"])
     name = str(req.get("sampler_name") or req.get("sampler_index")
                or "euler").strip().lower()
     sched = str(req.get("scheduler", "")).strip().lower()
