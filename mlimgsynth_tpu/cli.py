@@ -140,7 +140,8 @@ SHORT_OPTS = {
 # long options handled by the CLI itself; everything else forwards to the
 # library option table (reference: main_mlimgsynth.c:243-251)
 CLI_PATH_OPTS = ("input", "imask", "ilatent", "ilmask", "output", "olatent",
-                 "port", "control-image", "upscale-factor", "upscale-tile")
+                 "port", "control-image", "upscale-factor", "upscale-tile",
+                 "model-dir")
 
 
 class CliState:
@@ -494,7 +495,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     def cmd_serve(session, st):
         from .server import serve
-        serve(session, port=int(st.paths["port"] or 8188))
+        serve(session, port=int(st.paths["port"] or 8188),
+              model_dir=st.paths["model-dir"] or "")
         return 0
 
     commands = {

@@ -297,7 +297,9 @@ class Server:
     so k models cost k weight sets but zero swap latency."""
 
     def __init__(self, session, max_batch: int = 8,
-                 merge_window_s: float = 0.02, start_worker: bool = True):
+                 merge_window_s: float = 0.02, start_worker: bool = True,
+                 model_dir: str = "", weight_type: str = "",
+                 launch_opts=()):
         if isinstance(session, dict):
             self.sessions = dict(session)
         else:
@@ -306,6 +308,12 @@ class Server:
         self.session = self.sessions[self.default_model]
         self.max_batch = max_batch
         self.merge_window_s = merge_window_s
+        # checkpoint discovery + hot loading: requests may name any
+        # NAME.safetensors/.gguf under model_dir (or an absolute path);
+        # a session is created lazily and kept resident like the
+        # launched ones
+        self.model_dir = model_dir
+        self._new_session_opts = (weight_type, tuple(launch_opts))
         # launch-time option values: requests that OMIT a shared option get
         # these, not whatever the previous batch happened to set
         self.defaults, self.defaults_dim = {}, {}
@@ -331,13 +339,70 @@ class Server:
 
     # -- client side -------------------------------------------------------
 
+    def _model_path_of(self, name: str):
+        """Checkpoint file for a non-launched model name, or None."""
+        if os.path.isfile(name):
+            return name
+        if self.model_dir:
+            for ext in ("", ".safetensors", ".gguf"):
+                cand = os.path.join(self.model_dir, name + ext)
+                if os.path.isfile(cand):
+                    return cand
+        return None
+
+    def discovered_models(self):
+        """Model names loadable from model_dir (not yet sessions)."""
+        out = []
+        if self.model_dir and os.path.isdir(self.model_dir):
+            for f in sorted(os.listdir(self.model_dir)):
+                base, ext = os.path.splitext(f)
+                if ext in (".safetensors", ".gguf") \
+                        and base not in self.sessions:
+                    out.append(base)
+        return out
+
+    def resolve_model(self, name: str):
+        """Session for ``name``, hot-loading it from disk if discovered
+        (the new session inherits the launch weight-type/-o options and
+        stays resident like the launched ones)."""
+        s = self.sessions.get(name)
+        if s is not None:
+            return s
+        path = self._model_path_of(name)
+        if path is None:
+            return None
+        sys.stderr.write(f"[serve] hot-loading model '{name}' "
+                         f"from {path}\n")
+        from .api import MLImgSynth
+        s = MLImgSynth()
+        s._dtype = self.session._dtype   # match the launched sessions
+        s.option_set("model", path)
+        wt, opts = self._new_session_opts
+        if wt:
+            s.option_set("weight-type", wt)
+        for kv in opts:
+            oname, _, oval = kv.partition("=")
+            s.option_set_str(oname, oval)
+        try:
+            self.defaults[name] = {opt: s.option_get(opt)
+                                   for opt in _SHARED_OPTS.values()}
+            self.defaults_dim[name] = (s.c["width"], s.c["height"])
+        except Exception:
+            self.defaults[name] = {}
+            self.defaults_dim[name] = None
+        self.sessions[name] = s
+        return s
+
     def submit(self, req: dict) -> _Pending:
         if "prompt" not in req:
             raise ValueError("missing 'prompt'")
-        if req.get("model") and req["model"] not in self.sessions:
+        if req.get("model") and req["model"] not in self.sessions \
+                and self._model_path_of(req["model"]) is None:
             raise ValueError(
                 f"unknown model '{req['model']}' "
-                f"(have: {', '.join(self.sessions)})")
+                f"(have: {', '.join(self.sessions)}"
+                + (f"; discoverable: {', '.join(self.discovered_models())}"
+                   if self.model_dir else "") + ")")
         p = _Pending(req)  # _shared_of validates the image header too
         size = p.shared["_image_size"]
         if (size is not None and (size[0] % 64 or size[1] % 64)
@@ -419,7 +484,9 @@ class Server:
         try:
             r0 = batch[0].req
             model = r0.get("model") or self.default_model
-            s = self.sessions[model]
+            s = self.resolve_model(model)
+            if s is None:
+                raise RuntimeError(f"unknown model '{model}'")
             defaults = self.defaults.get(model, {})
             defaults_dim = self.defaults_dim.get(model)
             w = int(r0.get("width", 0))
@@ -751,11 +818,17 @@ def make_handler(srv: Server):
                     self._json(200, {"request_id": rid, "state": state,
                                      **(frame or {})})
             elif self.path == "/sdapi/v1/sd-models":
-                self._json(200, [
-                    {"title": name, "model_name": name,
-                     "filename": ses.c["model"], "hash": None,
-                     "sha256": None, "config": None}
-                    for name, ses in srv.sessions.items()])
+                rows = [{"title": name, "model_name": name,
+                         "filename": ses.c["model"], "hash": None,
+                         "sha256": None, "config": None}
+                        for name, ses in srv.sessions.items()]
+                rows += [{"title": name, "model_name": name,
+                          "filename": srv._model_path_of(name),
+                          "hash": None, "sha256": None, "config": None}
+                         for name in srv.discovered_models()]
+                self._json(200, rows)
+            elif self.path == "/sdapi/v1/refresh-checkpoints":
+                self._json(200, {})
             elif self.path == "/sdapi/v1/samplers":
                 self._json(200, [
                     {"name": k.title(), "aliases": [k, v[0]], "options": {}}
@@ -834,6 +907,8 @@ def make_handler(srv: Server):
                 if want:
                     name = next((n for n in srv.sessions
                                  if n == want or want.startswith(n)), None)
+                    if name is None and srv.resolve_model(want):
+                        name = want    # hot-loaded from model_dir
                     if name is None:
                         self._json(400, {
                             "error": f"unknown model {want!r}; launched: "
@@ -1035,11 +1110,13 @@ def warmup_generate(session) -> float:
 
 
 def serve(session, port: int = 8188, host: str = "127.0.0.1",
-          warmup: bool = True, warmup_gen: bool = False):
+          warmup: bool = True, warmup_gen: bool = False,
+          model_dir: str = "", weight_type: str = "", launch_opts=()):
     # cancellation needs a step callback; chunked progress keeps the
     # per-dispatch overhead at 1/chunk of step-at-a-time execution
     os.environ.setdefault("MLIS_PROGRESS_CHUNK", "4")
-    srv = Server(session)
+    srv = Server(session, model_dir=model_dir, weight_type=weight_type,
+                 launch_opts=launch_opts)
     if warmup:
         for ses in srv.sessions.values():
             if ses.c["model"]:
@@ -1073,11 +1150,18 @@ def main(argv: Optional[list] = None) -> int:
                     help="run one throwaway generation per model before "
                          "accepting traffic (compiles the serving program "
                          "for the default size/steps)")
+    ap.add_argument("--model-dir", default="",
+                    help="directory of additional checkpoints "
+                         "(NAME.safetensors/.gguf): listed by "
+                         "/sdapi/v1/sd-models and hot-loaded on first "
+                         "request")
     args = ap.parse_args(argv)
     enable()
     sessions = build_sessions(args.model, args.weight_type, args.opt)
     serve(sessions if len(sessions) > 1 else next(iter(sessions.values())),
-          port=args.port, host=args.host, warmup_gen=args.warmup_gen)
+          port=args.port, host=args.host, warmup_gen=args.warmup_gen,
+          model_dir=args.model_dir, weight_type=args.weight_type,
+          launch_opts=args.opt)
     return 0
 
 

@@ -699,3 +699,54 @@ def test_inpaint_latent_mask_direction(tmp_path, monkeypatch):
     lat = np.asarray(lat, np.float32)
     np.testing.assert_array_equal(lat[:, :, 4:], init[:, :, 4:])
     assert not np.allclose(lat[:, :, :4], init[:, :, :4])
+
+
+def test_model_dir_hot_loading(tmp_path_factory):
+    """--model-dir discovery + lazy session creation: a request naming a
+    checkpoint in the directory hot-loads it; sd-models lists it."""
+    import socket
+    import urllib.error
+    from http.server import ThreadingHTTPServer
+    from mlimgsynth_tpu.api import MLImgSynth
+    from mlimgsynth_tpu import api as api_mod
+    from mlimgsynth_tpu.server import Server, make_handler
+    from mlimgsynth_tpu.testing import TINY_MODEL_TYPE
+
+    mdir = tmp_path_factory.mktemp("zoo")
+    write_tiny_checkpoint(mdir / "main.safetensors")
+    write_tiny_checkpoint(mdir / "extra.safetensors")
+    orig = api_mod._model_types
+    api_mod._model_types = lambda: {"sd1": TINY_MODEL_TYPE}
+    try:
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(mdir / "main.safetensors"))
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 2)
+        srv = Server(s, model_dir=str(mdir))
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(url + "/sdapi/v1/sd-models") as r:
+            names = [m["model_name"] for m in json.loads(r.read())]
+        assert "default" in names and "extra" in names
+
+        _, body = _post(url, "/generate",
+                        {"prompt": "a cat", "seed": 2, "format": "json",
+                         "model": "extra"})
+        assert json.loads(body)["images"]
+        assert "extra" in srv.sessions       # now resident
+        assert srv.sessions["extra"]._dtype == jnp.float32
+
+        # unknown name still errors cleanly
+        req = urllib.request.Request(
+            url + "/generate",
+            data=json.dumps({"prompt": "x", "model": "nope"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+        httpd.shutdown()
+    finally:
+        api_mod._model_types = orig
