@@ -829,6 +829,27 @@ def make_handler(srv: Server):
                 self._json(200, rows)
             elif self.path == "/sdapi/v1/refresh-checkpoints":
                 self._json(200, {})
+            elif self.path == "/sdapi/v1/loras":
+                base = srv.session.c.get("lora_dir", "")
+                rows = []
+                if base and os.path.isdir(base):
+                    for f in sorted(os.listdir(base)):
+                        n, ext = os.path.splitext(f)
+                        if ext == ".safetensors":
+                            rows.append({"name": n, "alias": n,
+                                         "path": os.path.join(base, f),
+                                         "metadata": {}})
+                self._json(200, rows)
+            elif self.path == "/sdapi/v1/embeddings":
+                base = srv.session.c.get("embed_dir", "")
+                loaded = {}
+                if base and os.path.isdir(base):
+                    for f in sorted(os.listdir(base)):
+                        n, ext = os.path.splitext(f)
+                        if ext in (".safetensors", ".pt"):
+                            loaded[n] = {"step": None, "shape": None,
+                                         "vectors": None}
+                self._json(200, {"loaded": loaded, "skipped": {}})
             elif self.path == "/sdapi/v1/samplers":
                 self._json(200, [
                     {"name": k.title(), "aliases": [k, v[0]], "options": {}}

@@ -750,3 +750,24 @@ def test_model_dir_hot_loading(tmp_path_factory):
         httpd.shutdown()
     finally:
         api_mod._model_types = orig
+
+
+def test_lora_embedding_listings(server_url, tmp_path):
+    from safetensors.numpy import save_file
+    server_url, srv = server_url
+    ldir = tmp_path / "loras"; ldir.mkdir()
+    save_file({"x": np.zeros((2, 2), np.float32)},
+              str(ldir / "style.safetensors"))
+    edir = tmp_path / "emb"; edir.mkdir()
+    save_file({"emb_params": np.zeros((1, 8), np.float32)},
+              str(edir / "concept.safetensors"))
+    srv.session.option_set("lora-dir", str(ldir))
+    srv.session.option_set("embed-dir", str(edir))
+    with urllib.request.urlopen(server_url + "/sdapi/v1/loras") as r:
+        loras = json.loads(r.read())
+    assert [l["name"] for l in loras] == ["style"]
+    with urllib.request.urlopen(server_url + "/sdapi/v1/embeddings") as r:
+        embs = json.loads(r.read())
+    assert "concept" in embs["loaded"]
+    srv.session.option_set("lora-dir", "")
+    srv.session.option_set("embed-dir", "")
