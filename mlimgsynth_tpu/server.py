@@ -328,6 +328,13 @@ class Server:
         self.n_requests = 0
         self.n_merged = 0
         self.t_total = 0.0
+        self.n_images = 0
+        self.n_errors = 0
+        self.n_batches = 0
+        # batch-latency histogram buckets (seconds, cumulative-style)
+        self.lat_buckets = (0.25, 0.5, 1.0, 2.0, 5.0, 10.0, 30.0, 60.0)
+        self.lat_counts = [0] * (len(self.lat_buckets) + 1)
+        self.per_model_requests: dict = {}
         self.queue: List[_Pending] = []
         self.cond = threading.Condition()
         self.running: List[_Pending] = []
@@ -643,7 +650,18 @@ class Server:
             self.n_requests += len(batch)
             self.n_merged += len(batch) - 1
             self.t_total += dt
+            self.n_images += len(entries)
+            self.n_batches += 1
+            self.per_model_requests[model] = (
+                self.per_model_requests.get(model, 0) + len(batch))
+            for i, b in enumerate(self.lat_buckets):
+                if dt <= b:
+                    self.lat_counts[i] += 1
+                    break
+            else:
+                self.lat_counts[-1] += 1
         except Exception as e:  # noqa
+            self.n_errors += len(batch)
             for p in batch:
                 p.error = p.error or ("cancelled" if p.cancelled
                                       else str(e))
@@ -881,6 +899,42 @@ def make_handler(srv: Server):
                               "sampling_step": pv["step"] if pv else 0,
                               "sampling_steps": pv["n_step"] if pv else 0},
                     "current_image": img, "textinfo": None})
+            elif self.path == "/metrics":
+                # Prometheus text exposition (counters + batch-latency
+                # histogram) for production scraping
+                lines = [
+                    "# TYPE mlis_requests_total counter",
+                    f"mlis_requests_total {srv.n_requests}",
+                    "# TYPE mlis_images_total counter",
+                    f"mlis_images_total {srv.n_images}",
+                    "# TYPE mlis_merged_requests_total counter",
+                    f"mlis_merged_requests_total {srv.n_merged}",
+                    "# TYPE mlis_errors_total counter",
+                    f"mlis_errors_total {srv.n_errors}",
+                    "# TYPE mlis_queue_depth gauge",
+                    f"mlis_queue_depth {len(srv.queue)}",
+                    "# TYPE mlis_batch_seconds histogram",
+                ]
+                cum = 0
+                for b, c in zip(srv.lat_buckets, srv.lat_counts):
+                    cum += c
+                    lines.append(
+                        f'mlis_batch_seconds_bucket{{le="{b}"}} {cum}')
+                cum += srv.lat_counts[-1]
+                lines.append(
+                    f'mlis_batch_seconds_bucket{{le="+Inf"}} {cum}')
+                lines.append(f"mlis_batch_seconds_sum {srv.t_total:.3f}")
+                lines.append(f"mlis_batch_seconds_count {srv.n_batches}")
+                for m, c in sorted(srv.per_model_requests.items()):
+                    lines.append(
+                        f'mlis_model_requests_total{{model="{m}"}} {c}')
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/info":
                 info = srv.session.backend_info()
                 cfg = {k: v for k, v in srv.session.c.items()

@@ -771,3 +771,20 @@ def test_lora_embedding_listings(server_url, tmp_path):
     assert "concept" in embs["loaded"]
     srv.session.option_set("lora-dir", "")
     srv.session.option_set("embed-dir", "")
+
+
+def test_metrics_endpoint(server_url):
+    server_url, srv = server_url
+    _post(server_url, "/generate", {"prompt": "a hat", "seed": 1,
+                                    "format": "json"})
+    with urllib.request.urlopen(server_url + "/metrics") as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert "mlis_requests_total" in text
+    assert 'mlis_batch_seconds_bucket{le="+Inf"}' in text
+    assert 'mlis_model_requests_total{model="default"}' in text
+    # histogram count equals the number of executed batches
+    import re
+    count = int(re.search(r"mlis_batch_seconds_count (\d+)", text).group(1))
+    inf = int(re.search(r'le="\+Inf"\} (\d+)', text).group(1))
+    assert count == inf == srv.n_batches > 0
