@@ -247,6 +247,10 @@ def bench_config(name):
     use_hires = name_base.endswith("-hires")
     if use_hires:
         name_base = name_base[:-6]
+        if name_base not in ("sd15", "sd21"):
+            raise SystemExit(
+                "-hires bench supports single-tower configs "
+                "(sd15/sd21) only")
     # Distilled-model latency config (SD-Turbo/LCM-style inference shape:
     # few steps, cfg<=1 so the uncond pass is skipped entirely)
     use_turbo = name_base.endswith("-turbo")

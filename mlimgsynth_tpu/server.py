@@ -171,6 +171,27 @@ def _openai_mask_to_gray(mask_png: bytes) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+def _split_alpha_b64(img_b64: str):
+    """(rgb_b64, repaint_mask_b64 or None): split a base64 image's alpha
+    channel into the white-repaints serving mask (transparent = edit)."""
+    import io as _io
+
+    from PIL import Image
+    img = Image.open(_io.BytesIO(base64.b64decode(img_b64)))
+    if img.mode != "RGBA":
+        return img_b64, None
+    arr = np.asarray(img)
+    alpha = arr[:, :, 3]
+    if alpha.min() == 255:
+        return img_b64, None
+    buf_rgb, buf_m = _io.BytesIO(), _io.BytesIO()
+    Image.fromarray(arr[:, :, :3], "RGB").save(buf_rgb, format="PNG")
+    Image.fromarray((255 - alpha).astype(np.uint8), "L").save(
+        buf_m, format="PNG")
+    return (base64.b64encode(buf_rgb.getvalue()).decode(),
+            base64.b64encode(buf_m.getvalue()).decode())
+
+
 def _decode_image_b64(b64: str, gray: bool = False) -> "np.ndarray":
     """base64 PNG/JPEG -> float NCHW [1,3|1,H,W] in [0,1]."""
     import io as _io
@@ -314,6 +335,7 @@ class Server:
         # launched ones
         self.model_dir = model_dir
         self._new_session_opts = (weight_type, tuple(launch_opts))
+        self._load_lock = threading.Lock()
         # launch-time option values: requests that OMIT a shared option get
         # these, not whatever the previous batch happened to set
         self.defaults, self.defaults_dim = {}, {}
@@ -347,57 +369,76 @@ class Server:
     # -- client side -------------------------------------------------------
 
     def _model_path_of(self, name: str):
-        """Checkpoint file for a non-launched model name, or None."""
-        if os.path.isfile(name):
-            return name
-        if self.model_dir:
-            for ext in ("", ".safetensors", ".gguf"):
-                cand = os.path.join(self.model_dir, name + ext)
-                if os.path.isfile(cand):
-                    return cand
+        """(canonical_name, checkpoint_path) for a non-launched model
+        name discoverable under model_dir, else None.  Only basenames
+        inside model_dir resolve — requests can NOT name arbitrary
+        filesystem paths (no traversal, no absolute paths)."""
+        if not self.model_dir:
+            return None
+        base = os.path.basename(name)
+        if base != name or not base or base.startswith("."):
+            return None
+        stem = (os.path.splitext(base)[0]
+                if base.endswith((".safetensors", ".gguf")) else base)
+        for ext in (".safetensors", ".gguf"):
+            cand = os.path.join(self.model_dir, stem + ext)
+            if os.path.isfile(cand):
+                return stem, cand
         return None
 
     def discovered_models(self):
         """Model names loadable from model_dir (not yet sessions)."""
         out = []
         if self.model_dir and os.path.isdir(self.model_dir):
+            seen = set()
             for f in sorted(os.listdir(self.model_dir)):
                 base, ext = os.path.splitext(f)
                 if ext in (".safetensors", ".gguf") \
-                        and base not in self.sessions:
+                        and base not in self.sessions \
+                        and base not in seen:
+                    seen.add(base)
                     out.append(base)
         return out
 
     def resolve_model(self, name: str):
-        """Session for ``name``, hot-loading it from disk if discovered
-        (the new session inherits the launch weight-type/-o options and
-        stays resident like the launched ones)."""
+        """Session for ``name``, hot-loading it from model_dir if
+        discovered.  The new session inherits dtype, the launch
+        weight-type (falling back to the default session's) and -o
+        options, and stays resident like the launched ones."""
         s = self.sessions.get(name)
         if s is not None:
             return s
-        path = self._model_path_of(name)
-        if path is None:
+        hit = self._model_path_of(name)
+        if hit is None:
             return None
-        sys.stderr.write(f"[serve] hot-loading model '{name}' "
-                         f"from {path}\n")
-        from .api import MLImgSynth
-        s = MLImgSynth()
-        s._dtype = self.session._dtype   # match the launched sessions
-        s.option_set("model", path)
-        wt, opts = self._new_session_opts
-        if wt:
-            s.option_set("weight-type", wt)
-        for kv in opts:
-            oname, _, oval = kv.partition("=")
-            s.option_set_str(oname, oval)
-        try:
-            self.defaults[name] = {opt: s.option_get(opt)
-                                   for opt in _SHARED_OPTS.values()}
-            self.defaults_dim[name] = (s.c["width"], s.c["height"])
-        except Exception:
-            self.defaults[name] = {}
-            self.defaults_dim[name] = None
-        self.sessions[name] = s
+        key, path = hit
+        with self._load_lock:
+            s = self.sessions.get(key)     # lost the race: reuse
+            if s is not None:
+                return s
+            sys.stderr.write(f"[serve] hot-loading model '{key}' "
+                             f"from {path}\n")
+            from .api import MLImgSynth
+            s = MLImgSynth()
+            s._dtype = self.session._dtype   # match the launched ones
+            s.option_set("model", path)
+            wt, opts = self._new_session_opts
+            wt = wt or self.session.c.get("weight_type", "")
+            if wt:
+                s.option_set("weight-type", wt)
+            for kv in opts:
+                oname, _, oval = kv.partition("=")
+                s.option_set_str(oname, oval)
+            try:
+                dfl = {opt: s.option_get(opt)
+                       for opt in _SHARED_OPTS.values()}
+                dim = (s.c["width"], s.c["height"])
+            except Exception:
+                dfl, dim = {}, None
+            # copy-on-write: concurrent readers iterate a stable dict
+            self.defaults = {**self.defaults, key: dfl}
+            self.defaults_dim = {**self.defaults_dim, key: dim}
+            self.sessions = {**self.sessions, key: s}
         return s
 
     def submit(self, req: dict) -> _Pending:
@@ -494,6 +535,8 @@ class Server:
             s = self.resolve_model(model)
             if s is None:
                 raise RuntimeError(f"unknown model '{model}'")
+            if model not in self.sessions:  # hot-loaded: canonical stem
+                model = os.path.splitext(os.path.basename(model))[0]
             defaults = self.defaults.get(model, {})
             defaults_dim = self.defaults_dim.get(model)
             w = int(r0.get("width", 0))
@@ -661,7 +704,8 @@ class Server:
             else:
                 self.lat_counts[-1] += 1
         except Exception as e:  # noqa
-            self.n_errors += len(batch)
+            # client cancellations are not server errors (metrics)
+            self.n_errors += sum(1 for p in batch if not p.cancelled)
             for p in batch:
                 p.error = p.error or ("cancelled" if p.cancelled
                                       else str(e))
@@ -841,7 +885,8 @@ def make_handler(srv: Server):
                          "sha256": None, "config": None}
                         for name, ses in srv.sessions.items()]
                 rows += [{"title": name, "model_name": name,
-                          "filename": srv._model_path_of(name),
+                          "filename": (srv._model_path_of(name) or
+                                       (None, None))[1],
                           "hash": None, "sha256": None, "config": None}
                          for name in srv.discovered_models()]
                 self._json(200, rows)
@@ -1108,6 +1153,13 @@ def make_handler(srv: Server):
                             mask = base64.b64decode(
                                 _strip_data_url(mask))
                         req["mask"] = _openai_mask_to_gray(mask)
+                    else:
+                        # OpenAI contract: without a mask, the image's
+                        # own transparency marks the area to edit
+                        rgb, alpha_mask = _split_alpha_b64(req["image"])
+                        if alpha_mask is not None:
+                            req["image"] = rgb
+                            req["mask"] = alpha_mask
                 if oreq.get("model"):
                     req["model"] = str(oreq["model"])
                 if oreq.get("size"):

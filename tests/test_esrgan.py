@@ -272,12 +272,3 @@ def test_unshuffle_odd_size(tmp_path):
     assert out.shape == (1, 3, 18, 22)
     assert np.isfinite(out).all()
 
-
-def test_a1111_override_settings_translation():
-    from mlimgsynth_tpu.server import _a1111_to_req
-    out = _a1111_to_req({"prompt": "p", "sampler_name": "Euler",
-                         "override_settings": {
-                             "CLIP_stop_at_last_layers": 2,
-                             "sd_model_checkpoint": "sdxl"}})
-    assert out["clip_skip"] == 2
-    assert out["model"] == "sdxl"

@@ -788,3 +788,13 @@ def test_metrics_endpoint(server_url):
     count = int(re.search(r"mlis_batch_seconds_count (\d+)", text).group(1))
     inf = int(re.search(r'le="\+Inf"\} (\d+)', text).group(1))
     assert count == inf == srv.n_batches > 0
+
+
+def test_a1111_override_settings_translation():
+    from mlimgsynth_tpu.server import _a1111_to_req
+    out = _a1111_to_req({"prompt": "p", "sampler_name": "Euler",
+                         "override_settings": {
+                             "CLIP_stop_at_last_layers": 2,
+                             "sd_model_checkpoint": "sdxl"}})
+    assert out["clip_skip"] == 2
+    assert out["model"] == "sdxl"
