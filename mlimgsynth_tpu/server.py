@@ -336,17 +336,13 @@ class Server:
         self.model_dir = model_dir
         self._new_session_opts = (weight_type, tuple(launch_opts))
         self._load_lock = threading.Lock()
-        # launch-time option values: requests that OMIT a shared option get
-        # these, not whatever the previous batch happened to set
+        # launch-time option values: requests that OMIT a shared option
+        # get these, not whatever the previous batch happened to set.
+        # Snapshots are taken lazily on each model's FIRST batch, AFTER
+        # setup(): model load resolves per-type defaults (clip skip 0 ->
+        # 1/2, dims) and a pre-resolution snapshot would reset later
+        # batches to the wrong values (e.g. SD2's clip skip back to 0).
         self.defaults, self.defaults_dim = {}, {}
-        for name, ses in self.sessions.items():
-            try:
-                self.defaults[name] = {opt: ses.option_get(opt)
-                                       for opt in _SHARED_OPTS.values()}
-                self.defaults_dim[name] = (ses.c["width"], ses.c["height"])
-            except Exception:
-                self.defaults[name] = {}
-                self.defaults_dim[name] = None
         self.n_requests = 0
         self.n_merged = 0
         self.t_total = 0.0
@@ -429,17 +425,25 @@ class Server:
             for kv in opts:
                 oname, _, oval = kv.partition("=")
                 s.option_set_str(oname, oval)
-            try:
-                dfl = {opt: s.option_get(opt)
-                       for opt in _SHARED_OPTS.values()}
-                dim = (s.c["width"], s.c["height"])
-            except Exception:
-                dfl, dim = {}, None
             # copy-on-write: concurrent readers iterate a stable dict
-            self.defaults = {**self.defaults, key: dfl}
-            self.defaults_dim = {**self.defaults_dim, key: dim}
+            # (defaults snapshot happens on the first batch, post-setup)
             self.sessions = {**self.sessions, key: s}
         return s
+
+    def _defaults_of(self, model: str, s):
+        """Post-setup launch-default snapshot for ``model`` (lazy)."""
+        d = self.defaults.get(model)
+        if d is not None:
+            return d
+        try:
+            s.setup()
+            d = {opt: s.option_get(opt) for opt in _SHARED_OPTS.values()}
+            dim = (s.c["width"], s.c["height"])
+        except Exception:
+            d, dim = {}, None
+        self.defaults = {**self.defaults, model: d}
+        self.defaults_dim = {**self.defaults_dim, model: dim}
+        return d
 
     def submit(self, req: dict) -> _Pending:
         if "prompt" not in req:
@@ -537,7 +541,7 @@ class Server:
                 raise RuntimeError(f"unknown model '{model}'")
             if model not in self.sessions:  # hot-loaded: canonical stem
                 model = os.path.splitext(os.path.basename(model))[0]
-            defaults = self.defaults.get(model, {})
+            defaults = self._defaults_of(model, s)
             defaults_dim = self.defaults_dim.get(model)
             w = int(r0.get("width", 0))
             h = int(r0.get("height", 0))

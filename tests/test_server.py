@@ -798,3 +798,47 @@ def test_a1111_override_settings_translation():
                              "sd_model_checkpoint": "sdxl"}})
     assert out["clip_skip"] == 2
     assert out["model"] == "sdxl"
+
+
+def test_clip_skip_default_resolves_per_model(tmp_path_factory):
+    """The launch-default snapshot must be taken AFTER model setup: an
+    SD2-family model (default clip skip 2) served a clip_skip=1 request
+    must return to skip 2 — not to the pre-resolution 0 — on the next
+    plain request."""
+    from http.server import ThreadingHTTPServer
+    from mlimgsynth_tpu.api import MLImgSynth
+    from mlimgsynth_tpu import api as api_mod
+    from mlimgsynth_tpu.server import Server, make_handler
+    from mlimgsynth_tpu.testing import TINY_MODEL_TYPE_SD2
+    from helpers import write_checkpoint_sd2
+
+    ckpt = tmp_path_factory.mktemp("m2") / "tiny2.safetensors"
+    write_checkpoint_sd2(ckpt)
+    orig = api_mod._model_types
+    api_mod._model_types = lambda: {"sd2": TINY_MODEL_TYPE_SD2}
+    try:
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(ckpt))
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 2)
+        srv = Server(s)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{port}"
+        _, b1 = _post(url, "/generate", {"prompt": "a", "seed": 1,
+                                         "format": "json"})
+        assert "Clip skip: 2" in json.loads(b1)["infotexts"][0]
+        _, b2 = _post(url, "/generate", {"prompt": "a", "seed": 1,
+                                         "format": "json",
+                                         "clip_skip": 1})
+        assert "Clip skip: 1" in json.loads(b2)["infotexts"][0]
+        _, b3 = _post(url, "/generate", {"prompt": "a", "seed": 1,
+                                         "format": "json"})
+        assert "Clip skip: 2" in json.loads(b3)["infotexts"][0]
+        # identical requests around the explicit-skip one agree exactly
+        assert json.loads(b3)["images"] == json.loads(b1)["images"]
+        httpd.shutdown()
+    finally:
+        api_mod._model_types = orig
