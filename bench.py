@@ -261,6 +261,10 @@ def bench_config(name):
     use_cnet = name_base.endswith("-cnet")   # ControlNet-conditioned run
     if use_cnet:
         name_base = name_base[:-5]
+    # DeepCache-style encoder caching (PAPERS.md): refresh every 3rd step
+    use_dc = name_base.endswith("-dc")
+    if use_dc:
+        name_base = name_base[:-3]
     flow = False
     if name_base == "sdxl":
         size, baseline = 1024, 4.0
@@ -550,7 +554,8 @@ def bench_config(name):
             _, img, _ = run_sampler(
                 unet_params, x0, plan, None, None, None, None, lmask,
                 cfg, unet_p, dtype=dtype, decode=decode, want_latent=False,
-                encode=encode, control=control)
+                encode=encode, control=control,
+                deepcache=(3 if use_dc else 0))
             return img
         if flow:
             raise RuntimeError("sd3 bench requires the fused-encode path "
@@ -644,6 +649,8 @@ def bench_config(name):
         label += " img2img+inpaint"
     if use_hires:
         label += f" highres-fix {size}->{size * 2}px"
+    if use_dc:
+        label += " deepcache3"
     if use_q4:
         label += " int4-weights"
     elif use_q8:

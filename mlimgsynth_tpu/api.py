@@ -233,7 +233,7 @@ class MLImgSynth:
             "upscaler": "", "hires_upscaler": "",
             "subseed": -1, "subseed_strength": 0.0,
             "inpaint_full_res": 0, "inpaint_full_res_padding": 32,
-            "mask_blur": 0.0,
+            "mask_blur": 0.0, "deepcache": 0,
             "refiner": "", "refiner_switch": 0.8,
             "t5": "", "t5_tokenizer": "", "t5_tokens": 77,
             "clip": "", "vae": "",
@@ -470,6 +470,8 @@ class MLImgSynth:
             c["inpaint_full_res_padding"] = _int(args[0], 32)
         elif opt == "mask_blur":
             c["mask_blur"] = _float(args[0], 0.0)
+        elif opt == "deepcache":
+            c["deepcache"] = _int(args[0], 0)
         elif opt == "refiner":
             v = str(args[0]) if args else ""
             c["refiner"] = v
@@ -2163,6 +2165,14 @@ class MLImgSynth:
 
         t_comp = time.time()
         u8 = None
+        if c["deepcache"] > 1 and (
+                flow or control_spec is not None or extra_spec is not None
+                or edit_steps is not None or self._mesh is not None
+                or c["method"] not in ("euler", "dpmpp2m")):
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
+                "deepcache supports SD-UNet families (no ControlNet/"
+                "inpaint-variant/editing/mesh), methods euler/dpm++2m")
         out = run_sampler(params, latent, plan, cond, ncond, label,
                           nlabel, lmask, scfg, mt.unet_p,
                           dtype=self._dtype, step_callback=step_cb,
@@ -2170,7 +2180,8 @@ class MLImgSynth:
                           mesh=self._mesh, decode=decode_spec,
                           encode=encode_spec, control=control_spec,
                           extra_channels=extra_spec,
-                          cond_steps=edit_steps)
+                          cond_steps=edit_steps,
+                          deepcache=c["deepcache"])
         if encode_spec is not None:
             if decode_spec is not None:
                 latent, u8, (cond_dev, lab_dev) = out
@@ -2761,6 +2772,16 @@ class MLImgSynth:
                 n_total = plan.n_step
                 preview_spec = pv + (
                     lambda i, imgs: preview_callback(i, n_total, imgs),)
+            if c["deepcache"] > 1 and (
+                    getattr(mt.unet_p, "flow", False)
+                    or control_spec is not None or extra_spec is not None
+                    or edit_steps is not None or self._mesh is not None
+                    or c["method"] not in ("euler", "dpmpp2m")):
+                raise MlisError(
+                    MlisError.E_OPT_VALUE,
+                    "deepcache supports SD-UNet families (no ControlNet/"
+                    "inpaint-variant/editing/mesh), methods "
+                    "euler/dpm++2m")
             out = run_sampler(params, latent, plan, cond, ncond,
                               label, nlabel, init_lmask, scfg,
                               mt.unet_p, dtype=self._dtype,
@@ -2770,7 +2791,8 @@ class MLImgSynth:
                               chunk_size=preview_chunk or None,
                               control=control_spec,
                               extra_channels=extra_spec,
-                              cond_steps=edit_steps)
+                              cond_steps=edit_steps,
+                              deepcache=c["deepcache"])
             u8 = None
             if decode_spec is None:   # _latent_only
                 if encode_spec is not None:
@@ -3039,6 +3061,8 @@ _OPTIONS = [
     "subseed", "subseed_strength",
     # crop-around-mask inpainting (A1111 "inpaint at full resolution")
     "inpaint_full_res", "inpaint_full_res_padding", "mask_blur",
+    # UNet encoder caching (DeepCache-style; opt-in approximation)
+    "deepcache",
     # base->refiner ensemble-of-experts pipeline
     "refiner", "refiner_switch",
     # SD3 T5-XXL context tower (optional third text encoder)

@@ -53,6 +53,10 @@ Generation options:
                        (--inpaint-full-res-padding N, default 32).
   --subseed N          Variation seed (with --subseed-strength F: the
                        initial noise slerps toward this stream).
+  --deepcache N        UNet encoder caching (DeepCache-style): refresh
+                       the deep levels + mid transformer every N steps,
+                       reuse them in between (~1.5x faster, slight
+                       quality cost; SD families, euler/dpm++2m).
   --ilatent PATH       Input latent tensor.
   --ilmask PATH        Input latent mask tensor.
   -o --output PATH     Output image path.

