@@ -71,7 +71,7 @@ _SHARED_OPTS = {
     "s_noise": "s-noise", "clip_skip": "clip-skip", "f_t_ini": "f-t-ini",
     "hires_fix": "hires-fix", "hires_denoise": "hires-denoise",
     "hires_steps": "hires-steps", "hires_upscaler": "hires-upscaler",
-    "subseed_strength": "subseed-strength",
+    "subseed_strength": "subseed-strength", "deepcache": "deepcache",
 }
 _SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height", "model",
                                       "preview", "preview_every")
