@@ -102,3 +102,27 @@ def test_deepcache_gates(ckpt, monkeypatch):
     s.option_set("prompt", "x")
     with pytest.raises(MlisError):
         s.generate()
+
+
+def test_deepcache_sdxl_labels(tmp_path, monkeypatch):
+    """SDXL: size labels + dual-encoder cond flow through both cond
+    branches; 3-level UNet shallow pass has no level-0 attention."""
+    from helpers import TINY_MODEL_TYPE_XL, write_checkpoint_sdxl
+    patch_tiny_model_types(monkeypatch, {"sdxl": TINY_MODEL_TYPE_XL})
+    path = tmp_path / "xl.safetensors"
+    write_checkpoint_sdxl(path)
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", str(path))
+    s.option_set("model-type", "sdxl")
+    s.option_set("image-dim", 64)
+    s.option_set("steps", 4)
+    s.option_set("seed", 7)
+    s.option_set("deepcache", 2)
+    s.option_set("prompt", "an xl test")
+    img = s.generate()
+    assert np.isfinite(img).all()
+    # reproduces exactly
+    s.option_set("seed", 7)
+    s.option_set("prompt", "an xl test")
+    np.testing.assert_array_equal(img, s.generate())
