@@ -134,6 +134,39 @@ def _init_resize(t: "np.ndarray", th: int, tw: int,
     return _resize_float_nchw(t, th, tw)
 
 
+def load_styles(path: str) -> dict:
+    """A1111 styles.csv: name,prompt,negative_prompt rows; ``{prompt}``
+    in the style text is replaced by the user prompt (otherwise the
+    style text is appended after a comma)."""
+    import csv
+    styles = {}
+    with open(path, newline="", encoding="utf-8-sig") as f:
+        for row in csv.DictReader(f):
+            name = (row.get("name") or "").strip()
+            if name:
+                styles[name] = ((row.get("prompt") or "").strip(),
+                                (row.get("negative_prompt") or "").strip())
+    return styles
+
+
+def apply_styles(styles: dict, names, prompt: str, nprompt: str):
+    """Apply the named styles to (prompt, nprompt), A1111 semantics."""
+    def merge(base, tpl):
+        if not tpl:
+            return base
+        if "{prompt}" in tpl:
+            return tpl.replace("{prompt}", base)
+        return f"{base}, {tpl}" if base else tpl
+
+    for n in names or []:
+        tpl = styles.get(str(n))
+        if tpl is None:
+            raise ValueError(f"unknown style {n!r}")
+        prompt = merge(prompt, tpl[0])
+        nprompt = merge(nprompt, tpl[1])
+    return prompt, nprompt
+
+
 def _parse_multipart(ctype: str, body: bytes) -> dict:
     """multipart/form-data -> {field: bytes|str} (file parts stay bytes,
     text parts decode to str)."""
@@ -336,6 +369,7 @@ class Server:
         self.model_dir = model_dir
         self._new_session_opts = (weight_type, tuple(launch_opts))
         self._load_lock = threading.Lock()
+        self.styles: dict = {}
         # launch-time option values: requests that OMIT a shared option
         # get these, not whatever the previous batch happened to set.
         # Snapshots are taken lazily on each model's FIRST batch, AFTER
@@ -448,6 +482,12 @@ class Server:
     def submit(self, req: dict) -> _Pending:
         if "prompt" not in req:
             raise ValueError("missing 'prompt'")
+        if req.get("styles"):
+            p, n = apply_styles(self.styles, req["styles"],
+                                str(req.get("prompt", "")),
+                                str(req.get("nprompt", "")))
+            req = {**req, "prompt": p, "nprompt": n}
+            req.pop("styles")
         if req.get("model") and req["model"] not in self.sessions \
                 and self._model_path_of(req["model"]) is None:
             raise ValueError(
@@ -766,6 +806,8 @@ def _a1111_to_req(req: dict, img2img: bool = False) -> dict:
     n = max(1, int(req.get("batch_size", 1))) * \
         max(1, int(req.get("n_iter", 1)))      # n_iter folds into the batch
     out["batch_size"] = n
+    if req.get("styles"):
+        out["styles"] = list(req["styles"])
     ov = req.get("override_settings") or {}
     if ov.get("CLIP_stop_at_last_layers") is not None:
         out["clip_skip"] = int(ov["CLIP_stop_at_last_layers"])
@@ -896,6 +938,10 @@ def make_handler(srv: Server):
                 self._json(200, rows)
             elif self.path == "/sdapi/v1/refresh-checkpoints":
                 self._json(200, {})
+            elif self.path == "/sdapi/v1/prompt-styles":
+                self._json(200, [
+                    {"name": n, "prompt": p, "negative_prompt": np_}
+                    for n, (p, np_) in sorted(srv.styles.items())])
             elif self.path == "/sdapi/v1/loras":
                 base = srv.session.c.get("lora_dir", "")
                 rows = []
@@ -1242,12 +1288,16 @@ def warmup_generate(session) -> float:
 
 def serve(session, port: int = 8188, host: str = "127.0.0.1",
           warmup: bool = True, warmup_gen: bool = False,
-          model_dir: str = "", weight_type: str = "", launch_opts=()):
+          model_dir: str = "", weight_type: str = "", launch_opts=(),
+          styles: str = ""):
     # cancellation needs a step callback; chunked progress keeps the
     # per-dispatch overhead at 1/chunk of step-at-a-time execution
     os.environ.setdefault("MLIS_PROGRESS_CHUNK", "4")
     srv = Server(session, model_dir=model_dir, weight_type=weight_type,
                  launch_opts=launch_opts)
+    if styles:
+        srv.styles = load_styles(styles)
+        sys.stderr.write(f"[serve] {len(srv.styles)} prompt styles\n")
     if warmup:
         for ses in srv.sessions.values():
             if ses.c["model"]:
@@ -1286,13 +1336,16 @@ def main(argv: Optional[list] = None) -> int:
                          "(NAME.safetensors/.gguf): listed by "
                          "/sdapi/v1/sd-models and hot-loaded on first "
                          "request")
+    ap.add_argument("--styles", default="",
+                    help="A1111 styles.csv (name,prompt,negative_prompt);"
+                         " requests apply them with \"styles\": [names]")
     args = ap.parse_args(argv)
     enable()
     sessions = build_sessions(args.model, args.weight_type, args.opt)
     serve(sessions if len(sessions) > 1 else next(iter(sessions.values())),
           port=args.port, host=args.host, warmup_gen=args.warmup_gen,
           model_dir=args.model_dir, weight_type=args.weight_type,
-          launch_opts=args.opt)
+          launch_opts=args.opt, styles=args.styles)
     return 0
 
 

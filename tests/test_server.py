@@ -842,3 +842,36 @@ def test_clip_skip_default_resolves_per_model(tmp_path_factory):
         httpd.shutdown()
     finally:
         api_mod._model_types = orig
+
+
+def test_prompt_styles(server_url, tmp_path):
+    from mlimgsynth_tpu.server import apply_styles, load_styles
+    server_url, srv = server_url
+    csv_path = tmp_path / "styles.csv"
+    csv_path.write_text(
+        "name,prompt,negative_prompt\n"
+        'cinematic,"{prompt}, cinematic lighting, 35mm",blurry\n'
+        "anime,anime style,photo\n")
+    styles = load_styles(str(csv_path))
+    assert set(styles) == {"cinematic", "anime"}
+    p, n = apply_styles(styles, ["cinematic"], "a cat", "")
+    assert p == "a cat, cinematic lighting, 35mm" and n == "blurry"
+    p, n = apply_styles(styles, ["anime"], "a cat", "bad")
+    assert p == "a cat, anime style" and n == "bad, photo"
+    with pytest.raises(ValueError):
+        apply_styles(styles, ["nope"], "x", "")
+
+    srv.styles = styles
+    try:
+        with urllib.request.urlopen(
+                server_url + "/sdapi/v1/prompt-styles") as r:
+            rows = json.loads(r.read())
+        assert rows[0]["name"] == "anime"
+        _, body = _post(server_url, "/generate",
+                        {"prompt": "a cat", "seed": 2, "format": "json",
+                         "styles": ["cinematic"]})
+        info = json.loads(body)["infotexts"][0]
+        assert "cinematic lighting" in info
+        assert "Negative prompt: blurry" in info
+    finally:
+        srv.styles = {}
