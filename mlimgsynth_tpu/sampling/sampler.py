@@ -215,7 +215,7 @@ def _mask_apply(x, x0, lmask):
 
 
 def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
-               deepcache=0):
+               deepcache=0, dc_warm=0):
     """Build the per-step body shared by the fused scan and stepwise paths.
 
     ``deepcache`` > 1 enables encoder caching (DeepCache / "Faster
@@ -352,7 +352,10 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
                 x = jnp.where(churn > 0, _mask_apply(x, x0_keep, lmask),
                               x)
             t = jnp.where(churn > 0, s_hat[i], t)
-            fn, cell = dc_dxdt(cache, (i % deepcache) == 0)
+            # early steps form the image structure: refresh all of them
+            # (DeepCache's non-uniform finding), then every k-th
+            fn, cell = dc_dxdt(cache,
+                               ((i % deepcache) == 0) | (i < dc_warm))
             x, state = solver.step(fn, x, state, i, t, s_down[i])
             cache = cell["cache"]
             x = x + a_noise * s_up[i]
@@ -481,19 +484,20 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
-                     "clip2_p", "deepcache"))
+                     "clip2_p", "deepcache", "dc_warm"))
 def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
               decode_params=None, encode=None, xscale0=None, *, method,
               unet_p, use_cfg, use_mask, dtype, decode_kind=None, vae_p=None,
               clip_p=None, clip_skip=0, norm=True, clip2_p=None,
-              deepcache=0):
+              deepcache=0, dc_warm=0):
     cond_out = lab_out = None
     if encode is not None:
         consts, cond_out, lab_out = _fused_encode(
             encode, consts, dtype, clip_p, clip_skip, norm, clip2_p)
     solver, body = _make_body(params, consts, method=method, unet_p=unet_p,
                               use_cfg=use_cfg, use_mask=use_mask,
-                              dtype=dtype, deepcache=deepcache)
+                              dtype=dtype, deepcache=deepcache,
+                              dc_warm=dc_warm)
     lmask, x0_keep = consts[2], consts[3]
     x = x.astype(jnp.float32)
     # flow models interpolate toward noise (x_t = (1-sigma) x0 + sigma n,
@@ -557,12 +561,13 @@ def _decode_u8(decode_params, x, decode_kind, vae_p, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
-                     "deepcache"))
+                     "deepcache", "dc_warm"))
 def _step_jit(params, carry, i, c_noise, a_noise, consts,
-              *, method, unet_p, use_cfg, use_mask, dtype, deepcache=0):
+              *, method, unet_p, use_cfg, use_mask, dtype, deepcache=0,
+              dc_warm=0):
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
-                         deepcache=deepcache)
+                         deepcache=deepcache, dc_warm=dc_warm)
     carry, _ = body(carry, (i, c_noise, a_noise))
     return carry
 
@@ -571,11 +576,12 @@ def _step_jit(params, carry, i, c_noise, a_noise, consts,
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
-                     "clip2_p", "deepcache"))
+                     "clip2_p", "deepcache", "dc_warm"))
 def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
                decode_params=None, encode=None, *, method, unet_p, use_cfg,
                use_mask, dtype, decode_kind=None, vae_p=None, clip_p=None,
-               clip_skip=0, norm=True, clip2_p=None, deepcache=0):
+               clip_skip=0, norm=True, clip2_p=None, deepcache=0,
+               dc_warm=0):
     """Scan a fixed-size chunk of steps from an arbitrary carry: progress
     callbacks fire between chunks with 1/chunk the dispatch overhead.
     With ``decode_kind`` (the FINAL chunk of a run), the image decode +
@@ -588,7 +594,7 @@ def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
             encode, consts, dtype, clip_p, clip_skip, norm, clip2_p)
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
-                         deepcache=deepcache)
+                         deepcache=deepcache, dc_warm=dc_warm)
     k = c_noise_chunk.shape[0]
     carry, _ = jax.lax.scan(
         body, carry,
@@ -816,7 +822,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     xscale0 = (jnp.float32(1.0 - float(plan.sigmas[0]))
                if getattr(unet_p, "flow", False) and cfg.noise_add else None)
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
-              use_mask=use_mask, dtype=dtype, deepcache=deepcache)
+              use_mask=use_mask, dtype=dtype, deepcache=deepcache,
+              dc_warm=(max(1, plan.n_step // 10) if deepcache else 0))
     kw_loop = dict(kw)
     decode_params = None
     if decode is not None and step_observer is None:
