@@ -1412,6 +1412,17 @@ class MLImgSynth:
         return self._clip_encode(toks, None, submodel, want_feat, norm,
                                  self.c["clip_skip"] if not want_feat else 0)
 
+    def _deepcache_check(self, flow, control_spec, extra_spec, edit_steps):
+        """Deepcache composes with the plain SD-UNet loop only."""
+        if self.c["deepcache"] > 1 and (
+                flow or control_spec is not None or extra_spec is not None
+                or edit_steps is not None or self._mesh is not None
+                or self.c["method"] not in ("euler", "dpmpp2m")):
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
+                "deepcache supports SD-UNet families (no ControlNet/"
+                "inpaint-variant/editing/mesh), methods euler/dpm++2m")
+
     def _edit_cond_bank(self, edit_segs, eff_cfg: float, n_batch: int):
         """Prompt editing: encode every distinct per-step prompt text as
         one batched encoder call (the conditioning BANK) and build the
@@ -2165,14 +2176,7 @@ class MLImgSynth:
 
         t_comp = time.time()
         u8 = None
-        if c["deepcache"] > 1 and (
-                flow or control_spec is not None or extra_spec is not None
-                or edit_steps is not None or self._mesh is not None
-                or c["method"] not in ("euler", "dpmpp2m")):
-            raise MlisError(
-                MlisError.E_OPT_VALUE,
-                "deepcache supports SD-UNet families (no ControlNet/"
-                "inpaint-variant/editing/mesh), methods euler/dpm++2m")
+        self._deepcache_check(flow, control_spec, extra_spec, edit_steps)
         out = run_sampler(params, latent, plan, cond, ncond, label,
                           nlabel, lmask, scfg, mt.unet_p,
                           dtype=self._dtype, step_callback=step_cb,
@@ -2772,16 +2776,8 @@ class MLImgSynth:
                 n_total = plan.n_step
                 preview_spec = pv + (
                     lambda i, imgs: preview_callback(i, n_total, imgs),)
-            if c["deepcache"] > 1 and (
-                    getattr(mt.unet_p, "flow", False)
-                    or control_spec is not None or extra_spec is not None
-                    or edit_steps is not None or self._mesh is not None
-                    or c["method"] not in ("euler", "dpmpp2m")):
-                raise MlisError(
-                    MlisError.E_OPT_VALUE,
-                    "deepcache supports SD-UNet families (no ControlNet/"
-                    "inpaint-variant/editing/mesh), methods "
-                    "euler/dpm++2m")
+            self._deepcache_check(getattr(mt.unet_p, "flow", False),
+                                  control_spec, extra_spec, edit_steps)
             out = run_sampler(params, latent, plan, cond, ncond,
                               label, nlabel, init_lmask, scfg,
                               mt.unet_p, dtype=self._dtype,

@@ -173,7 +173,7 @@ def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
     cache_out = None
     i_oblk = i_oblk0
     for im in (range(n_levels - 1, -1, -1) if use_cache is None
-               else range(0, -1, -1)):
+               else [0]):    # shallow: level-0 decoder only
         for j in range(P.n_res_blk + 1):
             if im == 0 and j == 0 and want_cache:
                 cache_out = x    # feature entering the level-0 decoder

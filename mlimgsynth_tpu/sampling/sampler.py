@@ -214,6 +214,14 @@ def _mask_apply(x, x0, lmask):
     return x0 * lmask + x * (1.0 - lmask)
 
 
+def _dc_cache0(x_nhwc, use_cfg, unet_p, dtype):
+    """Zero-initialized deepcache carry (the level-0 decoder's incoming
+    deep feature for the stacked [cond; uncond] rows)."""
+    return jnp.zeros(
+        (x_nhwc.shape[0] * (2 if use_cfg else 1), x_nhwc.shape[1],
+         x_nhwc.shape[2], unet_p.n_ch * unet_p.ch_mult[1]), dtype)
+
+
 def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
                deepcache=0, dc_warm=0):
     """Build the per-step body shared by the fused scan and stepwise paths.
@@ -510,11 +518,9 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
     state = solver.init_state(x)
     n_step = churn_noise.shape[0]
     if deepcache > 1:
-        cache0 = jnp.zeros(
-            (x.shape[0] * (2 if use_cfg else 1), x.shape[1], x.shape[2],
-             unet_p.n_ch * unet_p.ch_mult[1]), dtype)
         (x, _, _, _), _ = jax.lax.scan(
-            body, (x, sigmas0, state, cache0),
+            body, (x, sigmas0, state,
+                   _dc_cache0(x, use_cfg, unet_p, dtype)),
             (jnp.arange(n_step), churn_noise, anc_noise))
     else:
         (x, _, _), _ = jax.lax.scan(
@@ -885,9 +891,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep, xscale0,
                           method=method, use_mask=use_mask)
         if deepcache:
-            carry = carry + (jnp.zeros(
-                (x.shape[0] * (2 if use_cfg else 1), x.shape[1],
-                 x.shape[2], unet_p.n_ch * unet_p.ch_mult[1]), dtype),)
+            carry = carry + (_dc_cache0(x, use_cfg, unet_p, dtype),)
         chunk = max(1, int(chunk_size if chunk_size is not None else
                            os.environ.get("MLIS_PROGRESS_CHUNK", "1")))
         if step_observer is not None:
