@@ -233,7 +233,7 @@ class MLImgSynth:
             "upscaler": "", "hires_upscaler": "",
             "subseed": -1, "subseed_strength": 0.0,
             "inpaint_full_res": 0, "inpaint_full_res_padding": 32,
-            "mask_blur": 0.0, "deepcache": 0,
+            "mask_blur": 0.0, "deepcache": 0, "tiling": False,
             "refiner": "", "refiner_switch": 0.8,
             "t5": "", "t5_tokenizer": "", "t5_tokens": 77,
             "clip": "", "vae": "",
@@ -472,6 +472,8 @@ class MLImgSynth:
             c["mask_blur"] = _float(args[0], 0.0)
         elif opt == "deepcache":
             c["deepcache"] = _int(args[0], 0)
+        elif opt == "tiling":
+            c["tiling"] = bool(_int(args[0], 0))
         elif opt == "refiner":
             v = str(args[0]) if args else ""
             c["refiner"] = v
@@ -1770,7 +1772,8 @@ class MLImgSynth:
             mom = _tiled_encode(params, x, P, tile, self._dtype)
         else:
             mom = np.asarray(_vae_encode_jit(
-                params, x.transpose(0, 2, 3, 1), vae_p=P, dtype=self._dtype),
+                params, x.transpose(0, 2, 3, 1), vae_p=P,
+                dtype=self._dtype, tiling=self.c["tiling"]),
                 np.float32).transpose(0, 3, 1, 2)
         if sample:
             n, _, h, w = mom.shape
@@ -1795,7 +1798,8 @@ class MLImgSynth:
         else:
             img = np.asarray(_vae_decode_jit(
                 params, lat.transpose(0, 2, 3, 1), vae_p=P,
-                dtype=self._dtype), np.float32).transpose(0, 3, 1, 2)
+                dtype=self._dtype, tiling=self.c["tiling"]),
+                np.float32).transpose(0, 3, 1, 2)
         return (img + 1.0) / 2.0
 
     def _tae_encode(self, img: np.ndarray) -> np.ndarray:
@@ -2185,7 +2189,7 @@ class MLImgSynth:
                           encode=encode_spec, control=control_spec,
                           extra_channels=extra_spec,
                           cond_steps=edit_steps,
-                          deepcache=c["deepcache"])
+                          deepcache=c["deepcache"], tiling=c["tiling"])
         if encode_spec is not None:
             if decode_spec is not None:
                 latent, u8, (cond_dev, lab_dev) = out
@@ -2788,7 +2792,8 @@ class MLImgSynth:
                               control=control_spec,
                               extra_channels=extra_spec,
                               cond_steps=edit_steps,
-                              deepcache=c["deepcache"])
+                              deepcache=c["deepcache"],
+                              tiling=c["tiling"])
             u8 = None
             if decode_spec is None:   # _latent_only
                 if encode_spec is not None:
@@ -3059,6 +3064,8 @@ _OPTIONS = [
     "inpaint_full_res", "inpaint_full_res_padding", "mask_blur",
     # UNet encoder caching (DeepCache-style; opt-in approximation)
     "deepcache",
+    # seamless tiling (circular conv padding, A1111 "tiling")
+    "tiling",
     # base->refiner ensemble-of-experts pipeline
     "refiner", "refiner_switch",
     # SD3 T5-XXL context tower (optional third text encoder)
@@ -3116,18 +3123,20 @@ def _t5_jit(params, tokens, **kw):
 def _make_vae_jits():
     import jax
 
-    @functools.partial(jax.jit, static_argnames=("vae_p", "dtype"))
-    def enc(params, img, *, vae_p, dtype):
+    @functools.partial(jax.jit, static_argnames=("vae_p", "dtype",
+                                                  "tiling"))
+    def enc(params, img, *, vae_p, dtype, tiling=False):
         from .models import blocks as B
         from .models import vae as vae_mod
-        ctx = B.Ctx(params, dtype=dtype)
+        ctx = B.Ctx(params, dtype=dtype, tiling=tiling)
         return vae_mod.vae_encode_apply(ctx, img, vae_p)
 
-    @functools.partial(jax.jit, static_argnames=("vae_p", "dtype"))
-    def dec(params, lat, *, vae_p, dtype):
+    @functools.partial(jax.jit, static_argnames=("vae_p", "dtype",
+                                                  "tiling"))
+    def dec(params, lat, *, vae_p, dtype, tiling=False):
         from .models import blocks as B
         from .models import vae as vae_mod
-        ctx = B.Ctx(params, dtype=dtype)
+        ctx = B.Ctx(params, dtype=dtype, tiling=tiling)
         return vae_mod.vae_decode_apply(ctx, lat, vae_p)
 
     @functools.partial(jax.jit, static_argnames=("vae_p", "dtype"))

@@ -53,6 +53,8 @@ Generation options:
                        (--inpaint-full-res-padding N, default 32).
   --subseed N          Variation seed (with --subseed-strength F: the
                        initial noise slerps toward this stream).
+  --tiling B           Seamless tiling: circular conv padding in UNet
+                       and VAE, output wraps without seams (textures).
   --deepcache N        UNet encoder caching (DeepCache-style): refresh
                        the deep levels + mid transformer every N steps,
                        reuse them in between (~1.5x faster, slight

@@ -49,10 +49,14 @@ class Ctx:
     """
 
     def __init__(self, params: Optional[Dict[str, jnp.ndarray]] = None,
-                 dtype=jnp.bfloat16, record: bool = False):
+                 dtype=jnp.bfloat16, record: bool = False,
+                 tiling: bool = False):
         self.params = params if params is not None else {}
         self.dtype = dtype
         self.record = record
+        # seamless-tiling mode (A1111 "tiling"): every conv pads
+        # circularly, making the whole conv stack wrap-equivariant
+        self.tiling = tiling
         self.spec: Dict[str, ParamSpec] = {}
 
     def param(self, name: str, shape: Tuple[int, ...], kind: str,
@@ -136,6 +140,10 @@ def conv2d(ctx: Ctx, pre: str, x, ch_out: int, kernel: int = 3,
         padding = [(pad, pad), (pad, pad)]
     else:
         padding = pad
+    if ctx.tiling and any(p for pair in padding for p in pair):
+        x = jnp.pad(x, [(0, 0), padding[0], padding[1], (0, 0)],
+                    mode="wrap")
+        padding = [(0, 0), (0, 0)]
     x = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(stride, stride),
         padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -232,9 +240,15 @@ def upsample(ctx: Ctx, pre: str, x, ch_out: int):
         for a in (0, 1):
             for b in (0, 1):
                 w4 = w4.at[a:a + 3, b:b + 3].add(w)
+        padding = ((2, 2), (2, 2))
+        if ctx.tiling:
+            # one wrapped input pixel per side reproduces the circular
+            # dilated grid exactly (period-2h phase layout)
+            x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="wrap")
+            padding = ((0, 0), (0, 0))
         y = jax.lax.conv_general_dilated(
             x, w4.astype(x.dtype), window_strides=(1, 1),
-            padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            padding=padding, lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         b_ = ctx.param(pre + ".conv.bias", (ch_out,), VEC)
         return y + b_.astype(y.dtype)

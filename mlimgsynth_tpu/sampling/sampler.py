@@ -223,7 +223,7 @@ def _dc_cache0(x_nhwc, use_cfg, unet_p, dtype):
 
 
 def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
-               deepcache=0, dc_warm=0):
+               deepcache=0, dc_warm=0, tiling=False):
     """Build the per-step body shared by the fused scan and stepwise paths.
 
     ``deepcache`` > 1 enables encoder caching (DeepCache / "Faster
@@ -233,7 +233,7 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
     ``lax.cond`` picks the full or the shallow forward at runtime.  An
     approximation: opt-in, SD-UNet families only, 1-dxdt/step solvers."""
     solver = get_solver(method)
-    ctx = B.Ctx(params, dtype=dtype)
+    ctx = B.Ctx(params, dtype=dtype, tiling=tiling)
     (cond_all, label_all, lmask, x0_keep, log_sigmas, s_hat, churn_sigma,
      s_down, s_up, t_next, cfg_scale) = consts[:11]
     # Conditioning tail: consts may carry (hint_img NHWC, cnet_strength,
@@ -492,12 +492,12 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
-                     "clip2_p", "deepcache", "dc_warm"))
+                     "clip2_p", "deepcache", "dc_warm", "tiling"))
 def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
               decode_params=None, encode=None, xscale0=None, *, method,
               unet_p, use_cfg, use_mask, dtype, decode_kind=None, vae_p=None,
               clip_p=None, clip_skip=0, norm=True, clip2_p=None,
-              deepcache=0, dc_warm=0):
+              deepcache=0, dc_warm=0, tiling=False):
     cond_out = lab_out = None
     if encode is not None:
         consts, cond_out, lab_out = _fused_encode(
@@ -505,7 +505,7 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
     solver, body = _make_body(params, consts, method=method, unet_p=unet_p,
                               use_cfg=use_cfg, use_mask=use_mask,
                               dtype=dtype, deepcache=deepcache,
-                              dc_warm=dc_warm)
+                              dc_warm=dc_warm, tiling=tiling)
     lmask, x0_keep = consts[2], consts[3]
     x = x.astype(jnp.float32)
     # flow models interpolate toward noise (x_t = (1-sigma) x0 + sigma n,
@@ -532,13 +532,15 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
     # one dispatch and one (4x smaller) device->host fetch per generation
     # instead of loop/decode/fetch round-trips (each round-trip costs
     # ~25-30 ms on remote-attached TPU).
-    img = _decode_u8(decode_params, x, decode_kind, vae_p, dtype)
+    img = _decode_u8(decode_params, x, decode_kind, vae_p, dtype,
+                     tiling=tiling)
     return (x, img, cond_out, lab_out) if encode is not None else (x, img)
 
 
-def _decode_u8(decode_params, x, decode_kind, vae_p, dtype):
+def _decode_u8(decode_params, x, decode_kind, vae_p, dtype,
+               tiling=False):
     from ..models import blocks as B2
-    ctx = B2.Ctx(decode_params, dtype=dtype)
+    ctx = B2.Ctx(decode_params, dtype=dtype, tiling=tiling)
     if decode_kind == "vae":
         from ..models import vae as vae_mod
         img = vae_mod.vae_decode_apply(ctx, x, vae_p).astype(jnp.float32)
@@ -567,13 +569,14 @@ def _decode_u8(decode_params, x, decode_kind, vae_p, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
-                     "deepcache", "dc_warm"))
+                     "deepcache", "dc_warm", "tiling"))
 def _step_jit(params, carry, i, c_noise, a_noise, consts,
               *, method, unet_p, use_cfg, use_mask, dtype, deepcache=0,
-              dc_warm=0):
+              dc_warm=0, tiling=False):
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
-                         deepcache=deepcache, dc_warm=dc_warm)
+                         deepcache=deepcache, dc_warm=dc_warm,
+                         tiling=tiling)
     carry, _ = body(carry, (i, c_noise, a_noise))
     return carry
 
@@ -582,12 +585,12 @@ def _step_jit(params, carry, i, c_noise, a_noise, consts,
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
-                     "clip2_p", "deepcache", "dc_warm"))
+                     "clip2_p", "deepcache", "dc_warm", "tiling"))
 def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
                decode_params=None, encode=None, *, method, unet_p, use_cfg,
                use_mask, dtype, decode_kind=None, vae_p=None, clip_p=None,
                clip_skip=0, norm=True, clip2_p=None, deepcache=0,
-               dc_warm=0):
+               dc_warm=0, tiling=False):
     """Scan a fixed-size chunk of steps from an arbitrary carry: progress
     callbacks fire between chunks with 1/chunk the dispatch overhead.
     With ``decode_kind`` (the FINAL chunk of a run), the image decode +
@@ -600,7 +603,8 @@ def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
             encode, consts, dtype, clip_p, clip_skip, norm, clip2_p)
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
-                         deepcache=deepcache, dc_warm=dc_warm)
+                         deepcache=deepcache, dc_warm=dc_warm,
+                         tiling=tiling)
     k = c_noise_chunk.shape[0]
     carry, _ = jax.lax.scan(
         body, carry,
@@ -608,7 +612,7 @@ def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
     out = (carry,)
     if decode_kind is not None:
         out = out + (_decode_u8(decode_params, carry[0], decode_kind, vae_p,
-                                dtype),)
+                                dtype, tiling=tiling),)
     if encode is not None:
         out = out + (cond_out, lab_out)
     return out[0] if len(out) == 1 else out
@@ -638,7 +642,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 step_callback=None, step_observer=None, mesh=None,
                 decode=None, want_latent=True, encode=None, preview=None,
                 chunk_size=None, control=None, extra_channels=None,
-                cond_steps=None, deepcache=0):
+                cond_steps=None, deepcache=0, tiling=False):
     """Run the sampling loop.  ``x_init`` (NCHW f32), ``lmask`` [N,1,h,w] or
     None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW —
     or ``(latent NCHW, u8 image NHWC)`` when ``decode`` is given.
@@ -829,7 +833,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                if getattr(unet_p, "flow", False) and cfg.noise_add else None)
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
               use_mask=use_mask, dtype=dtype, deepcache=deepcache,
-              dc_warm=(max(1, plan.n_step // 10) if deepcache else 0))
+              dc_warm=(max(1, plan.n_step // 10) if deepcache else 0),
+              tiling=bool(tiling))
     kw_loop = dict(kw)
     decode_params = None
     if decode is not None and step_observer is None:

@@ -72,6 +72,7 @@ _SHARED_OPTS = {
     "hires_fix": "hires-fix", "hires_denoise": "hires-denoise",
     "hires_steps": "hires-steps", "hires_upscaler": "hires-upscaler",
     "subseed_strength": "subseed-strength", "deepcache": "deepcache",
+    "tiling": "tiling",
 }
 _SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height", "model",
                                       "preview", "preview_every")
@@ -808,6 +809,8 @@ def _a1111_to_req(req: dict, img2img: bool = False) -> dict:
     out["batch_size"] = n
     if req.get("styles"):
         out["styles"] = list(req["styles"])
+    if req.get("tiling"):
+        out["tiling"] = 1
     ov = req.get("override_settings") or {}
     if ov.get("CLIP_stop_at_last_layers") is not None:
         out["clip_skip"] = int(ov["CLIP_stop_at_last_layers"])
