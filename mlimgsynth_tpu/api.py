@@ -1361,13 +1361,18 @@ class MLImgSynth:
         wts: List[float] = []
         chunks = pt.chunks if pt.chunks else [(pt.text, 1.0)]
         for text, w in chunks:
+            if text == prompt_mod.BREAK_MARK:
+                toks.append(tok_mod.BREAK_TOKEN)
+                wts.append(w)
+                continue
             if text.startswith(prompt_mod.EMBED_MARK):
                 t = self._embed_token_ids(text[len(prompt_mod.EMBED_MARK):])
             else:
                 t = tok_mod.tokenize(text)
             toks.extend(t)
             wts.extend([w] * len(t))
-        log.info(f"Prompt: {len(toks)} tokens")
+        n_real = sum(1 for t in toks if t != tok_mod.BREAK_TOKEN)
+        log.info(f"Prompt: {n_real} tokens")
         return toks, wts
 
     def _clip_encode_rows(self, rows, weights_rows, submodel: str,
@@ -1378,9 +1383,19 @@ class MLImgSynth:
         once per prompt; batching rows halves the text-encode dispatches
         for CFG and amortizes them across merged serving requests)."""
         P = self._mt.clip_p if submodel == "clip" else self._mt.clip2_p
-        wrapped = np.asarray([tok_mod.wrap_tokens(P, t) for t in rows],
-                             np.int32)
-        fidx = np.asarray([len(t) + 1 for t in rows], np.int32)
+        wrs = weights_rows if weights_rows is not None \
+            else [None] * len(rows)
+        W = self._window_count(P, list(zip(rows, wrs)))
+        wrapped, wrows, fidx = [], [], []
+        for toks, wts in zip(rows, wrs):
+            wins, wmats, f0 = tok_mod.split_windows(P, toks, wts,
+                                                    n_window=W)
+            wrapped.append(wins[0] if W == 1 else wins[:W])
+            wrows.append(wmats[0] if W == 1
+                         else np.concatenate(wmats[:W]))
+            fidx.append(f0)
+        wrapped = np.asarray(wrapped, np.int32)
+        fidx = np.asarray(fidx, np.int32)
         params = self._get_params(submodel)
         embed, feat = _clip_jit(
             params, wrapped, fidx, clip_p=P, submodel=submodel,
@@ -1389,11 +1404,7 @@ class MLImgSynth:
             dtype=self._dtype)
         embed = np.asarray(embed, np.float32)
         if weights_rows is not None:
-            wmat = np.ones(embed.shape[:2], np.float32)
-            for i, (toks, wts) in enumerate(zip(rows, weights_rows)):
-                if wts and len(toks):
-                    wmat[i, 1:len(toks) + 1] = wts
-            embed = embed * wmat[:, :, None]
+            embed = embed * np.asarray(wrows, np.float32)[:, :, None]
         return embed, (np.asarray(feat, np.float32) if feat is not None
                        else None)
 
@@ -1646,21 +1657,39 @@ class MLImgSynth:
         ``want_fidx`` returns feature-token indices instead of weights
         (the SDXL clip2 feature head reads the end-token position)."""
         P = self._mt.clip_p if submodel == "clip" else self._mt.clip2_p
+        raw = [self._prompt_tokens(pt) for pt in pts]
+        W = self._window_count(P, raw)
         toks_rows, wrows, fidx = [], [], []
-        for pt in pts:
-            toks, wts = self._prompt_tokens(pt)
-            wrapped = tok_mod.wrap_tokens(P, toks)
-            wmat = np.ones(len(wrapped), np.float32)
-            if wts and len(toks):
-                wmat[1:len(toks) + 1] = wts
-            toks_rows.append(wrapped)
-            wrows.append(wmat)
-            fidx.append(len(toks) + 1)
+        for toks, wts in raw:
+            wins, wmats, f0 = tok_mod.split_windows(P, toks, wts,
+                                                    n_window=W)
+            toks_rows.append(wins[0] if W == 1 else wins[:W])
+            wrows.append(wmats[0] if W == 1
+                         else np.concatenate(wmats[:W]))
+            fidx.append(f0)
         if want_fidx:
             return (np.asarray(toks_rows, np.int32),
                     np.asarray(fidx, np.int32))
         return (np.asarray(toks_rows, np.int32),
                 np.asarray(wrows, np.float32))
+
+    def _window_count(self, P, raw) -> int:
+        """Shared encoder-window count for a batch of token streams
+        (A1111 long-prompt chunking: every row of a batched encode is
+        padded with empty windows to the longest row's count).  Flow
+        models (SD3/Flux) condition their CLIP towers on a single
+        window: longer prompts truncate with a warning (the T5 context
+        carries the full text up to --t5-tokens)."""
+        W = max(len(tok_mod.split_windows(P, t, w)[0]) for t, w in raw)
+        if W > 1 and getattr(self._mt.unet_p, "flow", False):
+            log.warning(
+                f"prompt exceeds {P.n_token - 2} CLIP tokens; flow-model "
+                "CLIP towers use the first window only")
+            W = 1
+        if W > 1:
+            log.info(f"Long prompt: {W} encoder windows "
+                     f"({W * P.n_token}-token context)")
+        return W
 
     # ------------------------------------------------------------------
     # Image encode/decode (reference: mlis_image_encode/decode)
@@ -3091,7 +3120,7 @@ def _make_clip_jit():
         from .models import blocks as B
         from .models import clip as clip_mod
         ctx = B.Ctx(params, dtype=dtype)
-        return clip_mod.clip_text_apply(
+        return clip_mod.clip_text_apply_nd(
             ctx, tokens, clip_p, clip_skip=clip_skip, norm=norm,
             feat_tok_idx=(feat_idx if want_feat else None), pre=submodel,
             feat_proj=feat_proj)

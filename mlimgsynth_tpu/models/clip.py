@@ -91,3 +91,26 @@ def clip_text_apply(ctx: B.Ctx, tokens, P: ClipParams, clip_skip: int = 0,
     if norm:
         x = B.layer_norm(ctx, tpre + ".ln_final", x)
     return x, feat
+
+
+def clip_text_apply_nd(ctx: B.Ctx, tokens, P: ClipParams, **kw):
+    """Window-aware ``clip_text_apply``: tokens [N, n_token] behaves
+    exactly like the plain call; [N, W, n_token] encodes every 77-token
+    window in one batched tower pass and concatenates the per-window
+    embeddings on the sequence axis -> [N, W*n_token, d] (A1111
+    long-prompt chunking).  ``feat_tok_idx`` (if given) indexes WINDOW 0
+    of each row; the pooled feature is read from the first chunk."""
+    if tokens.ndim == 2:
+        return clip_text_apply(ctx, tokens, P, **kw)
+    n, W, T = tokens.shape
+    fidx = kw.pop("feat_tok_idx", None)
+    if fidx is not None:
+        full = jnp.zeros((n * W,), jnp.int32).at[::W].set(fidx)
+    else:
+        full = None
+    emb, feat = clip_text_apply(ctx, tokens.reshape(n * W, T), P,
+                                feat_tok_idx=full, **kw)
+    emb = emb.reshape(n, W * T, emb.shape[-1])
+    if feat is not None:
+        feat = feat[::W]
+    return emb, feat

@@ -5,7 +5,10 @@ Parses stable-diffusion-webui style emphasis and ``<lora:NAME:MULT>`` tags
 
 * ``(x)`` multiplies the chunk weight by 1.1, ``[x]`` divides by 1.1, nesting
   multiplies, ``(x:1.5)`` sets an explicit weight, ``\\(`` escapes,
-  ``BREAK`` is dropped, ``<lora:NAME[:MULT]>`` is extracted into a lora list.
+  ``<lora:NAME[:MULT]>`` is extracted into a lora list.  ``BREAK`` (which
+  the reference drops, src/prompt_preproc.h:96-209) becomes a window-break
+  marker chunk: the tokenizer starts a new 75-token CLIP window there
+  (A1111 long-prompt chunking semantics).
 
 Additive extension (beyond the reference tag set): ``<emb:NAME>`` /
 ``<embedding:NAME>`` inserts a textual-inversion embedding at that position
@@ -22,6 +25,8 @@ from typing import List, Tuple
 # Marker prefix for embedding chunks in PromptText.chunks.  A NUL byte can
 # never survive tokenization of user text, so the prefix is unambiguous.
 EMBED_MARK = "\x00emb:"
+# Standalone marker chunk for a forced encoder-window break (``BREAK``).
+BREAK_MARK = "\x00brk"
 
 
 class PromptParseError(ValueError):
@@ -155,6 +160,9 @@ def prompt_set_parse(src: str) -> PromptText:
                 parse_lora_tag(body, loras)
             i = e
         elif c == "B" and src.startswith("BREAK", i) and i + 5 < n:
+            # window-break event, spliced into chunks like embeds are
+            # (name=None distinguishes it from an embedding)
+            embeds.append((cur_len(), len(chunks) - 1, None))
             i += 4
         else:
             out_text.append(c)
@@ -172,11 +180,13 @@ def prompt_set_parse(src: str) -> PromptText:
             if p > seg:
                 result.append((text[seg:p], w))
                 seg = p
-            result.append((EMBED_MARK + name, w))
+            result.append((EMBED_MARK + name, w) if name is not None
+                          else (BREAK_MARK, w))
             ei += 1
         result.append((text[seg:end], w))
     return PromptText(text=text, chunks=result, loras=loras,
-                      embeds=[name for _, _, name in embeds])
+                      embeds=[name for _, _, name in embeds
+                              if name is not None])
 
 
 # ---------------------------------------------------------------------------

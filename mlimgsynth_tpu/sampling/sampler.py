@@ -408,7 +408,7 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
     if clip2_p is None and len(encode) == 3:
         clip_params, tokens, wmat = encode
         ctx_c = B2.Ctx(clip_params, dtype=dtype)
-        emb, _ = clip_mod.clip_text_apply(ctx_c, tokens, clip_p,
+        emb, _ = clip_mod.clip_text_apply_nd(ctx_c, tokens, clip_p,
                                           clip_skip=clip_skip, norm=norm)
         cond_out = emb.astype(jnp.float32) * wmat[:, :, None]
         consts = (cond_out,) + consts[1:]
@@ -418,7 +418,7 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
         # guidance value appended as one extra column for dev models
         clip_params, tokens, wmat, fidx, t5_rows, grow = encode
         ctx_c = B2.Ctx(clip_params, dtype=dtype)
-        _, feat = clip_mod.clip_text_apply(
+        _, feat = clip_mod.clip_text_apply_nd(
             ctx_c, tokens, clip_p, clip_skip=clip_skip, norm=norm,
             feat_tok_idx=fidx, feat_proj=False)
         lab_out = feat.astype(jnp.float32)
@@ -432,7 +432,7 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
         # label rows = feature + per-row size/aesthetic embeddings
         clip_params, tokens, wmat, fidx, serows = encode
         ctx_c = B2.Ctx(clip_params, dtype=dtype)
-        emb, feat = clip_mod.clip_text_apply(ctx_c, tokens, clip_p,
+        emb, feat = clip_mod.clip_text_apply_nd(ctx_c, tokens, clip_p,
                                              clip_skip=clip_skip, norm=norm,
                                              feat_tok_idx=fidx)
         cond_out = emb.astype(jnp.float32) * wmat[:, :, None]
@@ -448,11 +448,11 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
         (clip_params, tokens, wmat, clip2_params, tokens2, fidx, fidx2,
          t5_rows) = encode
         ctx1 = B2.Ctx(clip_params, dtype=dtype)
-        emb1, feat1 = clip_mod.clip_text_apply(
+        emb1, feat1 = clip_mod.clip_text_apply_nd(
             ctx1, tokens, clip_p, clip_skip=clip_skip, norm=norm,
             feat_tok_idx=fidx)
         ctx2 = B2.Ctx(clip2_params, dtype=dtype)
-        emb2, feat2 = clip_mod.clip_text_apply(
+        emb2, feat2 = clip_mod.clip_text_apply_nd(
             ctx2, tokens2, clip2_p, clip_skip=clip_skip, norm=norm,
             feat_tok_idx=fidx2, pre="clip2")
         emb = jnp.concatenate([emb1, emb2], axis=-1).astype(jnp.float32)
@@ -471,10 +471,10 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
         (clip_params, tokens, wmat, clip2_params, tokens2, fidx,
          size_emb) = encode
         ctx1 = B2.Ctx(clip_params, dtype=dtype)
-        emb1, _ = clip_mod.clip_text_apply(ctx1, tokens, clip_p,
+        emb1, _ = clip_mod.clip_text_apply_nd(ctx1, tokens, clip_p,
                                            clip_skip=clip_skip, norm=norm)
         ctx2 = B2.Ctx(clip2_params, dtype=dtype)
-        emb2, feat = clip_mod.clip_text_apply(
+        emb2, feat = clip_mod.clip_text_apply_nd(
             ctx2, tokens2, clip2_p, clip_skip=clip_skip, norm=norm,
             feat_tok_idx=fidx, pre="clip2")
         emb = jnp.concatenate([emb1, emb2], axis=-1).astype(jnp.float32)

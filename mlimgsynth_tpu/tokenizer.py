@@ -209,3 +209,42 @@ def wrap_tokens(params: ClipParams, toks: List[int]) -> List[int]:
     out = [params.tok_start] + list(toks) + [params.tok_end]
     out += [params.tok_pad] * (params.n_token - len(out))
     return out
+
+
+# Sentinel token id marking a forced encoder-window break (prompt BREAK).
+BREAK_TOKEN = -1
+
+
+def split_windows(params: ClipParams, toks: List[int],
+                  wts: List[float] | None = None, n_window: int = 0):
+    """Split a token stream into (n_token-2)-token encoder windows (A1111
+    long-prompt chunking; the reference instead errors past 75 tokens,
+    src/clip.c:448-455).  ``BREAK_TOKEN`` sentinels force a window
+    boundary.  Each window is wrapped start+toks+end and padded to
+    ``params.n_token``; ``n_window`` larger than the natural count appends
+    empty windows (used to align every row of a batched encode).
+
+    Returns ``(windows [W][n_token], wrows [W][n_token], fidx0)``:
+    per-token emphasis-weight rows aligned with the wrapped layout, and
+    the end-token position of window 0 — the pooled feature is read from
+    the FIRST chunk (the A1111/Comfy long-prompt convention).
+    """
+    cap = params.n_token - 2
+    groups: List[List[Tuple[int, float]]] = [[]]
+    for k, t in enumerate(toks):
+        if t == BREAK_TOKEN:
+            groups.append([])
+            continue
+        if len(groups[-1]) >= cap:
+            groups.append([])
+        groups[-1].append((t, wts[k] if wts is not None else 1.0))
+    while len(groups) < max(1, n_window):
+        groups.append([])
+    windows, wrows = [], []
+    for g in groups:
+        row = [params.tok_start] + [t for t, _ in g] + [params.tok_end]
+        wrow = [1.0] + [w for _, w in g] + [1.0]
+        pad = params.n_token - len(row)
+        windows.append(row + [params.tok_pad] * pad)
+        wrows.append(wrow + [1.0] * pad)
+    return windows, wrows, len(groups[0]) + 1

@@ -65,9 +65,14 @@ def test_escaped_lora():
     assert pt.loras == []
 
 
-def test_break_dropped():
+def test_break_marker():
+    # BREAK becomes a window-break marker chunk (A1111 chunking); the
+    # text around it is unchanged
+    from mlimgsynth_tpu.prompt import BREAK_MARK
     pt = prompt_set_parse("normal BREAK normal")
-    assert chunks(pt) == [("normal  normal", 1.0)]
+    assert pt.text == "normal  normal"
+    assert chunks(pt) == [("normal ", 1.0), (BREAK_MARK, 1.0),
+                          (" normal", 1.0)]
 
 
 def test_unmatched_raises():
