@@ -219,7 +219,8 @@ class MLImgSynth:
             "aux_dir": "",
             "prompt_raw": "", "nprompt_raw": "",
             "width": 0, "height": 0, "clip_skip": 0,
-            "cfg_scale": 7.0, "method": "euler", "scheduler": "uniform",
+            "cfg_scale": 7.0, "cfg_rescale": 0.0,
+            "method": "euler", "scheduler": "uniform",
             "steps": 0, "f_t_ini": 1.0, "f_t_end": 0.0,
             "s_noise": 0.0, "s_ancestral": 0.0,
             "n_batch": 1, "vae_tile": 0, "unet_split": False,
@@ -388,6 +389,12 @@ class MLImgSynth:
             c["f_t_ini"] = _float(args[0], 1.0)
         elif opt == "f_t_end":
             c["f_t_end"] = _float(args[0])
+        elif opt == "cfg_rescale":
+            v = _float(args[0])
+            if not 0.0 <= v <= 1.0:
+                raise MlisError(MlisError.E_OPT_VALUE,
+                                "cfg-rescale must be in [0, 1]")
+            c["cfg_rescale"] = v
         elif opt == "s_noise":
             c["s_noise"] = _float(args[0])
         elif opt == "s_ancestral":
@@ -2140,7 +2147,7 @@ class MLImgSynth:
             cfg_scale=eff_cfg, s_ancestral=c["s_ancestral"],
             s_noise=c["s_noise"], f_t_ini=c["f_t_ini"], f_t_end=c["f_t_end"],
             keep_tail=self._keep_tail, noise_add=self._noise_add,
-            flow_shift=flow_shift)
+            flow_shift=flow_shift, cfg_rescale=c["cfg_rescale"])
         nfe_per_dxdt = 2 if eff_cfg > 1 else 1
         subseeds = None
         if c["subseed_strength"] > 0:
@@ -2422,9 +2429,9 @@ class MLImgSynth:
             rs.option_set("model", c["refiner"])
             self._refiner = rs
             self._refiner_path = c["refiner"]
-        for o in ("width", "height", "cfg_scale", "method", "scheduler",
-                  "s_noise", "s_ancestral", "clip_skip", "n_batch",
-                  "no_prompt_parse", "vae_tile", "no_decode"):
+        for o in ("width", "height", "cfg_scale", "cfg_rescale", "method",
+                  "scheduler", "s_noise", "s_ancestral", "clip_skip",
+                  "n_batch", "no_prompt_parse", "vae_tile", "no_decode"):
             rs.c[o] = c[o]
         # one continuous logical noise stream across the two stages
         rs.rng.seed = self.rng.seed
@@ -2745,7 +2752,7 @@ class MLImgSynth:
                 f_t_ini=c["f_t_ini"] if init_latents is not None else 1.0,
                 f_t_end=c["f_t_end"],
                 keep_tail=self._keep_tail, noise_add=self._noise_add,
-                flow_shift=flow_shift)
+                flow_shift=flow_shift, cfg_rescale=c["cfg_rescale"])
             nfe_per_dxdt = 2 if use_cfg else 1
             latent = (np.asarray(init_latents, np.float32)
                       if init_latents is not None
@@ -3033,6 +3040,8 @@ class MLImgSynth:
             out.append(f", SNoise: {c['s_noise']:g}")
         if c["cfg_scale"] > 1:
             out.append(f", CFG scale: {c['cfg_scale']:g}")
+        if c["cfg_rescale"] > 0 and c["cfg_scale"] > 1:
+            out.append(f", CFG Rescale: {c['cfg_rescale']:g}")
         if c["f_t_ini"] < 1:
             mode = "inpaint" if self.tensors.get("lmask") is not None \
                 else "img2img"
@@ -3089,6 +3098,8 @@ _OPTIONS = [
     "upscaler", "hires_upscaler",
     # seed variations (A1111 subseed slerp)
     "subseed", "subseed_strength",
+    # CFG rescale phi (Lin et al. 2023; counters v-pred over-exposure)
+    "cfg_rescale",
     # crop-around-mask inpainting (A1111 "inpaint at full resolution")
     "inpaint_full_res", "inpaint_full_res_padding", "mask_blur",
     # UNet encoder caching (DeepCache-style; opt-in approximation)

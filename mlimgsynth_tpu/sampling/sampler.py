@@ -61,6 +61,12 @@ class SamplerConfig:
     # the flow sigma table with this resolution shift (sigma == t in [0,1],
     # velocity prediction — see models/mmdit.py).  0 = SD beta-linear.
     flow_shift: float = 0.0
+    # CFG rescale phi (beyond-reference; Lin et al. 2023, "Common Diffusion
+    # Noise Schedules and Sample Steps are Flawed" §3.4): blends the CFG
+    # output toward a version whose per-sample std is restored to the
+    # conditional prediction's std, countering CFG over-exposure on
+    # v-prediction models.  0 = off (exact legacy mixing).
+    cfg_rescale: float = 0.0
 
 
 @dataclass
@@ -222,8 +228,26 @@ def _dc_cache0(x_nhwc, use_cfg, unet_p, dtype):
          x_nhwc.shape[2], unet_p.n_ch * unet_p.ch_mult[1]), dtype)
 
 
+def _cfg_mix(d, n, cfg_scale, cfg_rescale):
+    """CFG mixing of a stacked [cond; uncond] model output, optionally
+    std-rescaled (Lin et al. 2023 §3.4: restore the per-sample std of the
+    conditional prediction, then lerp by phi).  ``cfg_rescale`` is static:
+    0 keeps the legacy jaxpr bit-identical."""
+    out = d[:n] * cfg_scale + d[n:] * (1.0 - cfg_scale)
+    if cfg_rescale > 0:
+        # unbiased (ddof=1) per-sample std — the paper/diffusers convention
+        ax = tuple(range(1, out.ndim))
+        std_c = jnp.std(d[:n].astype(jnp.float32), axis=ax, keepdims=True,
+                        ddof=1)
+        std_o = jnp.std(out.astype(jnp.float32), axis=ax, keepdims=True,
+                        ddof=1)
+        scaled = out * (std_c / jnp.maximum(std_o, 1e-8)).astype(out.dtype)
+        out = cfg_rescale * scaled + (1.0 - cfg_rescale) * out
+    return out
+
+
 def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
-               deepcache=0, dc_warm=0, tiling=False):
+               deepcache=0, dc_warm=0, tiling=False, cfg_rescale=0.0):
     """Build the per-step body shared by the fused scan and stepwise paths.
 
     ``deepcache`` > 1 enables encoder caching (DeepCache / "Faster
@@ -278,7 +302,7 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
                 xb = jnp.concatenate([xv, xv], axis=0)
                 d = den(ctx, xb, sigma, t, ca, la,
                         unet_p, control=control, extra_ch=extra_ch)
-                return d[:n] * cfg_scale + d[n:] * (1.0 - cfg_scale)
+                return _cfg_mix(d, n, cfg_scale, cfg_rescale)
             return den(ctx, xv, sigma, t, ca, la,
                        unet_p, control=control, extra_ch=extra_ch)
         return dxdt
@@ -346,7 +370,7 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
                 d, nc = jax.lax.cond(is_full, full, shallow, (xb, cache))
                 cell["cache"] = nc
                 if use_cfg:
-                    return d[:n] * cfg_scale + d[n:] * (1.0 - cfg_scale)
+                    return _cfg_mix(d, n, cfg_scale, cfg_rescale)
                 return d
 
             return dxdt, cell
@@ -492,12 +516,13 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
-                     "clip2_p", "deepcache", "dc_warm", "tiling"))
+                     "clip2_p", "deepcache", "dc_warm", "tiling",
+                     "cfg_rescale"))
 def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
               decode_params=None, encode=None, xscale0=None, *, method,
               unet_p, use_cfg, use_mask, dtype, decode_kind=None, vae_p=None,
               clip_p=None, clip_skip=0, norm=True, clip2_p=None,
-              deepcache=0, dc_warm=0, tiling=False):
+              deepcache=0, dc_warm=0, tiling=False, cfg_rescale=0.0):
     cond_out = lab_out = None
     if encode is not None:
         consts, cond_out, lab_out = _fused_encode(
@@ -505,7 +530,8 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
     solver, body = _make_body(params, consts, method=method, unet_p=unet_p,
                               use_cfg=use_cfg, use_mask=use_mask,
                               dtype=dtype, deepcache=deepcache,
-                              dc_warm=dc_warm, tiling=tiling)
+                              dc_warm=dc_warm, tiling=tiling,
+                              cfg_rescale=cfg_rescale)
     lmask, x0_keep = consts[2], consts[3]
     x = x.astype(jnp.float32)
     # flow models interpolate toward noise (x_t = (1-sigma) x0 + sigma n,
@@ -569,14 +595,14 @@ def _decode_u8(decode_params, x, decode_kind, vae_p, dtype,
 @functools.partial(
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
-                     "deepcache", "dc_warm", "tiling"))
+                     "deepcache", "dc_warm", "tiling", "cfg_rescale"))
 def _step_jit(params, carry, i, c_noise, a_noise, consts,
               *, method, unet_p, use_cfg, use_mask, dtype, deepcache=0,
-              dc_warm=0, tiling=False):
+              dc_warm=0, tiling=False, cfg_rescale=0.0):
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
                          deepcache=deepcache, dc_warm=dc_warm,
-                         tiling=tiling)
+                         tiling=tiling, cfg_rescale=cfg_rescale)
     carry, _ = body(carry, (i, c_noise, a_noise))
     return carry
 
@@ -585,12 +611,13 @@ def _step_jit(params, carry, i, c_noise, a_noise, consts,
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
-                     "clip2_p", "deepcache", "dc_warm", "tiling"))
+                     "clip2_p", "deepcache", "dc_warm", "tiling",
+                     "cfg_rescale"))
 def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
                decode_params=None, encode=None, *, method, unet_p, use_cfg,
                use_mask, dtype, decode_kind=None, vae_p=None, clip_p=None,
                clip_skip=0, norm=True, clip2_p=None, deepcache=0,
-               dc_warm=0, tiling=False):
+               dc_warm=0, tiling=False, cfg_rescale=0.0):
     """Scan a fixed-size chunk of steps from an arbitrary carry: progress
     callbacks fire between chunks with 1/chunk the dispatch overhead.
     With ``decode_kind`` (the FINAL chunk of a run), the image decode +
@@ -604,7 +631,7 @@ def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
                          deepcache=deepcache, dc_warm=dc_warm,
-                         tiling=tiling)
+                         tiling=tiling, cfg_rescale=cfg_rescale)
     k = c_noise_chunk.shape[0]
     carry, _ = jax.lax.scan(
         body, carry,
@@ -834,7 +861,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
               use_mask=use_mask, dtype=dtype, deepcache=deepcache,
               dc_warm=(max(1, plan.n_step // 10) if deepcache else 0),
-              tiling=bool(tiling))
+              tiling=bool(tiling),
+              cfg_rescale=(float(cfg.cfg_rescale) if use_cfg else 0.0))
     kw_loop = dict(kw)
     decode_params = None
     if decode is not None and step_observer is None:

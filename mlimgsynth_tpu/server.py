@@ -27,7 +27,8 @@ Endpoints:
   POST /generate          -> image/png (or application/json, see "format")
       body: JSON {"prompt": str, "nprompt": str, "seed": int,
                   "steps": int, "width": int, "height": int,
-                  "cfg_scale": float, "method": str, "scheduler": str,
+                  "cfg_scale": float, "cfg_rescale": float,
+                  "method": str, "scheduler": str,
                   "s_ancestral": float, "s_noise": float,
                   "batch_size": int, "format": "png"|"json",
                   "request_id": str (optional),
@@ -72,7 +73,7 @@ _SHARED_OPTS = {
     "hires_fix": "hires-fix", "hires_denoise": "hires-denoise",
     "hires_steps": "hires-steps", "hires_upscaler": "hires-upscaler",
     "subseed_strength": "subseed-strength", "deepcache": "deepcache",
-    "tiling": "tiling",
+    "tiling": "tiling", "cfg_rescale": "cfg-rescale",
 }
 _SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height", "model",
                                       "preview", "preview_every")

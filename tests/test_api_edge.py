@@ -291,3 +291,25 @@ def test_turbo_shape_fused_matches_stepwise(ckpt, monkeypatch):
     np.testing.assert_allclose(fused, stepwise, atol=2e-5)
     # cfg<=1 must not have encoded or stored an uncond row
     assert s2.tensors["ncond"] is None
+
+
+def test_cfg_rescale_session(ckpt, monkeypatch):
+    """--cfg-rescale changes the latent (on tiny random weights the std
+    ratio is ~1, so compare latents, not u8 images); fused and stepwise
+    paths agree; out-of-range values are rejected."""
+    def gen(stepwise=False, **opts):
+        s = make_session(ckpt, monkeypatch, cfg_scale=5.0, steps=3,
+                         no_decode=True, **opts)
+        s.option_set("prompt", "a cat")
+        s.option_set("nprompt", "a dog")
+        if stepwise:
+            s.step_observer = lambda i, lat: None
+        s.generate()
+        return np.asarray(s.tensors["latent"], np.float32)
+    base = gen()
+    a = gen(cfg_rescale=0.7)
+    assert np.abs(a - base).max() > 0
+    b = gen(cfg_rescale=0.7, stepwise=True)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    with pytest.raises(MlisError):
+        make_session(ckpt, monkeypatch, cfg_rescale=1.5)

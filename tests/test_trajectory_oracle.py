@@ -161,6 +161,49 @@ def test_trajectory_matches_torch(which, method, sched, n_step, cfg, anc,
             err_msg=f"step {i} latent mismatch ({which}/{method}/{sched})")
 
 
+@pytest.mark.parametrize("which,method,sched,phi", [
+    ("sd2v", "dpmpp2m", "karras", 0.7),   # the paper's target combination
+    ("sd1",  "euler",   "uniform", 1.0),  # full rescale, first-order solver
+])
+def test_cfg_rescale_matches_torch(which, method, sched, phi):
+    """CFG rescale (Lin et al. 2023): the std-restore + phi-lerp composes
+    with the solver identically in both stacks (and actually changes the
+    trajectory vs phi=0)."""
+    P, ckpt, model = params_for(which)
+    drng = np.random.default_rng(7)
+    cond = drng.standard_normal((1, 7, P.n_ctx)).astype(np.float32) * 0.3
+    uncond = drng.standard_normal((1, 7, P.n_ctx)).astype(np.float32) * 0.3
+    x0 = np.zeros((1, 4, 8, 8), np.float32)
+
+    traj_t, _ = TS.torch_sample(
+        ckpt, P, x0, torch.from_numpy(cond), torch.from_numpy(uncond),
+        rng=RngPhilox(42), n_step=5, method=method, sched=sched,
+        cfg_scale=7.0, cfg_rescale=phi)
+
+    scfg = S.SamplerConfig(method=method, sched=sched, n_step=5,
+                           cfg_scale=7.0, cfg_rescale=phi)
+    plan = S.make_plan(scfg, x0.shape, RngPhilox(42), nfe_per_dxdt=2)
+    got = []
+    S.run_sampler(model, x0, plan, cond, uncond, None, None, None, scfg, P,
+                  dtype=jnp.float32,
+                  step_observer=lambda i, lat: got.append(lat.copy()))
+    assert len(got) == len(traj_t)
+    for i, (a, b) in enumerate(zip(got, traj_t)):
+        np.testing.assert_allclose(
+            a, b, atol=1e-4, rtol=1e-4,
+            err_msg=f"step {i} latent mismatch (rescale {phi})")
+
+    # phi=0 diverges: rescale is live, not a no-op
+    scfg0 = S.SamplerConfig(method=method, sched=sched, n_step=5,
+                            cfg_scale=7.0)
+    plan0 = S.make_plan(scfg0, x0.shape, RngPhilox(42), nfe_per_dxdt=2)
+    base = []
+    S.run_sampler(model, x0, plan0, cond, uncond, None, None, None, scfg0,
+                  P, dtype=jnp.float32,
+                  step_observer=lambda i, lat: base.append(lat.copy()))
+    assert np.abs(base[-1] - got[-1]).max() > 1e-6
+
+
 # ---- rectified flow (SD3/MMDiT) ---------------------------------------------
 
 FLOW_CASES = [

@@ -132,7 +132,7 @@ class TorchDenoiser:
     """dxdt callback: eps-space derivative with k-diffusion scalings."""
 
     def __init__(self, params, P, cond, label, uncond, nlabel, cfg_scale,
-                 log_sigmas):
+                 log_sigmas, cfg_rescale=0.0):
         self.params = params
         self.P = P
         self.cond = cond
@@ -140,6 +140,7 @@ class TorchDenoiser:
         self.uncond = uncond
         self.nlabel = nlabel
         self.cfg_scale = cfg_scale
+        self.cfg_rescale = cfg_rescale
         self.log_sigmas = log_sigmas
         self.nfe = 0
 
@@ -159,8 +160,19 @@ class TorchDenoiser:
         dx = self._run(x, sigma, self.cond, self.label)
         f = self.cfg_scale
         if f > 1:
+            dxc = dx
             dxu = self._run(x, sigma, self.uncond, self.nlabel)
             dx = dx * f + dxu * (1.0 - f)
+            phi = self.cfg_rescale
+            if phi > 0:
+                # Lin et al. 2023 eq. 15-16 (diffusers rescale_noise_cfg):
+                # restore the conditional prediction's per-sample std,
+                # then lerp by phi.  torch .std() is unbiased, matching
+                # the ddof=1 production convention.
+                dims = list(range(1, dx.ndim))
+                std_c = dxc.std(dim=dims, keepdim=True)
+                std_o = dx.std(dim=dims, keepdim=True)
+                dx = phi * (dx * std_c / std_o) + (1.0 - phi) * dx
         return dx
 
 
@@ -326,7 +338,7 @@ class TorchSolver:
 def torch_sample(params, P, x0, cond, uncond=None, label=None, nlabel=None,
                  *, rng, n_step, method="euler", sched="uniform",
                  cfg_scale=7.0, s_ancestral=0.0, s_noise=0.0,
-                 f_t_ini=1.0, f_t_end=0.0, lmask=None):
+                 f_t_ini=1.0, f_t_end=0.0, lmask=None, cfg_rescale=0.0):
     """Full denoise trajectory; returns the list of per-step latents (NCHW
     numpy f32, one after each dnsamp_step) plus the sigma schedule.
 
@@ -342,7 +354,7 @@ def torch_sample(params, P, x0, cond, uncond=None, label=None, nlabel=None,
     n_step = len(sigmas) - 1
 
     den = TorchDenoiser(params, P, cond, label, uncond, nlabel, cfg_scale,
-                        log_sigmas)
+                        log_sigmas, cfg_rescale=cfg_rescale)
 
     if method == "lcm":
         # Independent transcription of diffusers LCMScheduler.step: x0
