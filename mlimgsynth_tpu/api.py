@@ -68,7 +68,8 @@ STAGE_NAMES = ["idle", "cond_encode", "image_encode", "image_decode",
 
 METHOD_NAMES = ["none", "euler", "heun", "taylor3", "dpmpp2m",
                 "dpmpp2s", "dpmpp2m_sde", "lcm", "unipc"]
-SCHED_NAMES = ["none", "uniform", "karras", "lcm"]
+SCHED_NAMES = ["none", "uniform", "karras", "lcm",
+               "exponential", "sgm_uniform", "beta"]
 MODEL_TYPE_NAMES = ["none", "sd1", "sd2", "sdxl", "sdxl_refiner", "sd3",
                     "sd35_large", "sd35_medium", "flux_schnell", "flux_dev"]
 

@@ -118,8 +118,8 @@ Sampling:
                        dpm++2s_a, dpm++2m_sde, lcm, unipc (default euler;
                        lcm is consistency sampling for LCM/LCM-LoRA models;
                        unipc is order-2 bh2 predictor-corrector).
-  --scheduler NAME     uniform (default), karras, lcm (implied by
-                       --method lcm).
+  --scheduler NAME     uniform (default), karras, exponential, sgm_uniform,
+                       beta, lcm (implied by --method lcm).
   --s-noise FLOAT      Per-step noise injection (try 1).
   --s-ancestral FLOAT  Ancestral sampling noise level (try 1).
   --cfg-scale FLOAT    Classifier-free guidance scale (default: 1).

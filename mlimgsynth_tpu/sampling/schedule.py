@@ -78,6 +78,10 @@ def sigma_to_t(sigma, log_sigmas: Optional[np.ndarray] = None):
 SCHED_UNIFORM = "uniform"
 SCHED_KARRAS = "karras"
 SCHED_LCM = "lcm"
+# beyond-reference grids (the k-diffusion / A1111 scheduler set)
+SCHED_EXPONENTIAL = "exponential"
+SCHED_SGM_UNIFORM = "sgm_uniform"
+SCHED_BETA = "beta"
 
 
 @dataclass
@@ -122,6 +126,32 @@ def make_schedule(n_step: int, sched: str = SCHED_UNIFORM,
         smaxp = smax ** (1 / p)
         f = (sminp - smaxp) / (n_step - 1) if n_step > 1 else 0.0
         sigmas[:n_step] = (smaxp + np.arange(n_step, dtype=np.float64) * f) ** p
+    elif sched == SCHED_EXPONENTIAL:
+        # k-diffusion get_sigmas_exponential: log-uniform in sigma
+        smin = float(t_to_sigma(np.float32(t_end), ls))
+        smax = float(t_to_sigma(np.float32(t_ini), ls))
+        f = (math.log(smin) - math.log(smax)) / (n_step - 1) \
+            if n_step > 1 else 0.0
+        sigmas[:n_step] = np.exp(
+            math.log(smax) + np.arange(n_step, dtype=np.float64) * f)
+    elif sched == SCHED_SGM_UNIFORM:
+        # sgm / A1111 "sgm uniform": n+1 uniform t points, the last (the
+        # sigma(t_end) endpoint) dropped before the final jump to 0
+        f = (t_end - t_ini) / n_step
+        ts = np.float32(t_ini) + np.arange(n_step, dtype=np.float32) \
+            * np.float32(f)
+        sigmas[:n_step] = t_to_sigma(ts, ls)
+    elif sched == SCHED_BETA:
+        # A1111 "beta" grid ("Beta Sampling is All You Need", alpha =
+        # beta = 0.6): sigma = smin + ppf(1-u)*(smax-smin) on a uniform
+        # u grid including both endpoints
+        from scipy.stats import beta as beta_dist
+        smin = float(t_to_sigma(np.float32(t_end), ls))
+        smax = float(t_to_sigma(np.float32(t_ini), ls))
+        u = (1.0 - np.linspace(0.0, 1.0, n_step)) if n_step > 1 \
+            else np.ones(1)
+        ppf = beta_dist.ppf(u, 0.6, 0.6)
+        sigmas[:n_step] = smin + ppf * (smax - smin)
     elif sched == SCHED_LCM:
         # Latent-consistency timestep grid (diffusers LCMScheduler
         # set_timesteps): subsample the distillation's origin grid

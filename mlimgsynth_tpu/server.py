@@ -828,7 +828,10 @@ def _a1111_to_req(req: dict, img2img: bool = False) -> dict:
             + ", ".join(sorted(_A1111_SAMPLERS)))
     method, msched = _A1111_SAMPLERS[name]
     out["method"] = method
-    if sched in ("karras", "lcm", "uniform"):
+    sched = {"sgm uniform": "sgm_uniform",
+             "automatic": "", "simple": "uniform"}.get(sched, sched)
+    if sched in ("karras", "lcm", "uniform", "exponential", "sgm_uniform",
+                 "beta"):
         out["scheduler"] = sched
     elif msched:
         out["scheduler"] = msched
@@ -971,6 +974,12 @@ def make_handler(srv: Server):
                 self._json(200, [
                     {"name": k.title(), "aliases": [k, v[0]], "options": {}}
                     for k, v in _A1111_SAMPLERS.items()])
+            elif self.path == "/sdapi/v1/schedulers":
+                self._json(200, [
+                    {"name": n, "label": n.replace("_", " ").title(),
+                     "aliases": [n]}
+                    for n in ("uniform", "karras", "exponential",
+                              "sgm_uniform", "beta", "lcm")])
             elif self.path == "/sdapi/v1/options":
                 self._json(200, {
                     "sd_model_checkpoint": srv.default_model,

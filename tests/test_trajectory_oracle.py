@@ -103,6 +103,14 @@ CASES = [
     ("sd2v", "unipc", "karras",  5, 7.0, 0.0, 0.0, 1.0, False, False),
     ("sd1",  "unipc", "uniform", 5, 7.0, 1.0, 0.0, 1.0, False, False),
     ("sd1",  "unipc", "karras",  6, 7.0, 0.0, 0.0, 0.7, True,  True),
+    # k-diffusion/A1111 grids (beyond-reference): oracle transcriptions
+    # are independent — log-linspace, the n+1-point sgm convention, and
+    # a numerically-inverted Beta(0.6,0.6) CDF vs scipy's ppf.
+    ("sd1",  "euler",   "exponential", 5, 7.0, 0.0, 0.0, 1.0, False, False),
+    ("sd1",  "dpmpp2m", "sgm_uniform", 5, 7.0, 0.0, 0.0, 1.0, False, False),
+    ("sd2v", "euler",   "beta",        5, 7.0, 0.0, 0.0, 1.0, False, False),
+    ("sd1",  "euler",   "exponential", 6, 7.0, 1.0, 0.0, 0.7, True, False),
+    ("sd1",  "dpmpp2m", "beta",        5, 7.0, 0.0, 0.0, 1.0, False, False),
 ]
 
 
@@ -145,8 +153,10 @@ def test_trajectory_matches_torch(which, method, sched, n_step, cfg, anc,
     plan = S.make_plan(scfg, x0.shape, RngPhilox(42),
                        nfe_per_dxdt=2 if cfg > 1 else 1)
     # atol covers f32 interp noise on near-zero tail sigmas (vectorized
-    # t_to_sigma vs the oracle's scalar loop)
-    np.testing.assert_allclose(plan.sigmas, sigmas_t, rtol=2e-6, atol=2e-6,
+    # t_to_sigma vs the oracle's scalar loop); beta's oracle inverts the
+    # CDF numerically, so its ppf carries ~1e-6 quadrature error
+    np.testing.assert_allclose(plan.sigmas, sigmas_t, rtol=2e-6,
+                               atol=(5e-5 if sched == "beta" else 2e-6),
                                err_msg="sigma schedule mismatch")
     got = []
     S.run_sampler(model, x0, plan, cond, uncond if cfg > 1 else None,

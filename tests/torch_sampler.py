@@ -106,6 +106,37 @@ def make_sigmas(log_sigmas, n_step, sched="uniform", solver_n_fe=1,
         f = (sminp - smaxp) / (n_step - 1) if n_step > 1 else 0.0
         for i in range(n_step):
             sigmas[i] = (b + i * f) ** p
+    elif sched == "exponential":
+        # k-diffusion get_sigmas_exponential: linspace in log sigma
+        smin = t_to_sigma(log_sigmas, t_end)
+        smax = t_to_sigma(log_sigmas, t_ini)
+        for i in range(n_step):
+            w = i / (n_step - 1) if n_step > 1 else 0.0
+            sigmas[i] = math.exp(
+                math.log(smax) * (1 - w) + math.log(smin) * w)
+    elif sched == "sgm_uniform":
+        # sgm convention: n+1 uniform t points, last dropped
+        for i in range(n_step):
+            sigmas[i] = t_to_sigma(
+                log_sigmas, t_ini + i * (t_end - t_ini) / n_step)
+    elif sched == "beta":
+        # Beta(0.6, 0.6) ppf grid, inverted NUMERICALLY from the pdf (the
+        # production side uses scipy.stats.beta.ppf — independent path)
+        smin = t_to_sigma(log_sigmas, t_end)
+        smax = t_to_sigma(log_sigmas, t_ini)
+        a_, b_ = 0.6, 0.6
+        # substitute t = sin^2(theta): the integrand becomes the BOUNDED
+        # 2 sin^(2a-1) cos^(2b-1), so the trapezoid CDF converges fast
+        theta = np.linspace(0.0, math.pi / 2, 400001)
+        f = 2.0 * np.sin(theta) ** (2 * a_ - 1) * np.cos(theta) ** (2 * b_ - 1)
+        cdf = np.concatenate([[0.0], np.cumsum(
+            (f[1:] + f[:-1]) * 0.5 * np.diff(theta))])
+        cdf /= cdf[-1]
+        tgrid = np.sin(theta) ** 2
+        for i in range(n_step):
+            u = 1.0 - (i / (n_step - 1) if n_step > 1 else 0.0)
+            ppf = float(np.interp(u, cdf, tgrid)) if 0 < u < 1 else u
+            sigmas[i] = smin + ppf * (smax - smin)
     elif sched == "lcm":
         # diffusers LCMScheduler.set_timesteps: the distillation origin
         # grid (original_inference_steps=50) subsampled with
