@@ -236,6 +236,7 @@ class MLImgSynth:
             "subseed": -1, "subseed_strength": 0.0,
             "inpaint_full_res": 0, "inpaint_full_res_padding": 32,
             "mask_blur": 0.0, "deepcache": 0, "tiling": False,
+            "freeu": "",
             "refiner": "", "refiner_switch": 0.8,
             "t5": "", "t5_tokenizer": "", "t5_tokens": 77,
             "clip": "", "vae": "",
@@ -480,6 +481,9 @@ class MLImgSynth:
             c["mask_blur"] = _float(args[0], 0.0)
         elif opt == "deepcache":
             c["deepcache"] = _int(args[0], 0)
+        elif opt == "freeu":
+            c["freeu"] = str(args[0]).strip()
+            self._freeu_parse(c["freeu"])  # fail fast on bad syntax
         elif opt == "tiling":
             c["tiling"] = bool(_int(args[0], 0))
         elif opt == "refiner":
@@ -1699,6 +1703,45 @@ class MLImgSynth:
                      f"({W * P.n_token}-token context)")
         return W
 
+    # per-family FreeU v1 defaults (the FreeU README's recommended ranges)
+    _FREEU_DEFAULTS = {"sd1": (1.5, 1.6, 0.9, 0.2),
+                       "sd2": (1.4, 1.6, 0.9, 0.2),
+                       "sdxl": (1.3, 1.4, 0.9, 0.2)}
+
+    @staticmethod
+    def _freeu_parse(v: str):
+        """Parse a --freeu value: falsy -> None, truthy -> "auto",
+        explicit "B1,B2,S1,S2" -> a 4-tuple."""
+        v = str(v).strip()
+        if not v or v.lower() in ("0", "n", "no", "false", "off"):
+            return None
+        if v.lower() in ("1", "y", "yes", "true", "on", "auto"):
+            return "auto"
+        try:
+            parts = tuple(float(x) for x in v.replace(";", ",").split(","))
+        except ValueError:
+            parts = ()
+        if len(parts) != 4:
+            raise MlisError(MlisError.E_OPT_VALUE,
+                            "freeu: expected y/n or B1,B2,S1,S2")
+        return parts
+
+    def _freeu_resolve(self):
+        """The effective FreeU (b1, b2, s1, s2) for the loaded model, or
+        None.  "auto" picks the per-family recommended values."""
+        fu = self._freeu_parse(self.c["freeu"])
+        if fu is None:
+            return None
+        mt = self._mt
+        if getattr(mt.unet_p, "flow", False):
+            raise MlisError(MlisError.E_OPT_VALUE,
+                            "freeu applies to UNet families only")
+        if fu != "auto":
+            return fu
+        fam = ("sdxl" if mt.unet_p.ch_adm_in
+               else "sd2" if mt.unet_p.n_ctx >= 1024 else "sd1")
+        return self._FREEU_DEFAULTS[fam]
+
     # ------------------------------------------------------------------
     # Image encode/decode (reference: mlis_image_encode/decode)
     # ------------------------------------------------------------------
@@ -2226,7 +2269,8 @@ class MLImgSynth:
                           encode=encode_spec, control=control_spec,
                           extra_channels=extra_spec,
                           cond_steps=edit_steps,
-                          deepcache=c["deepcache"], tiling=c["tiling"])
+                          deepcache=c["deepcache"], tiling=c["tiling"],
+                          freeu=self._freeu_resolve())
         if encode_spec is not None:
             if decode_spec is not None:
                 latent, u8, (cond_dev, lab_dev) = out
@@ -2432,7 +2476,8 @@ class MLImgSynth:
             self._refiner_path = c["refiner"]
         for o in ("width", "height", "cfg_scale", "cfg_rescale", "method",
                   "scheduler", "s_noise", "s_ancestral", "clip_skip",
-                  "n_batch", "no_prompt_parse", "vae_tile", "no_decode"):
+                  "n_batch", "no_prompt_parse", "vae_tile", "no_decode",
+                  "freeu"):
             rs.c[o] = c[o]
         # one continuous logical noise stream across the two stages
         rs.rng.seed = self.rng.seed
@@ -2830,7 +2875,8 @@ class MLImgSynth:
                               extra_channels=extra_spec,
                               cond_steps=edit_steps,
                               deepcache=c["deepcache"],
-                              tiling=c["tiling"])
+                              tiling=c["tiling"],
+                              freeu=self._freeu_resolve())
             u8 = None
             if decode_spec is None:   # _latent_only
                 if encode_spec is not None:
@@ -3043,6 +3089,9 @@ class MLImgSynth:
             out.append(f", CFG scale: {c['cfg_scale']:g}")
         if c["cfg_rescale"] > 0 and c["cfg_scale"] > 1:
             out.append(f", CFG Rescale: {c['cfg_rescale']:g}")
+        if c["freeu"] and self._freeu_parse(c["freeu"]) is not None:
+            fu = self._freeu_resolve()
+            out.append(", FreeU: " + ",".join(f"{v:g}" for v in fu))
         if c["f_t_ini"] < 1:
             mode = "inpaint" if self.tensors.get("lmask") is not None \
                 else "img2img"
@@ -3105,6 +3154,9 @@ _OPTIONS = [
     "inpaint_full_res", "inpaint_full_res_padding", "mask_blur",
     # UNet encoder caching (DeepCache-style; opt-in approximation)
     "deepcache",
+    # FreeU backbone/skip reweighting ("FreeU: Free Lunch in Diffusion
+    # U-Net"; "1" = per-family defaults or explicit "B1,B2,S1,S2")
+    "freeu",
     # seamless tiling (circular conv padding, A1111 "tiling")
     "tiling",
     # base->refiner ensemble-of-experts pipeline

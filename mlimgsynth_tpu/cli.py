@@ -125,6 +125,8 @@ Sampling:
   --cfg-scale FLOAT    Classifier-free guidance scale (default: 1).
   --cfg-rescale FLOAT  CFG std-rescale phi in [0,1] (Lin et al. 2023;
                        counters v-pred over-exposure, try 0.7; default 0).
+  --freeu VAL          FreeU backbone/skip reweighting: y = per-family
+                       defaults, or explicit B1,B2,S1,S2 (UNet models).
   --clip-skip INT      CLIP layers to skip. Default: 1 (SD1), 2 (SD2/XL).
   --f-t-ini FLOAT      Initial time factor (img2img strength; default 1).
   --f-t-end FLOAT      End time factor (default 0).

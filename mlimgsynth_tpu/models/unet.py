@@ -102,9 +102,44 @@ def unet_embed(ctx: B.Ctx, pre: str, t, label, P: UnetParams):
     return emb
 
 
+def _freeu_filter(h, scale, threshold=1):
+    """FreeU skip-connection Fourier filter: scale the ``threshold``
+    lowest spatial frequencies (f32 fft over H,W; NHWC axes 1,2).  The
+    unshifted index set {0..t-1, N-t..N-1} equals the centered 2t x 2t
+    region of the fftshifted spectrum."""
+    hf = jnp.fft.fft2(h.astype(jnp.float32), axes=(1, 2))
+    H, W = h.shape[1], h.shape[2]
+    ih, iw = jnp.arange(H), jnp.arange(W)
+    mh = (ih < threshold) | (ih >= H - threshold)
+    mw = (iw < threshold) | (iw >= W - threshold)
+    mask = jnp.where(mh[:, None] & mw[None, :], jnp.float32(scale), 1.0)
+    hf = hf * mask[None, :, :, None]
+    return jnp.real(jnp.fft.ifft2(hf, axes=(1, 2))).astype(h.dtype)
+
+
+def _freeu_apply(x, h, P, freeu):
+    """FreeU ("FreeU: Free Lunch in Diffusion U-Net", PAPERS.md) at one
+    decoder block: scale the first half of the backbone feature's
+    channels and low-pass-attenuate the skip.  Channel-count dispatch
+    (the ComfyUI/A1111 convention): 4*n_ch -> (b1, s1), 2*n_ch ->
+    (b2, s2), anything else untouched."""
+    b1, b2, s1, s2 = freeu
+    cb = x.shape[-1]
+    if cb == P.n_ch * 4:
+        b, s = b1, s1
+    elif cb == P.n_ch * 2:
+        b, s = b2, s2
+    else:
+        return x, h
+    half = cb // 2
+    x = jnp.concatenate([x[..., :half] * jnp.asarray(b, x.dtype),
+                         x[..., half:]], axis=-1)
+    return x, _freeu_filter(h, s)
+
+
 def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
                pre: str = "unet", control=None,
-               want_cache: bool = False, use_cache=None):
+               want_cache: bool = False, use_cache=None, freeu=None):
     """Full UNet forward.  x: [N,H,W,4] NHWC, t: [N], cond: [N,77,n_ctx],
     label: [N, ch_adm_in] or None.  ref: mlb_unet_denoise (src/unet.c:263-281)
     plus mlb_unet__in/__mid/__out.
@@ -180,6 +215,8 @@ def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
             h = stack.pop()
             if ctrl is not None:
                 h = h + ctrl.pop().astype(h.dtype)
+            if freeu is not None:
+                x, h = _freeu_apply(x, h, P, freeu)
             x = jnp.concatenate([x, h], axis=-1)
             i_sub = 0
             ch = P.n_ch * P.ch_mult[im]
@@ -205,7 +242,7 @@ def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
 
 def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: UnetParams,
             pre: str = "unet", control=None, extra_ch=None,
-            want_cache: bool = False, use_cache=None):
+            want_cache: bool = False, use_cache=None, freeu=None):
     """k-diffusion wrapper: input scaling ``c_in = 1/sqrt(sigma^2+1)`` and
     v-param output scaling (ref: unet_denoise_run, src/unet.c:460-498).
     Returns the derivative ``dx/dsigma`` used by the solvers.
@@ -235,7 +272,7 @@ def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: UnetParams,
         residuals = [r * jnp.asarray(strength, r.dtype) for r in residuals]
     out = unet_apply(ctx, xs, t, cond, label, P, pre=pre,
                      control=residuals, want_cache=want_cache,
-                     use_cache=use_cache)
+                     use_cache=use_cache, freeu=freeu)
     cache = None
     if want_cache:
         out, cache = out

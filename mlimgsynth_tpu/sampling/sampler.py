@@ -247,7 +247,8 @@ def _cfg_mix(d, n, cfg_scale, cfg_rescale):
 
 
 def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
-               deepcache=0, dc_warm=0, tiling=False, cfg_rescale=0.0):
+               deepcache=0, dc_warm=0, tiling=False, cfg_rescale=0.0,
+               freeu=None):
     """Build the per-step body shared by the fused scan and stepwise paths.
 
     ``deepcache`` > 1 enables encoder caching (DeepCache / "Faster
@@ -290,6 +291,9 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
         den = mmdit_mod.denoise
     else:
         den = unet_mod.denoise
+        if freeu is not None:
+            den = functools.partial(unet_mod.denoise, freeu=freeu)
+    assert freeu is None or not flow, "FreeU is UNet-only"
 
     def dxdt_with(ca, la):
         def dxdt(xv, sigma):
@@ -517,12 +521,12 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
                      "clip2_p", "deepcache", "dc_warm", "tiling",
-                     "cfg_rescale"))
+                     "cfg_rescale", "freeu"))
 def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
               decode_params=None, encode=None, xscale0=None, *, method,
               unet_p, use_cfg, use_mask, dtype, decode_kind=None, vae_p=None,
               clip_p=None, clip_skip=0, norm=True, clip2_p=None,
-              deepcache=0, dc_warm=0, tiling=False, cfg_rescale=0.0):
+              deepcache=0, dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None):
     cond_out = lab_out = None
     if encode is not None:
         consts, cond_out, lab_out = _fused_encode(
@@ -531,7 +535,7 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
                               use_cfg=use_cfg, use_mask=use_mask,
                               dtype=dtype, deepcache=deepcache,
                               dc_warm=dc_warm, tiling=tiling,
-                              cfg_rescale=cfg_rescale)
+                              cfg_rescale=cfg_rescale, freeu=freeu)
     lmask, x0_keep = consts[2], consts[3]
     x = x.astype(jnp.float32)
     # flow models interpolate toward noise (x_t = (1-sigma) x0 + sigma n,
@@ -595,14 +599,14 @@ def _decode_u8(decode_params, x, decode_kind, vae_p, dtype,
 @functools.partial(
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
-                     "deepcache", "dc_warm", "tiling", "cfg_rescale"))
+                     "deepcache", "dc_warm", "tiling", "cfg_rescale", "freeu"))
 def _step_jit(params, carry, i, c_noise, a_noise, consts,
               *, method, unet_p, use_cfg, use_mask, dtype, deepcache=0,
-              dc_warm=0, tiling=False, cfg_rescale=0.0):
+              dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None):
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
                          deepcache=deepcache, dc_warm=dc_warm,
-                         tiling=tiling, cfg_rescale=cfg_rescale)
+                         tiling=tiling, cfg_rescale=cfg_rescale, freeu=freeu)
     carry, _ = body(carry, (i, c_noise, a_noise))
     return carry
 
@@ -612,12 +616,12 @@ def _step_jit(params, carry, i, c_noise, a_noise, consts,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
                      "clip2_p", "deepcache", "dc_warm", "tiling",
-                     "cfg_rescale"))
+                     "cfg_rescale", "freeu"))
 def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
                decode_params=None, encode=None, *, method, unet_p, use_cfg,
                use_mask, dtype, decode_kind=None, vae_p=None, clip_p=None,
                clip_skip=0, norm=True, clip2_p=None, deepcache=0,
-               dc_warm=0, tiling=False, cfg_rescale=0.0):
+               dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None):
     """Scan a fixed-size chunk of steps from an arbitrary carry: progress
     callbacks fire between chunks with 1/chunk the dispatch overhead.
     With ``decode_kind`` (the FINAL chunk of a run), the image decode +
@@ -631,7 +635,7 @@ def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
                          deepcache=deepcache, dc_warm=dc_warm,
-                         tiling=tiling, cfg_rescale=cfg_rescale)
+                         tiling=tiling, cfg_rescale=cfg_rescale, freeu=freeu)
     k = c_noise_chunk.shape[0]
     carry, _ = jax.lax.scan(
         body, carry,
@@ -669,7 +673,7 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                 step_callback=None, step_observer=None, mesh=None,
                 decode=None, want_latent=True, encode=None, preview=None,
                 chunk_size=None, control=None, extra_channels=None,
-                cond_steps=None, deepcache=0, tiling=False):
+                cond_steps=None, deepcache=0, tiling=False, freeu=None):
     """Run the sampling loop.  ``x_init`` (NCHW f32), ``lmask`` [N,1,h,w] or
     None; ``cond/uncond`` [N,77,n_ctx]; returns the final latent NCHW —
     or ``(latent NCHW, u8 image NHWC)`` when ``decode`` is given.
@@ -862,7 +866,8 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
               use_mask=use_mask, dtype=dtype, deepcache=deepcache,
               dc_warm=(max(1, plan.n_step // 10) if deepcache else 0),
               tiling=bool(tiling),
-              cfg_rescale=(float(cfg.cfg_rescale) if use_cfg else 0.0))
+              cfg_rescale=(float(cfg.cfg_rescale) if use_cfg else 0.0),
+              freeu=(tuple(float(v) for v in freeu) if freeu else None))
     kw_loop = dict(kw)
     decode_params = None
     if decode is not None and step_observer is None:

@@ -73,7 +73,7 @@ _SHARED_OPTS = {
     "hires_fix": "hires-fix", "hires_denoise": "hires-denoise",
     "hires_steps": "hires-steps", "hires_upscaler": "hires-upscaler",
     "subseed_strength": "subseed-strength", "deepcache": "deepcache",
-    "tiling": "tiling", "cfg_rescale": "cfg-rescale",
+    "tiling": "tiling", "cfg_rescale": "cfg-rescale", "freeu": "freeu",
 }
 _SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height", "model",
                                       "preview", "preview_every")

@@ -133,7 +133,32 @@ class TorchRef:
         return x + x0
 
 
-def torch_unet(params, x, t, cond, label, P, pre="unet", control=None):
+def _torch_freeu(x, h, P, freeu):
+    """FreeU (independent NCHW/torch.fft transcription): backbone
+    half-channel scale + skip low-frequency attenuation, dispatched on
+    the backbone channel count (4*n_ch -> b1/s1, 2*n_ch -> b2/s2)."""
+    b1, b2, s1, s2 = freeu
+    cb = x.shape[1]
+    if cb == P.n_ch * 4:
+        b, s = b1, s1
+    elif cb == P.n_ch * 2:
+        b, s = b2, s2
+    else:
+        return x, h
+    x = x.clone()
+    x[:, :cb // 2] = x[:, :cb // 2] * b
+    hf = torch.fft.fftn(h.to(torch.float32), dim=(2, 3))
+    hf = torch.fft.fftshift(hf, dim=(2, 3))
+    H, W = h.shape[2], h.shape[3]
+    mask = torch.ones((1, 1, H, W))
+    mask[..., H // 2 - 1:H // 2 + 1, W // 2 - 1:W // 2 + 1] = s
+    hf = torch.fft.ifftshift(hf * mask, dim=(2, 3))
+    h = torch.fft.ifftn(hf, dim=(2, 3)).real.to(h.dtype)
+    return x, h
+
+
+def torch_unet(params, x, t, cond, label, P, pre="unet", control=None,
+               freeu=None):
     """Full UNet forward on torch kernels.  x NCHW [N,4,H,W].
     ``control``: optional list of ControlNet residuals (one per encoder
     skip + middle last), added at the standard injection points."""
@@ -187,6 +212,8 @@ def torch_unet(params, x, t, cond, label, P, pre="unet", control=None):
             h = stack.pop()
             if ctrl is not None:
                 h = h + ctrl.pop()
+            if freeu is not None:
+                x, h = _torch_freeu(x, h, P, freeu)
             x = torch.cat([x, h], dim=1)
             i_sub = 0
             ch = P.n_ch * P.ch_mult[im]
