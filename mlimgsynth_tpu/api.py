@@ -221,6 +221,8 @@ class MLImgSynth:
             "prompt_raw": "", "nprompt_raw": "",
             "width": 0, "height": 0, "clip_skip": 0,
             "cfg_scale": 7.0, "cfg_rescale": 0.0,
+            "slg_scale": 0.0, "slg_layers": "7,8,9",
+            "slg_start": 0.01, "slg_end": 0.2,
             "method": "euler", "scheduler": "uniform",
             "steps": 0, "f_t_ini": 1.0, "f_t_end": 0.0,
             "s_noise": 0.0, "s_ancestral": 0.0,
@@ -397,6 +399,25 @@ class MLImgSynth:
                 raise MlisError(MlisError.E_OPT_VALUE,
                                 "cfg-rescale must be in [0, 1]")
             c["cfg_rescale"] = v
+        elif opt == "slg_scale":
+            c["slg_scale"] = _float(args[0])
+        elif opt == "slg_layers":
+            s = str(args[0])
+            try:
+                layers = tuple(int(v) for v in s.split(",") if v.strip())
+            except ValueError:
+                raise MlisError(MlisError.E_OPT_VALUE,
+                                f"invalid slg-layers '{s}'")
+            if not layers:
+                raise MlisError(MlisError.E_OPT_VALUE,
+                                "slg-layers must name at least one block")
+            c["slg_layers"] = ",".join(str(v) for v in layers)
+        elif opt in ("slg_start", "slg_end"):
+            v = _float(args[0])
+            if not 0.0 <= v <= 1.0:
+                raise MlisError(MlisError.E_OPT_VALUE,
+                                f"{opt} must be in [0, 1]")
+            c[opt] = v
         elif opt == "s_noise":
             c["s_noise"] = _float(args[0])
         elif opt == "s_ancestral":
@@ -2182,6 +2203,11 @@ class MLImgSynth:
                     if nlabel is not None else None
 
         # sampling
+        if c["slg_scale"] and not (getattr(mt.unet_p, "flow", False)
+                                   and not getattr(mt.unet_p, "flux",
+                                                   False)):
+            raise MlisError(MlisError.E_OPT_VALUE,
+                            "slg-scale requires an SD3/MMDiT model")
         flow_shift = getattr(mt.unet_p, "flow_shift", 0.0) if flow else 0.0
         if flow and getattr(mt.unet_p, "dynamic_shift", False):
             from .models.flux import dynamic_flow_shift
@@ -2191,7 +2217,8 @@ class MLImgSynth:
             cfg_scale=eff_cfg, s_ancestral=c["s_ancestral"],
             s_noise=c["s_noise"], f_t_ini=c["f_t_ini"], f_t_end=c["f_t_end"],
             keep_tail=self._keep_tail, noise_add=self._noise_add,
-            flow_shift=flow_shift, cfg_rescale=c["cfg_rescale"])
+            flow_shift=flow_shift, cfg_rescale=c["cfg_rescale"],
+            **_slg_kw(c))
         nfe_per_dxdt = 2 if eff_cfg > 1 else 1
         subseeds = None
         if c["subseed_strength"] > 0:
@@ -2785,6 +2812,11 @@ class MLImgSynth:
                 label = np.concatenate([np.asarray(label, np.float32),
                                         gcol], axis=-1)
 
+            if c["slg_scale"] and not (getattr(mt.unet_p, "flow", False)
+                                       and not getattr(mt.unet_p, "flux",
+                                                       False)):
+                raise MlisError(MlisError.E_OPT_VALUE,
+                                "slg-scale requires an SD3/MMDiT model")
             flow_shift = (getattr(mt.unet_p, "flow_shift", 0.0)
                           if getattr(mt.unet_p, "flow", False) else 0.0)
             if getattr(mt.unet_p, "dynamic_shift", False):
@@ -2798,7 +2830,8 @@ class MLImgSynth:
                 f_t_ini=c["f_t_ini"] if init_latents is not None else 1.0,
                 f_t_end=c["f_t_end"],
                 keep_tail=self._keep_tail, noise_add=self._noise_add,
-                flow_shift=flow_shift, cfg_rescale=c["cfg_rescale"])
+                flow_shift=flow_shift, cfg_rescale=c["cfg_rescale"],
+                **_slg_kw(c))
             nfe_per_dxdt = 2 if use_cfg else 1
             latent = (np.asarray(init_latents, np.float32)
                       if init_latents is not None
@@ -3089,6 +3122,9 @@ class MLImgSynth:
             out.append(f", CFG scale: {c['cfg_scale']:g}")
         if c["cfg_rescale"] > 0 and c["cfg_scale"] > 1:
             out.append(f", CFG Rescale: {c['cfg_rescale']:g}")
+        if c["slg_scale"] > 0:
+            out.append(f", SLG scale: {c['slg_scale']:g}"
+                       f", SLG layers: {c['slg_layers']}")
         if c["freeu"] and self._freeu_parse(c["freeu"]) is not None:
             fu = self._freeu_resolve()
             out.append(", FreeU: " + ",".join(f"{v:g}" for v in fu))
@@ -3131,6 +3167,18 @@ class MLImgSynth:
                 "devs": devs}
 
 
+
+def _slg_kw(c):
+    """SamplerConfig kwargs for skip-layer guidance from the option dict."""
+    if not c["slg_scale"]:
+        return {}
+    return dict(
+        slg_scale=float(c["slg_scale"]),
+        slg_layers=tuple(int(v) for v in str(c["slg_layers"]).split(",")
+                         if v.strip()),
+        slg_start=float(c["slg_start"]), slg_end=float(c["slg_end"]))
+
+
 _OPTIONS = [
     "backend", "model", "tae", "lora_dir", "lora", "lora_clear", "prompt",
     "nprompt", "image_dim", "batch_size", "clip_skip", "cfg_scale", "method",
@@ -3150,6 +3198,8 @@ _OPTIONS = [
     "subseed", "subseed_strength",
     # CFG rescale phi (Lin et al. 2023; counters v-pred over-exposure)
     "cfg_rescale",
+    # skip-layer guidance (SD3.5-medium recommended sampling mode)
+    "slg_scale", "slg_layers", "slg_start", "slg_end",
     # crop-around-mask inpainting (A1111 "inpaint at full resolution")
     "inpaint_full_res", "inpaint_full_res_padding", "mask_blur",
     # UNet encoder caching (DeepCache-style; opt-in approximation)

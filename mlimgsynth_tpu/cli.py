@@ -127,6 +127,11 @@ Sampling:
                        counters v-pred over-exposure, try 0.7; default 0).
   --freeu VAL          FreeU backbone/skip reweighting: y = per-family
                        defaults, or explicit B1,B2,S1,S2 (UNet models).
+  --slg-scale FLOAT    Skip-layer guidance scale (SD3/SD3.5 MMDiT only;
+                       SD3.5-medium recommends 2.5-3; default 0 = off).
+  --slg-layers LIST    Joint blocks elided in the SLG pass (default 7,8,9).
+  --slg-start FLOAT    SLG window start, fraction of steps (default 0.01).
+  --slg-end FLOAT      SLG window end, fraction of steps (default 0.2).
   --clip-skip INT      CLIP layers to skip. Default: 1 (SD1), 2 (SD2/XL).
   --f-t-ini FLOAT      Initial time factor (img2img strength; default 1).
   --f-t-end FLOAT      End time factor (default 0).

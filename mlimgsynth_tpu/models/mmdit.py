@@ -258,10 +258,16 @@ def _pos_embed_crop(ctx: B.Ctx, pre: str, hp: int, wp: int, P: MmditParams):
 
 
 def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
-                pre: str = "mmdit"):
+                pre: str = "mmdit", skip_layers=()):
     """MMDiT forward.  x: [N,H,W,16] NHWC latent, t: [N] timesteps (0..1000
     scale), cond: [N,S,d_ctx_in] context tokens, pooled: [N,d_pooled].
-    Returns [N,H,W,n_ch_out] (the velocity field for rectified flow)."""
+    Returns [N,H,W,n_ch_out] (the velocity field for rectified flow).
+
+    ``skip_layers``: joint-block indices elided from the depth loop —
+    the degraded forward used by skip-layer guidance (SD3.5-medium's
+    recommended sampling mode; the SLG pass runs the conditional input
+    with these structure-forming blocks removed and the output steers
+    *away* from that degradation)."""
     dtype = ctx.dtype
     n, h, w, _ = x.shape
     p = P.patch
@@ -287,6 +293,8 @@ def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
 
     stacked = f"{pre}.joint_blocks_p."
     if any(k.startswith(stacked) for k in ctx.params):
+        assert not skip_layers, \
+            "skip-layer guidance is not supported with --pp block stacking"
         # pipeline-parallel block stack (--pp): the session restacked all
         # depth blocks into [pp, L, ...] slabs sharded over the 'pp' mesh
         # axis (the final pre_only block's missing context-side params are
@@ -311,6 +319,8 @@ def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
                                n_micro=plan.n_micro, collect=1)
     else:
         for i in range(P.depth):
+            if i in skip_layers:
+                continue
             cx, xe = joint_block(ctx, f"{pre}.joint_blocks.{i}", cx, xe, c,
                                  P, ctx_pre_only=(i == P.depth - 1),
                                  x_self_attn=(i in P.x_self_attn_layers))
@@ -329,7 +339,8 @@ def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
 
 
 def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: MmditParams,
-            pre: str = "mmdit", control=None, extra_ch=None):
+            pre: str = "mmdit", control=None, extra_ch=None,
+            skip_layers=()):
     """Rectified-flow wrapper matching the UNet ``denoise`` signature used
     by the sampler body: x_t = (1-sigma) x0 + sigma noise, the model
     predicts the velocity v = noise - x0 = dx/dsigma, so the output IS the
@@ -338,5 +349,6 @@ def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: MmditParams,
     assert control is None and extra_ch is None, \
         "control/extra channels are not supported for MMDiT models"
     t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
-    out = mmdit_apply(ctx, x.astype(ctx.dtype), t, cond, label, P, pre=pre)
+    out = mmdit_apply(ctx, x.astype(ctx.dtype), t, cond, label, P, pre=pre,
+                      skip_layers=skip_layers)
     return out.astype(jnp.float32)

@@ -67,6 +67,15 @@ class SamplerConfig:
     # conditional prediction's std, countering CFG over-exposure on
     # v-prediction models.  0 = off (exact legacy mixing).
     cfg_rescale: float = 0.0
+    # Skip-layer guidance (beyond-reference; SD3.5-medium's recommended
+    # sampling mode): an EXTRA conditional model evaluation with
+    # ``slg_layers`` joint blocks elided, mixed as
+    # out += slg_scale * (cond - cond_skipped) on steps in the
+    # [slg_start, slg_end) fraction of the schedule.  MMDiT families only.
+    slg_scale: float = 0.0
+    slg_layers: tuple = (7, 8, 9)
+    slg_start: float = 0.01
+    slg_end: float = 0.2
 
 
 @dataclass
@@ -248,7 +257,7 @@ def _cfg_mix(d, n, cfg_scale, cfg_rescale):
 
 def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
                deepcache=0, dc_warm=0, tiling=False, cfg_rescale=0.0,
-               freeu=None):
+               freeu=None, slg=None):
     """Build the per-step body shared by the fused scan and stepwise paths.
 
     ``deepcache`` > 1 enables encoder caching (DeepCache / "Faster
@@ -295,7 +304,7 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
             den = functools.partial(unet_mod.denoise, freeu=freeu)
     assert freeu is None or not flow, "FreeU is UNet-only"
 
-    def dxdt_with(ca, la):
+    def dxdt_with(ca, la, i_step=None):
         def dxdt(xv, sigma):
             n = xv.shape[0]
             if flow:
@@ -306,20 +315,42 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
                 xb = jnp.concatenate([xv, xv], axis=0)
                 d = den(ctx, xb, sigma, t, ca, la,
                         unet_p, control=control, extra_ch=extra_ch)
-                return _cfg_mix(d, n, cfg_scale, cfg_rescale)
-            return den(ctx, xv, sigma, t, ca, la,
-                       unet_p, control=control, extra_ch=extra_ch)
+                out = _cfg_mix(d, n, cfg_scale, cfg_rescale)
+                d_cond = d[:n]
+            else:
+                out = d_cond = den(ctx, xv, sigma, t, ca, la,
+                                   unet_p, control=control,
+                                   extra_ch=extra_ch)
+            if slg is not None:
+                # skip-layer guidance: one EXTRA conditional eval with
+                # slg[1] joint blocks elided; steer away from the degraded
+                # prediction on steps inside the [i0, i1) window (the
+                # lax.cond genuinely skips the eval outside it)
+                scale, layers, i0, i1 = slg
+                ca_c = ca[:n] if use_cfg else ca
+                la_c = la[:n] if (use_cfg and la is not None) else la
+
+                def steered(_):
+                    d_skip = den(ctx, xv, sigma, t, ca_c, la_c, unet_p,
+                                 control=control, extra_ch=extra_ch,
+                                 skip_layers=layers)
+                    return out + scale * (d_cond - d_skip)
+
+                return jax.lax.cond((i_step >= i0) & (i_step < i1),
+                                    steered, lambda _: out, None)
+            return out
         return dxdt
 
     dxdt = dxdt_with(cond_all, label_all)
 
     def dxdt_at(i):
         if cond_idx is None:
-            return dxdt
+            return dxdt_with(cond_all, label_all, i) if slg is not None \
+                else dxdt
         return dxdt_with(
             jnp.take(cond_all, cond_idx[i], axis=0),
             (jnp.take(label_all, cond_idx[i], axis=0)
-             if label_all is not None else None))
+             if label_all is not None else None), i)
 
     if method == "lcm":
         # Latent-consistency sampling (diffusers LCMScheduler semantics):
@@ -521,12 +552,13 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
                      "clip2_p", "deepcache", "dc_warm", "tiling",
-                     "cfg_rescale", "freeu"))
+                     "cfg_rescale", "freeu", "slg"))
 def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
               decode_params=None, encode=None, xscale0=None, *, method,
               unet_p, use_cfg, use_mask, dtype, decode_kind=None, vae_p=None,
               clip_p=None, clip_skip=0, norm=True, clip2_p=None,
-              deepcache=0, dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None):
+              deepcache=0, dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None,
+              slg=None):
     cond_out = lab_out = None
     if encode is not None:
         consts, cond_out, lab_out = _fused_encode(
@@ -535,7 +567,7 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
                               use_cfg=use_cfg, use_mask=use_mask,
                               dtype=dtype, deepcache=deepcache,
                               dc_warm=dc_warm, tiling=tiling,
-                              cfg_rescale=cfg_rescale, freeu=freeu)
+                              cfg_rescale=cfg_rescale, freeu=freeu, slg=slg)
     lmask, x0_keep = consts[2], consts[3]
     x = x.astype(jnp.float32)
     # flow models interpolate toward noise (x_t = (1-sigma) x0 + sigma n,
@@ -599,14 +631,15 @@ def _decode_u8(decode_params, x, decode_kind, vae_p, dtype,
 @functools.partial(
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
-                     "deepcache", "dc_warm", "tiling", "cfg_rescale", "freeu"))
+                     "deepcache", "dc_warm", "tiling", "cfg_rescale", "freeu", "slg"))
 def _step_jit(params, carry, i, c_noise, a_noise, consts,
               *, method, unet_p, use_cfg, use_mask, dtype, deepcache=0,
-              dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None):
+              dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None, slg=None):
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
                          deepcache=deepcache, dc_warm=dc_warm,
-                         tiling=tiling, cfg_rescale=cfg_rescale, freeu=freeu)
+                         tiling=tiling, cfg_rescale=cfg_rescale, freeu=freeu,
+                         slg=slg)
     carry, _ = body(carry, (i, c_noise, a_noise))
     return carry
 
@@ -616,12 +649,12 @@ def _step_jit(params, carry, i, c_noise, a_noise, consts,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
                      "clip2_p", "deepcache", "dc_warm", "tiling",
-                     "cfg_rescale", "freeu"))
+                     "cfg_rescale", "freeu", "slg"))
 def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
                decode_params=None, encode=None, *, method, unet_p, use_cfg,
                use_mask, dtype, decode_kind=None, vae_p=None, clip_p=None,
                clip_skip=0, norm=True, clip2_p=None, deepcache=0,
-               dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None):
+               dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None, slg=None):
     """Scan a fixed-size chunk of steps from an arbitrary carry: progress
     callbacks fire between chunks with 1/chunk the dispatch overhead.
     With ``decode_kind`` (the FINAL chunk of a run), the image decode +
@@ -635,7 +668,8 @@ def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
                          deepcache=deepcache, dc_warm=dc_warm,
-                         tiling=tiling, cfg_rescale=cfg_rescale, freeu=freeu)
+                         tiling=tiling, cfg_rescale=cfg_rescale, freeu=freeu,
+                         slg=slg)
     k = c_noise_chunk.shape[0]
     carry, _ = jax.lax.scan(
         body, carry,
@@ -862,12 +896,26 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     # (x = (1-sigma0) x0 + sigma0 n); None keeps the VE path's jaxpr
     xscale0 = (jnp.float32(1.0 - float(plan.sigmas[0]))
                if getattr(unet_p, "flow", False) and cfg.noise_add else None)
+    slg = None
+    if cfg.slg_scale > 0:
+        if not getattr(unet_p, "flow", False) or getattr(unet_p, "flux",
+                                                         False):
+            raise ValueError(
+                "skip-layer guidance requires an MMDiT model (SD3/SD3.5)")
+        layers = tuple(sorted(int(v) for v in cfg.slg_layers))
+        if not layers or min(layers) < 0 or max(layers) >= unet_p.depth:
+            raise ValueError(f"slg layers out of range for depth "
+                             f"{unet_p.depth}: {layers}")
+        i0 = int(round(cfg.slg_start * plan.n_step))
+        i1 = max(int(round(cfg.slg_end * plan.n_step)), i0 + 1)
+        slg = (float(cfg.slg_scale), layers, i0, i1)
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
               use_mask=use_mask, dtype=dtype, deepcache=deepcache,
               dc_warm=(max(1, plan.n_step // 10) if deepcache else 0),
               tiling=bool(tiling),
               cfg_rescale=(float(cfg.cfg_rescale) if use_cfg else 0.0),
-              freeu=(tuple(float(v) for v in freeu) if freeu else None))
+              freeu=(tuple(float(v) for v in freeu) if freeu else None),
+              slg=slg)
     kw_loop = dict(kw)
     decode_params = None
     if decode is not None and step_observer is None:

@@ -74,6 +74,8 @@ _SHARED_OPTS = {
     "hires_steps": "hires-steps", "hires_upscaler": "hires-upscaler",
     "subseed_strength": "subseed-strength", "deepcache": "deepcache",
     "tiling": "tiling", "cfg_rescale": "cfg-rescale", "freeu": "freeu",
+    "slg_scale": "slg-scale", "slg_layers": "slg-layers",
+    "slg_start": "slg-start", "slg_end": "slg-end",
 }
 _SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height", "model",
                                       "preview", "preview_every")

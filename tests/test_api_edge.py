@@ -313,3 +313,12 @@ def test_cfg_rescale_session(ckpt, monkeypatch):
     np.testing.assert_allclose(a, b, atol=2e-5)
     with pytest.raises(MlisError):
         make_session(ckpt, monkeypatch, cfg_rescale=1.5)
+
+
+def test_slg_rejected_on_unet_models(ckpt, monkeypatch):
+    """Skip-layer guidance is MMDiT-only: a UNet model raises E_OPT_VALUE
+    at generate time (the option itself is accepted for serving parity)."""
+    s = make_session(ckpt, monkeypatch, prompt="a cat")
+    s.option_set("slg-scale", 2.5)
+    with pytest.raises(MlisError):
+        s.generate()

@@ -345,3 +345,80 @@ def test_sd35_medium_identify_and_generate(monkeypatch, tmp_path):
     assert s.c["model_type"] == "sd35_medium"
     assert img.shape == (1, 3, 64, 64)
     assert np.isfinite(img).all()
+
+
+def test_sd3_slg_matches_manual(session):
+    """Skip-layer guidance == a hand-rolled loop: one EXTRA conditional
+    eval with the named joint blocks elided, out += scale*(cond - skip),
+    applied only on steps inside the [slg_start, slg_end) window."""
+    session.setup()
+    params = session._get_params("unet")
+    P = TINY_MMDIT
+    rng = np.random.default_rng(7)
+    cond = rng.standard_normal((1, 10, P.d_ctx_in)).astype(np.float32) * 0.2
+    ncond = rng.standard_normal((1, 10, P.d_ctx_in)).astype(np.float32) * 0.2
+    pooled = rng.standard_normal((1, P.d_pooled)).astype(np.float32) * 0.2
+    npooled = rng.standard_normal((1, P.d_pooled)).astype(np.float32) * 0.2
+    x0 = rng.standard_normal((1, P.n_ch_in, 8, 8)).astype(np.float32)
+
+    cfg = SamplerConfig(method="euler", n_step=4, cfg_scale=4.0,
+                        flow_shift=3.0, slg_scale=2.5, slg_layers=(1,),
+                        slg_start=0.0, slg_end=0.5)
+    plan = make_plan(cfg, x0.shape, RngPhilox(42))
+    got = run_sampler(params, x0, plan, cond, ncond, pooled, npooled,
+                      None, cfg, P, dtype=jnp.float32)
+
+    ctx = B.Ctx(params, dtype=jnp.float32)
+    i0 = int(round(cfg.slg_start * plan.n_step))
+    i1 = max(int(round(cfg.slg_end * plan.n_step)), i0 + 1)
+
+    def vel(x_nchw, sigma, slg_on):
+        t = jnp.full((1,), sigma * P.n_step_train, jnp.float32)
+        xh = jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
+        vc = np.asarray(mmdit_mod.mmdit_apply(
+            ctx, xh, t, jnp.asarray(cond), jnp.asarray(pooled), P),
+            np.float32)
+        vu = np.asarray(mmdit_mod.mmdit_apply(
+            ctx, xh, t, jnp.asarray(ncond), jnp.asarray(npooled), P),
+            np.float32)
+        v = cfg.cfg_scale * vc + (1.0 - cfg.cfg_scale) * vu
+        if slg_on:
+            vs = np.asarray(mmdit_mod.mmdit_apply(
+                ctx, xh, t, jnp.asarray(cond), jnp.asarray(pooled), P,
+                skip_layers=(1,)), np.float32)
+            v = v + cfg.slg_scale * (vc - vs)
+        return v.transpose(0, 3, 1, 2)
+
+    sig = plan.sigmas
+    x = x0 * (1.0 - sig[0]) + plan.noise0 * sig[0]
+    for i in range(plan.n_step):
+        x = x + vel(x, float(sig[i]), i0 <= i < i1) \
+            * (float(sig[i + 1]) - float(sig[i]))
+    np.testing.assert_allclose(got, x, atol=2e-4,
+                               err_msg="slg trajectory mismatch")
+    # the window gating is real: slg over the whole run differs
+    cfg_all = SamplerConfig(method="euler", n_step=4, cfg_scale=4.0,
+                            flow_shift=3.0, slg_scale=2.5, slg_layers=(1,),
+                            slg_start=0.0, slg_end=1.0)
+    plan2 = make_plan(cfg_all, x0.shape, RngPhilox(42))
+    got_all = run_sampler(params, x0, plan2, cond, ncond, pooled, npooled,
+                          None, cfg_all, P, dtype=jnp.float32)
+    assert np.abs(got_all - got).max() > 1e-5
+
+
+def test_sd3_slg_session_and_infotext(session):
+    """--slg-scale through the session API: runs, infotext records it, and
+    the layer range is validated against the model depth."""
+    session.option_set("prompt", "a guided cat")
+    session.option_set("cfg-scale", 4.0)
+    session.option_set("slg-scale", 2.5)
+    session.option_set("slg-layers", "1")
+    session.option_set("slg-end", 1.0)
+    img = session.generate()
+    assert np.isfinite(img).all()
+    assert "SLG scale: 2.5" in session.infotext
+    # layer index beyond the tiny model's depth=2 -> clean error
+    session.option_set("prompt", "a guided cat")
+    session.option_set("slg-layers", "9")
+    with pytest.raises(ValueError):
+        session.generate()
