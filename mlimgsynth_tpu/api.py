@@ -223,6 +223,7 @@ class MLImgSynth:
             "cfg_scale": 7.0, "cfg_rescale": 0.0,
             "slg_scale": 0.0, "slg_layers": "7,8,9",
             "slg_start": 0.01, "slg_end": 0.2,
+            "pag_scale": 0.0, "pag_start": 0.0, "pag_end": 1.0,
             "method": "euler", "scheduler": "uniform",
             "steps": 0, "f_t_ini": 1.0, "f_t_end": 0.0,
             "s_noise": 0.0, "s_ancestral": 0.0,
@@ -401,6 +402,8 @@ class MLImgSynth:
             c["cfg_rescale"] = v
         elif opt == "slg_scale":
             c["slg_scale"] = _float(args[0])
+        elif opt == "pag_scale":
+            c["pag_scale"] = _float(args[0])
         elif opt == "slg_layers":
             s = str(args[0])
             try:
@@ -412,7 +415,7 @@ class MLImgSynth:
                 raise MlisError(MlisError.E_OPT_VALUE,
                                 "slg-layers must name at least one block")
             c["slg_layers"] = ",".join(str(v) for v in layers)
-        elif opt in ("slg_start", "slg_end"):
+        elif opt in ("slg_start", "slg_end", "pag_start", "pag_end"):
             v = _float(args[0])
             if not 0.0 <= v <= 1.0:
                 raise MlisError(MlisError.E_OPT_VALUE,
@@ -2208,6 +2211,9 @@ class MLImgSynth:
                                                    False)):
             raise MlisError(MlisError.E_OPT_VALUE,
                             "slg-scale requires an SD3/MMDiT model")
+        if c["pag_scale"] and getattr(mt.unet_p, "flow", False):
+            raise MlisError(MlisError.E_OPT_VALUE,
+                            "pag-scale requires an SD-UNet model")
         flow_shift = getattr(mt.unet_p, "flow_shift", 0.0) if flow else 0.0
         if flow and getattr(mt.unet_p, "dynamic_shift", False):
             from .models.flux import dynamic_flow_shift
@@ -2817,6 +2823,9 @@ class MLImgSynth:
                                                        False)):
                 raise MlisError(MlisError.E_OPT_VALUE,
                                 "slg-scale requires an SD3/MMDiT model")
+            if c["pag_scale"] and getattr(mt.unet_p, "flow", False):
+                raise MlisError(MlisError.E_OPT_VALUE,
+                                "pag-scale requires an SD-UNet model")
             flow_shift = (getattr(mt.unet_p, "flow_shift", 0.0)
                           if getattr(mt.unet_p, "flow", False) else 0.0)
             if getattr(mt.unet_p, "dynamic_shift", False):
@@ -3125,6 +3134,8 @@ class MLImgSynth:
         if c["slg_scale"] > 0:
             out.append(f", SLG scale: {c['slg_scale']:g}"
                        f", SLG layers: {c['slg_layers']}")
+        if c["pag_scale"] > 0:
+            out.append(f", PAG scale: {c['pag_scale']:g}")
         if c["freeu"] and self._freeu_parse(c["freeu"]) is not None:
             fu = self._freeu_resolve()
             out.append(", FreeU: " + ",".join(f"{v:g}" for v in fu))
@@ -3169,14 +3180,20 @@ class MLImgSynth:
 
 
 def _slg_kw(c):
-    """SamplerConfig kwargs for skip-layer guidance from the option dict."""
-    if not c["slg_scale"]:
-        return {}
-    return dict(
-        slg_scale=float(c["slg_scale"]),
-        slg_layers=tuple(int(v) for v in str(c["slg_layers"]).split(",")
-                         if v.strip()),
-        slg_start=float(c["slg_start"]), slg_end=float(c["slg_end"]))
+    """SamplerConfig kwargs for skip-layer / perturbed-attention guidance
+    from the option dict."""
+    kw = {}
+    if c["slg_scale"]:
+        kw.update(
+            slg_scale=float(c["slg_scale"]),
+            slg_layers=tuple(int(v) for v in str(c["slg_layers"]).split(",")
+                             if v.strip()),
+            slg_start=float(c["slg_start"]), slg_end=float(c["slg_end"]))
+    if c["pag_scale"]:
+        kw.update(pag_scale=float(c["pag_scale"]),
+                  pag_start=float(c["pag_start"]),
+                  pag_end=float(c["pag_end"]))
+    return kw
 
 
 _OPTIONS = [
@@ -3200,6 +3217,8 @@ _OPTIONS = [
     "cfg_rescale",
     # skip-layer guidance (SD3.5-medium recommended sampling mode)
     "slg_scale", "slg_layers", "slg_start", "slg_end",
+    # perturbed-attention guidance (identity mid-block self-attention)
+    "pag_scale", "pag_start", "pag_end",
     # crop-around-mask inpainting (A1111 "inpaint at full resolution")
     "inpaint_full_res", "inpaint_full_res_padding", "mask_blur",
     # UNet encoder caching (DeepCache-style; opt-in approximation)

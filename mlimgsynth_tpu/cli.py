@@ -132,6 +132,10 @@ Sampling:
   --slg-layers LIST    Joint blocks elided in the SLG pass (default 7,8,9).
   --slg-start FLOAT    SLG window start, fraction of steps (default 0.01).
   --slg-end FLOAT      SLG window end, fraction of steps (default 0.2).
+  --pag-scale FLOAT    Perturbed-attention guidance scale (SD-UNet models;
+                       try 3; extra eval with identity mid self-attention).
+  --pag-start FLOAT    PAG window start, fraction of steps (default 0).
+  --pag-end FLOAT      PAG window end, fraction of steps (default 1).
   --clip-skip INT      CLIP layers to skip. Default: 1 (SD1), 2 (SD2/XL).
   --f-t-ini FLOAT      Initial time factor (img2img strength; default 1).
   --f-t-end FLOAT      End time factor (default 0).

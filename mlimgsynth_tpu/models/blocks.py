@@ -308,9 +308,18 @@ def _attn_use_einsum(ctx: Ctx, pre: str) -> bool:
 
 def attn_mhead(ctx: Ctx, pre: str, q, k, v, d_out: int, d_embed: int,
                n_head: int, mask: bool = False, bias: bool = False,
-               bias_out: bool = True):
+               bias_out: bool = True, identity: bool = False):
     """ref: mlb_attn_mhead (src/mlblock_nn.c:190-231).
-    q: [N, Sq, *], k/v: [N, Sk, *]; returns [N, Sq, d_out]."""
+    q: [N, Sq, *], k/v: [N, Sk, *]; returns [N, Sq, d_out].
+
+    ``identity``: perturbed-attention mode — the attention map is replaced
+    by the identity (each token attends only to itself), so the output is
+    ``out_proj(v_proj(v))`` with no token mixing.  The degraded forward
+    used by perturbed-attention guidance (PAG); the head split is a no-op
+    reshape here, so the projections compose to two plain linears."""
+    if identity:
+        o = linear(ctx, pre + ".v_proj", v, d_embed, bias)
+        return linear(ctx, pre + ".out_proj", o, d_out, bias_out)
     d_head = d_embed // n_head
     n, sq = q.shape[0], q.shape[1]
     sk = k.shape[1]
@@ -375,11 +384,13 @@ def attn_mhead(ctx: Ctx, pre: str, q, k, v, d_out: int, d_embed: int,
 
 
 def basic_transformer(ctx: Ctx, pre: str, x, c, d_out: int, d_embed: int,
-                      n_head: int):
-    """ref: mlb_basic_transf (src/mlblock_nn.c:234-253)."""
+                      n_head: int, self_identity: bool = False):
+    """ref: mlb_basic_transf (src/mlblock_nn.c:234-253).
+    ``self_identity``: identity self-attention map (PAG perturbation)."""
     r = x
     x = layer_norm(ctx, pre + ".norm1", x)
-    x = attn_mhead(ctx, pre + ".attn1", x, x, x, d_out, d_embed, n_head)
+    x = attn_mhead(ctx, pre + ".attn1", x, x, x, d_out, d_embed, n_head,
+                   identity=self_identity)
     x = x + r
     r = x
     x = layer_norm(ctx, pre + ".norm2", x)

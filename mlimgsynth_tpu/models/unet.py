@@ -71,8 +71,10 @@ def _heads(P: UnetParams, d_embed: int) -> Tuple[int, int]:
 
 
 def spatial_transformer(ctx: B.Ctx, pre: str, x, cond, d_embed: int,
-                        P: UnetParams, depth: int):
-    """ref: mlb_spatial_transf (src/unet.c:110-145)."""
+                        P: UnetParams, depth: int,
+                        self_identity: bool = False):
+    """ref: mlb_spatial_transf (src/unet.c:110-145).
+    ``self_identity``: identity self-attention maps (PAG perturbation)."""
     n, h, w, ch_in = x.shape
     n_head, _ = _heads(P, d_embed)
     x0 = x
@@ -81,7 +83,8 @@ def spatial_transformer(ctx: B.Ctx, pre: str, x, cond, d_embed: int,
     x = x.reshape(n, h * w, d_embed)
     for i in range(depth):
         x = B.basic_transformer(ctx, f"{pre}.transf.{i}", x, cond,
-                                d_embed, d_embed, n_head)
+                                d_embed, d_embed, n_head,
+                                self_identity=self_identity)
     x = x.reshape(n, h, w, d_embed)
     x = B.conv2d(ctx, pre + ".proj_out", x, ch_in, 1, 1, pad=0)
     return x + x0
@@ -139,7 +142,8 @@ def _freeu_apply(x, h, P, freeu):
 
 def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
                pre: str = "unet", control=None,
-               want_cache: bool = False, use_cache=None, freeu=None):
+               want_cache: bool = False, use_cache=None, freeu=None,
+               pag: bool = False):
     """Full UNet forward.  x: [N,H,W,4] NHWC, t: [N], cond: [N,77,n_ctx],
     label: [N, ch_adm_in] or None.  ref: mlb_unet_denoise (src/unet.c:263-281)
     plus mlb_unet__in/__mid/__out.
@@ -194,8 +198,10 @@ def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
         im = n_levels - 1
         ch = P.n_ch * P.ch_mult[im]
         x = B.resnet(ctx, pre + ".mid.0", x, emb, ch)
+        # PAG perturbs the MID transformer's self-attention (the standard
+        # "m0" injection point): attention map -> identity
         x = spatial_transformer(ctx, pre + ".mid.1", x, cond, ch, P,
-                                P.transf_depth[im])
+                                P.transf_depth[im], self_identity=pag)
         x = B.resnet(ctx, pre + ".mid.2", x, emb, ch)
         if control is not None:
             assert len(control) == len(stack) + 1, (len(control),
@@ -242,7 +248,8 @@ def unet_apply(ctx: B.Ctx, x, t, cond, label, P: UnetParams,
 
 def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: UnetParams,
             pre: str = "unet", control=None, extra_ch=None,
-            want_cache: bool = False, use_cache=None, freeu=None):
+            want_cache: bool = False, use_cache=None, freeu=None,
+            pag: bool = False):
     """k-diffusion wrapper: input scaling ``c_in = 1/sqrt(sigma^2+1)`` and
     v-param output scaling (ref: unet_denoise_run, src/unet.c:460-498).
     Returns the derivative ``dx/dsigma`` used by the solvers.
@@ -272,7 +279,7 @@ def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: UnetParams,
         residuals = [r * jnp.asarray(strength, r.dtype) for r in residuals]
     out = unet_apply(ctx, xs, t, cond, label, P, pre=pre,
                      control=residuals, want_cache=want_cache,
-                     use_cache=use_cache, freeu=freeu)
+                     use_cache=use_cache, freeu=freeu, pag=pag)
     cache = None
     if want_cache:
         out, cache = out

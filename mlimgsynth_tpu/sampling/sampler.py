@@ -76,6 +76,14 @@ class SamplerConfig:
     slg_layers: tuple = (7, 8, 9)
     slg_start: float = 0.01
     slg_end: float = 0.2
+    # Perturbed-attention guidance (beyond-reference; Ahn et al. 2024,
+    # "Self-Rectifying Diffusion Sampling with PAG"): an EXTRA conditional
+    # eval with the MID transformer's self-attention map replaced by the
+    # identity, mixed as out += pag_scale * (cond - cond_perturbed).
+    # SD-UNet families only.
+    pag_scale: float = 0.0
+    pag_start: float = 0.0
+    pag_end: float = 1.0
 
 
 @dataclass
@@ -257,7 +265,7 @@ def _cfg_mix(d, n, cfg_scale, cfg_rescale):
 
 def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
                deepcache=0, dc_warm=0, tiling=False, cfg_rescale=0.0,
-               freeu=None, slg=None):
+               freeu=None, slg=None, pag=None):
     """Build the per-step body shared by the fused scan and stepwise paths.
 
     ``deepcache`` > 1 enables encoder caching (DeepCache / "Faster
@@ -338,6 +346,22 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
 
                 return jax.lax.cond((i_step >= i0) & (i_step < i1),
                                     steered, lambda _: out, None)
+            if pag is not None:
+                # perturbed-attention guidance: one EXTRA conditional eval
+                # with the mid transformer's self-attention map replaced by
+                # the identity; steer away from the perturbed prediction
+                scale, i0, i1 = pag
+                ca_c = ca[:n] if use_cfg else ca
+                la_c = la[:n] if (use_cfg and la is not None) else la
+
+                def perturbed(_):
+                    d_pag = den(ctx, xv, sigma, t, ca_c, la_c, unet_p,
+                                control=control, extra_ch=extra_ch,
+                                pag=True)
+                    return out + scale * (d_cond - d_pag)
+
+                return jax.lax.cond((i_step >= i0) & (i_step < i1),
+                                    perturbed, lambda _: out, None)
             return out
         return dxdt
 
@@ -345,8 +369,8 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
 
     def dxdt_at(i):
         if cond_idx is None:
-            return dxdt_with(cond_all, label_all, i) if slg is not None \
-                else dxdt
+            return dxdt_with(cond_all, label_all, i) \
+                if (slg is not None or pag is not None) else dxdt
         return dxdt_with(
             jnp.take(cond_all, cond_idx[i], axis=0),
             (jnp.take(label_all, cond_idx[i], axis=0)
@@ -552,13 +576,13 @@ def _fused_encode(encode, consts, dtype, clip_p, clip_skip, norm, clip2_p):
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
                      "clip2_p", "deepcache", "dc_warm", "tiling",
-                     "cfg_rescale", "freeu", "slg"))
+                     "cfg_rescale", "freeu", "slg", "pag"))
 def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
               decode_params=None, encode=None, xscale0=None, *, method,
               unet_p, use_cfg, use_mask, dtype, decode_kind=None, vae_p=None,
               clip_p=None, clip_skip=0, norm=True, clip2_p=None,
               deepcache=0, dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None,
-              slg=None):
+              slg=None, pag=None):
     cond_out = lab_out = None
     if encode is not None:
         consts, cond_out, lab_out = _fused_encode(
@@ -567,7 +591,8 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
                               use_cfg=use_cfg, use_mask=use_mask,
                               dtype=dtype, deepcache=deepcache,
                               dc_warm=dc_warm, tiling=tiling,
-                              cfg_rescale=cfg_rescale, freeu=freeu, slg=slg)
+                              cfg_rescale=cfg_rescale, freeu=freeu, slg=slg,
+                              pag=pag)
     lmask, x0_keep = consts[2], consts[3]
     x = x.astype(jnp.float32)
     # flow models interpolate toward noise (x_t = (1-sigma) x0 + sigma n,
@@ -631,15 +656,16 @@ def _decode_u8(decode_params, x, decode_kind, vae_p, dtype,
 @functools.partial(
     jax.jit,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
-                     "deepcache", "dc_warm", "tiling", "cfg_rescale", "freeu", "slg"))
+                     "deepcache", "dc_warm", "tiling", "cfg_rescale", "freeu", "slg", "pag"))
 def _step_jit(params, carry, i, c_noise, a_noise, consts,
               *, method, unet_p, use_cfg, use_mask, dtype, deepcache=0,
-              dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None, slg=None):
+              dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None, slg=None,
+              pag=None):
     _, body = _make_body(params, consts, method=method, unet_p=unet_p,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
                          deepcache=deepcache, dc_warm=dc_warm,
                          tiling=tiling, cfg_rescale=cfg_rescale, freeu=freeu,
-                         slg=slg)
+                         slg=slg, pag=pag)
     carry, _ = body(carry, (i, c_noise, a_noise))
     return carry
 
@@ -649,12 +675,13 @@ def _step_jit(params, carry, i, c_noise, a_noise, consts,
     static_argnames=("method", "unet_p", "use_cfg", "use_mask", "dtype",
                      "decode_kind", "vae_p", "clip_p", "clip_skip", "norm",
                      "clip2_p", "deepcache", "dc_warm", "tiling",
-                     "cfg_rescale", "freeu", "slg"))
+                     "cfg_rescale", "freeu", "slg", "pag"))
 def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
                decode_params=None, encode=None, *, method, unet_p, use_cfg,
                use_mask, dtype, decode_kind=None, vae_p=None, clip_p=None,
                clip_skip=0, norm=True, clip2_p=None, deepcache=0,
-               dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None, slg=None):
+               dc_warm=0, tiling=False, cfg_rescale=0.0, freeu=None, slg=None,
+               pag=None):
     """Scan a fixed-size chunk of steps from an arbitrary carry: progress
     callbacks fire between chunks with 1/chunk the dispatch overhead.
     With ``decode_kind`` (the FINAL chunk of a run), the image decode +
@@ -669,7 +696,7 @@ def _chunk_jit(params, carry, i0, c_noise_chunk, a_noise_chunk, consts,
                          use_cfg=use_cfg, use_mask=use_mask, dtype=dtype,
                          deepcache=deepcache, dc_warm=dc_warm,
                          tiling=tiling, cfg_rescale=cfg_rescale, freeu=freeu,
-                         slg=slg)
+                         slg=slg, pag=pag)
     k = c_noise_chunk.shape[0]
     carry, _ = jax.lax.scan(
         body, carry,
@@ -909,13 +936,24 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         i0 = int(round(cfg.slg_start * plan.n_step))
         i1 = max(int(round(cfg.slg_end * plan.n_step)), i0 + 1)
         slg = (float(cfg.slg_scale), layers, i0, i1)
+    pag = None
+    if cfg.pag_scale > 0:
+        if getattr(unet_p, "flow", False) or not getattr(unet_p, "attn_res",
+                                                         ()):
+            raise ValueError(
+                "perturbed-attention guidance requires an SD-UNet model")
+        if deepcache:
+            raise ValueError("pag: unsupported with deepcache")
+        i0 = int(round(cfg.pag_start * plan.n_step))
+        i1 = max(int(round(cfg.pag_end * plan.n_step)), i0 + 1)
+        pag = (float(cfg.pag_scale), i0, i1)
     kw = dict(method=method, unet_p=unet_p, use_cfg=use_cfg,
               use_mask=use_mask, dtype=dtype, deepcache=deepcache,
               dc_warm=(max(1, plan.n_step // 10) if deepcache else 0),
               tiling=bool(tiling),
               cfg_rescale=(float(cfg.cfg_rescale) if use_cfg else 0.0),
               freeu=(tuple(float(v) for v in freeu) if freeu else None),
-              slg=slg)
+              slg=slg, pag=pag)
     kw_loop = dict(kw)
     decode_params = None
     if decode is not None and step_observer is None:

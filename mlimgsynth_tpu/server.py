@@ -76,6 +76,8 @@ _SHARED_OPTS = {
     "tiling": "tiling", "cfg_rescale": "cfg-rescale", "freeu": "freeu",
     "slg_scale": "slg-scale", "slg_layers": "slg-layers",
     "slg_start": "slg-start", "slg_end": "slg-end",
+    "pag_scale": "pag-scale", "pag_start": "pag-start",
+    "pag_end": "pag-end",
 }
 _SHARED_KEYS = tuple(_SHARED_OPTS) + ("width", "height", "model",
                                       "preview", "preview_every")
