@@ -105,16 +105,19 @@ def _qkv(ctx: B.Ctx, pre: str, x, P: MmditParams):
     contraction; B.linear also gives the int8 weight-only path); heads
     split by reshape of the packed [N,S,3,H,D] result.
 
-    MLIS_MMDIT_EINSUM=1: three head-split einsums on slices of the fused
-    weight produce [N,H,S,D] directly from the matmul — no [3,H] transpose
-    relayouts of the packed result (the measured-good attn_mhead pattern;
-    A/B experiment, read at trace time)."""
+    Head-split einsums (DEFAULT; MLIS_MMDIT_EINSUM=0 opts out): three
+    einsums on slices of the fused weight produce [N,H,S,D] directly from
+    the matmul — no [3,H] transpose relayouts of the packed result (the
+    measured-good attn_mhead pattern).  Measured on v5e (queue #13):
+    310.5 vs 319.0 ms/step at the SD3-medium 1024px shape (−2.7%).
+    Quantized checkpoints (no ``.qkv.weight`` key) keep the B.linear
+    int8/int4 path."""
     import os
     d = P.width
     h = P.heads
     dh = d // h
     if (not ctx.record
-            and os.environ.get("MLIS_MMDIT_EINSUM", "0") == "1"
+            and os.environ.get("MLIS_MMDIT_EINSUM", "1") != "0"
             and (pre + ".qkv.weight") in ctx.params):
         w = ctx.param(pre + ".qkv.weight", (x.shape[-1], 3 * d),
                       B.LINEAR_W).astype(x.dtype)
