@@ -265,6 +265,13 @@ def bench_config(name):
     use_dc = name_base.endswith("-dc")
     if use_dc:
         name_base = name_base[:-3]
+    # Skip-layer guidance (SD3.5-medium's recommended sampling mode):
+    # +1 NFE/step inside the default [0.01, 0.2) step window
+    use_slg = name_base.endswith("-slg")
+    if use_slg:
+        name_base = name_base[:-4]
+        if not name_base.startswith("sd3"):
+            raise SystemExit("-slg bench supports the MMDiT configs only")
     flow = False
     if name_base == "sdxl":
         size, baseline = 1024, 4.0
@@ -417,7 +424,13 @@ def bench_config(name):
                         cfg_scale=cfg_scale,
                         f_t_ini=(0.75 if use_i2i else 1.0),
                         flow_shift=(getattr(unet_p, "flow_shift", 0.0)
-                                    if flow else 0.0))
+                                    if flow else 0.0),
+                        slg_scale=(2.5 if use_slg else 0.0),
+                        # official 7,8,9 layers, clamped for tiny smokes
+                        slg_layers=tuple(
+                            l for l in (7, 8, 9)
+                            if l < getattr(unet_p, "depth", 0)
+                        ) or (max(getattr(unet_p, "depth", 1) // 2, 0),))
 
     init_latent = np.zeros((n_batch, vae_p.ch_z, lat, lat), np.float32)
     lmask = None
@@ -651,6 +664,8 @@ def bench_config(name):
         label += f" highres-fix {size}->{size * 2}px"
     if use_dc:
         label += " deepcache3"
+    if use_slg:
+        label += " slg2.5"
     if use_q4:
         label += " int4-weights"
     elif use_q8:
