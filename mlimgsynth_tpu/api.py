@@ -2206,11 +2206,9 @@ class MLImgSynth:
                     if nlabel is not None else None
 
         # sampling
-        if c["slg_scale"] and not (getattr(mt.unet_p, "flow", False)
-                                   and not getattr(mt.unet_p, "flux",
-                                                   False)):
+        if c["slg_scale"] and not getattr(mt.unet_p, "flow", False):
             raise MlisError(MlisError.E_OPT_VALUE,
-                            "slg-scale requires an SD3/MMDiT model")
+                            "slg-scale requires a DiT model (SD3/Flux)")
         if c["pag_scale"] and getattr(mt.unet_p, "flow", False):
             raise MlisError(MlisError.E_OPT_VALUE,
                             "pag-scale requires an SD-UNet model")
@@ -2818,11 +2816,10 @@ class MLImgSynth:
                 label = np.concatenate([np.asarray(label, np.float32),
                                         gcol], axis=-1)
 
-            if c["slg_scale"] and not (getattr(mt.unet_p, "flow", False)
-                                       and not getattr(mt.unet_p, "flux",
-                                                       False)):
+            if c["slg_scale"] and not getattr(mt.unet_p, "flow",
+                                               False):
                 raise MlisError(MlisError.E_OPT_VALUE,
-                                "slg-scale requires an SD3/MMDiT model")
+                                "slg-scale requires a DiT model (SD3/Flux)")
             if c["pag_scale"] and getattr(mt.unet_p, "flow", False):
                 raise MlisError(MlisError.E_OPT_VALUE,
                                 "pag-scale requires an SD-UNet model")

@@ -233,11 +233,15 @@ def single_block(ctx: B.Ctx, pre: str, x, vec, cos, sin, P: FluxParams):
 
 
 def flux_apply(ctx: B.Ctx, x, t, cond, pooled, P: FluxParams,
-               pre: str = "flux", guidance=None):
+               pre: str = "flux", guidance=None, skip_layers=()):
     """Flux forward.  x: [N,H,W,16] NHWC latent, t: [N] (sigma * 1000 —
     the embedder divides by 1000 to flux's native [0,1] time), cond:
     [N,S,4096] T5 context, pooled: [N,768] CLIP-L pooled, ``guidance``:
-    [N] embedded-guidance values (dev) or None.  Returns [N,H,W,16]."""
+    [N] embedded-guidance values (dev) or None.  Returns [N,H,W,16].
+
+    ``skip_layers`` (skip-layer guidance): block indices elided from the
+    forward — 0..depth_double-1 name double blocks, depth_double..
+    depth_double+depth_single-1 name single blocks."""
     dtype = ctx.dtype
     n, hh, ww, _ = x.shape
     hp, wp = hh // 2, ww // 2
@@ -268,10 +272,14 @@ def flux_apply(ctx: B.Ctx, x, t, cond, pooled, P: FluxParams,
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
     for i in range(P.depth_double):
+        if i in skip_layers:
+            continue
         img, txt = double_block(ctx, f"{pre}.double_blocks.{i}", img, txt,
                                 vec, cos, sin, P)
     xx_ = jnp.concatenate([txt, img], axis=1)
     for i in range(P.depth_single):
+        if (i + P.depth_double) in skip_layers:
+            continue
         xx_ = single_block(ctx, f"{pre}.single_blocks.{i}", xx_, vec, cos,
                            sin, P)
     img = xx_[:, s_txt:]
@@ -290,7 +298,8 @@ def flux_apply(ctx: B.Ctx, x, t, cond, pooled, P: FluxParams,
 
 
 def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: FluxParams,
-            pre: str = "flux", control=None, extra_ch=None):
+            pre: str = "flux", control=None, extra_ch=None,
+            skip_layers=()):
     """Rectified-flow wrapper (sampler-body signature).  ``label`` carries
     the CLIP pooled vector, with the embedded-guidance value appended as
     one extra column when P.guidance_embed (the session packs it there —
@@ -303,5 +312,5 @@ def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: FluxParams,
         guidance = label[:, P.d_pooled].astype(jnp.float32)
         label = label[:, :P.d_pooled]
     out = flux_apply(ctx, x.astype(ctx.dtype), t, cond, label, P, pre=pre,
-                     guidance=guidance)
+                     guidance=guidance, skip_layers=skip_layers)
     return out.astype(jnp.float32)

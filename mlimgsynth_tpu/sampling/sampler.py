@@ -71,7 +71,9 @@ class SamplerConfig:
     # sampling mode): an EXTRA conditional model evaluation with
     # ``slg_layers`` joint blocks elided, mixed as
     # out += slg_scale * (cond - cond_skipped) on steps in the
-    # [slg_start, slg_end) fraction of the schedule.  MMDiT families only.
+    # [slg_start, slg_end) fraction of the schedule.  DiT families (MMDiT:
+    # joint-block indices; Flux: 0..depth_double-1 = double blocks, then
+    # single blocks).
     slg_scale: float = 0.0
     slg_layers: tuple = (7, 8, 9)
     slg_start: float = 0.01
@@ -925,14 +927,16 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
                if getattr(unet_p, "flow", False) and cfg.noise_add else None)
     slg = None
     if cfg.slg_scale > 0:
-        if not getattr(unet_p, "flow", False) or getattr(unet_p, "flux",
-                                                         False):
+        if not getattr(unet_p, "flow", False):
             raise ValueError(
-                "skip-layer guidance requires an MMDiT model (SD3/SD3.5)")
+                "skip-layer guidance requires a DiT model (SD3/SD3.5/Flux)")
+        depth = (getattr(unet_p, "depth", 0)
+                 or getattr(unet_p, "depth_double", 0)
+                 + getattr(unet_p, "depth_single", 0))
         layers = tuple(sorted(int(v) for v in cfg.slg_layers))
-        if not layers or min(layers) < 0 or max(layers) >= unet_p.depth:
+        if not layers or min(layers) < 0 or max(layers) >= depth:
             raise ValueError(f"slg layers out of range for depth "
-                             f"{unet_p.depth}: {layers}")
+                             f"{depth}: {layers}")
         i0 = int(round(cfg.slg_start * plan.n_step))
         i1 = max(int(round(cfg.slg_end * plan.n_step)), i0 + 1)
         slg = (float(cfg.slg_scale), layers, i0, i1)

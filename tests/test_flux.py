@@ -132,3 +132,59 @@ def test_flux_denoise_guidance_column():
                               guidance=jnp.full((1,), 4.0))
     np.testing.assert_allclose(np.asarray(d), np.asarray(raw, np.float32),
                                atol=1e-6)
+
+
+def test_flux_slg_skip_layers_and_trajectory():
+    """skip_layers elides double blocks (indices < depth_double) and single
+    blocks (offset indices); the SLG sampler trajectory matches a manual
+    loop on a tiny schnell-style (cfg=1) run."""
+    from mlimgsynth_tpu.rng import RngPhilox
+    from mlimgsynth_tpu.sampling.sampler import (SamplerConfig, make_plan,
+                                                 run_sampler)
+    P = TINY_FLUX
+    spec = _spec(P, n=1)
+    _, model = _make_params(spec, seed=6)
+    ctx = B.Ctx(model, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(
+        (1, 8, 8, P.n_ch_in // 4)).astype(np.float32))
+    t = jnp.full((1,), 500.0)
+    cond = rng.standard_normal((1, 5, P.d_ctx_in)).astype(np.float32) * 0.3
+    pooled = rng.standard_normal((1, P.d_pooled)).astype(np.float32) * 0.3
+    full = np.asarray(flux_mod.flux_apply(
+        ctx, x, t, jnp.asarray(cond), jnp.asarray(pooled), P))
+    # each block index changes the forward; double and single offsets hit
+    # distinct blocks
+    outs = [np.asarray(flux_mod.flux_apply(
+        ctx, x, t, jnp.asarray(cond), jnp.asarray(pooled), P,
+        skip_layers=(i,))) for i in range(4)]
+    for i, o in enumerate(outs):
+        assert np.abs(o - full).max() > 1e-7, f"skip {i} was a no-op"
+
+    # sampler-level: schnell-style cfg<=1 run with slg over all steps
+    cfg = SamplerConfig(method="euler", n_step=3, cfg_scale=1.0,
+                        flow_shift=1.0, slg_scale=2.0, slg_layers=(2,),
+                        slg_start=0.0, slg_end=1.0)
+    x0 = rng.standard_normal((1, P.n_ch_in // 4, 8, 8)).astype(np.float32)
+    plan = make_plan(cfg, x0.shape, RngPhilox(seed=9))
+    got = run_sampler(model, x0, plan, cond, None, pooled, None, None,
+                      cfg, P, dtype=jnp.float32)
+
+    def vel(x_nchw, sigma):
+        tt = jnp.full((1,), sigma * P.n_step_train, jnp.float32)
+        xh = jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
+        vc = np.asarray(flux_mod.flux_apply(
+            ctx, xh, tt, jnp.asarray(cond), jnp.asarray(pooled), P),
+            np.float32)
+        vs = np.asarray(flux_mod.flux_apply(
+            ctx, xh, tt, jnp.asarray(cond), jnp.asarray(pooled), P,
+            skip_layers=(2,)), np.float32)
+        return (vc + cfg.slg_scale * (vc - vs)).transpose(0, 3, 1, 2)
+
+    sig = plan.sigmas
+    xm = x0 * (1.0 - sig[0]) + plan.noise0 * sig[0]
+    for i in range(plan.n_step):
+        xm = xm + vel(xm, float(sig[i])) \
+            * (float(sig[i + 1]) - float(sig[i]))
+    np.testing.assert_allclose(np.asarray(got), xm, atol=2e-4,
+                               err_msg="flux slg trajectory mismatch")
