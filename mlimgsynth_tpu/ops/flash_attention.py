@@ -452,11 +452,86 @@ def flash_attention(q, k, v, scale=None, causal: bool = False,
 def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr, *,
                     kv_len: int, block_k: int, causal: bool,
                     q_len: int, block_q: int, mask_tail: bool, d_sum: int,
-                    single_k: bool, mxu_sum: bool, static_max: bool = False):
+                    single_k: bool, mxu_sum: bool, static_max: bool = False,
+                    split_k: int = 1, ablate: str = ""):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
     q = q_ref[0]            # [bq, d]  (pre-scaled by scale*log2(e))
+
+    def _p_of(st):
+        """Logits -> softmax numerator p (the per-logit VPU/EUP work).
+
+        ``ablate`` (bench-only, MLIS_FLASH_ABLATE) swaps the softmax for
+        cheaper stand-ins to attribute kernel time between the MXU
+        matmuls and the logits-space passes; numerics are garbage."""
+        if ablate == "nosm":        # no softmax at all: straight cast
+            return st.astype(vt_ref.dtype)
+        if ablate == "noexp":       # mask/clamp pass kept, exp2 removed
+            return (jnp.minimum(st, 100.0) * 1e-3).astype(vt_ref.dtype)
+        return jnp.exp2(jnp.minimum(st, 100.0)).astype(vt_ref.dtype)
+
+    if static_max and split_k > 1 and not causal:
+        # Split-k sub-chains: the block's QK -> exp2 -> PV pipeline is a
+        # strict MXU -> VPU -> MXU dependency chain, so the units idle in
+        # turn (measured ~17-20%% MXU at d=64).  Cutting the k block into
+        # independent sub-chains lets Mosaic's VLIW scheduler overlap
+        # sub-chain i's exp2 (VPU/EUP) with sub-chain i+1's QK (MXU).
+        # Requires static_max (online max would serialize the chains).
+        sub = block_k // split_k
+        k_all = k_ref[0]
+        pvt_parts = []
+        l_parts = []
+        for i in range(split_k):
+            kk = k_all[i * sub:(i + 1) * sub]
+            st = jax.lax.dot_general(
+                kk, q, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if mask_tail:
+                base = ik * block_k + i * sub
+
+                def _mask(st, base=base):
+                    row = (jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+                           + base)
+                    return jnp.where(row < kv_len, st, NEG_INF)
+
+                st = jax.lax.cond(
+                    jnp.logical_and(ik == nk - 1, base + sub > kv_len),
+                    _mask, lambda st: st, st)
+            p = _p_of(st)
+            if not mxu_sum:
+                l_parts.append(jnp.sum(p, axis=0, keepdims=True,
+                                       dtype=jnp.float32))
+            pvt_parts.append(jax.lax.dot_general(
+                vt_ref[0][:, i * sub:(i + 1) * sub], p,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        pvt = functools.reduce(jnp.add, pvt_parts)
+        if single_k:
+            if mxu_sum:
+                l = pvt[d_sum:d_sum + 1, :]
+            else:
+                l = functools.reduce(jnp.add, l_parts)
+            o_ref[0] = (pvt / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+            return
+
+        @pl.when(ik == 0)
+        def _init_sk():
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+            if not mxu_sum:
+                l_scr[:] = jnp.zeros_like(l_scr)
+
+        if not mxu_sum:
+            l_scr[:] = l_scr[:] + functools.reduce(jnp.add, l_parts)
+        acc_scr[:] = acc_scr[:] + pvt
+
+        @pl.when(ik == nk - 1)
+        def _done_sk():
+            acc = acc_scr[:]
+            l = (acc[d_sum:d_sum + 1, :] if mxu_sum else l_scr[:])
+            o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
+
     k = k_ref[0]            # [bk, d]
     # sT[bk, bq]: kv on sublanes, q on lanes
     st = jax.lax.dot_general(
@@ -484,7 +559,7 @@ def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr, *,
     # window), the denominator is a [bq] VPU sum carried in l_scr.
     if single_k:
         if static_max:
-            p = jnp.exp2(jnp.minimum(st, 100.0)).astype(vt_ref.dtype)
+            p = _p_of(st)
         else:
             m = jnp.max(st, axis=0, keepdims=True)
             p = jnp.exp2(st - m).astype(vt_ref.dtype)
@@ -517,7 +592,7 @@ def _flash_kernel_t(q_ref, k_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr, *,
             if not mxu_sum:
                 l_scr[:] = jnp.zeros_like(l_scr)
 
-        p = jnp.exp2(jnp.minimum(st, 100.0)).astype(vt_ref.dtype)
+        p = _p_of(st)
         if not mxu_sum:
             l_scr[:] = l_scr[:] + jnp.sum(
                 p, axis=0, keepdims=True, dtype=jnp.float32)
@@ -575,25 +650,35 @@ def flash_attention_t(q, k, vt, scale=None, causal: bool = False,
     q: [B,H,Sq,D], k: [B,H,Sk,D], vt: [B,H,D,Sk] -> [B,H,D,Sq].
     Same online softmax as :func:`flash_attention`; the PV product and the
     output are transposed so d_head sits on MXU sublanes instead of lanes.
-    ``static_max=True`` (default: MLIS_FLASH_STATICMAX, resolved HERE so
-    it becomes an explicit jit static arg — flipping the env between
-    calls retraces instead of silently hitting the old cache entry)
-    drops the online-max bookkeeping — see the kernel comment.
+    ``static_max=True`` (DEFAULT since round 4 — queue #15 measured it a
+    consistent 3-6%% step win with on-HW numerics green; opt out with
+    MLIS_FLASH_STATICMAX=0.  Resolved HERE so it becomes an explicit jit
+    static arg — flipping the env between calls retraces instead of
+    silently hitting the old cache entry) drops the online-max
+    bookkeeping — see the kernel comment.  MLIS_FLASH_SPLITK=N (with
+    static_max) cuts each k block into N independent QK->exp2->PV
+    sub-chains so Mosaic can overlap MXU and VPU/EUP work across chains;
+    MLIS_FLASH_ABLATE=noexp|nosm is a bench-only softmax stand-in for
+    time attribution (garbage numerics).
     """
+    import os
     if static_max is None:
-        import os
         static_max = os.environ.get(
-            "MLIS_FLASH_STATICMAX", "0") not in ("0", "false", "no")
+            "MLIS_FLASH_STATICMAX", "1") not in ("0", "false", "no")
+    split_k = int(os.environ.get("MLIS_FLASH_SPLITK", "1") or "1")
+    ablate = os.environ.get("MLIS_FLASH_ABLATE", "")
     return _flash_attention_t_jit(q, k, vt, scale=scale, causal=causal,
                                   block_q=block_q, block_k=block_k,
-                                  static_max=bool(static_max))
+                                  static_max=bool(static_max),
+                                  split_k=split_k, ablate=ablate)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "causal", "block_q", "block_k",
-                                    "static_max"))
+                                    "static_max", "split_k", "ablate"))
 def _flash_attention_t_jit(q, k, vt, scale=None, causal: bool = False,
-                           block_q=None, block_k=None, static_max=False):
+                           block_q=None, block_k=None, static_max=False,
+                           split_k=1, ablate=""):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     assert vt.shape == (b, h, d, sk), (vt.shape, (b, h, d, sk))
@@ -638,10 +723,14 @@ def _flash_attention_t_jit(q, k, vt, scale=None, causal: bool = False,
     dv = dv_alt if alt else dv0             # sublane-tile padded rows
     vtp = _pad_to(_pad_to(vtr, 1, dv), 2, sk_p)
 
+    if split_k > 1 and (bk % split_k != 0 or (bk // split_k) % 128 != 0
+                        or not static_max):
+        split_k = 1                         # sub-chains must stay tile-aligned
     kernel = functools.partial(
         _flash_kernel_t, kv_len=sk, block_k=bk, causal=causal,
         q_len=sq, block_q=bq, mask_tail=(sk_p != sk), d_sum=d,
-        single_k=(sk_p == bk), mxu_sum=mxu_sum, static_max=static_max)
+        single_k=(sk_p == bk), mxu_sum=mxu_sum, static_max=static_max,
+        split_k=split_k, ablate=ablate)
 
     out = pl.pallas_call(
         kernel,

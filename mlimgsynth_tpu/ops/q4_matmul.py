@@ -49,13 +49,17 @@ def quantize_weight_q4(w: np.ndarray):
 
 
 def _unpack_block(wp):
-    """Packed [HALF, bn] int8 -> [KBLOCK, bn] int8 in block-row order.
+    """Packed [HALF, bn] int8 -> [KBLOCK, bn] int32 in block-row order.
 
-    Arithmetic shifts sign-extend the nibbles: low nibble via <<4 then
-    >>4, high nibble via >>4 directly.
+    Mosaic-safe unpack: no left shifts (arith.shli fails to legalize on
+    the real v5e compiler — round-3 queue #16 killed every q4 config);
+    the byte is sign-extended to int32, the high nibble is an arithmetic
+    right shift (floor(w/16), exact because the low nibble is stored
+    unsigned), and the low nibble is sign-extended via ``(x & 15 ^ 8) - 8``.
     """
-    lo = (wp << 4) >> 4
-    hi = wp >> 4
+    w = wp.astype(jnp.int32)
+    hi = w >> 4
+    lo = ((w & 15) ^ 8) - 8
     return jnp.concatenate([lo, hi], axis=0)
 
 

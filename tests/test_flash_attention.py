@@ -360,3 +360,22 @@ def test_padopt_matches_xla(monkeypatch):
     ref = attention_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out_t.swapaxes(-1, -2)),
                                np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("sq,sk,d,split", [
+    (512, 600, 64, 2),     # ragged kv: per-sub-chain tail masking
+    (512, 512, 64, 2),     # single-k fast path (sk_p == bk == 512)
+    (513, 1024, 64, 4),    # ragged q, multi-k accumulation
+])
+def test_transposed_split_k_matches_xla(sq, sk, d, split, monkeypatch):
+    """MLIS_FLASH_SPLITK cuts each k block into independent sub-chains
+    (MXU/VPU overlap); the result must match the unsplit kernel/XLA."""
+    monkeypatch.setenv("MLIS_FLASH_SPLITK", str(split))
+    q = rand(1, 2, sq, d, seed=1) * 0.5
+    k = rand(1, 2, sk, d, seed=2) * 0.5
+    v = rand(1, 2, sk, d, seed=3)
+    out_t = fa.flash_attention_t(q, k, v.swapaxes(-1, -2),
+                                 block_q=256, block_k=512, static_max=True)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_t.swapaxes(-1, -2)),
+                               np.asarray(ref), atol=2e-3, rtol=2e-3)
