@@ -401,9 +401,17 @@ class MLImgSynth:
                                 "cfg-rescale must be in [0, 1]")
             c["cfg_rescale"] = v
         elif opt == "slg_scale":
-            c["slg_scale"] = _float(args[0])
+            v = _float(args[0])
+            if v < 0:
+                raise MlisError(MlisError.E_OPT_VALUE,
+                                "slg-scale must be >= 0")
+            c["slg_scale"] = v
         elif opt == "pag_scale":
-            c["pag_scale"] = _float(args[0])
+            v = _float(args[0])
+            if v < 0:
+                raise MlisError(MlisError.E_OPT_VALUE,
+                                "pag-scale must be >= 0")
+            c["pag_scale"] = v
         elif opt == "slg_layers":
             s = str(args[0])
             try:
@@ -1926,6 +1934,51 @@ class MLImgSynth:
     # Generate (reference: mlis_generate, src/mlimgsynth.c:1634-1773)
     # ------------------------------------------------------------------
 
+    def _guidance_checks(self, unet_p) -> None:
+        """Pre-trace validation of the SLG/PAG guidance options: family
+        match, layer range, step window, and unsupported combinations all
+        surface as MlisError(E_OPT_VALUE) — the library's option-error
+        convention — instead of ValueError/AssertionError mid-sampling
+        (reference: every option path returns MLIS_E_OPT_VALUE,
+        src/mlimgsynth_options_set.c.h)."""
+        c = self.c
+        flow = getattr(unet_p, "flow", False)
+        if c["slg_scale"]:
+            if not flow:
+                raise MlisError(MlisError.E_OPT_VALUE,
+                                "slg-scale requires a DiT model (SD3/Flux)")
+            if c["slg_end"] <= c["slg_start"]:
+                raise MlisError(
+                    MlisError.E_OPT_VALUE,
+                    f"slg window is empty: slg-end ({c['slg_end']:g}) must "
+                    f"be > slg-start ({c['slg_start']:g})")
+            depth = (getattr(unet_p, "depth", 0)
+                     or getattr(unet_p, "depth_double", 0)
+                     + getattr(unet_p, "depth_single", 0))
+            layers = tuple(int(v) for v in str(c["slg_layers"]).split(",")
+                           if str(v).strip())
+            if not layers or min(layers) < 0 or max(layers) >= depth:
+                raise MlisError(
+                    MlisError.E_OPT_VALUE,
+                    f"slg-layers out of range for depth {depth}: "
+                    f"{c['slg_layers']}")
+            if c["pp"] > 1:
+                raise MlisError(
+                    MlisError.E_OPT_VALUE,
+                    "slg-scale is not supported with --pp block stacking")
+        if c["pag_scale"]:
+            if flow:
+                raise MlisError(MlisError.E_OPT_VALUE,
+                                "pag-scale requires an SD-UNet model")
+            if c["pag_end"] <= c["pag_start"]:
+                raise MlisError(
+                    MlisError.E_OPT_VALUE,
+                    f"pag window is empty: pag-end ({c['pag_end']:g}) must "
+                    f"be > pag-start ({c['pag_start']:g})")
+            if c["deepcache"] > 1:
+                raise MlisError(MlisError.E_OPT_VALUE,
+                                "pag-scale is not supported with deepcache")
+
     def generate(self) -> np.ndarray:
         with self._lock:
             return self._generate_guarded()
@@ -2206,12 +2259,7 @@ class MLImgSynth:
                     if nlabel is not None else None
 
         # sampling
-        if c["slg_scale"] and not getattr(mt.unet_p, "flow", False):
-            raise MlisError(MlisError.E_OPT_VALUE,
-                            "slg-scale requires a DiT model (SD3/Flux)")
-        if c["pag_scale"] and getattr(mt.unet_p, "flow", False):
-            raise MlisError(MlisError.E_OPT_VALUE,
-                            "pag-scale requires an SD-UNet model")
+        self._guidance_checks(mt.unet_p)
         flow_shift = getattr(mt.unet_p, "flow_shift", 0.0) if flow else 0.0
         if flow and getattr(mt.unet_p, "dynamic_shift", False):
             from .models.flux import dynamic_flow_shift
@@ -2816,13 +2864,7 @@ class MLImgSynth:
                 label = np.concatenate([np.asarray(label, np.float32),
                                         gcol], axis=-1)
 
-            if c["slg_scale"] and not getattr(mt.unet_p, "flow",
-                                               False):
-                raise MlisError(MlisError.E_OPT_VALUE,
-                                "slg-scale requires a DiT model (SD3/Flux)")
-            if c["pag_scale"] and getattr(mt.unet_p, "flow", False):
-                raise MlisError(MlisError.E_OPT_VALUE,
-                                "pag-scale requires an SD-UNet model")
+            self._guidance_checks(mt.unet_p)
             flow_shift = (getattr(mt.unet_p, "flow_shift", 0.0)
                           if getattr(mt.unet_p, "flow", False) else 0.0)
             if getattr(mt.unet_p, "dynamic_shift", False):

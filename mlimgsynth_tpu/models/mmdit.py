@@ -296,8 +296,11 @@ def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
 
     stacked = f"{pre}.joint_blocks_p."
     if any(k.startswith(stacked) for k in ctx.params):
-        assert not skip_layers, \
-            "skip-layer guidance is not supported with --pp block stacking"
+        if skip_layers:
+            # backstop (api._guidance_checks rejects slg+pp pre-trace);
+            # a raise survives python -O where an assert would vanish
+            raise ValueError(
+                "skip-layer guidance is not supported with --pp stacking")
         # pipeline-parallel block stack (--pp): the session restacked all
         # depth blocks into [pp, L, ...] slabs sharded over the 'pp' mesh
         # axis (the final pre_only block's missing context-side params are

@@ -925,18 +925,29 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     # (x = (1-sigma0) x0 + sigma0 n); None keeps the VE path's jaxpr
     xscale0 = (jnp.float32(1.0 - float(plan.sigmas[0]))
                if getattr(unet_p, "flow", False) and cfg.noise_add else None)
+    # Guidance option errors follow the library convention
+    # (MlisError E_OPT_VALUE, reference src/mlimgsynth_options_set.c.h);
+    # the session pre-validates (api._guidance_checks) but run_sampler is
+    # public API, so direct callers get the same clean errors.  Lazy
+    # import: api imports this module at load time.
+    from ..api import MlisError
     slg = None
     if cfg.slg_scale > 0:
         if not getattr(unet_p, "flow", False):
-            raise ValueError(
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
                 "skip-layer guidance requires a DiT model (SD3/SD3.5/Flux)")
         depth = (getattr(unet_p, "depth", 0)
                  or getattr(unet_p, "depth_double", 0)
                  + getattr(unet_p, "depth_single", 0))
         layers = tuple(sorted(int(v) for v in cfg.slg_layers))
         if not layers or min(layers) < 0 or max(layers) >= depth:
-            raise ValueError(f"slg layers out of range for depth "
-                             f"{depth}: {layers}")
+            raise MlisError(MlisError.E_OPT_VALUE,
+                            f"slg layers out of range for depth "
+                            f"{depth}: {layers}")
+        if cfg.slg_end <= cfg.slg_start:
+            raise MlisError(MlisError.E_OPT_VALUE,
+                            "slg window is empty (slg_end <= slg_start)")
         i0 = int(round(cfg.slg_start * plan.n_step))
         i1 = max(int(round(cfg.slg_end * plan.n_step)), i0 + 1)
         slg = (float(cfg.slg_scale), layers, i0, i1)
@@ -944,10 +955,15 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     if cfg.pag_scale > 0:
         if getattr(unet_p, "flow", False) or not getattr(unet_p, "attn_res",
                                                          ()):
-            raise ValueError(
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
                 "perturbed-attention guidance requires an SD-UNet model")
         if deepcache:
-            raise ValueError("pag: unsupported with deepcache")
+            raise MlisError(MlisError.E_OPT_VALUE,
+                            "pag: unsupported with deepcache")
+        if cfg.pag_end <= cfg.pag_start:
+            raise MlisError(MlisError.E_OPT_VALUE,
+                            "pag window is empty (pag_end <= pag_start)")
         i0 = int(round(cfg.pag_start * plan.n_step))
         i1 = max(int(round(cfg.pag_end * plan.n_step)), i0 + 1)
         pag = (float(cfg.pag_scale), i0, i1)

@@ -145,7 +145,16 @@ def make_schedule(n_step: int, sched: str = SCHED_UNIFORM,
         # A1111 "beta" grid ("Beta Sampling is All You Need", alpha =
         # beta = 0.6): sigma = smin + ppf(1-u)*(smax-smin) on a uniform
         # u grid including both endpoints
-        from scipy.stats import beta as beta_dist
+        try:
+            from scipy.stats import beta as beta_dist
+        except ImportError as e:
+            # surface as a clean option error, not a raw ImportError
+            # mid-generate (library convention: E_OPT_VALUE)
+            from ..api import MlisError
+            raise MlisError(
+                MlisError.E_OPT_VALUE,
+                "the 'beta' schedule needs scipy (scipy.stats.beta), "
+                "which is not installed") from e
         smin = float(t_to_sigma(np.float32(t_end), ls))
         smax = float(t_to_sigma(np.float32(t_ini), ls))
         u = (1.0 - np.linspace(0.0, 1.0, n_step)) if n_step > 1 \

@@ -322,3 +322,29 @@ def test_slg_rejected_on_unet_models(ckpt, monkeypatch):
     s.option_set("slg-scale", 2.5)
     with pytest.raises(MlisError):
         s.generate()
+
+
+def test_guidance_option_validation(ckpt, monkeypatch):
+    """ADVICE r3: negative scales, inverted step windows, and unsupported
+    combos all surface as MlisError(E_OPT_VALUE), never ValueError or a
+    silently ignored option."""
+    s = make_session(ckpt, monkeypatch, prompt="a cat")
+    with pytest.raises(MlisError):
+        s.option_set("slg-scale", -1.0)
+    with pytest.raises(MlisError):
+        s.option_set("pag-scale", "-0.5")
+    # inverted PAG window on a UNet model: rejected at generate time
+    s.option_set("pag-scale", 2.0)
+    s.option_set("pag-start", 0.5)
+    s.option_set("pag-end", 0.25)
+    with pytest.raises(MlisError) as ei:
+        s.generate()
+    assert ei.value.code == MlisError.E_OPT_VALUE
+    assert "window" in str(ei.value)
+    # pag + deepcache: clean option error, not a trace-time failure
+    s.option_set("pag-start", 0.0)
+    s.option_set("pag-end", 1.0)
+    s.option_set("deepcache", 3)
+    with pytest.raises(MlisError) as ei:
+        s.generate()
+    assert "deepcache" in str(ei.value)

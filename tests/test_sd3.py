@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mlimgsynth_tpu.api import MLImgSynth
+from mlimgsynth_tpu.api import MLImgSynth, MlisError
 from mlimgsynth_tpu.models import blocks as B
 from mlimgsynth_tpu.models import mmdit as mmdit_mod
 from mlimgsynth_tpu.sampling import schedule as sch
@@ -420,5 +420,6 @@ def test_sd3_slg_session_and_infotext(session):
     # layer index beyond the tiny model's depth=2 -> clean error
     session.option_set("prompt", "a guided cat")
     session.option_set("slg-layers", "9")
-    with pytest.raises(ValueError):
+    # option-error convention since round 4 (ADVICE r3): MlisError
+    with pytest.raises(MlisError):
         session.generate()
