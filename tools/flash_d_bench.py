@@ -46,7 +46,9 @@ def main():
                 # feed back so the scan can't hoist the kernel
                 return q + o.swapaxes(-1, -2).astype(q.dtype) * 1e-6, None
             q, _ = jax.lax.scan(body, q, None, length=n_scan)
-            return q
+            # scalar fetch: returning q (MBs) through the axon tunnel
+            # dominated the round-3 numbers and faked d-insensitivity
+            return jnp.mean(q.astype(jnp.float32))
 
         fn = jax.jit(loop)
         t0 = time.time()

@@ -55,7 +55,11 @@ def main():
                 o = call(q, k, vt)                    # [b,h,d,s]
                 return q + o.swapaxes(-1, -2).astype(q.dtype) * 1e-6, None
             q, _ = jax.lax.scan(body, q, None, length=n_scan)
-            return q
+            # SCALAR fetch: returning q itself (26 MB) costs ~10s of ms
+            # through the axon tunnel and drowns every kernel difference
+            # (this bug polluted the round-3 flash_d_bench d-insensitivity
+            # conclusion and the first queue-20 run of this tool)
+            return jnp.mean(q.astype(jnp.float32))
         try:
             fn = jax.jit(loop)
             t0 = time.time()
@@ -85,13 +89,48 @@ def main():
 
     bench("default(static-max)", ours())
     bench("online-max(r3-default)", ours(static_max=False))
-    bench("splitk=2", ours(split=2))
     bench("splitk=4", ours(split=4))
     bench("ablate=noexp", ours(ablate="noexp"))
     bench("ablate=nosm(MXU-floor)", ours(ablate="nosm"))
-    bench("blk1024x1024+splitk2", ours(split=2, bq=1024, bk=1024))
-    bench("blk512x2048+splitk4", ours(split=4, bq=512, bk=2048))
-    bench("blk2176x512+splitk2", ours(split=2, bq=2176, bk=512))
+    # grid-overhead hypothesis: fewer, bigger blocks (grid steps at this
+    # shape: default(512x2048)=1296, 1024x1024=1200, 1024x2048=720,
+    # 2048x1024=540, 2048x2048=432 -- the last two exceed the safe-VMEM
+    # logits budget and may OOM; record whatever compiles)
+    bench("blk1024x1024", ours(bq=1024, bk=1024))
+    bench("blk1024x2048", ours(bq=1024, bk=2048))
+    bench("blk2048x1024", ours(bq=2048, bk=1024))
+    bench("blk1024x2048+nosm", ours(ablate="nosm", bq=1024, bk=2048))
+    # d-insensitivity re-test with clean fetch (round-3 conclusion was
+    # polluted by the 26MB host fetch): same bh, same S, d=128
+    q128 = jnp.asarray(rng.standard_normal((b, h, s, 128)), jnp.bfloat16) * .3
+    k128 = jnp.asarray(rng.standard_normal((b, h, s, 128)), jnp.bfloat16) * .3
+    vt128 = jnp.asarray(rng.standard_normal((b, h, 128, s)), jnp.bfloat16)
+
+    def bench128(name, call):
+        def loop(q_, k_, vt_):
+            def body(qq, _):
+                o = call(qq, k128, vt128)
+                return qq + o.swapaxes(-1, -2).astype(qq.dtype) * 1e-6, None
+            qq, _ = jax.lax.scan(body, q128, None, length=n_scan)
+            return jnp.mean(qq.astype(jnp.float32))
+        try:
+            fn = jax.jit(loop)
+            t0 = time.time()
+            np.asarray(fn(q128, k128, vt128))
+            print(f"[{name}] compile+first {time.time() - t0:.1f}s",
+                  flush=True)
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(fn(q128, k128, vt128))
+                times.append(time.time() - t0)
+            print(f"RESULT {name}: {min(times) / n_scan * 1e3:.3f} "
+                  f"ms/attention", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"RESULT {name}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+    bench128("d128-default", ours())
 
     # stock jax pallas TPU flash kernel, padded to 4608 (numerics include
     # the zero-padded kv rows -- timing-only comparison)
