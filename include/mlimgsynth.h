@@ -69,7 +69,14 @@ typedef enum MLIS_Scheduler {
 	/* beyond-reference: the LCM distillation timestep grid (implied by
 	 * MLIS_METHOD_LCM unless a schedule is set explicitly) */
 	MLIS_SCHED_LCM,
-	MLIS_SCHED__LAST = MLIS_SCHED_LCM,
+	/* beyond-reference (round 4, additive): the remaining string-side
+	 * schedules gain ids so the by-id/by-string option-surface parity
+	 * property holds for every schedule (reference design:
+	 * src/mlimgsynth_options_set.c.h). */
+	MLIS_SCHED_EXPONENTIAL,     /* k-diffusion log-uniform sigma grid */
+	MLIS_SCHED_SGM_UNIFORM,     /* sgm / A1111 "SGM Uniform" */
+	MLIS_SCHED_BETA,            /* A1111 "Beta" (needs scipy) */
+	MLIS_SCHED__LAST = MLIS_SCHED_BETA,
 } MLIS_Scheduler;
 
 typedef enum MLIS_ModelType {
@@ -178,7 +185,24 @@ typedef enum MLIS_Option {
 	 * distributions (flux): a CLIP text tower / a standalone VAE. */
 	MLIS_OPT_CLIP,              /* (const char* weights path) */
 	MLIS_OPT_VAE,               /* (const char* weights path) */
-	MLIS_OPT__LAST = MLIS_OPT_VAE,
+	/* beyond-reference (round 4, additive): ids for every option that
+	 * previously existed string-side only, restoring the reference's
+	 * "settable by id AND by string with identical validation" design
+	 * property (src/mlimgsynth_options_set.c.h) for the round-3
+	 * guidance/caching/variation features. */
+	MLIS_OPT_CFG_RESCALE,       /* (double f in [0,1]) */
+	MLIS_OPT_SLG_SCALE,         /* (double f >= 0; DiT models only) */
+	MLIS_OPT_SLG_LAYERS,        /* (const char* "7,8,9") */
+	MLIS_OPT_SLG_START,         /* (double step fraction in [0,1]) */
+	MLIS_OPT_SLG_END,           /* (double step fraction in [0,1]) */
+	MLIS_OPT_PAG_SCALE,         /* (double f >= 0; UNet models only) */
+	MLIS_OPT_PAG_START,         /* (double step fraction in [0,1]) */
+	MLIS_OPT_PAG_END,           /* (double step fraction in [0,1]) */
+	MLIS_OPT_FREEU,             /* (const char* "y"/"n"/"B1,B2,S1,S2") */
+	MLIS_OPT_DEEPCACHE,         /* (int interval N; <=1 disables) */
+	MLIS_OPT_SUBSEED,           /* (uint64_t variation seed) */
+	MLIS_OPT_SUBSEED_STRENGTH,  /* (double f in [0,1]; 0 disables) */
+	MLIS_OPT__LAST = MLIS_OPT_SUBSEED_STRENGTH,
 } MLIS_Option;
 
 enum MLIS_TensorUseFlag {

@@ -3172,9 +3172,16 @@ class MLImgSynth:
             out.append(f", CFG Rescale: {c['cfg_rescale']:g}")
         if c["slg_scale"] > 0:
             out.append(f", SLG scale: {c['slg_scale']:g}"
-                       f", SLG layers: {c['slg_layers']}")
+                       f", SLG layers: {c['slg_layers']}"
+                       f", SLG start: {c['slg_start']:g}"
+                       f", SLG end: {c['slg_end']:g}")
         if c["pag_scale"] > 0:
             out.append(f", PAG scale: {c['pag_scale']:g}")
+            if c["pag_start"] > 0 or c["pag_end"] < 1:
+                out.append(f", PAG start: {c['pag_start']:g}"
+                           f", PAG end: {c['pag_end']:g}")
+        if c["deepcache"] > 1:
+            out.append(f", DeepCache: {c['deepcache']}")
         if c["freeu"] and self._freeu_parse(c["freeu"]) is not None:
             fu = self._freeu_resolve()
             out.append(", FreeU: " + ",".join(f"{v:g}" for v in fu))

@@ -250,6 +250,7 @@ int mlis_option_set(MLIS_Ctx *S, MLIS_Option id, ...)
 	case MLIS_OPT_CONTROL_NET: case MLIS_OPT_EMBED_DIR:
 	case MLIS_OPT_REFINER: case MLIS_OPT_T5: case MLIS_OPT_T5_TOKENIZER:
 	case MLIS_OPT_CLIP: case MLIS_OPT_VAE:
+	case MLIS_OPT_SLG_LAYERS: case MLIS_OPT_FREEU:
 		r = mlis_option_set_str(S, name, va_arg(ap, const char*));
 		break;
 	case MLIS_OPT_LORA: {
@@ -272,6 +273,7 @@ int mlis_option_set(MLIS_Ctx *S, MLIS_Option id, ...)
 	case MLIS_OPT_DUMP_FLAGS: case MLIS_OPT_LOG_LEVEL:
 	case MLIS_OPT_NO_PROMPT_PARSE: case MLIS_OPT_WEIGHT_TYPE:
 	case MLIS_OPT_HIRES_STEPS: case MLIS_OPT_T5_TOKENS:
+	case MLIS_OPT_DEEPCACHE:
 		snprintf(buf, sizeof(buf), "%d", va_arg(ap, int));
 		r = mlis_option_set_str(S, name, buf);
 		break;
@@ -279,10 +281,14 @@ int mlis_option_set(MLIS_Ctx *S, MLIS_Option id, ...)
 	case MLIS_OPT_S_NOISE: case MLIS_OPT_S_ANCESTRAL:
 	case MLIS_OPT_CONTROL_STRENGTH: case MLIS_OPT_HIRES_FIX:
 	case MLIS_OPT_HIRES_DENOISE: case MLIS_OPT_REFINER_SWITCH:
+	case MLIS_OPT_CFG_RESCALE: case MLIS_OPT_SLG_SCALE:
+	case MLIS_OPT_SLG_START: case MLIS_OPT_SLG_END:
+	case MLIS_OPT_PAG_SCALE: case MLIS_OPT_PAG_START:
+	case MLIS_OPT_PAG_END: case MLIS_OPT_SUBSEED_STRENGTH:
 		snprintf(buf, sizeof(buf), "%.9g", va_arg(ap, double));
 		r = mlis_option_set_str(S, name, buf);
 		break;
-	case MLIS_OPT_SEED:
+	case MLIS_OPT_SEED: case MLIS_OPT_SUBSEED:
 		snprintf(buf, sizeof(buf), "%llu",
 			(unsigned long long)va_arg(ap, uint64_t));
 		r = mlis_option_set_str(S, name, buf);
@@ -557,7 +563,7 @@ static const char *g_method_names[] = {
 	"none", "euler", "heun", "taylor3", "dpmpp2m", "dpmpp2s",
 	"dpmpp2m_sde", "lcm", "unipc"};
 static const char *g_sched_names[] = {"none", "uniform", "karras",
-	"lcm"};
+	"lcm", "exponential", "sgm_uniform", "beta"};
 static const char *g_model_type_names[] = {"none", "sd1", "sd2", "sdxl",
 	"sdxl_refiner", "sd3", "sd35_large", "sd35_medium", "flux_schnell",
 	"flux_dev"};
@@ -577,7 +583,10 @@ static const char *g_option_names[] = {
 	"no_prompt_parse", "control_net", "control_image", "control_strength",
 	"embed_dir", "hires_fix", "hires_denoise", "hires_steps",
 	"refiner", "refiner_switch", "t5", "t5_tokenizer", "t5_tokens",
-	"clip", "vae"};
+	"clip", "vae",
+	"cfg_rescale", "slg_scale", "slg_layers", "slg_start", "slg_end",
+	"pag_scale", "pag_start", "pag_end", "freeu", "deepcache",
+	"subseed", "subseed_strength"};
 static const struct { const char *name; int id; } g_loglvl_attr[] = {
 	{ "none",    MLIS_LOGLVL_NONE },
 	{ "error",   MLIS_LOGLVL_ERROR },

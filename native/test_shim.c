@@ -51,6 +51,19 @@ int main(int argc, char **argv)
 		"option fromz unknown -> -1");
 	CHECK(!strcmp(mlis_state_str(MLIS_STAGE_DENOISE), "denoise"),
 		"state str alias");
+	/* round-4 additive ids: every string-side option/schedule has an id
+	 * (by-id/by-string parity, reference src/mlimgsynth_options_set.c.h) */
+	CHECK(!strcmp(mlis_sched_str(MLIS_SCHED_EXPONENTIAL), "exponential"),
+		"sched str exponential");
+	CHECK(mlis_sched_fromz("SGM-Uniform") == MLIS_SCHED_SGM_UNIFORM,
+		"sched fromz sgm_uniform");
+	CHECK(mlis_sched_fromz("beta") == MLIS_SCHED_BETA, "sched fromz beta");
+	CHECK(!strcmp(mlis_option_str(MLIS_OPT_DEEPCACHE), "deepcache"),
+		"option str deepcache");
+	CHECK(mlis_option_fromz("SLG-Scale") == MLIS_OPT_SLG_SCALE,
+		"option fromz slg_scale");
+	CHECK(mlis_option_fromz("subseed-strength") == MLIS_OPT_SUBSEED_STRENGTH,
+		"option fromz subseed_strength");
 	{
 		/* mlis_tensor_for: flat index must walk innermost-first */
 		MLIS_Tensor t = {0};
@@ -69,6 +82,34 @@ int main(int argc, char **argv)
 		== MLIS_E_UNK_OPT, "unknown option -> MLIS_E_UNK_OPT");
 	CHECK(mlis_option_set_str(ctx, "method", "not-a-method")
 		== MLIS_E_OPT_VALUE, "bad value -> MLIS_E_OPT_VALUE");
+	/* round-4 options by id, with the same validation as by string */
+	CHECK(mlis_option_set(ctx, MLIS_OPT_SCHEDULER, MLIS_SCHED_EXPONENTIAL)
+		>= 0, "scheduler by id (exponential)");
+	CHECK(mlis_option_set(ctx, MLIS_OPT_CFG_RESCALE, 0.5) >= 0,
+		"cfg-rescale by id");
+	CHECK(mlis_option_set(ctx, MLIS_OPT_CFG_RESCALE, 1.5)
+		== MLIS_E_OPT_VALUE, "cfg-rescale range check by id");
+	CHECK(mlis_option_set(ctx, MLIS_OPT_SLG_SCALE, -1.0)
+		== MLIS_E_OPT_VALUE, "negative slg-scale rejected by id");
+	CHECK(mlis_option_set(ctx, MLIS_OPT_SLG_LAYERS, "7,8,9") >= 0,
+		"slg-layers by id");
+	CHECK(mlis_option_set(ctx, MLIS_OPT_DEEPCACHE, 0) >= 0,
+		"deepcache by id");
+	CHECK(mlis_option_set(ctx, MLIS_OPT_SUBSEED, (uint64_t)7) >= 0,
+		"subseed by id");
+	CHECK(mlis_option_set(ctx, MLIS_OPT_SUBSEED_STRENGTH, 0.0) >= 0,
+		"subseed-strength by id");
+	CHECK(mlis_option_set(ctx, MLIS_OPT_FREEU, "n") >= 0, "freeu by id");
+	{
+		/* read back by id: the value set above crosses the ABI both ways */
+		const char *v = NULL;
+		CHECK(mlis_option_get(ctx, MLIS_OPT_SLG_LAYERS, &v) >= 0 && v &&
+			!strcmp(v, "7,8,9"), "option_get slg-layers readback");
+		CHECK(mlis_option_get(ctx, MLIS_OPT_CFG_RESCALE, &v) >= 0 && v &&
+			!strcmp(v, "0.5"), "option_get cfg-rescale readback");
+	}
+	mlis_option_set(ctx, MLIS_OPT_CFG_RESCALE, 0.0);
+	mlis_option_set_str(ctx, "scheduler", "uniform");
 	{
 		/* missing model file must cross the ABI as MLIS_E_FILE_NOT_FOUND */
 		MLIS_Ctx *c2 = mlis_ctx_create();
@@ -96,6 +137,13 @@ int main(int argc, char **argv)
 			(void*)0) >= 0, "callback");
 		CHECK(mlis_option_set(ctx, MLIS_OPT_PROMPT, "a (cat:1.2) photo")
 			>= 0, "prompt");
+		/* round-4 ids drive a real generate and land in infotext */
+		CHECK(mlis_option_set(ctx, MLIS_OPT_PAG_SCALE, 2.0) >= 0,
+			"pag-scale by id");
+		CHECK(mlis_option_set(ctx, MLIS_OPT_SUBSEED, (uint64_t)7) >= 0,
+			"subseed by id (generate)");
+		CHECK(mlis_option_set(ctx, MLIS_OPT_SUBSEED_STRENGTH, 0.25) >= 0,
+			"subseed-strength by id (generate)");
 		int r = mlis_generate(ctx);
 		if (r < 0) printf("generate error: %s\n", mlis_errstr_get(ctx));
 		CHECK(r >= 0, "generate");
@@ -105,6 +153,10 @@ int main(int argc, char **argv)
 			"image 64x64x3");
 		const char *info = mlis_infotext_get(ctx, 0);
 		CHECK(info && strstr(info, "Seed: 42"), "infotext");
+		CHECK(info && strstr(info, "PAG scale: 2"),
+			"infotext PAG (id-set option reaches infotext)");
+		CHECK(info && strstr(info, "Variation seed: 7"),
+			"infotext variation seed");
 		MLIS_Tensor *lat = mlis_tensor_get(ctx, MLIS_TENSOR_LATENT);
 		CHECK(lat && lat->n[0] == 8 && lat->n[2] == 4, "latent tensor");
 	}

@@ -50,7 +50,11 @@ MLIS_METHOD__LAST = 8
 MLIS_SCHED_NONE = 0
 MLIS_SCHED_UNIFORM = 1
 MLIS_SCHED_KARRAS = 2
-MLIS_SCHED__LAST = 2
+MLIS_SCHED_LCM = 3          # beyond-reference additions, see the header
+MLIS_SCHED_EXPONENTIAL = 4
+MLIS_SCHED_SGM_UNIFORM = 5
+MLIS_SCHED_BETA = 6
+MLIS_SCHED__LAST = 6
 
 MLIS_LOGLVL_NONE = 0
 MLIS_LOGLVL_ERROR = 10
@@ -84,9 +88,16 @@ _OPTION_NAMES = [
     "seed", "vae-tile", "unet-split", "threads", "dump-flags", "aux-dir",
     "callback", "error-handler", "log-level", "model-type", "weight-type",
     "no-prompt-parse",
-    # beyond-reference additions (ControlNet, embeddings, highres-fix)
+    # beyond-reference additions (ControlNet, embeddings, highres-fix,
+    # refiner, SD3/Flux aux weights, guidance/caching/variation) — keep
+    # in lockstep with include/mlimgsynth.h MLIS_Option
     "control-net", "control-image", "control-strength", "embed-dir",
     "hires-fix", "hires-denoise", "hires-steps",
+    "refiner", "refiner-switch", "t5", "t5-tokenizer", "t5-tokens",
+    "clip", "vae",
+    "cfg-rescale", "slg-scale", "slg-layers", "slg-start", "slg-end",
+    "pag-scale", "pag-start", "pag-end", "freeu", "deepcache",
+    "subseed", "subseed-strength",
 ]
 for _i, _n in enumerate(_OPTION_NAMES):
     if _i:
