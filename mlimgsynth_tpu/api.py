@@ -413,7 +413,8 @@ class MLImgSynth:
                                 "pag-scale must be >= 0")
             c["pag_scale"] = v
         elif opt == "slg_layers":
-            s = str(args[0])
+            # rejoin: option_set_str splits "7,8,9" into three args
+            s = ",".join(str(a) for a in args)
             try:
                 layers = tuple(int(v) for v in s.split(",") if v.strip())
             except ValueError:
@@ -514,7 +515,8 @@ class MLImgSynth:
         elif opt == "deepcache":
             c["deepcache"] = _int(args[0], 0)
         elif opt == "freeu":
-            c["freeu"] = str(args[0]).strip()
+            # rejoin: option_set_str splits "B1,B2,S1,S2" into four args
+            c["freeu"] = ",".join(str(a) for a in args).strip()
             self._freeu_parse(c["freeu"])  # fail fast on bad syntax
         elif opt == "tiling":
             c["tiling"] = bool(_int(args[0], 0))
