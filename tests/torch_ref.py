@@ -636,3 +636,63 @@ def torch_srvgg(state, img, n_conv, scale):
     out = F.pixel_shuffle(h, scale)
     out = out + F.interpolate(x, scale_factor=scale, mode="nearest")
     return out.clamp(0, 1).numpy()
+
+
+def torch_clip_text(params, tokens, P, pre="clip", clip_skip=0, norm=True,
+                    feat_tok_idx=None, feat_proj=True):
+    """CLIP text encoder on torch kernels, mirroring the reference tower
+    (mlb_clip_text, /root/reference/src/clip.c:317-446) independently of
+    models/clip.py.  tokens: int64 [N, n_token] (already wrapped/padded).
+    Returns (embed [N, n_token, d] f32, feat [N, d] or None)."""
+    R = TorchRef(params)
+    tpre = pre + ".text"
+    toks = torch.from_numpy(np.asarray(tokens, np.int64))
+    x = R.p[tpre + ".embed.token.weight"][toks] \
+        + R.p[tpre + ".embed.position.weight"]
+    n_eff = P.n_layer - (clip_skip - 1) if clip_skip > 1 else P.n_layer
+    n_run = P.n_layer if feat_tok_idx is not None else n_eff
+    x_skip = x if n_eff == 0 else None
+    hd = P.d_embed // P.n_head
+    for i in range(n_run):
+        lp = f"{tpre}.encoder.layers.{i}"
+        x0 = x
+        h = R.layer_norm(lp + ".norm1", x)
+        n, t, d = h.shape
+
+        def _proj(name, h=h, lp=lp, n=n, t=t):
+            y = F.linear(h, R.p[f"{lp}.attn.{name}.weight"],
+                         R.p[f"{lp}.attn.{name}.bias"])
+            return y.view(n, t, P.n_head, hd).transpose(1, 2)
+
+        a = F.scaled_dot_product_attention(
+            _proj("q_proj"), _proj("k_proj"), _proj("v_proj"),
+            is_causal=True)
+        a = a.transpose(1, 2).reshape(n, t, d)
+        a = F.linear(a, R.p[lp + ".attn.out_proj.weight"],
+                     R.p[lp + ".attn.out_proj.bias"])
+        x = x0 + a
+        h = R.layer_norm(lp + ".norm2", x)
+        h = F.linear(h, R.p[lp + ".mlp.fc1.weight"],
+                     R.p[lp + ".mlp.fc1.bias"])
+        if P.d_embed in (1024, 1280):   # SD2 / SDXL towers
+            h = F.gelu(h, approximate="tanh")
+        else:                           # SD1: ggml_gelu_quick
+            h = h * torch.sigmoid(1.702 * h)
+        h = F.linear(h, R.p[lp + ".mlp.fc2.weight"],
+                     R.p[lp + ".mlp.fc2.bias"])
+        x = x + h
+        if i + 1 == n_eff:
+            x_skip = x
+    feat = None
+    if feat_tok_idx is not None:
+        xn = R.layer_norm(tpre + ".ln_final", x)
+        rows = xn[torch.arange(xn.shape[0]),
+                  torch.from_numpy(np.asarray(feat_tok_idx, np.int64))]
+        if feat_proj:
+            feat = rows @ R.p[tpre + ".text_proj"]
+        else:
+            feat = rows
+    x = x_skip if x_skip is not None else x
+    if norm:
+        x = R.layer_norm(tpre + ".ln_final", x)
+    return x, feat
