@@ -1,0 +1,111 @@
+"""Large-S self-attention through the stock JAX pallas TPU flash kernel.
+
+``jax.experimental.pallas.ops.tpu.flash_attention`` is public JAX library
+code shipped with the installed jax.  Round-4 measurement (docs/BENCH.md
+queue #22, tools/flash_stock_ab.py) showed that at the SD3 joint shape
+(bh=48, S=4250, d=64) it runs 5.4-5.8 ms/attention vs 8.5 ms for our
+transposed-v kernel — and our own ablations (queue #21) proved the gap
+is the kernel's grid/block structure, not softmax work (ablating softmax
+entirely saved ~6%).  Rather than chase its scheduling, the dispatch
+layer routes the large-S self/joint-attention regime here and keeps our
+kernel (better at the small-S ragged UNet shapes, no kv-padding
+requirement, transposed-v layout) everywhere else.
+
+VMEM-promotion safety: in-loop Pallas outputs can be nondeterministically
+promoted to scoped vmem S(1) and blow the 16 MiB stack (round-3 planner
+findings, ops/flash_attention._plan_flash docstring).  Outputs STRICTLY
+LARGER than the stack are unpromotable, so this path is gated to
+per-device output sizes > 16 MiB — which is exactly the DiT regime it
+targets (SD3/SD3.5/Flux joint attention); smaller shapes keep using our
+planner-protected kernel.  The gate uses the PER-DEVICE shape under a
+mesh (shard_map shrinks the heads axis).
+
+Reference behavior anchor: softmax(QK^T/sqrt(d))V, src/ggml_extend.c:
+200-222 (the reference's own flash path is disabled-as-broken).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax.numpy as jnp
+
+_ENV = "MLIS_FLASH_STOCK"
+
+# kv must divide block_k_major; q may be ragged (the stock kernel cdivs).
+_KV_PAD = 512
+_PROMOTION_STACK = 16 * 2 ** 20
+
+
+def mode() -> str:
+    """'auto' (default: size-gated), 'off', or 'force' (tests: skip the
+    size gates so tiny CPU-interpret shapes exercise the path)."""
+    v = os.environ.get(_ENV, "auto").lower()
+    if v in ("0", "false", "no", "off"):
+        return "off"
+    if v == "force":
+        return "force"
+    return "auto"
+
+
+def eligible(q, k, v, causal: bool, mesh=None) -> bool:
+    m = mode()
+    if m == "off":
+        return False
+    if causal:
+        return False
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if sq != sk or v.shape[2] != sk or v.shape[3] != d:
+        return False                     # self/joint attention only
+    if q.dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    if d > 128 and d % 128:
+        return False                     # stock kernel lane constraint
+    if sq < 128:
+        return False                     # block_q minimum
+    if m == "force":
+        return True
+    if q.dtype != jnp.bfloat16:
+        return False    # f32 outputs S(1)-place even above 16 MiB (r3 finding)
+    if sk < 2048:
+        return False                     # ours wins the small-S regime
+    if mesh is not None:                 # per-device block inside shard_map
+        from ..parallel.mesh import DP_AXIS, TP_AXIS
+        b //= mesh.shape.get(DP_AXIS, 1)
+        h //= mesh.shape.get(TP_AXIS, 1)
+    out_bytes = b * h * sq * d * q.dtype.itemsize
+    return out_bytes > _PROMOTION_STACK  # unpromotable by size
+
+
+@functools.lru_cache(maxsize=None)
+def _block_sizes(bq: int, bkm: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+    return BlockSizes(block_q=bq, block_k_major=bkm, block_k=bkm,
+                      block_b=1, block_q_major_dkv=bq, block_k_major_dkv=bkm,
+                      block_k_dkv=bkm, block_q_dkv=bq, block_k_major_dq=bkm,
+                      block_k_dq=bkm, block_q_dq=bq)
+
+
+def stock_flash(q, k, v, scale=None):
+    """q,k,v [B,H,S,D] -> [B,H,S,D].  Pads kv to a _KV_PAD multiple and
+    masks the pad rows via segment ids (queue #22: the segids cost is
+    ~0.4 ms at the SD3 shape, still 1.5x ahead of our kernel)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention as jax_flash)
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = float(d) ** -0.5
+    seg = None
+    sk_pad = -(-sk // _KV_PAD) * _KV_PAD
+    if sk_pad != sk:
+        pad = [(0, 0), (0, 0), (0, sk_pad - sk), (0, 0)]
+        k, v = jnp.pad(k, pad), jnp.pad(v, pad)
+        ids_kv = (jnp.arange(sk_pad) >= sk).astype(jnp.float32)
+        seg = SegmentIds(q=jnp.zeros((b, sq), jnp.float32),
+                         kv=jnp.broadcast_to(ids_kv, (b, sk_pad)))
+    bkm = next(x for x in (1536, 1024, 512, 256, 128) if sk_pad % x == 0)
+    bq = min(512, (sq // 128) * 128)     # block_q must not exceed sq
+    return jax_flash(q, k, v, segment_ids=seg, causal=False,
+                     sm_scale=float(scale), block_sizes=_block_sizes(bq, bkm))

@@ -1,0 +1,119 @@
+"""Stock-kernel dispatch path (ops/stock_flash) vs the XLA reference.
+
+The large-S self-attention regime routes through the stock JAX pallas
+TPU flash kernel (docs/BENCH.md queue #22); these tests pin the wrapper
+numerics (kv padding + segment-ids masking, ragged q), the eligibility
+gates, and that attention() actually dispatches there under force mode.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlimgsynth_tpu.ops import attention as att
+from mlimgsynth_tpu.ops import stock_flash as sf
+from mlimgsynth_tpu.ops.attention import attention, attention_xla
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    if jax.default_backend() != "tpu":
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            yield
+    else:
+        yield
+
+
+def rand(*shape, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("s,d", [
+    (256, 64),       # kv padded 256->512: segment-ids mask path
+    (512, 64),       # dividing: no segids
+    (640, 32),       # 640 -> block 128
+    (300, 64),       # ragged q AND padded kv
+])
+def test_stock_wrapper_matches_xla(s, d):
+    q = rand(1, 2, s, d, seed=1) * 0.5
+    k = rand(1, 2, s, d, seed=2) * 0.5
+    v = rand(1, 2, s, d, seed=3)
+    out = sf.stock_flash(q, k, v)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_attention_dispatches_stock(monkeypatch):
+    """Under force mode the dispatch layer must route eligible shapes to
+    the stock wrapper (pinned by counting wrapper calls)."""
+    monkeypatch.setenv("MLIS_FLASH_STOCK", "force")
+    monkeypatch.setenv("MLIS_FLASH_ATTENTION", "1")
+    calls = []
+    orig = sf.stock_flash
+    monkeypatch.setattr(sf, "stock_flash",
+                        lambda *a, **kw: calls.append(1) or orig(*a, **kw))
+    q = rand(1, 2, 256, 64, seed=1) * 0.5
+    k = rand(1, 2, 256, 64, seed=2) * 0.5
+    v = rand(1, 2, 256, 64, seed=3)
+    out = attention(q, k, v)
+    assert calls, "stock path not taken under MLIS_FLASH_STOCK=force"
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_eligibility_gates():
+    q64 = jnp.zeros((2, 24, 4250, 64), jnp.bfloat16)
+    big = (q64, q64, q64)
+    assert sf.eligible(*big, False)                 # SD3 shape: 26 MiB out
+    assert not sf.eligible(*big, True)              # causal unsupported
+    # cross attention (sq != sk)
+    k77 = jnp.zeros((2, 24, 77, 64), jnp.bfloat16)
+    assert not sf.eligible(q64, k77, k77, False)
+    # small-S regime stays on our kernel
+    small = jnp.zeros((2, 8, 1024, 64), jnp.bfloat16)
+    assert not sf.eligible(small, small, small, False)
+    # SDXL L1 batch-2 (10 MiB out): promotion hazard -> ineligible
+    sdxl = jnp.zeros((2, 10, 4096, 64), jnp.bfloat16)
+    assert not sf.eligible(sdxl, sdxl, sdxl, False)
+    # f32 is never auto-eligible (S(1)-placement above 16 MiB, r3 finding)
+    assert not sf.eligible(*(sdxl.astype(jnp.float32),) * 3, False)
+    # d not a lane multiple above 128
+    d160 = jnp.zeros((2, 24, 4250, 160), jnp.bfloat16)
+    assert not sf.eligible(d160, d160, d160, False)
+    # off switch
+    import os
+    os.environ["MLIS_FLASH_STOCK"] = "0"
+    try:
+        assert not sf.eligible(*big, False)
+    finally:
+        del os.environ["MLIS_FLASH_STOCK"]
+
+
+def test_mesh_shrinks_gate():
+    """Under a mesh the promotion gate must use the per-device block:
+    global SD3 shape is eligible single-device but NOT at tp=8 (heads
+    axis / 8 -> 3.3 MiB out, promotable -> hazard)."""
+    from mlimgsynth_tpu.parallel.mesh import make_mesh
+    q = jnp.zeros((2, 24, 4250, 64), jnp.bfloat16)
+    mesh = make_mesh(tp=8)
+    assert sf.eligible(q, q, q, False) and \
+        not sf.eligible(q, q, q, False, mesh=mesh)
+
+
+def test_attention_t_unaffected(monkeypatch):
+    """attention_t (UNet transposed-v path) must not route through the
+    stock kernel even under force."""
+    monkeypatch.setenv("MLIS_FLASH_STOCK", "force")
+    monkeypatch.setenv("MLIS_FLASH_ATTENTION", "1")
+    called = []
+    monkeypatch.setattr(sf, "stock_flash",
+                        lambda *a, **kw: called.append(1))
+    q = rand(1, 2, 256, 64, seed=1) * 0.5
+    k = rand(1, 2, 256, 64, seed=2) * 0.5
+    vt = rand(1, 2, 64, 256, seed=3)
+    att.attention_t(q, k, vt)
+    assert not called
