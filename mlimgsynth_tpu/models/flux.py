@@ -271,17 +271,61 @@ def flux_apply(ctx: B.Ctx, x, t, cond, pooled, P: FluxParams,
     cos_np, sin_np = rope_tables(P, hp, wp, int(s_txt))
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
-    for i in range(P.depth_double):
-        if i in skip_layers:
-            continue
-        img, txt = double_block(ctx, f"{pre}.double_blocks.{i}", img, txt,
-                                vec, cos, sin, P)
-    xx_ = jnp.concatenate([txt, img], axis=1)
-    for i in range(P.depth_single):
-        if (i + P.depth_double) in skip_layers:
-            continue
-        xx_ = single_block(ctx, f"{pre}.single_blocks.{i}", xx_, vec, cos,
-                           sin, P)
+    stacked = f"{pre}.double_blocks_p."
+    if any(k.startswith(stacked) for k in ctx.params):
+        if skip_layers:
+            # backstop (api._guidance_checks rejects slg+pp pre-trace)
+            raise ValueError(
+                "skip-layer guidance is not supported with --pp stacking")
+        # pipeline-parallel block stacks (--pp): two chained GPipe passes
+        # (double-stream, then single-stream), each over [pp, L, ...]
+        # slabs zero-padded to a pp multiple (zero blocks are exact
+        # identities through the modulation gates — see
+        # api._stack_pipeline_blocks_flux).  The activation pytree is kept
+        # uniform by carrying the concatenated (txt ++ img) sequence and
+        # splitting inside the double block body; cos/sin are
+        # sample-independent and ride as closures (replicated).
+        from ..ops import attention as attn_mod
+        from ..parallel import pipeline as pl
+        plan = pl.PLAN
+
+        def _slab(which):
+            p = f"{pre}.{which}_p."
+            return {k[len(p) - 1:]: v for k, v in ctx.params.items()
+                    if k.startswith(p)}
+
+        def dblock_fn(pj, acts):
+            xx_, vec_ = acts
+            bctx = B.Ctx(pj, dtype=ctx.dtype)
+            with attn_mod.local_only():
+                i2, t2 = double_block(bctx, "", xx_[:, s_txt:],
+                                      xx_[:, :s_txt], vec_, cos, sin, P)
+            return (jnp.concatenate([t2, i2], axis=1), vec_)
+
+        def sblock_fn(pj, acts):
+            xx_, vec_ = acts
+            bctx = B.Ctx(pj, dtype=ctx.dtype)
+            with attn_mod.local_only():
+                x2 = single_block(bctx, "", xx_, vec_, cos, sin, P)
+            return (x2, vec_)
+
+        xx_ = jnp.concatenate([txt, img], axis=1)
+        xx_ = pl.pipeline_apply(plan.mesh, dblock_fn, _slab("double_blocks"),
+                                (xx_, vec), n_micro=plan.n_micro, collect=0)
+        xx_ = pl.pipeline_apply(plan.mesh, sblock_fn, _slab("single_blocks"),
+                                (xx_, vec), n_micro=plan.n_micro, collect=0)
+    else:
+        for i in range(P.depth_double):
+            if i in skip_layers:
+                continue
+            img, txt = double_block(ctx, f"{pre}.double_blocks.{i}", img,
+                                    txt, vec, cos, sin, P)
+        xx_ = jnp.concatenate([txt, img], axis=1)
+        for i in range(P.depth_single):
+            if (i + P.depth_double) in skip_layers:
+                continue
+            xx_ = single_block(ctx, f"{pre}.single_blocks.{i}", xx_, vec,
+                               cos, sin, P)
     img = xx_[:, s_txt:]
 
     fpre = pre + ".final_layer"

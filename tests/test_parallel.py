@@ -666,3 +666,55 @@ def test_pp_plan_survives_other_sessions(tmp_path, monkeypatch):
     assert img2.shape[-1] == 64 and img2.shape[-2] == 96
     assert np.isfinite(img2).all()
     assert pl.PLAN is not None and pl.PLAN.pp == 2
+
+
+def _flux_pp_session(monkeypatch, tmpdir, dd=2, ds=3):
+    """Tiny flux with non-trivial stacks (ds=3 exercises the zero-pad at
+    pp=2: singles 3 -> 4 with one identity block)."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from helpers import patch_tiny_model_types
+    from mlimgsynth_tpu.api import ModelTypeDef
+    from mlimgsynth_tpu.testing import (TINY_CLIP, TINY_FLUX_SCHNELL,
+                                        TINY_VAE_FLUX, write_tiny_flux_files)
+    P = dataclasses.replace(TINY_FLUX_SCHNELL, depth_double=dd,
+                            depth_single=ds)
+    files = write_tiny_flux_files(tmpdir, P=P)
+    types = {"flux_schnell": ModelTypeDef("flux_schnell", TINY_CLIP, None,
+                                          P, TINY_VAE_FLUX, 64, 1)}
+    patch_tiny_model_types(monkeypatch, types)
+    return files
+
+
+def test_generate_flux_pp_matches_single(tmp_path, monkeypatch):
+    """Flux generate() with both block stacks cut into pipeline stages
+    (two chained GPipe passes, single stack zero-padded 3 -> 4)
+    reproduces the single-device image bit-exactly — zero-filled flux
+    blocks are exact identities through the modulation gates."""
+    from mlimgsynth_tpu.api import MLImgSynth
+
+    files = _flux_pp_session(monkeypatch, tmp_path)
+
+    def make(pp):
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", files["model"])
+        s.option_set("clip", files["clip"])
+        s.option_set("vae", files["vae"])
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 2)
+        s.option_set("seed", 23)
+        s.option_set("batch-size", 2)
+        s.option_set("pp", pp)
+        s.option_set("prompt", "a flux pipeline test")
+        return s
+
+    base = make(1).generate()
+    s2 = make(2)
+    img2 = s2.generate()
+    assert dict(s2._mesh.shape) == {"dp": 1, "pp": 2, "sp": 1, "tp": 1}
+    np.testing.assert_array_equal(img2, base)
+    # pp=4: doubles 2 -> 4 (two identity blocks), singles 3 -> 4
+    img4 = make(4).generate()
+    np.testing.assert_array_equal(img4, base)

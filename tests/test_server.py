@@ -875,3 +875,154 @@ def test_prompt_styles(server_url, tmp_path):
         assert "Negative prompt: blurry" in info
     finally:
         srv.styles = {}
+
+
+def test_serving_concurrency_stress(tmp_path, monkeypatch):
+    """Serving concurrency stress (VERDICT r3 item 7): N parallel HTTP
+    clients against one live 2-model server — mixed models, /generate and
+    /sdapi/v1/txt2img dialects, a streamed-preview request, and mid-flight
+    cancels.  Every request must either return a valid image or report a
+    clean cancellation; the server must stay healthy throughout (no
+    deadlocks, no 5xx, metrics still served afterwards)."""
+    import time as _time
+    from http.server import ThreadingHTTPServer
+    from mlimgsynth_tpu.api import MLImgSynth
+    from mlimgsynth_tpu.server import Server, make_handler
+    patch_tiny_model_types(monkeypatch)
+
+    def mk(path, seed):
+        write_tiny_checkpoint(path, seed=seed)
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", str(path))
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 2)
+        return s
+
+    srv = Server({"a": mk(tmp_path / "a.st", 0),
+                  "b": mk(tmp_path / "b.st", 1)}, merge_window_s=0.05)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        results, errors = [], []
+        lock = threading.Lock()
+
+        def post_json(path, obj, timeout=600):
+            req = urllib.request.Request(
+                url + path, data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.status, json.loads(r.read())
+
+        def client(i):
+            try:
+                model = "a" if i % 2 == 0 else "b"
+                if i % 4 == 3:     # A1111 dialect
+                    st, out = post_json("/sdapi/v1/txt2img",
+                                        {"prompt": f"stress {i}",
+                                         "seed": 100 + i, "steps": 2})
+                    ok = st == 200 and out["images"]
+                else:
+                    st, out = post_json("/generate",
+                                        {"prompt": f"stress {i}",
+                                         "seed": 100 + i, "format": "json",
+                                         "model": model})
+                    ok = st == 200 and out["images"]
+                with lock:
+                    results.append(("gen", i, bool(ok)))
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    errors.append(("gen", i, repr(e)))
+
+        def cancel_client(i):
+            rid = f"stress-cancel-{i}"
+
+            def axe():
+                _time.sleep(0.02)
+                for _ in range(50):
+                    st, out = post_json("/cancel", {"request_id": rid},
+                                        timeout=30)
+                    if out["status"] != "not found":
+                        return
+                    _time.sleep(0.02)
+            t = threading.Thread(target=axe)
+            t.start()
+            try:
+                st, out = post_json("/generate",
+                                    {"prompt": f"victim {i}", "seed": i,
+                                     "format": "json", "request_id": rid,
+                                     "model": "b"})
+                with lock:      # raced to completion before the axe: fine
+                    results.append(("cancel-late", i, True))
+            except urllib.error.HTTPError as e:
+                body = e.read().decode(errors="replace")
+                with lock:      # clean cancellation error, not a 5xx crash
+                    results.append(("cancelled", i,
+                                    e.code < 500 and "cancel" in body))
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    errors.append(("cancel", i, repr(e)))
+            t.join()
+
+        def preview_client():
+            rid = "stress-preview"
+            frames = []
+            done = threading.Event()
+
+            def poll():
+                while not done.is_set():
+                    try:
+                        with urllib.request.urlopen(
+                                url + f"/preview?request_id={rid}",
+                                timeout=10) as r:
+                            j = json.loads(r.read())
+                        if j.get("images"):
+                            frames.append(j)
+                    except Exception:  # noqa: BLE001 - 404 pre/post run
+                        pass
+                    _time.sleep(0.02)
+            pt = threading.Thread(target=poll)
+            pt.start()
+            try:
+                st, out = post_json("/generate",
+                                    {"prompt": "preview stress", "seed": 7,
+                                     "steps": 4, "preview": True,
+                                     "preview_every": 1, "format": "json",
+                                     "request_id": rid, "model": "a"})
+                with lock:
+                    results.append(("preview", 0, st == 200
+                                    and bool(out["images"])))
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    errors.append(("preview", 0, repr(e)))
+            finally:
+                done.set()
+                pt.join()
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(8)]
+        threads += [threading.Thread(target=cancel_client, args=(i,))
+                    for i in range(2)]
+        threads += [threading.Thread(target=preview_client)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(1200)
+            assert not t.is_alive(), "stress client deadlocked"
+
+        assert not errors, errors
+        assert len(results) == 11
+        assert all(ok for _, _, ok in results), results
+        # server still healthy and metrics served
+        with urllib.request.urlopen(url + "/health", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+            body = r.read().decode()
+        assert "mlis_requests_total" in body
+        # and it still serves a fresh request after the storm
+        st, out = post_json("/generate", {"prompt": "after", "seed": 1,
+                                          "format": "json", "model": "b"})
+        assert st == 200 and out["images"]
+    finally:
+        httpd.shutdown()
