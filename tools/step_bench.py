@@ -105,7 +105,7 @@ def flux_step_bench(n_scan, guidance=False):
     spec = B.trace_spec(
         lambda ctx, x, t, c, y: FX.flux_apply(ctx, x, t, c, y, P,
                                               guidance=g),
-        jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
+        jnp.zeros((1, 8, 8, P.n_ch_in // 4)), jnp.zeros((1,)),
         jnp.zeros((1, s_t5, P.d_ctx_in)), jnp.zeros((1, P.d_pooled)))
     params = synth_q8_params(spec, 0)
 
@@ -120,7 +120,7 @@ def flux_step_bench(n_scan, guidance=False):
         return x
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((n, res, res, P.n_ch_in))
+    x = jnp.asarray(rng.standard_normal((n, res, res, P.n_ch_in // 4))
                     .astype(np.float32) * 0.5, jnp.bfloat16)
     t = jnp.full((n,), 500.0, jnp.float32)
     c = jnp.asarray(rng.standard_normal((n, s_t5, P.d_ctx_in))
@@ -174,7 +174,7 @@ def mmdit_step_bench(n_scan):
         return x
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((n, res, res, P.n_ch_in))
+    x = jnp.asarray(rng.standard_normal((n, res, res, P.n_ch_in // 4))
                     .astype(np.float32) * 0.5, jnp.bfloat16)
     t = jnp.full((n,), 500.0, jnp.float32)
     c = jnp.asarray(rng.standard_normal((n, s_ctx, P.d_ctx_in))
