@@ -58,6 +58,27 @@ def main():
           flush=True)
     assert err < 1e-2 and err_t < 1e-2, (err, err_t)
 
+    # stock-kernel dispatch inside shard_map (the DiT regime under
+    # --tp/--dp: Mosaic custom calls run per-device in the explicit
+    # shard_map, stock included)
+    from mlimgsynth_tpu.ops import stock_flash as sf
+    bs, hs, ss = 2, 24, 4250
+    qs = jnp.asarray(rng.standard_normal((bs, hs, ss, d)), jnp.bfloat16) * .3
+    ks = jnp.asarray(rng.standard_normal((bs, hs, ss, d)), jnp.bfloat16) * .3
+    vs = jnp.asarray(rng.standard_normal((bs, hs, ss, d)), jnp.bfloat16) * .3
+    assert sf.eligible(qs, ks, vs, False, mesh=mesh)
+    t0 = time.time()
+    direct_s = np.asarray(attn.attention(qs, ks, vs), np.float32)
+    attn.MESH = mesh
+    try:
+        meshed_s = np.asarray(attn.attention(qs, ks, vs), np.float32)
+    finally:
+        attn.MESH = None
+    err_s = np.abs(meshed_s - direct_s).max()
+    print(f"RESULT mesh-stock kernel: shard_map-vs-direct "
+          f"max|diff|={err_s:.2e} ({time.time() - t0:.1f}s)", flush=True)
+    assert err_s < 1e-2, err_s
+
     # product path: tiny generate over the 1x1 mesh (forced at tp=dp=1)
     os.environ["MLIS_TINY_MODELS"] = "1"
     os.environ["MLIS_FORCE_MESH"] = "1"
