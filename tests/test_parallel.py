@@ -718,3 +718,32 @@ def test_generate_flux_pp_matches_single(tmp_path, monkeypatch):
     # pp=4: doubles 2 -> 4 (two identity blocks), singles 3 -> 4
     img4 = make(4).generate()
     np.testing.assert_array_equal(img4, base)
+
+
+def test_generate_flux_pp_q8_matches_unpipelined(tmp_path, monkeypatch):
+    """Flux --pp with --weight-type q8_0: the int8 pairs stack into the
+    zero-padded [pp, L, ...] slabs (zero pairs dequantize to zero ->
+    identity pad blocks).  Same one-u8-level drift bound as the sd3 q8
+    pipeline test (dequant fuses differently around slab dynamic-slices)."""
+    from mlimgsynth_tpu.api import MLImgSynth
+
+    files = _flux_pp_session(monkeypatch, tmp_path)
+
+    def make(pp):
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", files["model"])
+        s.option_set("clip", files["clip"])
+        s.option_set("vae", files["vae"])
+        s.option_set("weight-type", "q8_0")
+        s.option_set("image-dim", 64)
+        s.option_set("steps", 2)
+        s.option_set("seed", 29)
+        s.option_set("batch-size", 2)
+        s.option_set("pp", pp)
+        s.option_set("prompt", "a quantized flux pipeline test")
+        return s
+
+    base = make(1).generate()
+    img = make(2).generate()
+    np.testing.assert_allclose(img, base, atol=1.5 / 255)
