@@ -35,6 +35,7 @@ def rand(*shape, seed=0):
     (512, 64),       # dividing: no segids
     (640, 32),       # 640 -> block 128
     (300, 64),       # ragged q AND padded kv
+    (256, 256),      # wide head (d > 128, lane-multiple): VAE-attn regime
 ])
 def test_stock_wrapper_matches_xla(s, d):
     q = rand(1, 2, s, d, seed=1) * 0.5
