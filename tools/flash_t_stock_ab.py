@@ -43,7 +43,7 @@ def main():
     tiny = bool(os.environ.get("MLIS_SD3BENCH_TINY"))
     shapes = SHAPES
     if tiny:
-        shapes = [("tiny", (2, 2, 512, 64))]
+        shapes = [("vae-tiny", (2, 2, 512, 64))]
         n_scan = 2
         if jax.default_backend() == "cpu":
             import functools as _ft
@@ -86,6 +86,16 @@ def main():
             bench(f"{sname} stock+relayout",
                   lambda qc, k=k, vt=vt: sf.stock_flash(
                       qc, k, vt.swapaxes(-1, -2)).swapaxes(-1, -2), q)
+        if sname.startswith("vae"):
+            # the VAE mid-block calls attention() in PLAIN layout (no
+            # relayouts either way) — this pair decides its dispatch
+            v = vt.swapaxes(-1, -2)
+            bench(f"{sname} ours-plain",
+                  lambda qc, k=k, v=v: fa.flash_attention(
+                      qc, k, v).swapaxes(-1, -2), q)
+            bench(f"{sname} stock-plain",
+                  lambda qc, k=k, v=v: sf.stock_flash(
+                      qc, k, v).swapaxes(-1, -2), q)
 
         def call_xla(qc, k=k, vt=vt, d=d):
             sc = jnp.einsum("bhqd,bhkd->bhqk", qc * d ** -0.5, k,
