@@ -37,21 +37,34 @@ def quantize_weight(w: np.ndarray):
             scale.reshape(k // KBLOCK, n))
 
 
-def _q8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb):
+def _q8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb, g):
+    """One [bm, KB] x [KB, bn] tile, KB = g * 128 scale groups.
+
+    Round-4 restructure (docs/BENCH.md queue #25): the original kernel
+    stepped K in 128-wide slabs, paying a full f32 [bm, bn] accumulator
+    read-modify-write (plus the product-scale multiply) per slab — ~2 VPU
+    ops per output element per 128 MACs, which caps the kernel near ~50%
+    MXU and showed up as the +43% e2e cost of -q8 on SD3.  Now the scale
+    is applied to the (already converted) weight tile — KB*bn/(bm*bn) =
+    KB/bm VPU ops per output — and the accumulator is touched once per
+    KB.  The weight dequant rounds through x.dtype (bf16 in production):
+    relative error <= 2^-9 per element, half the inherent int8
+    quantization noise."""
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...]                      # [bm, KBLOCK] bf16
-    w = w_ref[...]                      # [KBLOCK, bn] int8
-    s = s_ref[0, 0:1, :]                # [1, bn] f32 (sublane-padded input)
-    wd = w.astype(jnp.bfloat16)
-    part = jax.lax.dot_general(
+    x = x_ref[...]                      # [bm, KB]
+    w = w_ref[...]                      # [KB, bn] int8
+    s = s_ref[...]                      # [g, 8, bn] f32 (sublane-padded)
+    kb, bn = w.shape
+    wd = w.astype(jnp.float32).reshape(g, kb // g, bn) * s[:, 0:1, :]
+    wd = wd.reshape(kb, bn).astype(x_ref.dtype)
+    acc_ref[:] += jax.lax.dot_general(
         x, wd, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    acc_ref[:] += part * s
 
     @pl.when(ik == n_kb - 1)
     def _done():
@@ -67,7 +80,11 @@ def q8_matmul(x, w_q8, w_scale, block_m: int = 256, block_n: int = 512):
     n = w_q8.shape[1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
-    n_kb = k // KBLOCK
+    # inner K block: the largest 128-multiple (up to 1024) dividing K —
+    # bigger dots, one accumulator pass per KB instead of per 128
+    kb_in = next(c for c in (1024, 512, 256, 128) if k % c == 0)
+    g = kb_in // KBLOCK
+    n_kb = k // kb_in
 
     bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
     for cand in (block_n, 256, 128):
@@ -82,15 +99,15 @@ def q8_matmul(x, w_q8, w_scale, block_m: int = 256, block_n: int = 512):
 
     # TPU blocks need the last two dims >= (8, 128)-aligned; give the
     # per-k-block scale rows an 8-wide sublane dim
-    scale8 = jnp.broadcast_to(w_scale[:, None, :], (n_kb, 8, n))
+    scale8 = jnp.broadcast_to(w_scale[:, None, :], (k // KBLOCK, 8, n))
 
     out = pl.pallas_call(
-        functools.partial(_q8_kernel, n_kb=n_kb),
+        functools.partial(_q8_kernel, n_kb=n_kb, g=g),
         grid=(m_p // bm, n // bn, n_kb),
         in_specs=[
-            pl.BlockSpec((bm, KBLOCK), lambda i, j, ik: (i, ik)),
-            pl.BlockSpec((KBLOCK, bn), lambda i, j, ik: (ik, j)),
-            pl.BlockSpec((1, 8, bn), lambda i, j, ik: (ik, 0, j)),
+            pl.BlockSpec((bm, kb_in), lambda i, j, ik: (i, ik)),
+            pl.BlockSpec((kb_in, bn), lambda i, j, ik: (ik, j)),
+            pl.BlockSpec((g, 8, bn), lambda i, j, ik: (ik, 0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, ik: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_p, n), x.dtype),

@@ -165,3 +165,19 @@ def test_attn_mixed_quantization():
     out = B.attn_mhead(B.Ctx(qparams, dtype=jnp.float32), "blk.attn2", x, c,
                        c, d_model, d_model, n_head)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05)
+
+
+def test_kernel_bf16_weight_rounding():
+    """Production dtype path: bf16 x -> the dequantized weight tile
+    rounds through bf16 (round-4 restructure).  The added noise must stay
+    well under the inherent int8 quantization error."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((130, 1536)).astype(np.float32)
+                    * 0.3, jnp.bfloat16)
+    w = rng.standard_normal((1536, 512)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight(w)
+    out = np.asarray(q8.q8_matmul(x, jnp.asarray(q), jnp.asarray(s)),
+                     np.float32)
+    ref = np.asarray(jnp.dot(np.asarray(x, np.float32), w))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert np.isfinite(out).all() and rel < 0.02, rel
