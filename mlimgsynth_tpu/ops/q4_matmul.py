@@ -72,21 +72,28 @@ def unpack_q4(packed, k):
     return jnp.concatenate([lo, hi], axis=1).reshape(k, n)
 
 
-def _q4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb):
+def _q4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb, g):
+    """KB-grouped inner blocks (same round-4 restructure as _q8_kernel:
+    one accumulator pass per KB = g * 128 rows, per-group scales applied
+    to the unpacked weight tile instead of the f32 product)."""
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...]                      # [bm, KBLOCK] bf16/f32
-    wp = w_ref[...]                     # [HALF, bn] packed int8
-    s = s_ref[0, 0:1, :]                # [1, bn] f32
-    wd = _unpack_block(wp).astype(jnp.bfloat16)
-    part = jax.lax.dot_general(
+    x = x_ref[...]                      # [bm, KB] bf16/f32
+    wp = w_ref[...]                     # [g*HALF, bn] packed int8
+    s = s_ref[...]                      # [g, 8, bn] f32
+    bn = wp.shape[-1]
+    w = wp.reshape(g, HALF, bn).astype(jnp.int32)
+    hi = w >> 4
+    lo = ((w & 15) ^ 8) - 8
+    wd = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)  # [g,128,bn]
+    wd = (wd * s[:, 0:1, :]).reshape(g * KBLOCK, bn).astype(x_ref.dtype)
+    acc_ref[:] += jax.lax.dot_general(
         x, wd, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    acc_ref[:] += part * s
 
     @pl.when(ik == n_kb - 1)
     def _done():
@@ -102,7 +109,9 @@ def q4_matmul(x, w_q4, w_scale, block_m: int = 256, block_n: int = 512):
     n = w_q4.shape[1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
-    n_kb = k // KBLOCK
+    kb_in = next(c for c in (1024, 512, 256, 128) if k % c == 0)
+    g = kb_in // KBLOCK
+    n_kb = k // kb_in
 
     bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
     for cand in (block_n, 256, 128):
@@ -114,15 +123,15 @@ def q4_matmul(x, w_q4, w_scale, block_m: int = 256, block_n: int = 512):
     m_p = pl.cdiv(m, bm) * bm
     if m_p != m:
         x2 = jnp.pad(x2, ((0, m_p - m), (0, 0)))
-    scale8 = jnp.broadcast_to(w_scale[:, None, :], (n_kb, 8, n))
+    scale8 = jnp.broadcast_to(w_scale[:, None, :], (k // KBLOCK, 8, n))
 
     out = pl.pallas_call(
-        functools.partial(_q4_kernel, n_kb=n_kb),
+        functools.partial(_q4_kernel, n_kb=n_kb, g=g),
         grid=(m_p // bm, n // bn, n_kb),
         in_specs=[
-            pl.BlockSpec((bm, KBLOCK), lambda i, j, ik: (i, ik)),
-            pl.BlockSpec((HALF, bn), lambda i, j, ik: (ik, j)),
-            pl.BlockSpec((1, 8, bn), lambda i, j, ik: (ik, 0, j)),
+            pl.BlockSpec((bm, kb_in), lambda i, j, ik: (i, ik)),
+            pl.BlockSpec((g * HALF, bn), lambda i, j, ik: (ik, j)),
+            pl.BlockSpec((g, 8, bn), lambda i, j, ik: (ik, 0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, ik: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_p, n), x.dtype),
