@@ -105,7 +105,11 @@ def stock_flash(q, k, v, scale=None):
         ids_kv = (jnp.arange(sk_pad) >= sk).astype(jnp.float32)
         seg = SegmentIds(q=jnp.zeros((b, sq), jnp.float32),
                          kv=jnp.broadcast_to(ids_kv, (b, sk_pad)))
-    bkm = next(x for x in (1536, 1024, 512, 256, 128) if sk_pad % x == 0)
-    bq = min(512, (sq // 128) * 128)     # block_q must not exceed sq
+    env = os.environ.get("MLIS_STOCK_BLOCK")
+    if env:
+        bq, bkm = (int(v) for v in env.split(","))
+    else:
+        bkm = next(x for x in (1536, 1024, 512, 256, 128) if sk_pad % x == 0)
+        bq = min(512, (sq // 128) * 128)  # block_q must not exceed sq
     return jax_flash(q, k, v, segment_ids=seg, causal=False,
                      sm_scale=float(scale), block_sizes=_block_sizes(bq, bkm))

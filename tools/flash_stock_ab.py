@@ -127,6 +127,10 @@ def main():
                  (4608, 768, 768, False),
                  (4352, 256, 256, False),
                  (4608, 512, 1536, False),
+                 (4608, 1024, 1536, False),
+                 (4608, 768, 1536, False),
+                 (4608, 512, 2304, False),
+                 (4608, 512, 1536, True),
                  (4608, 512, 512, True)]
     for sp, bq_, bk_, seg in grids:
         tag = f"stock@{sp}-q{bq_}k{bk_}" + ("-segids" if seg else "")
