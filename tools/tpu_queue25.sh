@@ -34,6 +34,7 @@ run "MLIS_FLASH_STOCK=0 MLIS_STEP_MODEL=flux python tools/step_bench.py"
 run "python tools/flash_t_stock_ab.py"
 run "python tools/mesh_flash_smoke.py"
 run "MLIS_BENCH=sd3-q8 python bench.py"
+run "MLIS_BENCH=sdxl-q8 python bench.py"
 run "MLIS_BENCH=sd35-large-q4 python bench.py"
 run "MLIS_FLUX_Q4=1 MLIS_BENCH=flux-schnell python bench.py"
 echo "=== QUEUE25 DONE ==="
