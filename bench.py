@@ -658,6 +658,8 @@ def bench_config(name):
              "sd35-medium": "SD3.5-medium MMDiT-X flow",
              "sd35-large": "SD3.5-large 8B MMDiT flow"}.get(name_base,
                                                             "SD1.5")
+    if use_cnet:
+        label += " +ControlNet"
     if use_i2i:
         label += " img2img+inpaint"
     if use_hires:
