@@ -37,6 +37,24 @@ _KV_PAD = 512
 _PROMOTION_STACK = 16 * 2 ** 20
 
 
+def _padded_sq(b: int, h: int, sq: int, d: int, itemsize: int) -> int:
+    """Smallest 128-multiple q length >= sq whose [b,h,sq',d] pallas
+    output STRICTLY exceeds the scoped-vmem stack (unpromotable).  Padded
+    q rows are zeros and their output rows are sliced off; this is how
+    batch-1 DiT shapes (e.g. sd3-turbo cfg1: 13 MiB out) reach the
+    deterministic-safety regime — queue #24 measured the batch-1 ours-t
+    path at ~2.8x the per-NFE cost of the batched stock path."""
+    per_row = b * h * d * itemsize
+    if sq * per_row > _PROMOTION_STACK:
+        return sq                        # already unpromotable
+    need = _PROMOTION_STACK // per_row + 1
+    return -(-need // 128) * 128
+
+
+# padding beyond this ratio costs more than the kernel swap saves
+_MAX_QPAD = 1.35
+
+
 def mode() -> str:
     """'auto' (default: size-gated), 'off', or 'force' (tests: skip the
     size gates so tiny CPU-interpret shapes exercise the path)."""
@@ -74,8 +92,8 @@ def eligible(q, k, v, causal: bool, mesh=None) -> bool:
         from ..parallel.mesh import DP_AXIS, TP_AXIS
         b //= mesh.shape.get(DP_AXIS, 1)
         h //= mesh.shape.get(TP_AXIS, 1)
-    out_bytes = b * h * sq * d * q.dtype.itemsize
-    return out_bytes > _PROMOTION_STACK  # unpromotable by size
+    # unpromotable by size — naturally, or via bounded zero-padding of q
+    return _padded_sq(b, h, sq, d, q.dtype.itemsize) <= sq * _MAX_QPAD
 
 
 @functools.lru_cache(maxsize=None)
@@ -97,6 +115,14 @@ def stock_flash(q, k, v, scale=None):
     sk = k.shape[2]
     if scale is None:
         scale = float(d) ** -0.5
+    # zero-pad q into the unpromotable-output regime when the natural
+    # output sits in the promotion window (batch-1 DiT shapes); padded
+    # rows attend real kv (finite) and are sliced off the output
+    sq_out = sq
+    sq_pad = _padded_sq(b, h, sq, d, q.dtype.itemsize)
+    if sq < sq_pad <= sq * _MAX_QPAD:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, sq_pad - sq), (0, 0)])
+        sq = sq_pad
     seg = None
     sk_pad = -(-sk // _KV_PAD) * _KV_PAD
     if sk_pad != sk:
@@ -111,5 +137,6 @@ def stock_flash(q, k, v, scale=None):
     else:
         bkm = next(x for x in (1536, 1024, 512, 256, 128) if sk_pad % x == 0)
         bq = min(512, (sq // 128) * 128)  # block_q must not exceed sq
-    return jax_flash(q, k, v, segment_ids=seg, causal=False,
-                     sm_scale=float(scale), block_sizes=_block_sizes(bq, bkm))
+    o = jax_flash(q, k, v, segment_ids=seg, causal=False,
+                  sm_scale=float(scale), block_sizes=_block_sizes(bq, bkm))
+    return o[:, :, :sq_out, :] if sq_out != sq else o

@@ -77,9 +77,13 @@ def test_eligibility_gates():
     # small-S regime stays on our kernel
     small = jnp.zeros((2, 8, 1024, 64), jnp.bfloat16)
     assert not sf.eligible(small, small, small, False)
-    # SDXL L1 batch-2 (10 MiB out): promotion hazard -> ineligible
+    # SDXL L1 batch-2 (10 MiB out): q-pad to safety would cost 63% extra
+    # rows (> the 35% bound) -> ineligible, stays on our kernel
     sdxl = jnp.zeros((2, 10, 4096, 64), jnp.bfloat16)
     assert not sf.eligible(sdxl, sdxl, sdxl, False)
+    # sd3-turbo batch-1 (13 MiB out): reachable by a 29% q pad -> eligible
+    turbo = jnp.zeros((1, 24, 4250, 64), jnp.bfloat16)
+    assert sf.eligible(turbo, turbo, turbo, False)
     # f32 is never auto-eligible (S(1)-placement above 16 MiB, r3 finding)
     assert not sf.eligible(*(sdxl.astype(jnp.float32),) * 3, False)
     # d not a lane multiple above 128
@@ -118,3 +122,25 @@ def test_attention_t_unaffected(monkeypatch):
     vt = rand(1, 2, 64, 256, seed=3)
     att.attention_t(q, k, vt)
     assert not called
+
+
+def test_qpad_into_unpromotable_regime(monkeypatch):
+    """When the natural output sits in the promotion window but a bounded
+    zero-pad of q crosses the 16 MiB stack, the wrapper pads and slices —
+    numerics must match the unpadded reference exactly on the real rows.
+    The stack is monkeypatched small so tiny interpret shapes exercise
+    the path."""
+    monkeypatch.setattr(sf, "_PROMOTION_STACK", 40_000)
+    b, h, s, d = 1, 2, 300, 64
+    # per_row = 256 B -> natural 76.8 kB > 40 kB... pick the window:
+    monkeypatch.setattr(sf, "_PROMOTION_STACK", 90_000)
+    # natural 300*256 = 76.8 kB < 90 kB; need 352 rows (ratio 1.17 <= 1.35)
+    assert sf._padded_sq(b, h, s, d, 2) == 384
+    q = rand(b, h, s, d, seed=1) * 0.5
+    k = rand(b, h, s, d, seed=2) * 0.5
+    v = rand(b, h, s, d, seed=3)
+    out = sf.stock_flash(q, k, v)
+    assert out.shape == (b, h, s, d)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)

@@ -30,6 +30,7 @@ SHAPES = [
     ("sd3-joint", (2, 24, 4250, 64)),
     ("sd35l-joint", (2, 38, 4250, 64)),
     ("flux-single", (1, 24, 4352, 128)),
+    ("sd3-turbo-b1", (1, 24, 4250, 64)),   # q-padded unpromotable regime
 ]
 
 
@@ -77,18 +78,18 @@ import sys
 sys.path.insert(0, %(repo)r)
 from mlimgsynth_tpu.ops.attention import attention
 rng = np.random.default_rng(0)
-b, h, s, d = 2, 24, 4250, 64
-q0 = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16) * 0.5
+for (b, h, s, d) in ((2, 24, 4250, 64), (1, 24, 4250, 64)):
+    q0 = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16) * 0.5
 
-@jax.jit
-def loop(q):
-    def body(q, _):
-        o = attention(q, q, q)
-        return q + o.astype(q.dtype) * 1e-3, None
-    q, _ = jax.lax.scan(body, q, None, length=2)
-    return jnp.mean(q.astype(jnp.float32))
-out = np.asarray(loop(q0))
-assert np.isfinite(out).all()
+    @jax.jit
+    def loop(q):
+        def body(q, _):
+            o = attention(q, q, q)
+            return q + o.astype(q.dtype) * 1e-3, None
+        q, _ = jax.lax.scan(body, q, None, length=2)
+        return jnp.mean(q.astype(jnp.float32))
+    out = np.asarray(loop(q0))
+    assert np.isfinite(out).all(), (b, h, s, d)
 print("CHILD_OK")
 """
 

@@ -28,7 +28,9 @@ for i in $(seq 1 80); do
   sleep 420
 done
 
+run "python tools/stock_dispatch_check.py 5"
 run "python tools/flash_stock_ab.py"
+run "MLIS_BENCH=sd3-turbo python bench.py"
 run "MLIS_STEP_MODEL=flux python tools/step_bench.py"
 run "MLIS_FLASH_STOCK=0 MLIS_STEP_MODEL=flux python tools/step_bench.py"
 run "python tools/flash_t_stock_ab.py"
