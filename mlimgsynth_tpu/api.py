@@ -1538,16 +1538,25 @@ class MLImgSynth:
         return self._clip_encode(toks, None, submodel, want_feat, norm,
                                  self.c["clip_skip"] if not want_feat else 0)
 
-    def _deepcache_check(self, flow, control_spec, extra_spec, edit_steps):
-        """Deepcache composes with the plain SD-UNet loop only."""
-        if self.c["deepcache"] > 1 and (
-                flow or control_spec is not None or extra_spec is not None
+    def _deepcache_check(self, unet_p, control_spec, extra_spec, edit_steps):
+        """Deepcache composes with the plain SD-UNet and (flow) MMDiT
+        loops; Flux, ControlNet/inpaint-variant inputs, prompt editing,
+        mesh execution and multi-eval solvers are out."""
+        if self.c["deepcache"] <= 1:
+            return
+        flow = bool(getattr(unet_p, "flow", False))
+        if (control_spec is not None or extra_spec is not None
                 or edit_steps is not None or self._mesh is not None
+                or (flow and getattr(unet_p, "flux", False))
                 or self.c["method"] not in ("euler", "dpmpp2m")):
             raise MlisError(
                 MlisError.E_OPT_VALUE,
-                "deepcache supports SD-UNet families (no ControlNet/"
-                "inpaint-variant/editing/mesh), methods euler/dpm++2m")
+                "deepcache supports SD-UNet and SD3/MMDiT families (no "
+                "Flux/ControlNet/inpaint-variant/editing/mesh), methods "
+                "euler/dpm++2m")
+        if flow and self.c["slg_scale"] > 0:
+            raise MlisError(MlisError.E_OPT_VALUE,
+                            "deepcache is not supported with slg-scale")
 
     def _edit_cond_bank(self, edit_segs, eff_cfg: float, n_batch: int):
         """Prompt editing: encode every distinct per-step prompt text as
@@ -2408,7 +2417,8 @@ class MLImgSynth:
 
         t_comp = time.time()
         u8 = None
-        self._deepcache_check(flow, control_spec, extra_spec, edit_steps)
+        self._deepcache_check(mt.unet_p, control_spec, extra_spec,
+                              edit_steps)
         out = run_sampler(params, latent, plan, cond, ncond, label,
                           nlabel, lmask, scfg, mt.unet_p,
                           dtype=self._dtype, step_callback=step_cb,
@@ -3012,8 +3022,8 @@ class MLImgSynth:
                 n_total = plan.n_step
                 preview_spec = pv + (
                     lambda i, imgs: preview_callback(i, n_total, imgs),)
-            self._deepcache_check(getattr(mt.unet_p, "flow", False),
-                                  control_spec, extra_spec, edit_steps)
+            self._deepcache_check(mt.unet_p, control_spec, extra_spec,
+                                  edit_steps)
             out = run_sampler(params, latent, plan, cond, ncond,
                               label, nlabel, init_lmask, scfg,
                               mt.unet_p, dtype=self._dtype,

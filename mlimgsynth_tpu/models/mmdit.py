@@ -260,8 +260,19 @@ def _pos_embed_crop(ctx: B.Ctx, pre: str, hp: int, wp: int, P: MmditParams):
     return pe.reshape(1, hp * wp, P.width)
 
 
+def _dc_split(depth: int) -> int:
+    """Block-cache split point: the first ``k`` joint blocks are the
+    always-recomputed SHALLOW prefix; blocks k..depth-1 are the DEEP tail
+    whose img-stream residual is cached between refresh steps (the DiT
+    analog of DeepCache's UNet encoder cache — Delta-DiT-style back-block
+    residual reuse).  k = depth//8 keeps ~87% of block work cacheable
+    while the prefix tracks the step-to-step structural drift."""
+    return max(1, depth // 8)
+
+
 def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
-                pre: str = "mmdit", skip_layers=()):
+                pre: str = "mmdit", skip_layers=(),
+                want_cache: bool = False, use_cache=None):
     """MMDiT forward.  x: [N,H,W,16] NHWC latent, t: [N] timesteps (0..1000
     scale), cond: [N,S,d_ctx_in] context tokens, pooled: [N,d_pooled].
     Returns [N,H,W,n_ch_out] (the velocity field for rectified flow).
@@ -270,7 +281,17 @@ def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
     the degraded forward used by skip-layer guidance (SD3.5-medium's
     recommended sampling mode; the SLG pass runs the conditional input
     with these structure-forming blocks removed and the output steers
-    *away* from that degradation)."""
+    *away* from that degradation).
+
+    ``want_cache``/``use_cache`` (--deepcache on flow models): the deep
+    tail's residual on the img token stream (x after ALL joint blocks
+    minus x after the first ``_dc_split(depth)`` blocks) is returned as
+    the cache / reused in place of running blocks k..depth-1.  The
+    t-dependent final-layer modulation always recomputes, so cached
+    steps still track the timestep.  At identical inputs the shallow
+    reconstruction x_k + (x_D - x_k) matches the full forward to f.p.
+    rounding (the UNet cache is concat-exact; this residual form is
+    not bit-exact, only ~1 ulp)."""
     dtype = ctx.dtype
     n, h, w, _ = x.shape
     p = P.patch
@@ -296,6 +317,10 @@ def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
 
     stacked = f"{pre}.joint_blocks_p."
     if any(k.startswith(stacked) for k in ctx.params):
+        if want_cache or use_cache is not None:
+            # backstop (api._deepcache_check rejects mesh combos pre-trace)
+            raise ValueError(
+                "deepcache is not supported with --pp stacking")
         if skip_layers:
             # backstop (api._guidance_checks rejects slg+pp pre-trace);
             # a raise survives python -O where an assert would vanish
@@ -324,12 +349,25 @@ def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
         xe = pl.pipeline_apply(plan.mesh, block_fn, slab, (cx, xe, c),
                                n_micro=plan.n_micro, collect=1)
     else:
-        for i in range(P.depth):
+        k_cache = 0
+        if want_cache or use_cache is not None:
+            assert not skip_layers, "deepcache: incompatible with slg"
+            k_cache = _dc_split(P.depth)
+        xe_shallow = None
+        n_run = k_cache if use_cache is not None else P.depth
+        for i in range(n_run):
             if i in skip_layers:
                 continue
             cx, xe = joint_block(ctx, f"{pre}.joint_blocks.{i}", cx, xe, c,
                                  P, ctx_pre_only=(i == P.depth - 1),
                                  x_self_attn=(i in P.x_self_attn_layers))
+            if want_cache and i == k_cache - 1:
+                xe_shallow = xe
+        if use_cache is not None:
+            xe = xe + use_cache.astype(xe.dtype)
+        if want_cache:
+            # deep-tail residual on the img token stream (blocks k..D-1)
+            cache_out = xe - xe_shallow
 
     fpre = pre + ".final_layer"
     shift, scale = _block_mod(ctx, fpre, c, 2, P)
@@ -338,15 +376,17 @@ def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
     xe = B.linear(ctx, fpre + ".linear", xe, p * p * P.n_ch_out)
 
     # unpatchify [N, hp*wp, p*p*C] -> [N, H, W, C]
-    xe = xe.reshape(n, hp, wp, p, p, P.n_ch_out)
-    xe = xe.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp * p, wp * p,
-                                                P.n_ch_out)
-    return xe
+    out = xe.reshape(n, hp, wp, p, p, P.n_ch_out)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp * p, wp * p,
+                                                  P.n_ch_out)
+    if want_cache:
+        return out, cache_out
+    return out
 
 
 def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: MmditParams,
             pre: str = "mmdit", control=None, extra_ch=None,
-            skip_layers=()):
+            skip_layers=(), want_cache: bool = False, use_cache=None):
     """Rectified-flow wrapper matching the UNet ``denoise`` signature used
     by the sampler body: x_t = (1-sigma) x0 + sigma noise, the model
     predicts the velocity v = noise - x0 = dx/dsigma, so the output IS the
@@ -355,6 +395,11 @@ def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: MmditParams,
     assert control is None and extra_ch is None, \
         "control/extra channels are not supported for MMDiT models"
     t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
+    if want_cache:
+        out, cache = mmdit_apply(ctx, x.astype(ctx.dtype), t, cond, label,
+                                 P, pre=pre, skip_layers=skip_layers,
+                                 want_cache=True)
+        return out.astype(jnp.float32), cache
     out = mmdit_apply(ctx, x.astype(ctx.dtype), t, cond, label, P, pre=pre,
-                      skip_layers=skip_layers)
+                      skip_layers=skip_layers, use_cache=use_cache)
     return out.astype(jnp.float32)

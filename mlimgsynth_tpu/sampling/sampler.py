@@ -240,11 +240,18 @@ def _mask_apply(x, x0, lmask):
 
 
 def _dc_cache0(x_nhwc, use_cfg, unet_p, dtype):
-    """Zero-initialized deepcache carry (the level-0 decoder's incoming
-    deep feature for the stacked [cond; uncond] rows)."""
+    """Zero-initialized deepcache carry for the stacked [cond; uncond]
+    rows: the UNet's level-0 decoder incoming deep feature, or (flow
+    MMDiT) the deep-tail residual on the img token stream
+    (models/mmdit.py _dc_split)."""
+    rows = x_nhwc.shape[0] * (2 if use_cfg else 1)
+    if getattr(unet_p, "flow", False):
+        hp = x_nhwc.shape[1] // unet_p.patch
+        wp = x_nhwc.shape[2] // unet_p.patch
+        return jnp.zeros((rows, hp * wp, unet_p.width), dtype)
     return jnp.zeros(
-        (x_nhwc.shape[0] * (2 if use_cfg else 1), x_nhwc.shape[1],
-         x_nhwc.shape[2], unet_p.n_ch * unet_p.ch_mult[1]), dtype)
+        (rows, x_nhwc.shape[1], x_nhwc.shape[2],
+         unet_p.n_ch * unet_p.ch_mult[1]), dtype)
 
 
 def _cfg_mix(d, n, cfg_scale, cfg_rescale):
@@ -403,8 +410,10 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
         return solver, body
 
     if deepcache > 1:
-        assert not flow and cond_idx is None and control is None \
+        assert cond_idx is None and control is None \
             and extra_ch is None, "deepcache: unsupported combination"
+        assert not (flow and getattr(unet_p, "flux", False)), \
+            "deepcache: flux is not supported (UNet + MMDiT only)"
 
         def dc_dxdt(cache, is_full):
             # the cache update escapes the solver's dxdt call through a
@@ -413,7 +422,10 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
 
             def dxdt(xv, sigma):
                 n = xv.shape[0]
-                t = jnp_sigma_to_t(log_sigmas, sigma)
+                if flow:
+                    t = sigma * unet_p.n_step_train
+                else:
+                    t = jnp_sigma_to_t(log_sigmas, sigma)
                 xb = (jnp.concatenate([xv, xv], axis=0) if use_cfg
                       else xv)
 
@@ -778,10 +790,13 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         if method not in ("euler", "dpmpp2m"):
             raise ValueError(
                 "deepcache needs a 1-eval/step solver (euler, dpm++2m)")
-        if (getattr(unet_p, "flow", False) or control is not None
+        flow_ = bool(getattr(unet_p, "flow", False))
+        if (control is not None
                 or extra_channels is not None or cond_steps is not None
                 or mesh is not None or step_observer is not None
-                or len(getattr(unet_p, "ch_mult", ())) < 2):
+                or (flow_ and getattr(unet_p, "flux", False))
+                or (not flow_
+                    and len(getattr(unet_p, "ch_mult", ())) < 2)):
             raise ValueError("deepcache: unsupported configuration")
     else:
         deepcache = 0
@@ -948,6 +963,9 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         if cfg.slg_end <= cfg.slg_start:
             raise MlisError(MlisError.E_OPT_VALUE,
                             "slg window is empty (slg_end <= slg_start)")
+        if deepcache:
+            raise MlisError(MlisError.E_OPT_VALUE,
+                            "slg: unsupported with deepcache")
         i0 = int(round(cfg.slg_start * plan.n_step))
         i1 = max(int(round(cfg.slg_end * plan.n_step)), i0 + 1)
         slg = (float(cfg.slg_scale), layers, i0, i1)

@@ -126,3 +126,122 @@ def test_deepcache_sdxl_labels(tmp_path, monkeypatch):
     s.option_set("seed", 7)
     s.option_set("prompt", "an xl test")
     np.testing.assert_array_equal(img, s.generate())
+
+
+# ---- flow-model (MMDiT) deepcache: deep-tail residual reuse ----
+
+def test_mmdit_cache_split_exact():
+    """MMDiT deep-tail residual cache: the shallow run + a same-x cache
+    reconstructs the full forward to f.p. rounding (models/mmdit.py
+    _dc_split; the residual form x_k + (x_D - x_k) is ~1-ulp, not
+    bit-exact like the UNet's concat cache)."""
+    from mlimgsynth_tpu.models import blocks as B
+    from mlimgsynth_tpu.models import mmdit as M
+    from mlimgsynth_tpu.testing import TINY_MMDIT
+    P = TINY_MMDIT
+    spec = B.trace_spec(
+        lambda ctx, x, t, c, y: M.mmdit_apply(ctx, x, t, c, y, P),
+        jnp.zeros((2, 8, 8, P.n_ch_in)), jnp.zeros((2,)),
+        jnp.zeros((2, 5, P.d_ctx_in)), jnp.zeros((2, P.d_pooled)))
+    r = np.random.RandomState(0)
+    params = {k: (r.randn(*ps.shape) * 0.05).astype(np.float32)
+              for k, ps in spec.items()}
+    ctx = B.Ctx(params, dtype=jnp.float32)
+    x = jnp.asarray(r.randn(2, 8, 8, P.n_ch_in), jnp.float32)
+    t = jnp.asarray([500.0, 500.0])
+    c = jnp.asarray(r.randn(2, 5, P.d_ctx_in) * 0.3, jnp.float32)
+    y = jnp.asarray(r.randn(2, P.d_pooled) * 0.3, jnp.float32)
+    full = np.asarray(M.mmdit_apply(ctx, x, t, c, y, P))
+    out, cache = M.mmdit_apply(ctx, x, t, c, y, P, want_cache=True)
+    np.testing.assert_array_equal(full, np.asarray(out))
+    shallow = np.asarray(M.mmdit_apply(ctx, x, t, c, y, P,
+                                       use_cache=cache))
+    np.testing.assert_allclose(full, shallow, rtol=2e-6,
+                               atol=2e-6 * np.abs(full).max())
+
+
+@pytest.fixture(scope="module")
+def sd3_ckpt(tmp_path_factory):
+    from mlimgsynth_tpu.testing import write_checkpoint_sd3
+    path = tmp_path_factory.mktemp("models") / "tiny_dc_sd3.safetensors"
+    write_checkpoint_sd3(path)
+    return str(path)
+
+
+def make_sd3(sd3_ckpt, monkeypatch, method="euler"):
+    from mlimgsynth_tpu.testing import TINY_MODEL_TYPE_SD3
+    patch_tiny_model_types(monkeypatch, {"sd3": TINY_MODEL_TYPE_SD3})
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", sd3_ckpt)
+    s.option_set("image-dim", 64, 64)
+    s.option_set("steps", 4)
+    s.option_set("seed", 13)
+    s.option_set("method", method)
+    s.option_set("no-decode", 1)
+    return s
+
+
+@pytest.mark.parametrize("method", ["euler", "dpmpp2m"])
+def test_deepcache_sd3_e2e(sd3_ckpt, monkeypatch, method):
+    """Flow deepcache on the tiny SD3: runs, finite, deterministic, and
+    an approximation of (not identical to) the uncached trajectory."""
+    s = make_sd3(sd3_ckpt, monkeypatch, method)
+    s.option_set("prompt", "a flow test")
+    base = np.asarray(s.generate())
+
+    s2 = make_sd3(sd3_ckpt, monkeypatch, method)
+    s2.option_set("deepcache", 2)
+    s2.option_set("prompt", "a flow test")
+    out = np.asarray(s2.generate())
+    assert out.shape == base.shape and np.isfinite(out).all()
+    assert not np.array_equal(out, base)
+    s2.option_set("seed", 13)
+    s2.option_set("prompt", "a flow test")
+    np.testing.assert_array_equal(out, np.asarray(s2.generate()))
+
+
+def test_deepcache_sd3_chunked_matches_fused(sd3_ckpt, monkeypatch):
+    """The chunked (cancellable) path carries the MMDiT cache across
+    chunk boundaries bit-identically to the fused scan."""
+    s = make_sd3(sd3_ckpt, monkeypatch)
+    s.option_set("deepcache", 2)
+    s.option_set("prompt", "chunked flow dc")
+    fused = np.asarray(s.generate())
+    s2 = make_sd3(sd3_ckpt, monkeypatch)
+    s2.option_set("deepcache", 2)
+    s2.option_set("callback", lambda *a: 0)
+    s2.option_set("prompt", "chunked flow dc")
+    np.testing.assert_array_equal(fused, np.asarray(s2.generate()))
+
+
+def test_deepcache_sd3_slg_rejected(sd3_ckpt, monkeypatch):
+    """slg's extra skip-layer eval cannot ride the cached body."""
+    s = make_sd3(sd3_ckpt, monkeypatch)
+    s.option_set("deepcache", 2)
+    s.option_set("slg-scale", 2.0)
+    s.option_set("slg-layers", "1")
+    s.option_set("prompt", "x")
+    with pytest.raises(MlisError) as ei:
+        s.generate()
+    assert "deepcache" in str(ei.value)
+
+
+def test_deepcache_flux_rejected(tmp_path, monkeypatch):
+    """Flux stays out (double/single-stream split; no cache split)."""
+    from mlimgsynth_tpu.testing import (TINY_MODEL_TYPE_FLUX,
+                                        write_tiny_flux_files)
+    patch_tiny_model_types(monkeypatch,
+                           {"flux_schnell": TINY_MODEL_TYPE_FLUX})
+    files = write_tiny_flux_files(tmp_path)
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", files["model"])
+    s.option_set("clip", files["clip"])
+    s.option_set("vae", files["vae"])
+    s.option_set("image-dim", 64, 64)
+    s.option_set("steps", 2)
+    s.option_set("deepcache", 2)
+    s.option_set("prompt", "x")
+    with pytest.raises(MlisError):
+        s.generate()
