@@ -781,8 +781,9 @@ def bench_flux(name):
         log(f"[{name}] compiled loop memory: args "
             f"{ma['argument_bytes'] / 1024**3:.2f} GiB + temps "
             f"{ma['temp_bytes'] / 1024**3:.2f} GiB")
-    label = ("Flux.1-dev 12B int8 guidance-embedded" if dev
-             else "Flux.1-schnell 12B int8 distilled")
+    qtier = "int4" if os.environ.get("MLIS_FLUX_Q4") else "int8"
+    label = (f"Flux.1-dev 12B {qtier} guidance-embedded" if dev
+             else f"Flux.1-schnell 12B {qtier} distilled")
     return {
         "metric": f"{label} {size}px {n_steps}-step txt2img e2e latency "
                   "(text encode + denoise + decode)",

@@ -191,3 +191,27 @@ def test_bench_sd3_slg_smoke(monkeypatch):
     r = bench.bench_config("sd3-slg")
     assert r["value"] > 0
     assert "slg2.5" in r["metric"]
+
+
+def test_bench_sd3_dc_smoke(monkeypatch):
+    """-dc on a flow config: the MMDiT deep-tail cache loop compiles and
+    runs e2e through the fused-encode bench path."""
+    import bench
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import mmdit as MM
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.testing import TINY_CLIP, TINY_CLIP2, TINY_VAE_SD3
+
+    tiny_mm = MM.MmditParams(
+        depth=2, d_model=32, n_head=2, patch=2, n_ch_in=4, n_ch_out=4,
+        d_ctx_in=80, d_pooled=64, pos_embed_max=8, d_t_embed=16,
+        n_ctx=80, ch_adm_in=64)
+    monkeypatch.setattr(MM, "MMDIT_SD3_MEDIUM", tiny_mm)
+    monkeypatch.setattr(V, "VAE_SD3", TINY_VAE_SD3)
+    monkeypatch.setattr(C, "CLIP_VIT_L_14", TINY_CLIP)
+    monkeypatch.setattr(C, "CLIP_VIT_BIGG_14", TINY_CLIP2)
+    monkeypatch.setattr(bench, "STEPS", 4)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_config("sd3-dc")
+    assert r["value"] > 0
+    assert "deepcache3" in r["metric"]
