@@ -703,7 +703,9 @@ def bench_flux(name):
                                                  run_sampler)
     from mlimgsynth_tpu import tokenizer as tok
 
-    dev = name == "flux-dev"
+    use_dc = name.endswith("-dc")
+    name_base = name[:-3] if use_dc else name
+    dev = name_base == "flux-dev"
     P = FX.FLUX_DEV if dev else FX.FLUX_SCHNELL
     clip_p, vae_p = C.CLIP_VIT_L_14, V.VAE_FLUX
     size, baseline = 1024, 4.0
@@ -759,7 +761,8 @@ def bench_flux(name):
         _, img, _ = run_sampler(
             unet_params, init_latent, plan, None, None, None, None, None,
             cfg, P, dtype=dtype, decode=("vae", vae_params, vae_p),
-            want_latent=False, encode=encode)
+            want_latent=False, encode=encode,
+            deepcache=(3 if use_dc else 0))
         return img
 
     t0 = time.time()
@@ -784,6 +787,8 @@ def bench_flux(name):
     qtier = "int4" if os.environ.get("MLIS_FLUX_Q4") else "int8"
     label = (f"Flux.1-dev 12B {qtier} guidance-embedded" if dev
              else f"Flux.1-schnell 12B {qtier} distilled")
+    if use_dc:
+        label += " deepcache3"
     return {
         "metric": f"{label} {size}px {n_steps}-step txt2img e2e latency "
                   "(text encode + denoise + decode)",

@@ -1539,22 +1539,20 @@ class MLImgSynth:
                                  self.c["clip_skip"] if not want_feat else 0)
 
     def _deepcache_check(self, unet_p, control_spec, extra_spec, edit_steps):
-        """Deepcache composes with the plain SD-UNet and (flow) MMDiT
-        loops; Flux, ControlNet/inpaint-variant inputs, prompt editing,
+        """Deepcache composes with the plain SD-UNet, (flow) MMDiT and
+        Flux loops; ControlNet/inpaint-variant inputs, prompt editing,
         mesh execution and multi-eval solvers are out."""
         if self.c["deepcache"] <= 1:
             return
-        flow = bool(getattr(unet_p, "flow", False))
         if (control_spec is not None or extra_spec is not None
                 or edit_steps is not None or self._mesh is not None
-                or (flow and getattr(unet_p, "flux", False))
                 or self.c["method"] not in ("euler", "dpmpp2m")):
             raise MlisError(
                 MlisError.E_OPT_VALUE,
-                "deepcache supports SD-UNet and SD3/MMDiT families (no "
-                "Flux/ControlNet/inpaint-variant/editing/mesh), methods "
+                "deepcache supports SD-UNet, SD3/MMDiT and Flux families "
+                "(no ControlNet/inpaint-variant/editing/mesh), methods "
                 "euler/dpm++2m")
-        if flow and self.c["slg_scale"] > 0:
+        if getattr(unet_p, "flow", False) and self.c["slg_scale"] > 0:
             raise MlisError(MlisError.E_OPT_VALUE,
                             "deepcache is not supported with slg-scale")
 

@@ -232,8 +232,20 @@ def single_block(ctx: B.Ctx, pre: str, x, vec, cos, sin, P: FluxParams):
     return x + (gate[:, None, :]).astype(x.dtype) * out
 
 
+def _dc_split(depth_double: int) -> int:
+    """Block-cache split point (--deepcache): the first ``k`` DOUBLE
+    blocks are the always-recomputed shallow prefix; the remaining
+    doubles plus the whole single-stream stack are the deep tail whose
+    residual on the concatenated (txt ++ img) sequence is cached between
+    refresh steps (same Delta-DiT-style scheme as models/mmdit.py).
+    k = depth_double//8 keeps ~90% of block work cacheable on dev
+    (2 of 19 doubles recompute; all 38 singles ride the cache)."""
+    return max(1, depth_double // 8)
+
+
 def flux_apply(ctx: B.Ctx, x, t, cond, pooled, P: FluxParams,
-               pre: str = "flux", guidance=None, skip_layers=()):
+               pre: str = "flux", guidance=None, skip_layers=(),
+               want_cache: bool = False, use_cache=None):
     """Flux forward.  x: [N,H,W,16] NHWC latent, t: [N] (sigma * 1000 —
     the embedder divides by 1000 to flux's native [0,1] time), cond:
     [N,S,4096] T5 context, pooled: [N,768] CLIP-L pooled, ``guidance``:
@@ -241,7 +253,14 @@ def flux_apply(ctx: B.Ctx, x, t, cond, pooled, P: FluxParams,
 
     ``skip_layers`` (skip-layer guidance): block indices elided from the
     forward — 0..depth_double-1 name double blocks, depth_double..
-    depth_double+depth_single-1 name single blocks."""
+    depth_double+depth_single-1 name single blocks.
+
+    ``want_cache``/``use_cache`` (--deepcache): the deep tail's residual
+    on the concatenated (txt ++ img) token stream — everything after the
+    first ``_dc_split(depth_double)`` double blocks — is returned as the
+    cache / reused in place of the tail.  The t-dependent final-layer
+    modulation always recomputes.  The residual reconstruction matches
+    the full forward to f.p. rounding (not bit-exact; see mmdit.py)."""
     dtype = ctx.dtype
     n, hh, ww, _ = x.shape
     hp, wp = hh // 2, ww // 2
@@ -273,6 +292,10 @@ def flux_apply(ctx: B.Ctx, x, t, cond, pooled, P: FluxParams,
 
     stacked = f"{pre}.double_blocks_p."
     if any(k.startswith(stacked) for k in ctx.params):
+        if want_cache or use_cache is not None:
+            # backstop (api._deepcache_check rejects mesh combos pre-trace)
+            raise ValueError(
+                "deepcache is not supported with --pp stacking")
         if skip_layers:
             # backstop (api._guidance_checks rejects slg+pp pre-trace)
             raise ValueError(
@@ -315,17 +338,34 @@ def flux_apply(ctx: B.Ctx, x, t, cond, pooled, P: FluxParams,
         xx_ = pl.pipeline_apply(plan.mesh, sblock_fn, _slab("single_blocks"),
                                 (xx_, vec), n_micro=plan.n_micro, collect=0)
     else:
-        for i in range(P.depth_double):
+        dc = want_cache or use_cache is not None
+        if dc:
+            assert not skip_layers, "deepcache: incompatible with slg"
+        split = _dc_split(P.depth_double) if dc else P.depth_double
+        for i in range(split):
             if i in skip_layers:
                 continue
             img, txt = double_block(ctx, f"{pre}.double_blocks.{i}", img,
                                     txt, vec, cos, sin, P)
         xx_ = jnp.concatenate([txt, img], axis=1)
-        for i in range(P.depth_single):
-            if (i + P.depth_double) in skip_layers:
-                continue
-            xx_ = single_block(ctx, f"{pre}.single_blocks.{i}", xx_, vec,
-                               cos, sin, P)
+        xx_shallow = xx_ if want_cache else None
+        if use_cache is not None:
+            xx_ = xx_ + use_cache.astype(xx_.dtype)
+        else:
+            for i in range(split, P.depth_double):
+                if i in skip_layers:
+                    continue
+                img, txt = double_block(ctx, f"{pre}.double_blocks.{i}",
+                                        img, txt, vec, cos, sin, P)
+            if split < P.depth_double:
+                xx_ = jnp.concatenate([txt, img], axis=1)
+            for i in range(P.depth_single):
+                if (i + P.depth_double) in skip_layers:
+                    continue
+                xx_ = single_block(ctx, f"{pre}.single_blocks.{i}", xx_,
+                                   vec, cos, sin, P)
+        if want_cache:
+            cache_out = xx_ - xx_shallow
     img = xx_[:, s_txt:]
 
     fpre = pre + ".final_layer"
@@ -338,12 +378,15 @@ def flux_apply(ctx: B.Ctx, x, t, cond, pooled, P: FluxParams,
 
     # unpack [N, hp*wp, 4*ch] -> [N,H,W,ch]
     img = img.reshape(n, hp, wp, 2, 2, cl).transpose(0, 1, 3, 2, 4, 5)
-    return img.reshape(n, hh, ww, cl)
+    out = img.reshape(n, hh, ww, cl)
+    if want_cache:
+        return out, cache_out
+    return out
 
 
 def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: FluxParams,
             pre: str = "flux", control=None, extra_ch=None,
-            skip_layers=()):
+            skip_layers=(), want_cache: bool = False, use_cache=None):
     """Rectified-flow wrapper (sampler-body signature).  ``label`` carries
     the CLIP pooled vector, with the embedded-guidance value appended as
     one extra column when P.guidance_embed (the session packs it there —
@@ -355,6 +398,12 @@ def denoise(ctx: B.Ctx, x, sigma, t, cond, label, P: FluxParams,
     if P.guidance_embed:
         guidance = label[:, P.d_pooled].astype(jnp.float32)
         label = label[:, :P.d_pooled]
+    if want_cache:
+        out, cache = flux_apply(ctx, x.astype(ctx.dtype), t, cond, label,
+                                P, pre=pre, guidance=guidance,
+                                skip_layers=skip_layers, want_cache=True)
+        return out.astype(jnp.float32), cache
     out = flux_apply(ctx, x.astype(ctx.dtype), t, cond, label, P, pre=pre,
-                     guidance=guidance, skip_layers=skip_layers)
+                     guidance=guidance, skip_layers=skip_layers,
+                     use_cache=use_cache)
     return out.astype(jnp.float32)

@@ -239,12 +239,16 @@ def _mask_apply(x, x0, lmask):
     return x0 * lmask + x * (1.0 - lmask)
 
 
-def _dc_cache0(x_nhwc, use_cfg, unet_p, dtype):
+def _dc_cache0(x_nhwc, use_cfg, unet_p, dtype, s_ctx=0):
     """Zero-initialized deepcache carry for the stacked [cond; uncond]
-    rows: the UNet's level-0 decoder incoming deep feature, or (flow
-    MMDiT) the deep-tail residual on the img token stream
-    (models/mmdit.py _dc_split)."""
+    rows: the UNet's level-0 decoder incoming deep feature, (flow MMDiT)
+    the deep-tail residual on the img token stream, or (flux) the
+    residual on the concatenated txt ++ img stream — ``s_ctx`` is the
+    context token count (models/{mmdit,flux}.py _dc_split)."""
     rows = x_nhwc.shape[0] * (2 if use_cfg else 1)
+    if getattr(unet_p, "flux", False):
+        hp, wp = x_nhwc.shape[1] // 2, x_nhwc.shape[2] // 2
+        return jnp.zeros((rows, s_ctx + hp * wp, unet_p.d_model), dtype)
     if getattr(unet_p, "flow", False):
         hp = x_nhwc.shape[1] // unet_p.patch
         wp = x_nhwc.shape[2] // unet_p.patch
@@ -412,8 +416,6 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
     if deepcache > 1:
         assert cond_idx is None and control is None \
             and extra_ch is None, "deepcache: unsupported combination"
-        assert not (flow and getattr(unet_p, "flux", False)), \
-            "deepcache: flux is not supported (UNet + MMDiT only)"
 
         def dc_dxdt(cache, is_full):
             # the cache update escapes the solver's dxdt call through a
@@ -621,7 +623,8 @@ def _loop_jit(params, x, consts, noise0, churn_noise, anc_noise, sigmas0,
     if deepcache > 1:
         (x, _, _, _), _ = jax.lax.scan(
             body, (x, sigmas0, state,
-                   _dc_cache0(x, use_cfg, unet_p, dtype)),
+                   _dc_cache0(x, use_cfg, unet_p, dtype,
+                              s_ctx=consts[0].shape[1])),
             (jnp.arange(n_step), churn_noise, anc_noise))
     else:
         (x, _, _), _ = jax.lax.scan(
@@ -794,7 +797,6 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         if (control is not None
                 or extra_channels is not None or cond_steps is not None
                 or mesh is not None or step_observer is not None
-                or (flow_ and getattr(unet_p, "flux", False))
                 or (not flow_
                     and len(getattr(unet_p, "ch_mult", ())) < 2)):
             raise ValueError("deepcache: unsupported configuration")
@@ -1053,7 +1055,16 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
         carry = _init_jit(x, noise0, sigmas0, lmask_d, x0_keep, xscale0,
                           method=method, use_mask=use_mask)
         if deepcache:
-            carry = carry + (_dc_cache0(x, use_cfg, unet_p, dtype),)
+            if enc_args is not None:
+                # context token count: fused-encode flux carries the t5
+                # rows at enc_args[4]; CLIP specs take the token rows
+                s_ctx = (enc_args[4].shape[1]
+                         if getattr(unet_p, "flux", False)
+                         else enc_args[1].shape[1])
+            else:
+                s_ctx = cond_all.shape[1]
+            carry = carry + (_dc_cache0(x, use_cfg, unet_p, dtype,
+                                        s_ctx=s_ctx),)
         chunk = max(1, int(chunk_size if chunk_size is not None else
                            os.environ.get("MLIS_PROGRESS_CHUNK", "1")))
         if step_observer is not None:

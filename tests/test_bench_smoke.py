@@ -215,3 +215,22 @@ def test_bench_sd3_dc_smoke(monkeypatch):
     r = bench.bench_config("sd3-dc")
     assert r["value"] > 0
     assert "deepcache3" in r["metric"]
+
+
+def test_bench_flux_dc_smoke(monkeypatch):
+    """flux -dc suffix: the deep-tail cache loop compiles and runs e2e
+    through the fused flux bench path (embedded guidance + deepcache)."""
+    import bench
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import flux as FX
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.testing import (TINY_CLIP, TINY_FLUX_DEV,
+                                        TINY_VAE_FLUX)
+
+    monkeypatch.setattr(FX, "FLUX_DEV", TINY_FLUX_DEV)
+    monkeypatch.setattr(V, "VAE_FLUX", TINY_VAE_FLUX)
+    monkeypatch.setattr(C, "CLIP_VIT_L_14", TINY_CLIP)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_flux("flux-dev-dc")
+    assert r["value"] > 0
+    assert "deepcache3" in r["metric"]

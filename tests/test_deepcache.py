@@ -227,21 +227,66 @@ def test_deepcache_sd3_slg_rejected(sd3_ckpt, monkeypatch):
     assert "deepcache" in str(ei.value)
 
 
-def test_deepcache_flux_rejected(tmp_path, monkeypatch):
-    """Flux stays out (double/single-stream split; no cache split)."""
-    from mlimgsynth_tpu.testing import (TINY_MODEL_TYPE_FLUX,
+def test_flux_cache_split_exact():
+    """Flux deep-tail residual cache on the concatenated txt++img
+    stream: the shallow run + a same-x cache reconstructs the full
+    forward to f.p. rounding."""
+    from mlimgsynth_tpu.models import blocks as B
+    from mlimgsynth_tpu.models import flux as F
+    from mlimgsynth_tpu.testing import TINY_FLUX_SCHNELL
+    P = TINY_FLUX_SCHNELL
+    spec = B.trace_spec(
+        lambda ctx, x, t, c, y: F.flux_apply(ctx, x, t, c, y, P),
+        jnp.zeros((2, 8, 8, P.n_ch_in // 4)), jnp.zeros((2,)),
+        jnp.zeros((2, 6, P.d_ctx_in)), jnp.zeros((2, P.d_pooled)))
+    r = np.random.RandomState(0)
+    params = {k: (r.randn(*ps.shape) * 0.05).astype(np.float32)
+              for k, ps in spec.items()}
+    ctx = B.Ctx(params, dtype=jnp.float32)
+    x = jnp.asarray(r.randn(2, 8, 8, P.n_ch_in // 4), jnp.float32)
+    t = jnp.asarray([500.0, 500.0])
+    c = jnp.asarray(r.randn(2, 6, P.d_ctx_in) * 0.3, jnp.float32)
+    y = jnp.asarray(r.randn(2, P.d_pooled) * 0.3, jnp.float32)
+    full = np.asarray(F.flux_apply(ctx, x, t, c, y, P))
+    out, cache = F.flux_apply(ctx, x, t, c, y, P, want_cache=True)
+    np.testing.assert_array_equal(full, np.asarray(out))
+    shallow = np.asarray(F.flux_apply(ctx, x, t, c, y, P,
+                                      use_cache=cache))
+    np.testing.assert_allclose(full, shallow, rtol=2e-6,
+                               atol=2e-6 * np.abs(full).max())
+
+
+@pytest.mark.parametrize("model_key", ["flux_schnell", "flux_dev"])
+def test_deepcache_flux_e2e(tmp_path, monkeypatch, model_key):
+    """Flux deepcache (schnell plain + dev embedded-guidance): runs,
+    finite, deterministic, approximates the uncached trajectory."""
+    from mlimgsynth_tpu.testing import (TINY_CLIP, TINY_FLUX_DEV,
+                                        TINY_FLUX_SCHNELL, TINY_VAE_FLUX,
                                         write_tiny_flux_files)
-    patch_tiny_model_types(monkeypatch,
-                           {"flux_schnell": TINY_MODEL_TYPE_FLUX})
-    files = write_tiny_flux_files(tmp_path)
-    s = MLImgSynth()
-    s._dtype = jnp.float32
-    s.option_set("model", files["model"])
-    s.option_set("clip", files["clip"])
-    s.option_set("vae", files["vae"])
-    s.option_set("image-dim", 64, 64)
-    s.option_set("steps", 2)
-    s.option_set("deepcache", 2)
-    s.option_set("prompt", "x")
-    with pytest.raises(MlisError):
-        s.generate()
+    from mlimgsynth_tpu.api import ModelTypeDef
+    P = TINY_FLUX_DEV if model_key == "flux_dev" else TINY_FLUX_SCHNELL
+    patch_tiny_model_types(monkeypatch, {
+        model_key: ModelTypeDef(model_key, TINY_CLIP, None, P,
+                                TINY_VAE_FLUX, 64, 1)})
+    files = write_tiny_flux_files(tmp_path, P=P)
+
+    def make(dc):
+        s = MLImgSynth()
+        s._dtype = jnp.float32
+        s.option_set("model", files["model"])
+        s.option_set("clip", files["clip"])
+        s.option_set("vae", files["vae"])
+        s.option_set("image-dim", 64, 64)
+        s.option_set("steps", 4)
+        s.option_set("seed", 31)
+        s.option_set("no-decode", 1)
+        s.option_set("prompt", "a flux dc test")
+        if dc:
+            s.option_set("deepcache", dc)
+        return s
+
+    base = np.asarray(make(0).generate())
+    out = np.asarray(make(2).generate())
+    assert out.shape == base.shape and np.isfinite(out).all()
+    assert not np.array_equal(out, base)
+    np.testing.assert_array_equal(out, np.asarray(make(2).generate()))
