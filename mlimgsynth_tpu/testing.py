@@ -542,33 +542,40 @@ def _hf_clip_name(internal):
     return t
 
 
-def write_tiny_flux_files(dirpath, P=None, seed=0):
+def write_tiny_flux_files(dirpath, P=None, seed=0, return_arrays=False):
     """Tiny flux distribution: transformer-only model file (bare
     double_blocks.* tails), a bare-HF clip file (text_model.*, no
     text_projection — flux pools without it) and a bare VAE file
-    (encoder./decoder.).  Returns {model, clip, vae} paths."""
+    (encoder./decoder.).  Returns {model, clip, vae} paths; with
+    ``return_arrays`` also the {internal_name: ckpt-layout array} dict
+    (for torch-transcription oracles)."""
     import os
     from safetensors.numpy import save_file
     from mlimgsynth_tpu.models import flux as flux_mod
     P = P or TINY_FLUX_SCHNELL
     rng = np.random.default_rng(seed)
 
+    internal = {}
     spec_f = B.trace_spec(
         lambda ctx, x, t, c, y: flux_mod.flux_apply(
             ctx, x, t, c, y, P,
             guidance=(jnp.zeros((1,)) if P.guidance_embed else None)),
         jnp.zeros((1, 8, 8, P.n_ch_in // 4)), jnp.zeros((1,)),
         jnp.zeros((1, 7, P.d_ctx_in)), jnp.zeros((1, P.d_pooled)))
-    model = {name[len("flux."):]: _random_for_spec(rng, ps, 0.05)
-             for name, ps in spec_f.items()}
+    model = {}
+    for name, ps in spec_f.items():
+        internal[name] = model[name[len("flux."):]] = \
+            _random_for_spec(rng, ps, 0.05)
 
     spec_c = B.trace_spec(
         lambda ctx, toks: clip_mod.clip_text_apply(
             ctx, toks, TINY_CLIP, feat_tok_idx=jnp.zeros((1,), jnp.int32),
             feat_proj=False),
         jnp.zeros((1, 77), jnp.int32))
-    clip = {_hf_clip_name(name): _random_for_spec(rng, ps, 0.05)
-            for name, ps in spec_c.items()}
+    clip = {}
+    for name, ps in spec_c.items():
+        internal[name] = clip[_hf_clip_name(name)] = \
+            _random_for_spec(rng, ps, 0.05)
 
     spec_v = {}
     spec_v.update(B.trace_spec(
@@ -580,11 +587,14 @@ def write_tiny_flux_files(dirpath, P=None, seed=0):
     vae = {}
     for name, ps in spec_v.items():
         cv = nameconv.internal_to_compvis(name)
-        vae[cv[len("first_stage_model."):]] = _random_for_spec(rng, ps, 0.05)
+        internal[name] = vae[cv[len("first_stage_model."):]] = \
+            _random_for_spec(rng, ps, 0.05)
 
     paths = {}
     for key, arrays in (("model", model), ("clip", clip), ("vae", vae)):
         p = os.path.join(str(dirpath), f"tiny-flux-{key}.safetensors")
         save_file(arrays, p)
         paths[key] = p
+    if return_arrays:
+        return paths, internal
     return paths

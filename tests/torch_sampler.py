@@ -545,7 +545,8 @@ class TorchFlowDenoiser:
     """Velocity-prediction dxdt: the MMDiT output IS dx/dsigma; the model
     timestep is sigma * n_step_train (no table lookup, no c_in)."""
 
-    def __init__(self, params, P, cond, pooled, uncond, npooled, cfg_scale):
+    def __init__(self, params, P, cond, pooled, uncond, npooled, cfg_scale,
+                 guidance=None):
         self.params = params
         self.P = P
         self.cond = cond
@@ -553,23 +554,31 @@ class TorchFlowDenoiser:
         self.uncond = uncond
         self.npooled = npooled
         self.cfg_scale = cfg_scale
+        self.guidance = guidance   # flux-dev embedded guidance (scalar)
+
+    def _model(self, x, tt, cond, pooled):
+        if getattr(self.P, "flux", False):
+            from torch_ref import torch_flux
+            return torch_flux(self.params, x, tt, cond, pooled, self.P,
+                              guidance=self.guidance)
+        from torch_ref import torch_mmdit
+        return torch_mmdit(self.params, x, tt, cond, pooled, self.P)
 
     def dxdt(self, x, sigma):
-        from torch_ref import torch_mmdit
         tt = torch.full((x.shape[0],), sigma * self.P.n_step_train,
                         dtype=torch.float32)
-        v = torch_mmdit(self.params, x, tt, self.cond, self.pooled, self.P)
+        v = self._model(x, tt, self.cond, self.pooled)
         f = self.cfg_scale
         if f > 1:
-            vu = torch_mmdit(self.params, x, tt, self.uncond, self.npooled,
-                             self.P)
+            vu = self._model(x, tt, self.uncond, self.npooled)
             v = v * f + vu * (1.0 - f)
         return v
 
 
 def torch_sample_flow(params, P, x0, cond, pooled, uncond=None, npooled=None,
                       *, rng, n_step, method="euler", sched="uniform",
-                      cfg_scale=7.0, f_t_ini=1.0, f_t_end=0.0):
+                      cfg_scale=7.0, f_t_ini=1.0, f_t_end=0.0,
+                      guidance=None):
     """Rectified-flow trajectory: x_t = (1-sigma) x0 + sigma n, solver steps
     on the flow sigma grid.  Reuses TorchSolver — the solvers are
     sigma-generic, and for dpmpp2m the a*x + (1-a)*x0hat update is the
@@ -581,7 +590,7 @@ def torch_sample_flow(params, P, x0, cond, pooled, uncond=None, npooled=None,
                          P.n_step_train)
     n_step = len(sigmas) - 1
     den = TorchFlowDenoiser(params, P, cond, pooled, uncond, npooled,
-                            cfg_scale)
+                            cfg_scale, guidance=guidance)
     sol = TorchSolver(method, den.dxdt)
     sol.t = float(sigmas[0])
     x = torch.from_numpy(np.asarray(x0, np.float32)).clone()
