@@ -1544,14 +1544,15 @@ class MLImgSynth:
         mesh execution and multi-eval solvers are out."""
         if self.c["deepcache"] <= 1:
             return
+        from .sampling.sampler import DC_METHODS
         if (control_spec is not None or extra_spec is not None
                 or edit_steps is not None or self._mesh is not None
-                or self.c["method"] not in ("euler", "dpmpp2m")):
+                or self.c["method"] not in DC_METHODS):
             raise MlisError(
                 MlisError.E_OPT_VALUE,
                 "deepcache supports SD-UNet, SD3/MMDiT and Flux families "
-                "(no ControlNet/inpaint-variant/editing/mesh), methods "
-                "euler/dpm++2m")
+                "(no ControlNet/inpaint-variant/editing/mesh), 1-eval "
+                "solvers only: " + ", ".join(DC_METHODS))
         if getattr(unet_p, "flow", False) and self.c["slg_scale"] > 0:
             raise MlisError(MlisError.E_OPT_VALUE,
                             "deepcache is not supported with slg-scale")

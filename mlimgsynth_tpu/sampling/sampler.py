@@ -239,6 +239,12 @@ def _mask_apply(x, x0, lmask):
     return x0 * lmask + x * (1.0 - lmask)
 
 
+# Solvers deepcache composes with: exactly ONE dxdt call per step (the
+# cache update escapes through a closure cell that a multi-eval solver
+# would fire more than once).  lcm is 1-eval but bypasses dxdt entirely.
+DC_METHODS = ("euler", "dpmpp2m", "dpmpp2m_sde", "taylor3", "unipc")
+
+
 def _dc_cache0(x_nhwc, use_cfg, unet_p, dtype, s_ctx=0):
     """Zero-initialized deepcache carry for the stacked [cond; uncond]
     rows: the UNet's level-0 decoder incoming deep feature, (flow MMDiT)
@@ -790,9 +796,10 @@ def run_sampler(params, x_init, plan: SamplingPlan, cond, uncond, label,
     method = get_solver(cfg.method).name
     deepcache = int(deepcache or 0)
     if deepcache > 1:
-        if method not in ("euler", "dpmpp2m"):
+        if method not in DC_METHODS:
             raise ValueError(
-                "deepcache needs a 1-eval/step solver (euler, dpm++2m)")
+                "deepcache needs a 1-eval/step solver "
+                f"({', '.join(DC_METHODS)})")
         flow_ = bool(getattr(unet_p, "flow", False))
         if (control is not None
                 or extra_channels is not None or cond_steps is not None

@@ -290,3 +290,20 @@ def test_deepcache_flux_e2e(tmp_path, monkeypatch, model_key):
     assert out.shape == base.shape and np.isfinite(out).all()
     assert not np.array_equal(out, base)
     np.testing.assert_array_equal(out, np.asarray(make(2).generate()))
+
+
+@pytest.mark.parametrize("method", ["dpmpp2m_sde", "taylor3", "unipc"])
+def test_deepcache_one_eval_solvers(ckpt, monkeypatch, method):
+    """Every 1-eval solver composes with the cache (the closure-cell
+    update fires once per step; unipc's corrector and the SDE re-noise
+    ride outside the single dxdt call).  heun/dpmpp2s stay rejected
+    (test_deepcache_gates)."""
+    patch_tiny_model_types(monkeypatch)
+    s = make(ckpt, method)
+    s.option_set("deepcache", 2)
+    s.option_set("prompt", "solver dc")
+    out = np.asarray(s.generate())
+    assert np.isfinite(out).all()
+    s.option_set("seed", 13)
+    s.option_set("prompt", "solver dc")
+    np.testing.assert_array_equal(out, np.asarray(s.generate()))
