@@ -265,6 +265,11 @@ def bench_config(name):
     use_dc = name_base.endswith("-dc")
     if use_dc:
         name_base = name_base[:-3]
+    # real T5-XXL conditioning (the quality driver in the public SD3
+    # pipelines; all other sd3 configs run the zero-T5 shape)
+    use_t5 = name_base.endswith("-t5")
+    if use_t5:
+        name_base = name_base[:-3]
     # Skip-layer guidance (SD3.5-medium's recommended sampling mode):
     # +1 NFE/step inside the default [0.01, 0.2) step window
     use_slg = name_base.endswith("-slg")
@@ -551,6 +556,39 @@ def bench_config(name):
             np.float32).reshape(len(scores), -1)
         enc_extra = (fidxrows, serows)
 
+    t5_fn = None
+    if use_t5:
+        if not flow:
+            raise SystemExit("-t5 bench requires an SD3/flow config")
+        from mlimgsynth_tpu.models import t5 as T5M
+        P5 = T5M.T5_XXL
+        t0 = time.time()
+        spec_t5 = B.trace_spec(
+            lambda ctx, tk: T5M.t5_encode_apply(ctx, tk, P5),
+            jnp.zeros((1, 77), jnp.int32))
+        t5_params = synth_q8_params(spec_t5, 3)
+        log(f"[{name}] t5-xxl 4.7B int8 synthesized on device "
+            f"({len(spec_t5)} tensors, {time.time() - t0:.1f}s)")
+        # no t5 tokenizer.json on this box: synthetic token ids with the
+        # real EOS/pad layout (perf is id-independent)
+        rng5 = np.random.default_rng(11)
+        ids = rng5.integers(2, 32000, size=(1, 77)).astype(np.int32)
+        ids[0, 20] = T5M.T5_EOS_ID
+        ids[0, 21:] = T5M.T5_PAD_ID
+        un = np.full((1, 77), T5M.T5_PAD_ID, np.int32)
+        un[0, 0] = T5M.T5_EOS_ID
+        t5_toks = jnp.asarray(np.repeat(
+            np.concatenate([ids, un], 0) if cfg_scale > 1 else ids,
+            n_batch, axis=0))
+
+        @jax.jit
+        def t5_run(p, tk):
+            return T5M.t5_encode_apply(
+                B.Ctx(p, dtype=dtype), tk, P5).astype(jnp.float32)
+
+        def t5_fn():
+            return t5_run(t5_params, t5_toks)
+
     def run(seed):
         x0 = encode_init() if use_i2i else init_latent
         plan = make_plan(cfg, (n_batch, vae_p.ch_z, lat, lat),
@@ -562,8 +600,14 @@ def bench_config(name):
             else ("vae", vae_params, vae_p)
         if fuse_encode:
             skip = 2 if (clip2_p is not None or single_label) else 1
+            ex = enc_extra
+            if t5_fn is not None:
+                # real T5 rows, computed on device (its dispatch + encode
+                # time is part of the measured e2e, like the reference's
+                # text-encode stage)
+                ex = enc_extra[:4] + (t5_fn(),) + enc_extra[5:]
             encode = (clip_params, tokrows, wrows, clip_p, skip,
-                      unet_p.clip_norm) + enc_extra
+                      unet_p.clip_norm) + ex
             _, img, _ = run_sampler(
                 unet_params, x0, plan, None, None, None, None, lmask,
                 cfg, unet_p, dtype=dtype, decode=decode, want_latent=False,
@@ -666,6 +710,8 @@ def bench_config(name):
         label += f" highres-fix {size}->{size * 2}px"
     if use_dc:
         label += " deepcache3"
+    if use_t5:
+        label += " +T5-XXL-int8"
     if use_slg:
         label += " slg2.5"
     if use_q4:
@@ -795,6 +841,62 @@ def bench_flux(name):
         "value": round(best, 4),
         "unit": "s/image",
         "vs_baseline": round(baseline / best, 3),
+    }
+
+
+def bench_esrgan(name):
+    """Real-ESRGAN x4 upscale (RRDBNet x4plus geometry: 23 RRDB blocks,
+    64 features — models/esrgan.py), synthetic weights: one-dispatch
+    512->2048px upscale, the kernel behind session.upscale(), the
+    `upscale` CLI command and the A1111 hr_upscaler/extras paths.
+    Reports the on-device compute time (tiny-slice completion barrier)
+    AND the full-image e2e (the 2048px u8 fetch pays the tunnel's
+    ~40 MB/s, which a directly-attached chip would not)."""
+    import jax
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.models import blocks as B
+    from mlimgsynth_tpu.models import esrgan as E
+
+    P = E.ESRGAN_X4
+    size = int(os.environ.get("MLIS_BENCH_SIZE") or 512)
+    dtype = jnp.bfloat16
+    t0 = time.time()
+    spec = B.trace_spec(
+        lambda ctx, x: E.esrgan_apply(ctx, x, P),
+        jnp.zeros((1, size, size, 3)))
+    params = synth_params(spec, 0)
+    log(f"[{name}] weight synthesis {time.time() - t0:.1f}s "
+        f"({len(spec)} tensors)")
+
+    @jax.jit
+    def up(p, x):
+        img = E.esrgan_apply(B.Ctx(p, dtype=dtype), x, P)
+        return (jnp.clip(img.astype(jnp.float32), 0.0, 1.0)
+                * 255.0).astype(jnp.uint8)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((1, size, size, 3)).astype(np.float32))
+    t0 = time.time()
+    out = np.asarray(up(params, x))
+    log(f"[{name}] compile+first-run {time.time() - t0:.1f}s; "
+        f"out {out.shape}; finite: True")
+    t_dev, t_e2e = [], []
+    for i in range(3):
+        t0 = time.time()
+        np.asarray(up(params, x)[0, :4, :4])   # tiny-slice barrier
+        t_dev.append(time.time() - t0)
+        t0 = time.time()
+        np.asarray(up(params, x))
+        t_e2e.append(time.time() - t0)
+        log(f"[{name}] run {i}: device {t_dev[-1]:.3f}s / "
+            f"e2e+fetch {t_e2e[-1]:.3f}s")
+    best = min(t_dev)
+    return {
+        "metric": f"Real-ESRGAN x4 RRDBNet {size}->{size * P.scale}px "
+                  "upscale on-device latency",
+        "value": round(best, 4),
+        "unit": "s/image",
+        "vs_baseline": round(4.0 / best, 3),
     }
 
 
@@ -964,6 +1066,8 @@ def main():
             results.append(bench_ensemble(c))
         elif c.startswith("flux-"):
             results.append(bench_flux(c))
+        elif c.startswith("esrgan"):
+            results.append(bench_esrgan(c))
         else:
             results.append(bench_config(c))
     for r in results[1:]:

@@ -234,3 +234,45 @@ def test_bench_flux_dc_smoke(monkeypatch):
     r = bench.bench_flux("flux-dev-dc")
     assert r["value"] > 0
     assert "deepcache3" in r["metric"]
+
+
+def test_bench_esrgan_smoke(monkeypatch):
+    """esrgan-x4 config: RRDBNet upscale compiles and runs one-dispatch
+    at tiny geometry."""
+    import bench
+    from mlimgsynth_tpu.models import esrgan as E
+
+    tiny = E.EsrganParams(n_feat=16, n_block=2, growth=8)
+    monkeypatch.setattr(E, "ESRGAN_X4", tiny)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_esrgan("esrgan-x4")
+    assert r["value"] > 0
+    assert "Real-ESRGAN x4" in r["metric"] and "64->256px" in r["metric"]
+
+
+def test_bench_sd3_t5_smoke(monkeypatch):
+    """-t5 suffix: real (tiny) T5 rows computed on device feed the fused
+    sd3 loop in place of the zero rows."""
+    import bench
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import mmdit as MM
+    from mlimgsynth_tpu.models import t5 as T5M
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.testing import TINY_CLIP, TINY_CLIP2, TINY_VAE_SD3
+
+    tiny_mm = MM.MmditParams(
+        depth=2, d_model=32, n_head=2, patch=2, n_ch_in=4, n_ch_out=4,
+        d_ctx_in=80, d_pooled=64, pos_embed_max=8, d_t_embed=16,
+        n_ctx=80, ch_adm_in=64)
+    tiny_t5 = T5M.T5Params(d_model=80, d_kv=8, n_head=4, d_ff=64,
+                           n_layer=2)
+    monkeypatch.setattr(MM, "MMDIT_SD3_MEDIUM", tiny_mm)
+    monkeypatch.setattr(T5M, "T5_XXL", tiny_t5)
+    monkeypatch.setattr(V, "VAE_SD3", TINY_VAE_SD3)
+    monkeypatch.setattr(C, "CLIP_VIT_L_14", TINY_CLIP)
+    monkeypatch.setattr(C, "CLIP_VIT_BIGG_14", TINY_CLIP2)
+    monkeypatch.setattr(bench, "STEPS", 2)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_config("sd3-t5")
+    assert r["value"] > 0
+    assert "+T5-XXL" in r["metric"]
