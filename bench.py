@@ -870,23 +870,25 @@ def bench_esrgan(name):
 
     @jax.jit
     def up(p, x):
-        img = E.esrgan_apply(B.Ctx(p, dtype=dtype), x, P)
-        return (jnp.clip(img.astype(jnp.float32), 0.0, 1.0)
-                * 255.0).astype(jnp.uint8)
+        img = E.esrgan_apply(B.Ctx(p, dtype=dtype), x, P).astype(
+            jnp.float32)
+        u8 = (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return u8, jnp.isfinite(img).all()
 
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.random((1, size, size, 3)).astype(np.float32))
     t0 = time.time()
-    out = np.asarray(up(params, x))
+    out, fin = up(params, x)
+    out = np.asarray(out)
     log(f"[{name}] compile+first-run {time.time() - t0:.1f}s; "
-        f"out {out.shape}; finite: True")
+        f"out {out.shape}; finite: {bool(fin)}")
     t_dev, t_e2e = [], []
     for i in range(3):
         t0 = time.time()
-        np.asarray(up(params, x)[0, :4, :4])   # tiny-slice barrier
+        np.asarray(up(params, x)[0][0, :4, :4])   # tiny-slice barrier
         t_dev.append(time.time() - t0)
         t0 = time.time()
-        np.asarray(up(params, x))
+        np.asarray(up(params, x)[0])
         t_e2e.append(time.time() - t0)
         log(f"[{name}] run {i}: device {t_dev[-1]:.3f}s / "
             f"e2e+fetch {t_e2e[-1]:.3f}s")

@@ -339,8 +339,10 @@ def flux_apply(ctx: B.Ctx, x, t, cond, pooled, P: FluxParams,
                                 (xx_, vec), n_micro=plan.n_micro, collect=0)
     else:
         dc = want_cache or use_cache is not None
-        if dc:
-            assert not skip_layers, "deepcache: incompatible with slg"
+        if dc and skip_layers:
+            # raise, not assert: survives python -O (same rationale as
+            # the joint-stack backstop above)
+            raise ValueError("deepcache: incompatible with skip_layers")
         split = _dc_split(P.depth_double) if dc else P.depth_double
         for i in range(split):
             if i in skip_layers:

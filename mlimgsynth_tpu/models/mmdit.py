@@ -351,7 +351,10 @@ def mmdit_apply(ctx: B.Ctx, x, t, cond, pooled, P: MmditParams,
     else:
         k_cache = 0
         if want_cache or use_cache is not None:
-            assert not skip_layers, "deepcache: incompatible with slg"
+            if skip_layers:
+                # raise, not assert: survives python -O
+                raise ValueError(
+                    "deepcache: incompatible with skip_layers")
             k_cache = _dc_split(P.depth)
         xe_shallow = None
         n_run = k_cache if use_cache is not None else P.depth

@@ -107,12 +107,10 @@ def _attention(ctx: B.Ctx, pre: str, x, bias, P: T5Params):
     n, s = x.shape[0], x.shape[1]
 
     def proj(which):
-        w = ctx.param(f"{pre}.{which}.weight", (x.shape[-1], inner),
-                      B.LINEAR_W)
-        y = jnp.einsum("nsk,khd->nhsd", x,
-                       w.reshape(x.shape[-1], P.n_head, P.d_kv)
-                       .astype(x.dtype))
-        return y
+        # B.linear (not a raw ctx.param einsum) so the quantized-pair
+        # dispatch applies — int8/int4 weight tiers cover T5 fully
+        y = B.linear(ctx, f"{pre}.{which}", x, inner, bias=False)
+        return y.reshape(n, s, P.n_head, P.d_kv).transpose(0, 2, 1, 3)
 
     q, k, v = proj("q"), proj("k"), proj("v")
     logits = jnp.einsum("nhqd,nhkd->nhqk", q, k,
@@ -121,10 +119,8 @@ def _attention(ctx: B.Ctx, pre: str, x, bias, P: T5Params):
     w = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
     w = (w / jnp.sum(w, axis=-1, keepdims=True)).astype(x.dtype)
     o = jnp.einsum("nhqk,nhkd->nhqd", w, v)
-    wo = ctx.param(pre + ".o.weight", (inner, P.d_model), B.LINEAR_W)
-    return jnp.einsum("nhsd,hdk->nsk", o,
-                      wo.reshape(P.n_head, P.d_kv, P.d_model)
-                      .astype(o.dtype))
+    o = o.transpose(0, 2, 1, 3).reshape(n, s, inner)
+    return B.linear(ctx, pre + ".o", o, P.d_model, bias=False)
 
 
 def _ffn(ctx: B.Ctx, pre: str, x, P: T5Params):

@@ -319,6 +319,14 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
     # model timestep is sigma * n_step_train (no table lookup) and the
     # velocity output is dx/dsigma directly (models/mmdit.py denoise).
     flow = bool(getattr(unet_p, "flow", False))
+
+    def model_t(sigma):
+        # shared by the plain and deepcache dxdt bodies — keep the flow
+        # vs sigma-table timestep rule in ONE place
+        if flow:
+            return sigma * unet_p.n_step_train
+        return jnp_sigma_to_t(log_sigmas, sigma)
+
     if flow and getattr(unet_p, "flux", False):
         from ..models import flux as flux_mod
         den = flux_mod.denoise
@@ -334,10 +342,7 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
     def dxdt_with(ca, la, i_step=None):
         def dxdt(xv, sigma):
             n = xv.shape[0]
-            if flow:
-                t = sigma * unet_p.n_step_train
-            else:
-                t = jnp_sigma_to_t(log_sigmas, sigma)
+            t = model_t(sigma)
             if use_cfg:
                 xb = jnp.concatenate([xv, xv], axis=0)
                 d = den(ctx, xb, sigma, t, ca, la,
@@ -430,10 +435,7 @@ def _make_body(params, consts, *, method, unet_p, use_cfg, use_mask, dtype,
 
             def dxdt(xv, sigma):
                 n = xv.shape[0]
-                if flow:
-                    t = sigma * unet_p.n_step_train
-                else:
-                    t = jnp_sigma_to_t(log_sigmas, sigma)
+                t = model_t(sigma)
                 xb = (jnp.concatenate([xv, xv], axis=0) if use_cfg
                       else xv)
 

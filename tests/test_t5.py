@@ -107,3 +107,43 @@ def test_tokenize_pad_eos(tmp_path):
     np.testing.assert_array_equal(out[1], [5, 1, 0, 0, 0, 0, 0, 0])
     with pytest.raises(ValueError):
         t5_mod.tokenize(["x"], 8, None)
+
+
+def test_t5_quantized_pairs():
+    """T5 linears route through blocks.linear so int8 weight-only pairs
+    dispatch (the sd3-t5 bench synthesizes T5-XXL int8 on device);
+    quantized forward approximates the plain one."""
+    import io as _io
+    from mlimgsynth_tpu.io import gquant
+
+    P = t5_mod.T5Params(d_model=128, d_kv=32, n_head=4, d_ff=256,
+                        n_layer=2, n_vocab=512)
+    spec = B.trace_spec(
+        lambda ctx, toks: t5_mod.t5_encode_apply(ctx, toks, P),
+        jnp.zeros((1, 9), jnp.int32))
+    rng = np.random.default_rng(3)
+    plain = {k: jnp.asarray((rng.standard_normal(ps.shape) * 0.05)
+                            .astype(np.float32))
+             for k, ps in spec.items()}
+    qp = {}
+    for k, ps in spec.items():
+        a = np.asarray(plain[k])
+        if getattr(ps, "kind", None) == B.LINEAR_W and a.ndim == 2 \
+                and a.shape[0] % 128 == 0:
+            kb = a.reshape(a.shape[0] // 128, 128, a.shape[1])
+            sc = np.abs(kb).max(axis=1) / 127.0
+            q = np.clip(np.round(kb / sc[:, None, :]), -127, 127)
+            qp[k + "_q8"] = jnp.asarray(q.astype(np.int8)
+                                        .reshape(a.shape))
+            qp[k + "_scale"] = jnp.asarray(sc.astype(np.float32))
+        else:
+            qp[k] = plain[k]
+    toks = rng.integers(2, P.n_vocab, (1, 9)).astype(np.int32)
+    full = np.asarray(t5_mod.t5_encode_apply(
+        B.Ctx(plain, dtype=jnp.float32), jnp.asarray(toks), P))
+    got = np.asarray(t5_mod.t5_encode_apply(
+        B.Ctx(qp, dtype=jnp.float32), jnp.asarray(toks), P))
+    assert np.isfinite(got).all()
+    # int8 weight-only: small relative error vs the f32 forward
+    rel = np.abs(got - full).max() / max(np.abs(full).max(), 1e-6)
+    assert rel < 0.05, rel
