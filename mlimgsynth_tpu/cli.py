@@ -55,10 +55,12 @@ Generation options:
                        initial noise slerps toward this stream).
   --tiling B           Seamless tiling: circular conv padding in UNet
                        and VAE, output wraps without seams (textures).
-  --deepcache N        UNet encoder caching (DeepCache-style): refresh
-                       the deep levels + mid transformer every N steps,
-                       reuse them in between (~1.5x faster, slight
-                       quality cost; SD families, euler/dpm++2m).
+  --deepcache N        DeepCache-style model caching: refresh the deep
+                       part every N steps, reuse it in between (~1.5-2x
+                       faster, slight quality cost).  UNets cache the
+                       deep levels + mid transformer; SD3/Flux cache the
+                       deep block tail.  1-eval solvers only (euler,
+                       dpm++2m[_sde], taylor3, unipc).
   --ilatent PATH       Input latent tensor.
   --ilmask PATH        Input latent mask tensor.
   -o --output PATH     Output image path.
