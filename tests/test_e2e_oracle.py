@@ -373,3 +373,63 @@ def test_e2e_generate_matches_torch_stack_flux(tmp_path, monkeypatch):
                                    err_msg=f"step {i} latent mismatch")
     psnr = _psnr_u8(img_jax, img_t)
     assert psnr > 40.0, f"final image PSNR {psnr:.1f} dB <= 40"
+
+
+def test_e2e_generate_matches_torch_stack_flux_dev(tmp_path, monkeypatch):
+    """Flux.1-dev variant: cfg_scale becomes the EMBEDDED guidance value
+    (one NFE/step, no uncond pass) and the sigma grid uses the dynamic
+    resolution shift — both replicated torch-side."""
+    import dataclasses
+    from mlimgsynth_tpu.api import ModelTypeDef
+    from mlimgsynth_tpu.models import flux as flux_mod
+    from mlimgsynth_tpu.testing import (TINY_FLUX_DEV, TINY_VAE_FLUX,
+                                        write_tiny_flux_files)
+    P = TINY_FLUX_DEV
+    files, params = write_tiny_flux_files(tmp_path, P=P,
+                                          return_arrays=True)
+    patch_tiny_model_types(monkeypatch, {
+        "flux_dev": ModelTypeDef("flux_dev", TINY_CLIP, None, P,
+                                 TINY_VAE_FLUX, 64, 1)})
+
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", files["model"])
+    s.option_set("clip", files["clip"])
+    s.option_set("vae", files["vae"])
+    s.option_set("image-dim", 64)
+    s.option_set("steps", STEPS)
+    s.option_set("seed", SEED)
+    s.option_set("cfg-scale", 3.5)        # -> embedded guidance
+    s.option_set("method", "euler")
+    s.option_set("scheduler", "uniform")
+    s.option_set("no-prompt-parse", 1)
+    s.option_set("prompt", PROMPT)
+    traj_jax = []
+    s.step_observer = lambda i, lat: traj_jax.append(
+        np.asarray(lat, np.float32).copy())
+    s.generate()
+    img_jax = tensor_to_image_arr(np.asarray(s.tensors["image"], np.float32))
+
+    t1, f1 = _wrapped2(PROMPT, TINY_CLIP)
+    _, pooled = TR.torch_clip_text(params, t1, TINY_CLIP, norm=False,
+                                   feat_tok_idx=[f1], feat_proj=False)
+    cond = torch.zeros((1, TINY_CLIP.n_token, P.d_ctx_in))
+
+    shift = flux_mod.dynamic_flow_shift(P, 8, 8)
+    Pt = dataclasses.replace(P, flow_shift=shift)
+    x0 = np.zeros((1, P.n_ch_in // 4, 8, 8), np.float32)
+    traj_t, _sig = TS.torch_sample_flow(
+        params, Pt, x0, cond, pooled.float(),
+        rng=RngPhilox(SEED), n_step=STEPS, method="euler", sched="uniform",
+        cfg_scale=1.0, guidance=torch.tensor([3.5]))
+    with torch.no_grad():
+        dec = TR.torch_vae_decode(
+            params, torch.from_numpy(traj_t[-1]), TINY_VAE_FLUX)
+    img_t = tensor_to_image_arr(np.clip((dec.numpy() + 1.0) * 0.5, 0, 1))
+
+    assert len(traj_jax) == len(traj_t) == STEPS
+    for i, (a, b) in enumerate(zip(traj_jax, traj_t)):
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3,
+                                   err_msg=f"step {i} latent mismatch")
+    psnr = _psnr_u8(img_jax, img_t)
+    assert psnr > 40.0, f"final image PSNR {psnr:.1f} dB <= 40"
