@@ -17,6 +17,12 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
         fused into the loop; beyond-reference feature cost)
   suffix -turbo: distilled-model inference shape (4 steps, cfg 1 — the
         uncond pass and the uncond encoder rows are skipped entirely)
+  suffix -dc: DeepCache interval 3 (UNets cache the deep levels + mid
+        transformer; SD3/Flux cache the deep block tail as a residual)
+  suffix -hires: two-pass highres-fix (size -> 2x size latent upscale)
+  suffix -slg: skip-layer guidance (MMDiT configs)
+  suffix -t5: real T5-XXL 4.7B int8 conditioning computed on device
+        (sd3* configs; all others run the zero-T5 context shape)
   sdxl-refiner: SDXL-refiner 1024px (single bigG tower, aesthetic-score
         labels; beyond-reference model family)
   sd3:  SD3-medium MMDiT 1024px rectified flow (beyond-reference model
@@ -32,6 +38,9 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
         (switch 0.8: base stops at sigma(0.2) via keep_tail, refiner
         continues from the same sigma without re-noising; both models
         resident in HBM, the bigG tower weights shared)
+  esrgan-x4: Real-ESRGAN RRDBNet x4 upscale 512->2048px (the kernel
+        behind session.upscale() / the A1111 hr_upscaler and extras
+        paths; on-device latency + full-fetch e2e)
 
 Uses a real checkpoint if MLIS_MODEL points at one; otherwise synthesizes
 random weights with the exact architecture (identical compute graph, so
