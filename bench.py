@@ -61,7 +61,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def synth_params(spec, seed=0, chunk_elems=1 << 28):
+def synth_params(spec, seed=0, chunk_elems=1 << 28, gain=1.0):
     """Generate random weights ON DEVICE (host->device transfer through the
     axon tunnel is ~40MB/s; generating in HBM is instant).  Tensors are
     bucketed into <= chunk_elems dispatches so the f32 staging buffer
@@ -94,7 +94,7 @@ def synth_params(spec, seed=0, chunk_elems=1 << 28):
             for name, ps in bucket:
                 n = int(np.prod(ps.shape))
                 fan = ps.shape[0] if len(ps.shape) >= 2 else 1
-                scale = 1.7 * 0.5 / max(1.0, fan) ** 0.5
+                scale = gain * 1.7 * 0.5 / max(1.0, fan) ** 0.5
                 out[name] = (flat[off:off + n] * scale).reshape(
                     ps.shape).astype(ps.dtype)
                 off += n
@@ -873,7 +873,10 @@ def bench_esrgan(name):
     spec = B.trace_spec(
         lambda ctx, x: E.esrgan_apply(ctx, x, P),
         jnp.zeros((1, size, size, 3)))
-    params = synth_params(spec, 0)
+    # RRDBNet has NO normalization layers: unit-gain random convs explode
+    # through 23 residual blocks in bf16.  gain 0.3 keeps the synthetic
+    # forward finite (measured; real checkpoints are trained stable).
+    params = synth_params(spec, 0, gain=0.3)
     log(f"[{name}] weight synthesis {time.time() - t0:.1f}s "
         f"({len(spec)} tensors)")
 
