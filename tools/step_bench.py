@@ -35,8 +35,8 @@ def main():
     which = os.environ.get("MLIS_STEP_MODEL", "sd15")
     if which == "sd15loop":
         return loop_bench(n_scan)
-    if which == "sd3":
-        return mmdit_step_bench(n_scan)
+    if which in ("sd3", "sd35-medium", "sd35-large"):
+        return mmdit_step_bench(n_scan, which)
     if which.startswith("flux"):
         return flux_step_bench(n_scan, guidance=which == "flux-dev")
     if which.startswith("sdxl"):
@@ -145,17 +145,21 @@ def flux_step_bench(n_scan, guidance=False):
           f"ablate={os.environ.get('MLIS_ABLATE', '')}", flush=True)
 
 
-def mmdit_step_bench(n_scan):
-    """One CFG-batched SD3-medium MMDiT evaluation, scanned (1024px shape:
-    4096 latent + 154 context tokens).  MLIS_ABLATE=attn splits the
-    joint-attention cost out like the UNet variant."""
+def mmdit_step_bench(n_scan, which="sd3"):
+    """One CFG-batched MMDiT evaluation, scanned (1024px shape: 4096
+    latent + 154 context tokens).  sd35-medium exercises the MMDiT-X
+    dual-attention blocks; sd35-large the 8B qk-norm geometry (bf16
+    here — the e2e config runs int8 weights).  MLIS_ABLATE=attn splits
+    the joint-attention cost out like the UNet variant."""
     import jax
     import jax.numpy as jnp
     from mlimgsynth_tpu.models import blocks as B
     from mlimgsynth_tpu.models import mmdit as MM
     from bench import synth_params
 
-    P = MM.MMDIT_SD3_MEDIUM
+    P = {"sd3": MM.MMDIT_SD3_MEDIUM,
+         "sd35-medium": MM.MMDIT_SD35_MEDIUM,
+         "sd35-large": MM.MMDIT_SD35_LARGE}[which]
     n, res, s_ctx = 2, 128, 154
     spec = B.trace_spec(
         lambda ctx, x, t, c, y: MM.mmdit_apply(ctx, x, t, c, y, P),
@@ -192,7 +196,7 @@ def mmdit_step_bench(n_scan):
         out = np.asarray(fn(params, x, t, c, y))
         times.append(time.time() - t0)
     best = min(times)
-    print(f"RESULT sd3 n={n} res={res} steps={n_scan}: "
+    print(f"RESULT {which} n={n} res={res} steps={n_scan}: "
           f"{best / n_scan * 1000:.2f} ms/step (total {best:.3f}s, "
           f"runs {['%.3f' % t for t in times]}) "
           f"ablate={os.environ.get('MLIS_ABLATE', '')}", flush=True)
