@@ -178,7 +178,9 @@ def mmdit_step_bench(n_scan, which="sd3"):
         return x
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((n, res, res, P.n_ch_in // 4))
+    # mmdit consumes the UNPACKED 16-ch latent (the 2x2 patchify is the
+    # model's own first op) — only flux pre-packs to n_ch_in // 4
+    x = jnp.asarray(rng.standard_normal((n, res, res, P.n_ch_in))
                     .astype(np.float32) * 0.5, jnp.bfloat16)
     t = jnp.full((n,), 500.0, jnp.float32)
     c = jnp.asarray(rng.standard_normal((n, s_ctx, P.d_ctx_in))
