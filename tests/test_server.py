@@ -1026,3 +1026,44 @@ def test_serving_concurrency_stress(tmp_path, monkeypatch):
         assert st == 200 and out["images"]
     finally:
         httpd.shutdown()
+
+
+def test_server_sd3_flow_model(tmp_path, monkeypatch):
+    """A rectified-flow model (tiny SD3) served end-to-end: the batched
+    queue path assembles flow conditioning (dual towers + zero-T5 rows +
+    pooled label) and the A1111 dialect works against it."""
+    import socket
+    from http.server import ThreadingHTTPServer
+    from mlimgsynth_tpu.api import MLImgSynth
+    from mlimgsynth_tpu.server import Server, make_handler
+    from mlimgsynth_tpu.testing import (TINY_MODEL_TYPE_SD3,
+                                        write_checkpoint_sd3)
+
+    ckpt = tmp_path / "tiny-sd3.safetensors"
+    write_checkpoint_sd3(ckpt)
+    patch_tiny_model_types(monkeypatch, {"sd3": TINY_MODEL_TYPE_SD3})
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", str(ckpt))
+    s.option_set("image-dim", 64)
+    s.option_set("steps", 2)
+    srv = Server(s, merge_window_s=0.1)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        req = urllib.request.Request(
+            url + "/sdapi/v1/txt2img",
+            data=json.dumps({"prompt": "a flow scene", "seed": 3,
+                             "steps": 2, "cfg_scale": 4.0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            data = json.loads(r.read())
+        assert data["images"]
+        import base64
+        from PIL import Image
+        img = Image.open(io.BytesIO(base64.b64decode(data["images"][0])))
+        assert img.size == (64, 64)
+    finally:
+        httpd.shutdown()
