@@ -161,11 +161,18 @@ def mmdit_step_bench(n_scan, which="sd3"):
          "sd35-medium": MM.MMDIT_SD35_MEDIUM,
          "sd35-large": MM.MMDIT_SD35_LARGE}[which]
     n, res, s_ctx = 2, 128, 154
+    if which == "sd35-large":
+        # 8B bf16 = ~16 GiB > HBM; the e2e config runs int8 weights —
+        # measure the same execution mode here
+        from bench import synth_q8_params
     spec = B.trace_spec(
         lambda ctx, x, t, c, y: MM.mmdit_apply(ctx, x, t, c, y, P),
         jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
         jnp.zeros((1, s_ctx, P.d_ctx_in)), jnp.zeros((1, P.d_pooled)))
-    params = synth_params(spec, 0)
+    if which == "sd35-large":
+        params = synth_q8_params(spec, 0)
+    else:
+        params = synth_params(spec, 0)
 
     def loop(params, x, t, c, y):
         ctx = B.Ctx(params, dtype=jnp.bfloat16)
