@@ -76,10 +76,42 @@ def main():
     from mlimgsynth_tpu.models import unet as U
 
     which = sys.argv[1] if len(sys.argv) > 1 else "sd15"
-    if which == "sd3":
+    if which.startswith("flux"):
+        # one flux NFE at the 1024px shape (4096 img + 256 txt tokens,
+        # no CFG batch — schnell/dev run 1 eval/step)
+        from mlimgsynth_tpu.models import flux as FX
+        PF, res, s_t5 = (FX.FLUX_DEV if which == "flux-dev"
+                         else FX.FLUX_SCHNELL), 128, 256
+        spec = B.trace_spec(
+            lambda ctx, x, t, c, y: FX.flux_apply(
+                ctx, x, t, c, y, PF,
+                guidance=(jnp.zeros((1,)) if PF.guidance_embed else None)),
+            jnp.zeros((1, 8, 8, PF.n_ch_in // 4)), jnp.zeros((1,)),
+            jnp.zeros((1, s_t5, PF.d_ctx_in)), jnp.zeros((1, PF.d_pooled)))
+        params = {k: jax.ShapeDtypeStruct(ps.shape, ps.dtype)
+                  for k, ps in spec.items()}
+
+        def stepf(params, x, t, c, y):
+            ctx = B.Ctx(params, dtype=jnp.bfloat16)
+            return FX.flux_apply(
+                ctx, x, t, c, y, PF,
+                guidance=(t * 0.0035 if PF.guidance_embed else None))
+
+        txt = jax.jit(stepf).lower(
+            params,
+            jax.ShapeDtypeStruct((1, res, res, PF.n_ch_in // 4),
+                                 np.float32),
+            jax.ShapeDtypeStruct((1,), np.float32),
+            jax.ShapeDtypeStruct((1, s_t5, PF.d_ctx_in), np.float32),
+            jax.ShapeDtypeStruct((1, PF.d_pooled), np.float32)).as_text()
+        return analyze(txt, which)
+    if which.startswith("sd3"):
         # MMDiT step at the 1024px shape (4096 latent + 154 ctx tokens)
         from mlimgsynth_tpu.models import mmdit as MM
-        P3, res, n, s_ctx = MM.MMDIT_SD3_MEDIUM, 128, 2, 154
+        P3 = {"sd3": MM.MMDIT_SD3_MEDIUM,
+              "sd35-medium": MM.MMDIT_SD35_MEDIUM,
+              "sd35-large": MM.MMDIT_SD35_LARGE}[which]
+        res, n, s_ctx = 128, 2, 154
         spec = B.trace_spec(
             lambda ctx, x, t, c, y: MM.mmdit_apply(ctx, x, t, c, y, P3),
             jnp.zeros((1, 8, 8, P3.n_ch_in)), jnp.zeros((1,)),
