@@ -109,7 +109,16 @@ def q4_matmul(x, w_q4, w_scale, block_m: int = 256, block_n: int = 512):
     n = w_q4.shape[1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
-    kb_in = next(c for c in (1024, 512, 256, 128) if k % c == 0)
+    # same KB selection as q8_matmul: odd 128-multiples (sd35-large
+    # d_model 2432) run K as ONE block instead of per-128 slabs
+    cands = [c for c in (1024, 512, 256) if k % c == 0]
+    if cands:
+        kb_in = cands[0]
+    elif k <= 4096:
+        kb_in = k
+        block_n = min(block_n, 256)
+    else:
+        kb_in = 128
     g = kb_in // KBLOCK
     n_kb = k // kb_in
 

@@ -81,8 +81,21 @@ def q8_matmul(x, w_q8, w_scale, block_m: int = 256, block_n: int = 512):
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     # inner K block: the largest 128-multiple (up to 1024) dividing K —
-    # bigger dots, one accumulator pass per KB instead of per 128
-    kb_in = next(c for c in (1024, 512, 256, 128) if k % c == 0)
+    # bigger dots, one accumulator pass per KB instead of per 128.
+    # ODD 128-multiples (sd35-large d_model 2432 = 19x128, 19 prime) have
+    # no such divisor and used to fall all the way to kb=128 — the
+    # per-slab accumulator pathology the queue-#25 restructure removed
+    # (measured: sd35-large linears at ~18% MXU, 1305 ms of a 1610 ms
+    # step, queue #32).  Run K as ONE block instead: the accumulator is
+    # touched once and block_n is bounded so the dequant tile fits VMEM.
+    cands = [c for c in (1024, 512, 256) if k % c == 0]
+    if cands:
+        kb_in = cands[0]
+    elif k <= 4096:
+        kb_in = k
+        block_n = min(block_n, 256)
+    else:
+        kb_in = 128
     g = kb_in // KBLOCK
     n_kb = k // kb_in
 

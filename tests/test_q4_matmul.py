@@ -48,7 +48,8 @@ def test_quantize_roundtrip_error():
 
 
 @pytest.mark.parametrize("m,k,n", [(64, 256, 512), (77, 128, 512),
-                                   (130, 384, 1024)])
+                                   (130, 384, 1024),
+                                   (64, 2432, 128)])
 def test_kernel_matches_dequant(m, k, n):
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.3)

@@ -32,7 +32,8 @@ def test_quantize_roundtrip_error():
 
 
 @pytest.mark.parametrize("m,k,n", [(64, 256, 512), (77, 128, 512),
-                                   (130, 384, 1024)])
+                                   (130, 384, 1024),
+                                   (64, 2432, 128)])
 def test_kernel_matches_dequant(m, k, n):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.3)
@@ -90,7 +91,8 @@ def test_q8_generation_close_to_fp(tmp_path, monkeypatch):
 
 
 @pytest.mark.parametrize("m,k,n", [(64, 256, 512), (77, 128, 512),
-                                   (130, 384, 1024)])
+                                   (130, 384, 1024),
+                                   (64, 2432, 128)])
 def test_int8_kernel_matches_xla_emulation(m, k, n):
     """int8 x int8 Pallas kernel vs the XLA emulation of the same dynamic
     activation quantization (exact int32 accumulation per block)."""
