@@ -171,6 +171,14 @@ def attention(q, k, v, scale=None, causal=False):
             return o
     if use_flash():
         mesh = MESH if (MESH is not None and not _LOCAL_ONLY) else None
+        from . import splash_flash as spl
+        if spl.eligible(q, k, v, causal, mesh=mesh):
+            fn = functools.partial(spl.splash_flash, scale=scale)
+            if mesh is not None:
+                if _mesh_divides(q.shape[0], q.shape[1]):
+                    return _shard_map_bhsd(fn, q, k, v)
+            else:
+                return fn(q, k, v)
         from . import stock_flash as sf
         if sf.eligible(q, k, v, causal, mesh=mesh):
             fn = functools.partial(sf.stock_flash, scale=scale)
