@@ -149,6 +149,84 @@ def q4_matmul(x, w_q4, w_scale, block_m: int = 256, block_n: int = 512):
     return out[:m].reshape(orig_shape[:-1] + (n,))
 
 
+def _q4_ws_kernel(x_ref, w_ref, s_ref, o_ref, *, slab, gs):
+    """Weight-stationary twin of q8_matmul._q8_ws_kernel: the full-K
+    packed stripe stays VMEM-resident across the inner m sweep (grid
+    (n, m), stripe indexed by n only) — each packed byte crosses HBM
+    once per call and is unpacked/dequantized once per (n-stripe,
+    m-block) instead of once per m-block reload."""
+    kk2, bn = w_ref.shape               # [K/2, bn] packed
+    hs = slab // 2
+    acc = None
+    for si in range(kk2 // hs):
+        wp = w_ref[si * hs:(si + 1) * hs, :]
+        s = s_ref[si * gs:(si + 1) * gs, 0:1, :]
+        w = wp.reshape(gs, HALF, bn).astype(jnp.int32)
+        hi = w >> 4
+        lo = ((w & 15) ^ 8) - 8
+        wd = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+        wd = (wd * s).reshape(slab, bn).astype(x_ref.dtype)
+        part = jax.lax.dot_general(
+            x_ref[:, si * slab:(si + 1) * slab], wd,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+# in-kernel temp cost per dequanted element: i32 unpack + f32 + bf16
+_Q4_TEMP_BYTES = 10
+
+
+@jax.jit
+def q4_matmul_ws(x, w_q4, w_scale):
+    """Weight-stationary q4 dq matmul.  x: [..., K], w_q4: [K/2, N]
+    packed int8, w_scale: [K/128, N] f32 -> [..., N] in x.dtype."""
+    from .q8_matmul import _plan_ws
+    orig_shape = x.shape
+    k = x.shape[-1]
+    n = w_q4.shape[1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    plan = _plan_ws(m, k, n, x.dtype.itemsize, x.dtype.itemsize,
+                    w_bytes=0.5, temp_bytes=_Q4_TEMP_BYTES)
+    if plan is None:
+        raise ValueError(f"no ws geometry for K={k}, N={n}")
+    bm, bn, slab = plan
+    bm = min(bm, max(8, 1 << (m - 1).bit_length()))
+    m_p = pl.cdiv(m, bm) * bm
+    if m_p != m:
+        x2 = jnp.pad(x2, ((0, m_p - m), (0, 0)))
+    scale8 = jnp.broadcast_to(w_scale[:, None, :], (k // KBLOCK, 8, n))
+
+    out = pl.pallas_call(
+        functools.partial(_q4_ws_kernel, slab=slab, gs=slab // KBLOCK),
+        grid=(n // bn, m_p // bm),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0)),
+            pl.BlockSpec((k // 2, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((k // KBLOCK, 8, bn), lambda j, i: (0, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n), x.dtype),
+    )(x2, w_q4, scale8)
+    return out[:m].reshape(orig_shape[:-1] + (n,))
+
+
+def ws_eligible_q4(m, k, n, itemsize=2) -> bool:
+    import os
+
+    from .q8_matmul import _WS_MIN_M, _plan_ws
+    v = os.environ.get("MLIS_Q8_WS", "off").lower()
+    if v in ("", "0", "false", "no", "off"):
+        return False
+    if v == "force":
+        return True
+    return (m >= _WS_MIN_M
+            and _plan_ws(m, k, n, itemsize, itemsize, w_bytes=0.5,
+                         temp_bytes=_Q4_TEMP_BYTES) is not None)
+
+
 def q4_matmul_xla(x, w_q4, w_scale):
     """Weight-only fallback path: unpack + dequantize then matmul."""
     k = x.shape[-1]
@@ -162,5 +240,8 @@ def q4_matmul_xla(x, w_q4, w_scale):
 def q4_dot(x, w_q4, w_scale):
     """Dispatch: Pallas in-VMEM unpack+dequant on TPU, XLA emulation off."""
     on_tpu = jax.default_backend() == "tpu" and w_q4.shape[1] % 128 == 0
+    if on_tpu and ws_eligible_q4(int(np.prod(x.shape[:-1])), x.shape[-1],
+                                 w_q4.shape[1], x.dtype.itemsize):
+        return q4_matmul_ws(x, w_q4, w_scale)
     return q4_matmul(x, w_q4, w_scale) if on_tpu \
         else q4_matmul_xla(x, w_q4, w_scale)

@@ -130,6 +130,119 @@ def q8_matmul(x, w_q8, w_scale, block_m: int = 256, block_n: int = 512):
 
 
 # ---------------------------------------------------------------------------
+# Weight-stationary variant for the DiT large-M regime.
+#
+# The default grid (m, n, k) streams the weight matrix once per m-block:
+# at sd35-large shapes (M = 8500 joint tokens, bm = 256) every linear's
+# int8 weights cross HBM ~34 times per step, and the in-VMEM dequant VPU
+# work multiplies the same way (queue #33: linears ~640 ms of a 933 ms
+# step vs a 233 ms floor).  Here the grid is (n, m) with the FULL-K
+# weight stripe as the block: the stripe's index map depends only on the
+# outer n index, so Mosaic keeps it resident across the whole inner m
+# sweep — each weight byte crosses HBM exactly once per call, and each
+# stripe is dequantized once per (n-stripe, m-block) with K-slab
+# granularity chosen to keep the bf16 tile inside scoped VMEM.
+# Activations re-cross once per n-stripe (M x K << W for these shapes).
+# ---------------------------------------------------------------------------
+
+_WS_BUDGET = 14 << 20   # scoped-vmem stack budget (16 MiB minus slack)
+
+
+def _plan_ws(m, k, n, xb, ob, w_bytes=1.0, temp_bytes=2):
+    """(bm, bn, slab) for the weight-stationary grid, or None when no
+    geometry fits the VMEM budget.  Larger bn first (activation re-reads
+    scale with n/bn), then larger bm (fewer grid steps).  ``w_bytes`` is
+    bytes per weight element (0.5 for packed int4), ``temp_bytes`` the
+    per-element in-kernel dequant temp cost (int4 adds an i32 unpack)."""
+    cands = [c for c in (1024, 512, 256) if k % c == 0]
+    slab = cands[0] if cands else (k if k <= 4096 else None)
+    if slab is None or k % KBLOCK:
+        return None
+    g = k // KBLOCK
+    for bn in (512, 256, 128):
+        if n % bn:
+            continue
+        for bm in (512, 256, 128, 64):
+            use = (2 * k * bn * w_bytes  # weight stripe, double-buffered
+                   + 2 * bm * k * xb     # activation block
+                   + 2 * g * 8 * bn * 4  # sublane-padded scales
+                   + 2 * bm * bn * ob    # output block
+                   + bm * bn * 4         # f32 accumulator chain
+                   + slab * bn * temp_bytes)   # dequant tile
+            if use <= _WS_BUDGET:
+                return bm, bn, slab
+    return None
+
+
+def _q8_ws_kernel(x_ref, w_ref, s_ref, o_ref, *, slab, gs):
+    """One [bm, K] x [K, bn] product, full-K stripe resident; grid (n, m)
+    with m innermost so w/s blocks (indexed by n only) are fetched once."""
+    kk, bn = w_ref.shape
+    acc = None
+    for si in range(kk // slab):
+        w = w_ref[si * slab:(si + 1) * slab, :]
+        s = s_ref[si * gs:(si + 1) * gs, 0:1, :]
+        wd = (w.astype(jnp.float32).reshape(gs, KBLOCK, bn) * s)
+        wd = wd.reshape(slab, bn).astype(x_ref.dtype)
+        part = jax.lax.dot_general(
+            x_ref[:, si * slab:(si + 1) * slab], wd,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@jax.jit
+def q8_matmul_ws(x, w_q8, w_scale):
+    """Weight-stationary q8 dq matmul.  x: [..., K], w_q8: [K, N] int8,
+    w_scale: [K/128, N] f32 -> [..., N] in x.dtype.  Caller must check
+    :func:`ws_plan` first (raises when no geometry fits)."""
+    orig_shape = x.shape
+    k = x.shape[-1]
+    n = w_q8.shape[1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    plan = _plan_ws(m, k, n, x.dtype.itemsize, x.dtype.itemsize)
+    if plan is None:
+        raise ValueError(f"no ws geometry for K={k}, N={n}")
+    bm, bn, slab = plan
+    bm = min(bm, max(8, 1 << (m - 1).bit_length()))
+    m_p = pl.cdiv(m, bm) * bm
+    if m_p != m:
+        x2 = jnp.pad(x2, ((0, m_p - m), (0, 0)))
+    scale8 = jnp.broadcast_to(w_scale[:, None, :], (k // KBLOCK, 8, n))
+
+    out = pl.pallas_call(
+        functools.partial(_q8_ws_kernel, slab=slab, gs=slab // KBLOCK),
+        grid=(n // bn, m_p // bm),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0)),
+            pl.BlockSpec((k, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((k // KBLOCK, 8, bn), lambda j, i: (0, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n), x.dtype),
+    )(x2, w_q8, scale8)
+    return out[:m].reshape(orig_shape[:-1] + (n,))
+
+
+# ws pays when the default grid would reload the weight stripe many
+# times: several m-blocks AND a weight matrix big enough to dominate
+_WS_MIN_M = 2048
+
+
+def ws_eligible(m, k, n, itemsize=2) -> bool:
+    import os
+    v = os.environ.get("MLIS_Q8_WS", "off").lower()
+    if v in ("", "0", "false", "no", "off"):
+        return False
+    if v == "force":
+        return True
+    return (m >= _WS_MIN_M
+            and _plan_ws(m, k, n, itemsize, itemsize) is not None)
+
+
+# ---------------------------------------------------------------------------
 # True int8 MXU path: dynamic per-(token, K-block) activation quantization
 # fused into the kernel, int8 x int8 -> int32 MXU dot (2x bf16 MXU
 # throughput on v5e), f32 rescale.  This is the TPU-native counterpart of
@@ -235,5 +348,8 @@ def q8_dot(x, w_q8, w_scale):
     if mode == "int8":
         return q8_matmul_int8(x, w_q8, w_scale) if on_tpu \
             else q8_matmul_int8_xla(x, w_q8, w_scale)
+    if on_tpu and ws_eligible(int(np.prod(x.shape[:-1])), x.shape[-1],
+                              w_q8.shape[1], x.dtype.itemsize):
+        return q8_matmul_ws(x, w_q8, w_scale)
     return q8_matmul(x, w_q8, w_scale) if on_tpu \
         else q8_matmul_xla(x, w_q8, w_scale)

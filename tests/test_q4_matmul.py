@@ -107,3 +107,18 @@ def test_q4_generation_close_to_fp(tmp_path, monkeypatch):
     assert not any(k.endswith(".weight_q8") for k in dev)
     assert np.isfinite(img).all()
     assert np.abs(img - base).mean() < 0.15
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 256, 512), (130, 2432, 512),
+                                   (77, 1024, 128)])
+def test_ws_kernel_matches_xla(m, k, n):
+    """Weight-stationary packed-int4 grid vs the unpack+dequant XLA
+    reference."""
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.3)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    p, s = q4.quantize_weight_q4(w)
+    pd, sd = jnp.asarray(p), jnp.asarray(s)
+    ref = np.asarray(q4.q4_matmul_xla(x, pd, sd))
+    out = np.asarray(q4.q4_matmul_ws(x, pd, sd))
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=5e-3)

@@ -183,3 +183,37 @@ def test_kernel_bf16_weight_rounding():
     ref = np.asarray(jnp.dot(np.asarray(x, np.float32), w))
     rel = np.abs(out - ref).max() / np.abs(ref).max()
     assert np.isfinite(out).all() and rel < 0.02, rel
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 256, 512), (130, 2432, 512),
+                                   (64, 1024, 1024), (77, 2432, 128)])
+def test_ws_kernel_matches_dequant(m, k, n):
+    """Weight-stationary grid (n outer, m inner, full-K stripe resident)
+    must match the dequant reference bit-for-bit at the same dtype."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.3)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight(w)
+    qd, sd = jnp.asarray(q), jnp.asarray(s)
+    ref = np.asarray(q8.q8_matmul_xla(x, qd, sd))
+    out = np.asarray(q8.q8_matmul_ws(x, qd, sd))
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=5e-3)
+
+
+def test_ws_plan_geometry():
+    # sd35-large qkv: K=2432 (prime x 128) fits at bn 512
+    assert q8._plan_ws(8500, 2432, 9728, 2, 2) is not None
+    # flux mlp down: K=12288 falls back to a narrower stripe
+    plan = q8._plan_ws(4608, 12288, 3072, 2, 2)
+    assert plan is not None and plan[1] <= 256
+    # K not a 128 multiple: no plan
+    assert q8._plan_ws(8500, 100, 512, 2, 2) is None
+
+
+def test_ws_dispatch_gated(monkeypatch):
+    """q8_dot routes to ws only when MLIS_Q8_WS is on and the shape
+    qualifies (default off pending the hardware A/B)."""
+    assert not q8.ws_eligible(8500, 2432, 9728)
+    monkeypatch.setenv("MLIS_Q8_WS", "auto")
+    assert q8.ws_eligible(8500, 2432, 9728)
+    assert not q8.ws_eligible(77, 2432, 9728)   # small-M: default grid

@@ -1,0 +1,131 @@
+"""Weight-stationary dq-kernel A/B at the DiT linear shapes.
+
+The default q8/q4 grid (m, n, k) re-streams the full weight matrix once
+per m-block: at sd35-large shapes (M=8500 joint tokens, bm=256) every
+weight byte crosses HBM ~34x per call and the in-VMEM dequant VPU work
+multiplies the same way.  The ws variants (q8_matmul_ws/q4_matmul_ws)
+run grid (n, m) with the full-K stripe resident, reading weights once.
+
+Carry-chained scan timing (queue #22 lesson).  Reports ms/call and the
+implied effective weight-bandwidth for context.
+
+Shapes: the four sd35-large linears (d=2432, M=8500 CFG joint tokens)
+and the three flux linears (d=3072, M=4608).
+
+Usage: python tools/q8_ws_ab.py [n_scan]
+MLIS_SD3BENCH_TINY=1: CPU-interpret smoke.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mlimgsynth_tpu.utils.compcache import enable as _cc
+    _cc()
+    from mlimgsynth_tpu.ops import q4_matmul as q4
+    from mlimgsynth_tpu.ops import q8_matmul as q8
+
+    n_scan = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    tiny = bool(os.environ.get("MLIS_SD3BENCH_TINY"))
+    if tiny:
+        n_scan = 2
+        if jax.default_backend() == "cpu":
+            import functools as _ft
+            q8.pl.pallas_call = _ft.partial(q8.pl.pallas_call,
+                                            interpret=True)
+            q4.pl.pallas_call = _ft.partial(q4.pl.pallas_call,
+                                            interpret=True)
+        shapes = [("tiny", 130, 256, 512)]
+    else:
+        shapes = [
+            ("sd35L-qkv", 8500, 2432, 7296),
+            ("sd35L-out", 8500, 2432, 2432),
+            ("sd35L-mlp-up", 8500, 2432, 9728),
+            ("sd35L-mlp-dn", 8500, 9728, 2432),
+            ("flux-qkv", 4608, 3072, 9216),
+            ("flux-mlp-up", 4608, 3072, 12288),
+            ("flux-mlp-dn", 4608, 12288, 3072),
+        ]
+
+    def bench(name, call, x, w_bytes):
+        def loop(x):
+            def body(xc, _):
+                o = call(xc)
+                # chain on a reduction of the FULL output (no hoist/DCE)
+                return xc + jnp.mean(o, axis=1, keepdims=True) * 1e-6, None
+            xc, _ = jax.lax.scan(body, x, None, length=n_scan)
+            return jnp.mean(xc.astype(jnp.float32))
+        try:
+            fn = jax.jit(loop)
+            t0 = time.time()
+            r = np.asarray(fn(x))
+            if not np.isfinite(r):
+                print(f"RESULT {name}: NONFINITE", flush=True)
+                return
+            print(f"[{name}] compile+first {time.time() - t0:.1f}s",
+                  flush=True)
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(fn(x))
+                times.append(time.time() - t0)
+            best = min(times) / n_scan
+            bw = w_bytes / best / 1e9
+            print(f"RESULT {name}: {best * 1e3:.3f} ms/call "
+                  f"(weights-once BW {bw:.0f} GB/s-equiv)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"RESULT {name}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+    for tag, m, k, n in shapes:
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16) * 0.3
+        w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+        qw, s = q8.quantize_weight(w)
+        qd, sd = jnp.asarray(qw), jnp.asarray(s)
+        bench(f"{tag}/q8-default",
+              lambda xc, qd=qd, sd=sd: q8.q8_matmul(xc, qd, sd), x, k * n)
+        bench(f"{tag}/q8-ws",
+              lambda xc, qd=qd, sd=sd: q8.q8_matmul_ws(xc, qd, sd), x, k * n)
+        p, s4 = q4.quantize_weight_q4(w)
+        pd, s4d = jnp.asarray(p), jnp.asarray(s4)
+        bench(f"{tag}/q4-default",
+              lambda xc, pd=pd, s4d=s4d: q4.q4_matmul(xc, pd, s4d),
+              x, k * n // 2)
+        bench(f"{tag}/q4-ws",
+              lambda xc, pd=pd, s4d=s4d: q4.q4_matmul_ws(xc, pd, s4d),
+              x, k * n // 2)
+        del qd, sd, pd, s4d
+
+    # numerics on device: ws vs default at one shape
+    tag, m, k, n = shapes[0]
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16) * 0.3
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    qw, s = q8.quantize_weight(w)
+    qd, sd = jnp.asarray(qw), jnp.asarray(s)
+
+    @jax.jit
+    def diff(x):
+        a = q8.q8_matmul(x, qd, sd).astype(jnp.float32)
+        b = q8.q8_matmul_ws(x, qd, sd).astype(jnp.float32)
+        return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(a))
+    try:
+        d, scl = (float(np.asarray(v)) for v in diff(x))
+        ok = d < 0.02 * max(scl, 1.0)
+        print(f"RESULT ws-numerics: max|diff|={d:.5f} (scale {scl:.3f}) "
+              f"{'PASS' if ok else 'FAIL'}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"RESULT ws-numerics: FAILED {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
