@@ -217,3 +217,32 @@ def test_ws_dispatch_gated(monkeypatch):
     monkeypatch.setenv("MLIS_Q8_WS", "auto")
     assert q8.ws_eligible(8500, 2432, 9728)
     assert not q8.ws_eligible(77, 2432, 9728)   # small-M: default grid
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 256, 512), (130, 2432, 512),
+                                   (77, 1024, 128)])
+def test_ws_int8_kernel_matches_xla_emulation(m, k, n):
+    """Weight-stationary int8-MXU kernel (per-column weight scales,
+    per-(token, slab) activation quant) vs its XLA emulation."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.3)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight_percol(w)
+    qd, sd = jnp.asarray(q), jnp.asarray(s)
+    ref = np.asarray(q8.q8_ws_int8_xla(x, qd, sd))
+    out = np.asarray(q8.q8_matmul_ws_int8(x, qd, sd))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_ws_int8_accuracy_vs_float():
+    """Per-column weights + per-(token, slab) activations stay within a
+    few percent of the float matmul (the opt-in speed tier's bound)."""
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((64, 1024)).astype(np.float32) * 0.3
+    w = rng.standard_normal((1024, 512)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight_percol(w)
+    ref = x @ w
+    out = np.asarray(q8.q8_ws_int8_xla(
+        jnp.asarray(x), jnp.asarray(q), jnp.asarray(s)))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel

@@ -94,6 +94,11 @@ def main():
               lambda xc, qd=qd, sd=sd: q8.q8_matmul(xc, qd, sd), x, k * n)
         bench(f"{tag}/q8-ws",
               lambda xc, qd=qd, sd=sd: q8.q8_matmul_ws(xc, qd, sd), x, k * n)
+        qc, sc = q8.quantize_weight_percol(w)
+        qcd, scd = jnp.asarray(qc), jnp.asarray(sc)
+        bench(f"{tag}/q8-ws-int8",
+              lambda xc, qcd=qcd, scd=scd: q8.q8_matmul_ws_int8(
+                  xc, qcd, scd), x, k * n)
         p, s4 = q4.quantize_weight_q4(w)
         pd, s4d = jnp.asarray(p), jnp.asarray(s4)
         bench(f"{tag}/q4-default",
@@ -102,7 +107,7 @@ def main():
         bench(f"{tag}/q4-ws",
               lambda xc, pd=pd, s4d=s4d: q4.q4_matmul_ws(xc, pd, s4d),
               x, k * n // 2)
-        del qd, sd, pd, s4d
+        del qd, sd, pd, s4d, qcd, scd
 
     # numerics on device: ws vs default at one shape
     tag, m, k, n = shapes[0]
