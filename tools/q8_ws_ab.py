@@ -84,6 +84,10 @@ def main():
             print(f"RESULT {name}: FAILED {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
 
+    filt = os.environ.get("MLIS_WS_FILTER", "")
+    if filt:
+        shapes = [s for s in shapes if any(f in s[0]
+                                           for f in filt.split(","))]
     for tag, m, k, n in shapes:
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16) * 0.3
