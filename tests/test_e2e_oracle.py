@@ -433,3 +433,75 @@ def test_e2e_generate_matches_torch_stack_flux_dev(tmp_path, monkeypatch):
                                    err_msg=f"step {i} latent mismatch")
     psnr = _psnr_u8(img_jax, img_t)
     assert psnr > 40.0, f"final image PSNR {psnr:.1f} dB <= 40"
+
+
+def test_e2e_generate_matches_torch_stack_sd35_medium(tmp_path, monkeypatch):
+    """MMDiT-X (SD3.5-medium style): qk RMSNorm + dual self-attention in
+    the flagged x-blocks, on top of the SD3 conditioning stack — the 5th
+    family variant through the composed oracle."""
+    from mlimgsynth_tpu.testing import TINY_MMDIT_X, ModelTypeDef
+    ckpt = tmp_path / "tiny_sd35m.safetensors"
+    arrays = write_checkpoint_sd3(ckpt, P=TINY_MMDIT_X)
+    patch_tiny_model_types(monkeypatch, {"sd3": ModelTypeDef(
+        "sd3", TINY_CLIP, _C2, TINY_MMDIT_X, TINY_VAE_SD3, 64, 2)})
+
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", str(ckpt))
+    s.option_set("model-type", "sd3")
+    s.option_set("image-dim", 64)
+    s.option_set("steps", STEPS)
+    s.option_set("seed", SEED)
+    s.option_set("cfg-scale", 4.0)
+    s.option_set("method", "euler")
+    s.option_set("scheduler", "uniform")
+    s.option_set("no-prompt-parse", 1)
+    s.option_set("prompt", PROMPT)
+    s.option_set("nprompt", NPROMPT)
+    traj_jax = []
+    s.step_observer = lambda i, lat: traj_jax.append(
+        np.asarray(lat, np.float32).copy())
+    s.generate()
+    img_jax = tensor_to_image_arr(np.asarray(s.tensors["image"], np.float32))
+
+    params = _internal_params(arrays)
+    skip = 2
+
+    def encode(text):
+        t1, f1 = _wrapped2(text, TINY_CLIP)
+        t2, f2 = _wrapped2(text, _C2)
+        c1, feat1 = TR.torch_clip_text(params, t1, TINY_CLIP,
+                                       clip_skip=skip, norm=False,
+                                       feat_tok_idx=[f1])
+        c2, feat2 = TR.torch_clip_text(params, t2, _C2, pre="clip2",
+                                       clip_skip=skip, norm=False,
+                                       feat_tok_idx=[f2])
+        clip_part = torch.cat([c1, c2], dim=-1).float()
+        pad = TINY_MMDIT_X.d_ctx_in - clip_part.shape[-1]
+        clip_part = F_pad(clip_part, (0, pad))
+        t5_part = torch.zeros((1, TINY_CLIP.n_token, TINY_MMDIT_X.d_ctx_in))
+        cond = torch.cat([clip_part, t5_part], dim=1)
+        return cond, torch.cat([feat1, feat2], dim=-1).float()
+
+    cond, pooled = encode(PROMPT)
+    uncond, npooled = encode(NPROMPT)
+
+    x0 = np.zeros((1, TINY_MMDIT_X.n_ch_in, 8, 8), np.float32)
+    traj_t, _sig = TS.torch_sample_flow(
+        params, TINY_MMDIT_X, x0, cond, pooled, uncond, npooled,
+        rng=RngPhilox(SEED), n_step=STEPS, method="euler", sched="uniform",
+        cfg_scale=4.0)
+    with torch.no_grad():
+        dec = TR.torch_vae_decode(
+            params, torch.from_numpy(traj_t[-1]), TINY_VAE_SD3)
+    img_t = tensor_to_image_arr(np.clip((dec.numpy() + 1.0) * 0.5, 0, 1))
+
+    assert len(traj_jax) == len(traj_t) == STEPS
+    # the dual-attention x-blocks add a second f32 reassociation path, so
+    # a stat-hash bucket can straddle (one adjacent-character flip seen at
+    # step 4); pin the latents tightly + PSNR like the flux cases instead
+    for i, (a, b) in enumerate(zip(traj_jax, traj_t)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4,
+                                   err_msg=f"step {i} latent mismatch")
+    psnr = _psnr_u8(img_jax, img_t)
+    assert psnr > 40.0, f"final image PSNR {psnr:.1f} dB <= 40"
