@@ -56,6 +56,11 @@ def main():
                   ("sd35m-dual", 2, 24, 4096, 64),
                   ("flux-1024", 1, 24, 4608, 128)]
 
+    filt = os.environ.get("MLIS_SPLASH_FILTER", "")
+    if filt:
+        shapes = [s for s in shapes if any(f in s[0]
+                                           for f in filt.split(","))]
+
     def bench(name, call, q):
         def loop(q):
             def body(qc, _):
