@@ -104,8 +104,11 @@ def _kernel(h: int, sp: int, s_valid: int, bq: int, bkv: int):
         mask = sam.NumpyMask(m)
     mh = sam.MultiHeadMask([mask] * h)
     bs = sak.BlockSizes(block_q=bq, block_kv=bkv, block_kv_compute=bkv)
+    # off-TPU (tests, force mode) the kernel must interpret; on TPU the
+    # backend is fixed by the time the first trace happens
     return sak.make_splash_mha(mh, block_sizes=bs, head_shards=1,
-                               q_seq_shards=1)
+                               q_seq_shards=1,
+                               interpret=jax.default_backend() != "tpu")
 
 
 def splash_flash(q, k, v, scale=None):

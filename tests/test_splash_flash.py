@@ -110,3 +110,30 @@ def test_qpad_into_unpromotable_regime(monkeypatch):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_mesh_shard_map_splash(monkeypatch):
+    """Under an active mesh + force mode, attention() runs the splash
+    wrapper inside the shard_map over (dp, tp) and matches the unsharded
+    XLA reference (per-device heads block, interpret kernel off-TPU)."""
+    import mlimgsynth_tpu.parallel.mesh as pmesh
+    from mlimgsynth_tpu.ops import attention as am
+
+    monkeypatch.setenv("MLIS_FLASH_SPLASH", "force")
+    monkeypatch.setenv("MLIS_FLASH_ATTENTION", "1")
+    monkeypatch.setenv("MLIS_SPLASH_BLOCK", "128,128")
+    mesh = pmesh.make_mesh(8, tp=4)
+    monkeypatch.setattr(am, "MESH", mesh)
+    calls = []
+    orig = spl.splash_flash
+    monkeypatch.setattr(spl, "splash_flash",
+                        lambda *a, **kw: calls.append(1) or orig(*a, **kw))
+    q = rand(2, 8, 256, 64, seed=1).astype(jnp.bfloat16) * 0.5
+    k = rand(2, 8, 256, 64, seed=2).astype(jnp.bfloat16) * 0.5
+    v = rand(2, 8, 256, 64, seed=3).astype(jnp.bfloat16)
+    out = attention(q, k, v)
+    assert calls, "splash path not taken under the mesh"
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
