@@ -217,7 +217,7 @@ def ws_eligible_q4(m, k, n, itemsize=2) -> bool:
     import os
 
     from .q8_matmul import _WS_MIN_M, _plan_ws
-    v = os.environ.get("MLIS_Q8_WS", "off").lower()
+    v = os.environ.get("MLIS_Q8_WS", "auto").lower()
     if v in ("", "0", "false", "no", "off"):
         return False
     if v == "force":

@@ -331,7 +331,7 @@ _WS_MIN_M = 2048
 
 def ws_eligible(m, k, n, itemsize=2) -> bool:
     import os
-    v = os.environ.get("MLIS_Q8_WS", "off").lower()
+    v = os.environ.get("MLIS_Q8_WS", "auto").lower()
     if v in ("", "0", "false", "no", "off"):
         return False
     if v == "force":
