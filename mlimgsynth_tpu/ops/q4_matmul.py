@@ -201,7 +201,7 @@ def q4_matmul_ws(x, w_q4, w_scale):
 
     out = pl.pallas_call(
         functools.partial(_q4_ws_kernel, slab=slab, gs=slab // KBLOCK),
-        grid=(n // bn, m_p // bm),
+        grid=(pl.cdiv(n, bn), m_p // bm),
         in_specs=[
             pl.BlockSpec((bm, k), lambda j, i: (i, 0)),
             pl.BlockSpec((k // 2, bn), lambda j, i: (0, j)),

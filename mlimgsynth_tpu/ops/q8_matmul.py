@@ -147,21 +147,39 @@ def q8_matmul(x, w_q8, w_scale, block_m: int = 256, block_n: int = 512):
 
 _WS_BUDGET = 14 << 20   # scoped-vmem stack budget (16 MiB minus slack)
 
+# cost-model constants (v5e): ~810 GB/s HBM, ~197 TFLOPS bf16 MXU
+_WS_FLOP_PER_BYTE = 243.0
+
 
 def _plan_ws(m, k, n, xb, ob, w_bytes=1.0, temp_bytes=2):
     """(bm, bn, slab) for the weight-stationary grid, or None when no
-    geometry fits the VMEM budget.  Larger bn first (activation re-reads
-    scale with n/bn), then larger bm (fewer grid steps).  ``w_bytes`` is
-    bytes per weight element (0.5 for packed int4), ``temp_bytes`` the
+    geometry fits the VMEM budget.
+
+    bn does NOT need to divide N: the grid runs cdiv(n, bn) stripes and
+    the final stripe's out-of-range columns are clipped on the masked
+    output write.  A matmul's output columns depend only on the same
+    weight/scale columns, so whatever the bounded tail read returns in
+    the overhang never reaches a kept column — no in-kernel masking is
+    needed.  This matters for the odd-x128 DiT dims (sd35-large 2432 =
+    19x128, 7296 = 57x128): divisor-only planning was stuck at bn=128,
+    re-streaming the activations n/128 times (queue #36: the residual
+    gap above the memory floor).
+
+    Candidates are scored with a bytes-equivalent model: activations
+    cross HBM once per stripe, weights once, output once, plus an
+    MXU-time term (in equal-time bytes) that charges the padded-N
+    compute and penalises bm < 128 row underfill.  ``w_bytes`` is bytes
+    per weight element (0.5 for packed int4), ``temp_bytes`` the
     per-element in-kernel dequant temp cost (int4 adds an i32 unpack)."""
     cands = [c for c in (1024, 512, 256) if k % c == 0]
     slab = cands[0] if cands else (k if k <= 4096 else None)
     if slab is None or k % KBLOCK:
         return None
     g = k // KBLOCK
-    for bn in (512, 256, 128):
-        if n % bn:
-            continue
+    best = None
+    for bnb in range(1, min((n + KBLOCK - 1) // KBLOCK, 16) + 1):
+        bn = bnb * KBLOCK
+        stripes = -(-n // bn)
         for bm in (512, 256, 128, 64):
             use = (2 * k * bn * w_bytes  # weight stripe, double-buffered
                    + 2 * bm * k * xb     # activation block
@@ -169,9 +187,21 @@ def _plan_ws(m, k, n, xb, ob, w_bytes=1.0, temp_bytes=2):
                    + 2 * bm * bn * ob    # output block
                    + bm * bn * 4         # f32 accumulator chain
                    + slab * bn * temp_bytes)   # dequant tile
-            if use <= _WS_BUDGET:
-                return bm, bn, slab
-    return None
+            if use > _WS_BUDGET:
+                continue
+            n_pad = stripes * bn
+            mem = (m * k * xb * stripes       # x re-crosses per stripe
+                   + k * n_pad * w_bytes      # weights once
+                   + m * n * ob)              # output once
+            mxu = (2.0 * m * k * n_pad / _WS_FLOP_PER_BYTE
+                   / (min(bm, 128) / 128.0))
+            score = mem + mxu
+            if best is None or score < best[0]:
+                best = (score, bm, bn)
+            break   # largest feasible bm; smaller only shrinks the MXU
+    if best is None:
+        return None
+    return best[1], best[2], slab
 
 
 def _q8_ws_kernel(x_ref, w_ref, s_ref, o_ref, *, slab, gs):
@@ -214,7 +244,7 @@ def q8_matmul_ws(x, w_q8, w_scale):
 
     out = pl.pallas_call(
         functools.partial(_q8_ws_kernel, slab=slab, gs=slab // KBLOCK),
-        grid=(n // bn, m_p // bm),
+        grid=(pl.cdiv(n, bn), m_p // bm),
         in_specs=[
             pl.BlockSpec((bm, k), lambda j, i: (i, 0)),
             pl.BlockSpec((k, bn), lambda j, i: (0, j)),
@@ -295,7 +325,7 @@ def q8_matmul_ws_int8(x, w_q8, s_col):
 
     out = pl.pallas_call(
         functools.partial(_q8_ws_int8_kernel, slab=slab),
-        grid=(n // bn, m_p // bm),
+        grid=(pl.cdiv(n, bn), m_p // bm),
         in_specs=[
             pl.BlockSpec((bm, k), lambda j, i: (i, 0)),
             pl.BlockSpec((k, bn), lambda j, i: (0, j)),

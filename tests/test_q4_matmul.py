@@ -122,3 +122,17 @@ def test_ws_kernel_matches_xla(m, k, n):
     ref = np.asarray(q4.q4_matmul_xla(x, pd, sd))
     out = np.asarray(q4.q4_matmul_ws(x, pd, sd))
     np.testing.assert_allclose(out, ref, atol=5e-3, rtol=5e-3)
+
+
+def test_ws_nondividing_bn_matches_xla(monkeypatch):
+    """bn need not divide N (cdiv stripes, overhang clipped on write)."""
+    from mlimgsynth_tpu.ops import q8_matmul as q8
+    monkeypatch.setattr(q8, "_plan_ws", lambda *a, **kw: (64, 256, 128))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((100, 256)).astype(np.float32) * .3)
+    w = rng.standard_normal((256, 384)).astype(np.float32) * 0.05
+    p, s = q4.quantize_weight_q4(w)
+    pd, sd = jnp.asarray(p), jnp.asarray(s)
+    ref = np.asarray(q4.q4_matmul_xla(x, pd, sd))
+    out = np.asarray(q4.q4_matmul_ws(x, pd, sd))
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=5e-3)

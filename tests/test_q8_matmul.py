@@ -208,6 +208,43 @@ def test_ws_plan_geometry():
     assert plan is not None and plan[1] <= 256
     # K not a 128 multiple: no plan
     assert q8._plan_ws(8500, 100, 512, 2, 2) is None
+    # odd-x128 N dims (sd35-large 2432 = 19x128, 7296 = 57x128) no longer
+    # collapse to bn=128: a non-dividing bn + cdiv grid caps the
+    # activation re-streaming (the queue-36 residual above the floor)
+    bm, bn, _ = q8._plan_ws(8500, 2432, 2432, 2, 2)
+    assert bn > 128 and -(-2432 // bn) <= 4, (bm, bn)
+    bm, bn, _ = q8._plan_ws(8500, 2432, 7296, 2, 2)
+    assert bn > 128 and -(-7296 // bn) <= 12, (bm, bn)
+
+
+@pytest.mark.parametrize("m,k,n,plan", [
+    (100, 256, 384, (64, 256, 128)),    # cdiv stripes: 2, last half-void
+    (70, 384, 392, (64, 128, 128)),     # n not even x128: clipped write
+])
+def test_ws_nondividing_bn_matches_xla(m, k, n, plan, monkeypatch):
+    """bn need not divide N: the final stripe's overhang columns are
+    clipped on the masked output write and never reach a kept column."""
+    monkeypatch.setattr(q8, "_plan_ws", lambda *a, **kw: plan)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.3)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight(w)
+    ref = np.asarray(q8.q8_matmul_xla(x, jnp.asarray(q), jnp.asarray(s)))
+    out = np.asarray(q8.q8_matmul_ws(x, jnp.asarray(q), jnp.asarray(s)))
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_ws_int8_nondividing_bn_matches_xla(monkeypatch):
+    monkeypatch.setattr(q8, "_plan_ws",
+                        lambda *a, **kw: (64, 256, 128))
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((100, 256)).astype(np.float32) * .3)
+    w = rng.standard_normal((256, 384)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight_percol(w)
+    ref = np.asarray(q8.q8_ws_int8_xla(x, jnp.asarray(q), jnp.asarray(s),
+                                       slab=128))
+    out = np.asarray(q8.q8_matmul_ws_int8(x, jnp.asarray(q), jnp.asarray(s)))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
 
 def test_ws_dispatch_gated(monkeypatch):
