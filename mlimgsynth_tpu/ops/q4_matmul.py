@@ -100,8 +100,10 @@ def _q4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb, g):
         o_ref[...] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
-def q4_matmul(x, w_q4, w_scale, block_m: int = 256, block_n: int = 512):
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+                                              "block_k"))
+def q4_matmul(x, w_q4, w_scale, block_m: int = 256, block_n: int = 512,
+              block_k: int | None = None):
     """x: [..., K], w_q4: [K/2, N] packed int8, w_scale: [K/128, N] f32
     -> [..., N] in x.dtype."""
     orig_shape = x.shape
@@ -112,7 +114,9 @@ def q4_matmul(x, w_q4, w_scale, block_m: int = 256, block_n: int = 512):
     # same KB selection as q8_matmul: odd 128-multiples (sd35-large
     # d_model 2432) run K as ONE block instead of per-128 slabs
     cands = [c for c in (1024, 512, 256) if k % c == 0]
-    if cands:
+    if block_k is not None and k % block_k == 0 and block_k % KBLOCK == 0:
+        kb_in = block_k
+    elif cands:
         kb_in = cands[0]
     elif k <= 4096:
         kb_in = k
@@ -192,7 +196,7 @@ def q4_matmul_ws(x, w_q4, w_scale):
                     w_bytes=0.5, temp_bytes=_Q4_TEMP_BYTES)
     if plan is None:
         raise ValueError(f"no ws geometry for K={k}, N={n}")
-    bm, bn, slab = plan
+    bm, bn, slab = plan[:3]
     bm = min(bm, max(8, 1 << (m - 1).bit_length()))
     m_p = pl.cdiv(m, bm) * bm
     if m_p != m:
@@ -238,10 +242,21 @@ def q4_matmul_xla(x, w_q4, w_scale):
 
 
 def q4_dot(x, w_q4, w_scale):
-    """Dispatch: Pallas in-VMEM unpack+dequant on TPU, XLA emulation off."""
+    """Dispatch: Pallas in-VMEM unpack+dequant on TPU, XLA emulation off.
+    Large-M grid strategy (weight-stationary vs row-sweep) picked by the
+    shared bytes-equivalent cost model."""
+    from .q8_matmul import pick_large_m_plan
     on_tpu = jax.default_backend() == "tpu" and w_q4.shape[1] % 128 == 0
-    if on_tpu and ws_eligible_q4(int(np.prod(x.shape[:-1])), x.shape[-1],
-                                 w_q4.shape[1], x.dtype.itemsize):
-        return q4_matmul_ws(x, w_q4, w_scale)
+    if on_tpu:
+        sel = pick_large_m_plan(int(np.prod(x.shape[:-1])), x.shape[-1],
+                                w_q4.shape[1], x.dtype.itemsize,
+                                w_bytes=0.5, ws_temp=_Q4_TEMP_BYTES,
+                                rs_temp=_Q4_TEMP_BYTES)
+        if sel is not None and sel[0] == "rs":
+            bm, kb, _ = sel[1]
+            return q4_matmul(x, w_q4, w_scale, block_m=bm,
+                             block_n=w_q4.shape[1], block_k=kb)
+        if sel is not None:
+            return q4_matmul_ws(x, w_q4, w_scale)
     return q4_matmul(x, w_q4, w_scale) if on_tpu \
         else q4_matmul_xla(x, w_q4, w_scale)

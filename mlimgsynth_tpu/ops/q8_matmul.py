@@ -71,10 +71,13 @@ def _q8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb, g):
         o_ref[...] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
-def q8_matmul(x, w_q8, w_scale, block_m: int = 256, block_n: int = 512):
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+                                              "block_k"))
+def q8_matmul(x, w_q8, w_scale, block_m: int = 256, block_n: int = 512,
+              block_k: int | None = None):
     """x: [..., K] bf16/f32, w_q8: [K, N] int8, w_scale: [K/128, N] f32
-    -> [..., N] in x.dtype."""
+    -> [..., N] in x.dtype.  ``block_k`` overrides the inner K block
+    (row-sweep dispatch uses it with block_n=N, see :func:`_plan_rs`)."""
     orig_shape = x.shape
     k = x.shape[-1]
     n = w_q8.shape[1]
@@ -89,7 +92,9 @@ def q8_matmul(x, w_q8, w_scale, block_m: int = 256, block_n: int = 512):
     # step, queue #32).  Run K as ONE block instead: the accumulator is
     # touched once and block_n is bounded so the dequant tile fits VMEM.
     cands = [c for c in (1024, 512, 256) if k % c == 0]
-    if cands:
+    if block_k is not None and k % block_k == 0 and block_k % KBLOCK == 0:
+        kb_in = block_k
+    elif cands:
         kb_in = cands[0]
     elif k <= 4096:
         kb_in = k
@@ -201,7 +206,51 @@ def _plan_ws(m, k, n, xb, ob, w_bytes=1.0, temp_bytes=2):
             break   # largest feasible bm; smaller only shrinks the MXU
     if best is None:
         return None
-    return best[1], best[2], slab
+    return best[1], best[2], slab, best[0]
+
+
+def _plan_rs(m, k, n, xb, ob, w_bytes=1.0, temp_bytes=2):
+    """(bm, kb, score) for the ROW-SWEEP strategy, or None.
+
+    Row-sweep = the default (m, n, k) grid with block_n = N (one output
+    stripe) and a f32 VMEM accumulator over K chunks: activations cross
+    HBM once, weights once per m-block.  This beats weight-stationary in
+    the mlp-down regime (K >> N: sd35-large 9728->2432, flux
+    12288->3072), where ws's full-K stripe forces a narrow bn and the
+    activations re-stream n/bn times — for flux-dn that is 24 x 113 MB
+    vs row-sweep's one x pass + 18 weight re-reads (~3.3x fewer bytes).
+    Requires the [bm, N] f32 accumulator + [kb, N] dequant tile to fit
+    scoped VMEM, which bounds it to moderate N."""
+    if k % KBLOCK or n % KBLOCK:
+        return None
+    kb_cands = [c for c in (1024, 512, 256, 128) if k % c == 0]
+    if k <= 2048:
+        kb_cands.insert(0, k)
+    best = None
+    for kb in kb_cands:
+        g = kb // KBLOCK
+        for bm in (512, 256, 128, 64):
+            use = (2 * bm * kb * xb         # activation block
+                   + 2 * kb * n * w_bytes   # weight tile
+                   + 2 * g * 8 * n * 4      # sublane-padded scales
+                   + 2 * bm * n * ob        # output block
+                   + bm * n * 4             # f32 accumulator scratch
+                   + kb * n * temp_bytes)   # dequant tile
+            if use > _WS_BUDGET:
+                continue
+            m_blocks = -(-m // bm)
+            mem = (m * k * xb               # x once
+                   + m_blocks * k * n * w_bytes   # weights per m-block
+                   + m * n * ob)
+            mxu = (2.0 * m * k * n / _WS_FLOP_PER_BYTE
+                   / (min(bm, 128) / 128.0))
+            score = mem + mxu
+            if best is None or score < best[0]:
+                best = (score, bm, kb)
+            break
+    if best is None:
+        return None
+    return best[1], best[2], best[0]
 
 
 def _q8_ws_kernel(x_ref, w_ref, s_ref, o_ref, *, slab, gs):
@@ -235,7 +284,7 @@ def q8_matmul_ws(x, w_q8, w_scale):
     plan = _plan_ws(m, k, n, x.dtype.itemsize, x.dtype.itemsize)
     if plan is None:
         raise ValueError(f"no ws geometry for K={k}, N={n}")
-    bm, bn, slab = plan
+    bm, bn, slab = plan[:3]
     bm = min(bm, max(8, 1 << (m - 1).bit_length()))
     m_p = pl.cdiv(m, bm) * bm
     if m_p != m:
@@ -316,7 +365,7 @@ def q8_matmul_ws_int8(x, w_q8, s_col):
                     temp_bytes=6)   # f32 + int8 act-quant temps, no wd
     if plan is None:
         raise ValueError(f"no ws geometry for K={k}, N={n}")
-    bm, bn, slab = plan
+    bm, bn, slab = plan[:3]
     bm = min(bm, max(8, 1 << (m - 1).bit_length()))
     m_p = pl.cdiv(m, bm) * bm
     if m_p != m:
@@ -463,21 +512,65 @@ def q8_matmul_xla(x, w_q8, w_scale):
     return jnp.dot(x, w.astype(x.dtype))
 
 
+def _rs_mode() -> str:
+    # default off pending the queue-39 hardware A/B (flip to "auto" on
+    # data, like MLIS_Q8_WS was)
+    import os
+    v = os.environ.get("MLIS_Q8_RS", "off").lower()
+    return "off" if v in ("", "0", "false", "no", "off") else v
+
+
+def pick_large_m_plan(m, k, n, itemsize, w_bytes=1.0, ws_temp=2,
+                      rs_temp=2):
+    """Large-M strategy selection: ("ws", plan) / ("rs", plan) / None.
+    Gated by MLIS_Q8_WS (master switch, default auto) and MLIS_Q8_RS
+    (row-sweep candidacy, default auto); "force" on either pins that
+    strategy.  auto/auto picks the lower bytes-equivalent score."""
+    import os
+    v = os.environ.get("MLIS_Q8_WS", "auto").lower()
+    if v in ("", "0", "false", "no", "off"):
+        return None
+    if m < _WS_MIN_M and v != "force":
+        return None
+    wsp = _plan_ws(m, k, n, itemsize, itemsize, w_bytes=w_bytes,
+                   temp_bytes=ws_temp)
+    rs = _rs_mode()
+    rsp = None if rs == "off" else _plan_rs(m, k, n, itemsize, itemsize,
+                                            w_bytes=w_bytes,
+                                            temp_bytes=rs_temp)
+    if v == "force":
+        return ("ws", wsp) if wsp else None
+    if rs == "force":
+        return ("rs", rsp) if rsp else (("ws", wsp) if wsp else None)
+    if rsp is not None and (wsp is None or rsp[-1] < wsp[-1]):
+        return ("rs", rsp)
+    return ("ws", wsp) if wsp else None
+
+
 def q8_dot(x, w_q8, w_scale):
     """Dispatch.  MLIS_Q8_MODE selects the execution strategy:
     ``dq`` (default) = weight-only in-VMEM dequant, bf16 MXU dot;
     ``int8`` = int8 x int8 MXU with fused dynamic activation quant.
     Measured on v5e (docs/BENCH.md): dq 0.837 s vs int8 0.937 s SD1.5
     e2e — the bf16 dot + XLA fusions beat the int8 MXU at these shapes,
-    so dq is the default.  Off-TPU the same modes run as XLA emulations."""
+    so dq is the default.  In the large-M regime the grid strategy
+    (weight-stationary vs row-sweep) is picked by a bytes-equivalent
+    cost model (:func:`pick_large_m_plan`).  Off-TPU the same modes run
+    as XLA emulations."""
     import os
     mode = os.environ.get("MLIS_Q8_MODE", "dq")
     on_tpu = jax.default_backend() == "tpu" and w_q8.shape[1] % 128 == 0
     if mode == "int8":
         return q8_matmul_int8(x, w_q8, w_scale) if on_tpu \
             else q8_matmul_int8_xla(x, w_q8, w_scale)
-    if on_tpu and ws_eligible(int(np.prod(x.shape[:-1])), x.shape[-1],
-                              w_q8.shape[1], x.dtype.itemsize):
-        return q8_matmul_ws(x, w_q8, w_scale)
+    if on_tpu:
+        sel = pick_large_m_plan(int(np.prod(x.shape[:-1])), x.shape[-1],
+                                w_q8.shape[1], x.dtype.itemsize)
+        if sel is not None and sel[0] == "rs":
+            bm, kb, _ = sel[1]
+            return q8_matmul(x, w_q8, w_scale, block_m=bm,
+                             block_n=w_q8.shape[1], block_k=kb)
+        if sel is not None:
+            return q8_matmul_ws(x, w_q8, w_scale)
     return q8_matmul(x, w_q8, w_scale) if on_tpu \
         else q8_matmul_xla(x, w_q8, w_scale)

@@ -136,3 +136,17 @@ def test_ws_nondividing_bn_matches_xla(monkeypatch):
     ref = np.asarray(q4.q4_matmul_xla(x, pd, sd))
     out = np.asarray(q4.q4_matmul_ws(x, pd, sd))
     np.testing.assert_allclose(out, ref, atol=5e-3, rtol=5e-3)
+
+
+def test_rs_row_sweep_matches_xla():
+    """Row-sweep geometry (block_n = N, block_k override) vs the
+    unpack+dequant XLA reference."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((200, 1024)).astype(np.float32) * .3)
+    w = rng.standard_normal((1024, 384)).astype(np.float32) * 0.05
+    p, s = q4.quantize_weight_q4(w)
+    pd, sd = jnp.asarray(p), jnp.asarray(s)
+    ref = np.asarray(q4.q4_matmul_xla(x, pd, sd))
+    out = np.asarray(q4.q4_matmul(x, pd, sd, block_m=128, block_n=384,
+                                  block_k=256))
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=5e-3)

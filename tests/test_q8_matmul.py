@@ -211,9 +211,9 @@ def test_ws_plan_geometry():
     # odd-x128 N dims (sd35-large 2432 = 19x128, 7296 = 57x128) no longer
     # collapse to bn=128: a non-dividing bn + cdiv grid caps the
     # activation re-streaming (the queue-36 residual above the floor)
-    bm, bn, _ = q8._plan_ws(8500, 2432, 2432, 2, 2)
+    bm, bn = q8._plan_ws(8500, 2432, 2432, 2, 2)[:2]
     assert bn > 128 and -(-2432 // bn) <= 4, (bm, bn)
-    bm, bn, _ = q8._plan_ws(8500, 2432, 7296, 2, 2)
+    bm, bn = q8._plan_ws(8500, 2432, 7296, 2, 2)[:2]
     assert bn > 128 and -(-7296 // bn) <= 12, (bm, bn)
 
 
@@ -286,3 +286,36 @@ def test_ws_int8_accuracy_vs_float():
         jnp.asarray(x), jnp.asarray(q), jnp.asarray(s)))
     rel = np.abs(out - ref).max() / np.abs(ref).max()
     assert rel < 0.03, rel
+
+
+def test_rs_row_sweep_matches_xla():
+    """Row-sweep geometry (block_n = N, block_k override) vs the XLA
+    dequant reference — the K >> N mlp-down strategy."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((200, 1024)).astype(np.float32) * .3)
+    w = rng.standard_normal((1024, 384)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight(w)
+    qd, sd = jnp.asarray(q), jnp.asarray(s)
+    ref = np.asarray(q8.q8_matmul_xla(x, qd, sd))
+    out = np.asarray(q8.q8_matmul(x, qd, sd, block_m=128, block_n=384,
+                                  block_k=256))
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_large_m_strategy_selection(monkeypatch):
+    """Cost-model dispatch: rs (row-sweep) wins the K >> N mlp-down
+    shapes, ws the N >= K projections; MLIS_Q8_RS gates rs candidacy
+    (default off pending its hardware A/B)."""
+    monkeypatch.setenv("MLIS_Q8_WS", "auto")
+    # default: rs off -> everything eligible goes ws
+    monkeypatch.delenv("MLIS_Q8_RS", raising=False)
+    sel = q8.pick_large_m_plan(8500, 9728, 2432, 2)
+    assert sel is not None and sel[0] == "ws"
+    monkeypatch.setenv("MLIS_Q8_RS", "auto")
+    sel = q8.pick_large_m_plan(8500, 9728, 2432, 2)   # sd35L mlp-down
+    assert sel is not None and sel[0] == "rs"
+    sel = q8.pick_large_m_plan(8500, 2432, 9728, 2)   # sd35L mlp-up
+    assert sel is not None and sel[0] == "ws"
+    assert q8.pick_large_m_plan(154, 4096, 10240, 2) is None  # small m
+    monkeypatch.setenv("MLIS_Q8_WS", "off")
+    assert q8.pick_large_m_plan(8500, 9728, 2432, 2) is None  # master off

@@ -98,6 +98,13 @@ def main():
               lambda xc, qd=qd, sd=sd: q8.q8_matmul(xc, qd, sd), x, k * n)
         bench(f"{tag}/q8-ws",
               lambda xc, qd=qd, sd=sd: q8.q8_matmul_ws(xc, qd, sd), x, k * n)
+        rsp = q8._plan_rs(m, k, n, 2, 2)
+        if rsp is not None:
+            bm_rs, kb_rs = rsp[0], rsp[1]
+            bench(f"{tag}/q8-rs(bm{bm_rs},kb{kb_rs})",
+                  lambda xc, qd=qd, sd=sd, bm=bm_rs, kb=kb_rs:
+                  q8.q8_matmul(xc, qd, sd, block_m=bm, block_n=n,
+                               block_k=kb), x, k * n)
         qc, sc = q8.quantize_weight_percol(w)
         qcd, scd = jnp.asarray(qc), jnp.asarray(sc)
         bench(f"{tag}/q8-ws-int8",
@@ -111,6 +118,14 @@ def main():
         bench(f"{tag}/q4-ws",
               lambda xc, pd=pd, s4d=s4d: q4.q4_matmul_ws(xc, pd, s4d),
               x, k * n // 2)
+        rsp4 = q8._plan_rs(m, k, n, 2, 2, w_bytes=0.5,
+                           temp_bytes=q4._Q4_TEMP_BYTES)
+        if rsp4 is not None:
+            bm4, kb4 = rsp4[0], rsp4[1]
+            bench(f"{tag}/q4-rs(bm{bm4},kb{kb4})",
+                  lambda xc, pd=pd, s4d=s4d, bm=bm4, kb=kb4:
+                  q4.q4_matmul(xc, pd, s4d, block_m=bm, block_n=n,
+                               block_k=kb), x, k * n // 2)
         del qd, sd, pd, s4d, qcd, scd
 
     # numerics on device: ws vs default at one shape
@@ -134,6 +149,26 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"RESULT ws-numerics: FAILED {type(e).__name__}: "
               f"{str(e)[:300]}", flush=True)
+
+    rsp = q8._plan_rs(m, k, n, 2, 2)
+    if rsp is not None:
+        bm_rs, kb_rs = rsp[0], rsp[1]
+
+        @jax.jit
+        def diff_rs(x):
+            a = q8.q8_matmul(x, qd, sd).astype(jnp.float32)
+            b = q8.q8_matmul(x, qd, sd, block_m=bm_rs, block_n=n,
+                             block_k=kb_rs).astype(jnp.float32)
+            return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(a))
+        try:
+            d, scl = (float(np.asarray(v)) for v in diff_rs(x))
+            ok = d < 0.02 * max(scl, 1.0)
+            print(f"RESULT rs-numerics: max|diff|={d:.5f} "
+                  f"(scale {scl:.3f}) {'PASS' if ok else 'FAIL'}",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"RESULT rs-numerics: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
