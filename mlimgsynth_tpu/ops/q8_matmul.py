@@ -513,10 +513,12 @@ def q8_matmul_xla(x, w_q8, w_scale):
 
 
 def _rs_mode() -> str:
-    # default off pending the queue-39 hardware A/B (flip to "auto" on
-    # data, like MLIS_Q8_WS was)
+    # default auto since the queue-39 hardware A/B: rs wins the K>>N
+    # mlp-down regime (flux-dn 3.47 vs ws 9.91 ms; flux-schnell e2e
+    # 3.11 -> 2.98 s) and is neutral elsewhere (sd35-large 15.17 vs
+    # 15.10 s).  docs/BENCH.md queue #39.
     import os
-    v = os.environ.get("MLIS_Q8_RS", "off").lower()
+    v = os.environ.get("MLIS_Q8_RS", "auto").lower()
     return "off" if v in ("", "0", "false", "no", "off") else v
 
 
