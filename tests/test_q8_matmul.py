@@ -305,10 +305,13 @@ def test_rs_row_sweep_matches_xla():
 def test_large_m_strategy_selection(monkeypatch):
     """Cost-model dispatch: rs (row-sweep) wins the K >> N mlp-down
     shapes, ws the N >= K projections; MLIS_Q8_RS gates rs candidacy
-    (default off pending its hardware A/B)."""
+    (default AUTO since the queue-39 hardware A/B — docs/BENCH.md)."""
     monkeypatch.setenv("MLIS_Q8_WS", "auto")
-    # default: rs off -> everything eligible goes ws
+    # default: rs auto -> the mlp-down regime routes to rs out of the box
     monkeypatch.delenv("MLIS_Q8_RS", raising=False)
+    sel = q8.pick_large_m_plan(8500, 9728, 2432, 2)
+    assert sel is not None and sel[0] == "rs"
+    monkeypatch.setenv("MLIS_Q8_RS", "off")
     sel = q8.pick_large_m_plan(8500, 9728, 2432, 2)
     assert sel is not None and sel[0] == "ws"
     monkeypatch.setenv("MLIS_Q8_RS", "auto")
