@@ -110,15 +110,20 @@ def synth_params(spec, seed=0, chunk_elems=1 << 28, gain=1.0):
     return out
 
 
-def synth_q8_params(spec, seed=0, chunk_elems=1 << 28):
+def synth_q8_params(spec, seed=0, chunk_elems=1 << 28,
+                    percol_m_hint=None):
     """Synthesize int8 weight-only params ON DEVICE: eligible linear
     weights become (weight_q8 int8, weight_scale f32) pairs directly — no
     host round-trip, which matters at flux scale (the 12B transformer
-    only fits one v5e chip quantized; host->HBM runs ~40MB/s here)."""
+    only fits one v5e chip quantized; host->HBM runs ~40MB/s here).
+
+    ``percol_m_hint`` (DiT configs): shapes where the cost model prefers
+    the int8-MXU ws kernel get PER-COLUMN scales ([N] f32), mirroring
+    weights.quantize_linear_weights on the real-checkpoint path."""
     import jax
     import jax.numpy as jnp
     from mlimgsynth_tpu.models.blocks import LINEAR_W
-    from mlimgsynth_tpu.ops.q8_matmul import KBLOCK
+    from mlimgsynth_tpu.ops.q8_matmul import KBLOCK, percol_eligible
     plain, q8 = {}, []
     for name, ps in sorted(spec.items()):
         if ps.kind == LINEAR_W and ps.shape[0] % KBLOCK == 0:
@@ -150,9 +155,14 @@ def synth_q8_params(spec, seed=0, chunk_elems=1 << 28):
                 k, n = ps.shape
                 res[name + "_q8"] = flat[off:off + k * n].reshape(k, n)
                 off += k * n
-                res[name + "_scale"] = jnp.full(
-                    (k // KBLOCK, n), 1.7 * 0.5 / (k ** 0.5) / 73.0,
-                    jnp.float32)
+                sval = 1.7 * 0.5 / (k ** 0.5) / 73.0
+                if (percol_m_hint is not None
+                        and percol_eligible(k, n, percol_m_hint)):
+                    res[name + "_scale"] = jnp.full((n,), sval,
+                                                    jnp.float32)
+                else:
+                    res[name + "_scale"] = jnp.full(
+                        (k // KBLOCK, n), sval, jnp.float32)
             return res
         return gen
 
@@ -373,8 +383,13 @@ def bench_config(name):
             "on device")
     elif use_q8:
         # device-side int8 synthesis (no host round-trip: the 40MB/s
-        # host->HBM link would take minutes at sd35-large/flux scale)
-        unet_params = synth_q8_params(spec_u, 0)
+        # host->HBM link would take minutes at sd35-large/flux scale);
+        # DiT configs let the cost model pick per-column int8-MXU
+        # storage per shape (queue-38)
+        unet_params = synth_q8_params(
+            spec_u, 0,
+            percol_m_hint=(2 * ((size // 16) ** 2 + 256)) if flow
+            else None)
         n_q = sum(1 for k in unet_params if k.endswith("_q8"))
         log(f"[{name}] {n_q} linear weights synthesized int8 on device")
     else:
@@ -781,7 +796,8 @@ def bench_flux(name):
     if os.environ.get("MLIS_FLUX_Q4"):
         unet_params = synth_q4_params(spec_u, 0)   # ~6.2 GiB resident
     else:
-        unet_params = synth_q8_params(spec_u, 0)
+        unet_params = synth_q8_params(
+            spec_u, 0, percol_m_hint=(size // 16) ** 2 + 512)
     spec_v = B.trace_spec(
         lambda ctx, x: V.vae_decode_apply(ctx, x, vae_p),
         jnp.zeros((1, 8, 8, vae_p.ch_z)))

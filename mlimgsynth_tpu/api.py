@@ -1229,8 +1229,20 @@ class MLImgSynth:
         if self._weights_q8 and submodel != "t5":
             # (T5's attention projections consume weights directly as
             # head-split einsums — no q8 route; T5 stays in compute dtype)
+            # DiT diffusion transformers run the large-M token regime:
+            # let the cost model pick per-column (int8-MXU ws) storage
+            # per shape (queue-38 A/B, ops/q8_matmul.percol_eligible)
+            m_hint = None
+            up = self._mt.unet_p if self._mt else None
+            if (submodel == "unet" and up is not None
+                    and (getattr(up, "flux", False)
+                         or getattr(up, "flow", False))):
+                hh = int(self.c["height"] or 1024)
+                ww = int(self.c["width"] or 1024)
+                m_hint = 2 * ((hh // 16) * (ww // 16) + 256)
             n_q = weights_mod.quantize_linear_weights(
-                host, spec, bits=self._weights_qbits)
+                host, spec, bits=self._weights_qbits,
+                percol_m_hint=m_hint)
             log.info2(f"{submodel}: {n_q} linear weights quantized to "
                       f"int{self._weights_qbits}")
         if self.c["dump_flags"] & 4 and submodel == "unet":  # MLIS_DUMP_GRAPH

@@ -154,9 +154,15 @@ _WS_BUDGET = 14 << 20   # scoped-vmem stack budget (16 MiB minus slack)
 
 # cost-model constants (v5e): ~810 GB/s HBM, ~197 TFLOPS bf16 MXU
 _WS_FLOP_PER_BYTE = 243.0
+# int8 MXU runs 2x bf16 on v5e; the fused per-(token, slab) activation
+# quantization costs ~5 VPU ops/element per n-stripe, charged here in
+# HBM-bytes-equivalent per element (calibrated against the queue-38
+# seven-shape kernel table, tools/q8_cost_calib.py)
+_INT8_MXU_GAIN = 2.0
+_INT8_QUANT_EQ = 1.0
 
 
-def _plan_ws(m, k, n, xb, ob, w_bytes=1.0, temp_bytes=2):
+def _plan_ws(m, k, n, xb, ob, w_bytes=1.0, temp_bytes=2, int8=False):
     """(bm, bn, slab) for the weight-stationary grid, or None when no
     geometry fits the VMEM budget.
 
@@ -200,6 +206,11 @@ def _plan_ws(m, k, n, xb, ob, w_bytes=1.0, temp_bytes=2):
                    + m * n * ob)              # output once
             mxu = (2.0 * m * k * n_pad / _WS_FLOP_PER_BYTE
                    / (min(bm, 128) / 128.0))
+            if int8:
+                # int8 MXU dots run 2x; fused activation quantization is
+                # re-done per stripe (the x block is re-read anyway)
+                mxu /= _INT8_MXU_GAIN
+                mem += m * k * stripes * _INT8_QUANT_EQ
             score = mem + mxu
             if best is None or score < best[0]:
                 best = (score, bm, bn)
@@ -271,11 +282,13 @@ def _q8_ws_kernel(x_ref, w_ref, s_ref, o_ref, *, slab, gs):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-@jax.jit
-def q8_matmul_ws(x, w_q8, w_scale):
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def q8_matmul_ws(x, w_q8, w_scale, block_m: int | None = None,
+                 block_n: int | None = None):
     """Weight-stationary q8 dq matmul.  x: [..., K], w_q8: [K, N] int8,
     w_scale: [K/128, N] f32 -> [..., N] in x.dtype.  Caller must check
-    :func:`ws_plan` first (raises when no geometry fits)."""
+    :func:`ws_plan` first (raises when no geometry fits).  block_m /
+    block_n override the planner's geometry (A/B harness use)."""
     orig_shape = x.shape
     k = x.shape[-1]
     n = w_q8.shape[1]
@@ -285,6 +298,10 @@ def q8_matmul_ws(x, w_q8, w_scale):
     if plan is None:
         raise ValueError(f"no ws geometry for K={k}, N={n}")
     bm, bn, slab = plan[:3]
+    if block_m is not None:
+        bm = block_m
+    if block_n is not None:
+        bn = block_n
     bm = min(bm, max(8, 1 << (m - 1).bit_length()))
     m_p = pl.cdiv(m, bm) * bm
     if m_p != m:
@@ -327,6 +344,72 @@ def quantize_weight_percol(w: np.ndarray):
     return q.astype(np.int8), scale
 
 
+def percol_from_blocks(q: np.ndarray, s_block: np.ndarray):
+    """Convert a stored per-[128 x column] q8 pair to per-column format:
+    (int8 [K, N], f32 [N], scale_ratio).
+
+    ``scale_ratio`` is the worst column's within-column dynamic range,
+    ``max_n s_col[n] / median_b s_block[b, n]`` — how many per-block
+    quantization steps one per-column step swallows for the column's
+    TYPICAL block.  Normal-ish weights sit near 1.4 (column amax over
+    more samples vs 128); a column whose range is dominated by one
+    outlier block loses log2(ratio) bits on every other block and the
+    caller keeps per-block storage (:data:`PERCOL_MAX_SCALE_RATIO`).
+    A global RMS metric can NOT catch this — the outlier block
+    dominates the norm exactly when it dominates the range."""
+    k, n = q.shape
+    w = (q.astype(np.float32).reshape(k // KBLOCK, KBLOCK, n)
+         * s_block[:, None, :]).reshape(k, n)
+    amax = np.abs(w).max(axis=0)
+    s_col = (amax / 127.0).astype(np.float32)
+    q2 = np.clip(np.round(w / np.maximum(s_col, 1e-30)), -127, 127)
+    q2 = q2.astype(np.int8)
+    med = np.maximum(np.median(s_block, axis=0), 1e-30)
+    ratio = float(np.max(s_col / med))
+    return q2, s_col, ratio
+
+
+# worst-column s_col / median-block-scale allowed before the weight
+# stays per-block (= bits lost on the column's typical block: 8 -> 3)
+PERCOL_MAX_SCALE_RATIO = 8.0
+
+
+def _int8ws_mode() -> str:
+    import os
+    v = os.environ.get("MLIS_Q8_INT8WS", "auto").lower()
+    return "off" if v in ("", "0", "false", "no", "off") else v
+
+
+def percol_eligible(k, n, m_hint=8192, itemsize=2) -> bool:
+    """Storage-format decision: should an eligible [K, N] linear weight
+    be stored per-COLUMN (int8-MXU ws candidacy) instead of per-block?
+
+    Per queue-38 (docs/BENCH.md): ws-int8 wins 5/7 DiT shapes by 10-23%;
+    only the K >> N mlp-down regime loses (to rs).  ``m_hint`` is the
+    large-M token count the session expects (CFG joint tokens for DiT).
+    Gated by MLIS_Q8_INT8WS (default auto; off/force)."""
+    mode = _int8ws_mode()
+    if mode == "off":
+        return False
+    if k % KBLOCK or n % KBLOCK:
+        return False
+    # small-M sessions (incl. tiny-geometry tests) never reach the int8
+    # kernel — keep the checkpoint's stored format
+    if m_hint < _WS_MIN_M and mode != "force":
+        return False
+    i8 = _plan_ws(m_hint, k, n, itemsize, itemsize, temp_bytes=6,
+                  int8=True)
+    if i8 is None:
+        return False
+    if mode == "force":
+        return True
+    wsp = _plan_ws(m_hint, k, n, itemsize, itemsize)
+    rsp = None if _rs_mode() == "off" else _plan_rs(m_hint, k, n,
+                                                    itemsize, itemsize)
+    others = [p[-1] for p in (wsp, rsp) if p is not None]
+    return not others or i8[-1] < min(others)
+
+
 def _ws_slab(k: int):
     cands = [c for c in (1024, 512, 256) if k % c == 0]
     return cands[0] if cands else (k if k <= 4096 else None)
@@ -362,7 +445,8 @@ def q8_matmul_ws_int8(x, w_q8, s_col):
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     plan = _plan_ws(m, k, n, x.dtype.itemsize, x.dtype.itemsize,
-                    temp_bytes=6)   # f32 + int8 act-quant temps, no wd
+                    temp_bytes=6,   # f32 + int8 act-quant temps, no wd
+                    int8=True)
     if plan is None:
         raise ValueError(f"no ws geometry for K={k}, N={n}")
     bm, bn, slab = plan[:3]
@@ -523,11 +607,15 @@ def _rs_mode() -> str:
 
 
 def pick_large_m_plan(m, k, n, itemsize, w_bytes=1.0, ws_temp=2,
-                      rs_temp=2):
-    """Large-M strategy selection: ("ws", plan) / ("rs", plan) / None.
-    Gated by MLIS_Q8_WS (master switch, default auto) and MLIS_Q8_RS
-    (row-sweep candidacy, default auto); "force" on either pins that
-    strategy.  auto/auto picks the lower bytes-equivalent score."""
+                      rs_temp=2, percol=False):
+    """Large-M strategy selection: ("ws"|"rs"|"int8ws", plan) / None.
+    Gated by MLIS_Q8_WS (master switch, default auto), MLIS_Q8_RS
+    (row-sweep candidacy, default auto) and MLIS_Q8_INT8WS (int8-MXU
+    candidacy for per-COLUMN-quantized weights, default auto); "force"
+    on any pins that strategy.  auto picks the lowest bytes-equivalent
+    score.  ``percol=True`` says the weight is stored with per-column
+    scales, making the int8-MXU ws kernel a candidate (dq strategies
+    stay available via scale broadcast)."""
     import os
     v = os.environ.get("MLIS_Q8_WS", "auto").lower()
     if v in ("", "0", "false", "no", "off"):
@@ -540,13 +628,21 @@ def pick_large_m_plan(m, k, n, itemsize, w_bytes=1.0, ws_temp=2,
     rsp = None if rs == "off" else _plan_rs(m, k, n, itemsize, itemsize,
                                             w_bytes=w_bytes,
                                             temp_bytes=rs_temp)
+    i8mode = _int8ws_mode() if percol else "off"
+    i8p = None if i8mode == "off" else _plan_ws(
+        m, k, n, itemsize, itemsize, temp_bytes=6, int8=True)
+    if i8mode == "force" and i8p is not None:
+        return ("int8ws", i8p)
     if v == "force":
         return ("ws", wsp) if wsp else None
     if rs == "force":
         return ("rs", rsp) if rsp else (("ws", wsp) if wsp else None)
-    if rsp is not None and (wsp is None or rsp[-1] < wsp[-1]):
-        return ("rs", rsp)
-    return ("ws", wsp) if wsp else None
+    cands = [(p[-1], tag, p) for tag, p in
+             (("ws", wsp), ("rs", rsp), ("int8ws", i8p)) if p is not None]
+    if not cands:
+        return None
+    _, tag, p = min(cands, key=lambda c: c[0])
+    return (tag, p)
 
 
 def q8_dot(x, w_q8, w_scale):
@@ -562,6 +658,20 @@ def q8_dot(x, w_q8, w_scale):
     import os
     mode = os.environ.get("MLIS_Q8_MODE", "dq")
     on_tpu = jax.default_backend() == "tpu" and w_q8.shape[1] % 128 == 0
+    percol = w_scale.ndim == 1
+    if percol:
+        # per-COLUMN-quantized storage (percol_eligible said the
+        # int8-MXU ws kernel should be a candidate at this shape)
+        k, n = w_q8.shape
+        m = int(np.prod(x.shape[:-1]))
+        sel = pick_large_m_plan(m, k, n, x.dtype.itemsize, percol=True) \
+            if w_q8.shape[0] % 128 == 0 else None
+        if sel is not None and sel[0] == "int8ws":
+            if on_tpu:
+                return q8_matmul_ws_int8(x, w_q8, w_scale)
+            return q8_ws_int8_xla(x, w_q8, w_scale)
+        # dq strategies run off broadcast block scales
+        w_scale = jnp.broadcast_to(w_scale[None, :], (k // KBLOCK, n))
     if mode == "int8":
         return q8_matmul_int8(x, w_q8, w_scale) if on_tpu \
             else q8_matmul_int8_xla(x, w_q8, w_scale)

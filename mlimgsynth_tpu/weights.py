@@ -298,19 +298,29 @@ def lora_apply(model_store: TensorStore, model_map: Dict[str, NameRef],
 
 def quantize_linear_weights(host_params: Dict[str, np.ndarray],
                             spec: Dict[str, ParamSpec],
-                            bits: int = 8) -> int:
+                            bits: int = 8,
+                            percol_m_hint: int | None = None) -> int:
     """Replace eligible linear weights with int8 (``bits=8``) or packed
     int4 (``bits=4``) + scale pairs in place (weight-only quantized
     execution; see ops/q8_matmul.py and ops/q4_matmul.py).  Returns the
-    number of weights quantized."""
+    number of weights quantized.
+
+    ``percol_m_hint`` (DiT large-M families only): token-count estimate
+    for the int8-MXU candidacy decision — shapes where the cost model
+    prefers the int8 ws kernel store PER-COLUMN scales ([N] f32) instead
+    of per-block ([K/128, N]), unless the incremental re-quantization
+    noise exceeds the guard (queue-38 A/B: ws-int8 wins 5/7 DiT shapes
+    by 10-23%)."""
     from .models.blocks import LINEAR_W
+    from .ops import q8_matmul as q8m
     from .ops.q8_matmul import KBLOCK, quantize_weight
     from .ops.q4_matmul import quantize_weight_q4
     n = 0
+    n_percol = 0
     for name, ps in list(spec.items()):
         if ps.kind != LINEAR_W or name not in host_params:
             continue
-        k, _ = ps.shape
+        k, n_out = ps.shape
         if k % KBLOCK != 0:
             continue  # stays in the compute dtype
         w = np.asarray(host_params[name], np.float32)
@@ -319,8 +329,18 @@ def quantize_linear_weights(host_params: Dict[str, np.ndarray],
             host_params[name + "_q4"] = q
         else:
             q, scale = quantize_weight(w)
+            if (percol_m_hint is not None
+                    and q8m.percol_eligible(k, n_out, percol_m_hint)):
+                qc, sc, ratio = q8m.percol_from_blocks(q, scale)
+                if ratio <= q8m.PERCOL_MAX_SCALE_RATIO:
+                    q, scale = qc, sc
+                    n_percol += 1
             host_params[name + "_q8"] = q
         del host_params[name]
         host_params[name + "_scale"] = scale
         n += 1
+    if n_percol:
+        from .utils.log import g_logger as log
+        log.info2(f"{n_percol}/{n} quantized linears stored per-column "
+                  "(int8-MXU ws candidates)")
     return n

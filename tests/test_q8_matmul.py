@@ -322,3 +322,123 @@ def test_large_m_strategy_selection(monkeypatch):
     assert q8.pick_large_m_plan(154, 4096, 10240, 2) is None  # small m
     monkeypatch.setenv("MLIS_Q8_WS", "off")
     assert q8.pick_large_m_plan(8500, 9728, 2432, 2) is None  # master off
+
+
+def test_percol_from_blocks_roundtrip():
+    """Block->column conversion: normal-ish weights stay under the
+    incremental-noise guard; the dequantized values round-trip within
+    the per-column quantization bound."""
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((512, 384)).astype(np.float32) * 0.05
+    q, s = q8.quantize_weight(w)
+    qc, sc, ratio = q8.percol_from_blocks(q, s)
+    assert qc.dtype == np.int8 and sc.shape == (384,)
+    assert ratio < q8.PERCOL_MAX_SCALE_RATIO, ratio
+    wd_blocks = (q.astype(np.float32).reshape(4, 128, 384)
+                 * s[:, None, :]).reshape(512, 384)
+    wd_col = qc.astype(np.float32) * sc[None, :]
+    err = np.abs(wd_col - wd_blocks).max(axis=0)
+    assert (err <= sc * 0.5 + 1e-9).all()
+
+
+def test_percol_from_blocks_guard_trips():
+    """Outlier-heavy columns (one block's scale >> the rest) blow past
+    the guard: the weight must stay per-block."""
+    rng = np.random.default_rng(12)
+    w = rng.standard_normal((512, 256)).astype(np.float32) * 0.05
+    w[:128] *= 200.0   # block 0 dominates every column amax
+    q, s = q8.quantize_weight(w)
+    _, _, ratio = q8.percol_from_blocks(q, s)
+    assert ratio > q8.PERCOL_MAX_SCALE_RATIO, ratio
+
+
+def test_percol_eligible_matches_queue38(monkeypatch):
+    """Storage gate mirrors the queue-38 per-shape winners: int8ws for
+    the N >= K projections, per-block (rs regime) for K >> N mlp-down."""
+    monkeypatch.setenv("MLIS_Q8_INT8WS", "auto")
+    monkeypatch.setenv("MLIS_Q8_WS", "auto")
+    monkeypatch.setenv("MLIS_Q8_RS", "auto")
+    assert q8.percol_eligible(2432, 7296, m_hint=8500)    # sd35L qkv
+    assert q8.percol_eligible(2432, 9728, m_hint=8500)    # mlp-up
+    assert not q8.percol_eligible(9728, 2432, m_hint=8500)  # mlp-dn
+    assert q8.percol_eligible(3072, 9216, m_hint=4608)    # flux qkv
+    assert not q8.percol_eligible(12288, 3072, m_hint=4608)  # flux dn
+    monkeypatch.setenv("MLIS_Q8_INT8WS", "off")
+    assert not q8.percol_eligible(2432, 7296, m_hint=8500)
+    monkeypatch.setenv("MLIS_Q8_INT8WS", "force")
+    assert q8.percol_eligible(9728, 2432, m_hint=8500)
+
+
+def test_percol_strategy_selection(monkeypatch):
+    """pick_large_m_plan(percol=True) adds int8ws candidacy; the dq
+    strategies stay available for per-column weights via broadcast."""
+    monkeypatch.setenv("MLIS_Q8_WS", "auto")
+    monkeypatch.setenv("MLIS_Q8_RS", "auto")
+    monkeypatch.setenv("MLIS_Q8_INT8WS", "auto")
+    sel = q8.pick_large_m_plan(8500, 2432, 7296, 2, percol=True)
+    assert sel is not None and sel[0] == "int8ws"
+    # per-block storage never picks int8ws
+    sel = q8.pick_large_m_plan(8500, 2432, 7296, 2)
+    assert sel is not None and sel[0] != "int8ws"
+    monkeypatch.setenv("MLIS_Q8_INT8WS", "off")
+    sel = q8.pick_large_m_plan(8500, 2432, 7296, 2, percol=True)
+    assert sel is not None and sel[0] != "int8ws"
+    monkeypatch.setenv("MLIS_Q8_INT8WS", "force")
+    sel = q8.pick_large_m_plan(8500, 9728, 2432, 2, percol=True)
+    assert sel is not None and sel[0] == "int8ws"
+
+
+def test_q8_dot_percol_dispatch(monkeypatch):
+    """q8_dot with per-column scales: large-M routes through the int8
+    path (XLA emulation off-TPU, same numerics as the TPU kernel);
+    small-M falls back to dq with broadcast block scales."""
+    monkeypatch.setenv("MLIS_Q8_WS", "auto")
+    monkeypatch.setenv("MLIS_Q8_INT8WS", "auto")
+    rng = np.random.default_rng(13)
+    k, n = 512, 384
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    qc, sc = q8.quantize_weight_percol(w)
+    qd, sd = jnp.asarray(qc), jnp.asarray(sc)
+    # small M: dq fallback == plain dequant matmul with broadcast scales
+    x_small = jnp.asarray(
+        rng.standard_normal((64, k)).astype(np.float32) * 0.3)
+    out = np.asarray(q8.q8_dot(x_small, qd, sd))
+    s2 = jnp.broadcast_to(sd[None, :], (k // q8.KBLOCK, n))
+    ref = np.asarray(q8.q8_matmul_xla(x_small, qd, s2))
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=5e-3)
+    # large M (force int8ws so the tiny K/N shape qualifies): int8 path
+    monkeypatch.setenv("MLIS_Q8_INT8WS", "force")
+    x_big = jnp.asarray(
+        rng.standard_normal((2304, k)).astype(np.float32) * 0.3)
+    out = np.asarray(q8.q8_dot(x_big, qd, sd))
+    ref = np.asarray(q8.q8_ws_int8_xla(x_big, qd, sd))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_quantize_linear_weights_percol(monkeypatch):
+    """weights.quantize_linear_weights stores per-column pairs for
+    int8ws-eligible shapes when given a DiT m_hint, per-block otherwise."""
+    from mlimgsynth_tpu import weights as W
+    from mlimgsynth_tpu.models.blocks import LINEAR_W, ParamSpec
+    monkeypatch.setenv("MLIS_Q8_INT8WS", "auto")
+    monkeypatch.setenv("MLIS_Q8_WS", "auto")
+    monkeypatch.setenv("MLIS_Q8_RS", "auto")
+    rng = np.random.default_rng(14)
+    spec = {
+        "blk.qkv.weight": ParamSpec((2432, 7296), LINEAR_W, jnp.bfloat16),
+        "blk.mlp_dn.weight": ParamSpec((9728, 2432), LINEAR_W,
+                                       jnp.bfloat16),
+    }
+    host = {name: (rng.standard_normal(ps.shape).astype(np.float32)
+                   * 0.02).astype(np.float32)
+            for name, ps in spec.items()}
+    n_q = W.quantize_linear_weights(host, spec, bits=8,
+                                    percol_m_hint=8500)
+    assert n_q == 2
+    assert host["blk.qkv.weight_scale"].ndim == 1          # per-column
+    assert host["blk.mlp_dn.weight_scale"].ndim == 2       # per-block
+    # no hint (non-DiT families): everything stays per-block
+    host2 = {name: (rng.standard_normal(ps.shape).astype(np.float32)
+                    * 0.02) for name, ps in spec.items()}
+    W.quantize_linear_weights(host2, spec, bits=8)
+    assert host2["blk.qkv.weight_scale"].ndim == 2

@@ -9,6 +9,18 @@ run grid (n, m) with the full-K stripe resident, reading weights once.
 Carry-chained scan timing (queue #22 lesson).  Reports ms/call and the
 implied effective weight-bandwidth for context.
 
+REPEAT/VARIANCE reporting (round-5, after the queue-36/38/39 ws@flux-dn
+bimodality: 3.54 / 7.20 / 9.91 ms at the same shape): each entry runs
+N_TIME timed executions and prints min / median / max.  Set
+MLIS_WS_COMPILES=C (C > 1) to probe COMPILE-time instability — the
+entry is compiled C times from scratch (persistent compile cache
+disabled for the process) and the per-compile minima are reported, so
+Mosaic scheduling nondeterminism separates from run-to-run noise.
+
+MLIS_WS_GEOM=bm:bn[,bm:bn...]: additionally bench q8-ws at the given
+explicit geometries (planner-override A/B; planner v1 vs v2 picked
+different (bm, bn) at flux-dn, which is part of the bimodality).
+
 Shapes: the four sd35-large linears (d=2432, M=8500 CFG joint tokens)
 and the three flux linears (d=3072, M=4608).
 
@@ -27,8 +39,12 @@ import numpy as np  # noqa: E402
 def main():
     import jax
     import jax.numpy as jnp
-    from mlimgsynth_tpu.utils.compcache import enable as _cc
-    _cc()
+    n_compiles = max(1, int(os.environ.get("MLIS_WS_COMPILES", "1")))
+    if n_compiles == 1:
+        # fresh-compile probing needs real recompiles; otherwise the
+        # persistent cache makes warm A/B turnaround bearable
+        from mlimgsynth_tpu.utils.compcache import enable as _cc
+        _cc()
     from mlimgsynth_tpu.ops import q4_matmul as q4
     from mlimgsynth_tpu.ops import q8_matmul as q8
 
@@ -54,6 +70,8 @@ def main():
             ("flux-mlp-dn", 4608, 12288, 3072),
         ]
 
+    n_time = 5 if not tiny else 2
+
     def bench(name, call, x, w_bytes):
         def loop(x):
             def body(xc, _):
@@ -63,23 +81,42 @@ def main():
             xc, _ = jax.lax.scan(body, x, None, length=n_scan)
             return jnp.mean(xc.astype(jnp.float32))
         try:
-            fn = jax.jit(loop)
-            t0 = time.time()
-            r = np.asarray(fn(x))
-            if not np.isfinite(r):
-                print(f"RESULT {name}: NONFINITE", flush=True)
-                return
-            print(f"[{name}] compile+first {time.time() - t0:.1f}s",
-                  flush=True)
-            times = []
-            for _ in range(3):
+            samples = []          # all timed runs, every compile
+            per_compile = []      # min per compile
+            for ci in range(n_compiles):
+                fn = jax.jit(loop)
                 t0 = time.time()
-                np.asarray(fn(x))
-                times.append(time.time() - t0)
-            best = min(times) / n_scan
+                r = np.asarray(fn(x))
+                if not np.isfinite(r):
+                    print(f"RESULT {name}: NONFINITE", flush=True)
+                    return
+                if ci == 0:
+                    print(f"[{name}] compile+first {time.time() - t0:.1f}s",
+                          flush=True)
+                times = []
+                for _ in range(n_time):
+                    t0 = time.time()
+                    np.asarray(fn(x))
+                    times.append((time.time() - t0) / n_scan)
+                samples.extend(times)
+                per_compile.append(min(times))
+                if n_compiles > 1:
+                    fn.clear_cache()
+                    jax.clear_caches()
+            samples.sort()
+            best = samples[0]
+            med = samples[len(samples) // 2]
+            worst = samples[-1]
             bw = w_bytes / best / 1e9
+            extra = ""
+            if n_compiles > 1:
+                pc = " ".join(f"{v * 1e3:.3f}" for v in per_compile)
+                extra = f" per-compile-min=[{pc}]"
             print(f"RESULT {name}: {best * 1e3:.3f} ms/call "
-                  f"(weights-once BW {bw:.0f} GB/s-equiv)", flush=True)
+                  f"med={med * 1e3:.3f} max={worst * 1e3:.3f} "
+                  f"n={len(samples)} "
+                  f"(weights-once BW {bw:.0f} GB/s-equiv){extra}",
+                  flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"RESULT {name}: FAILED {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
@@ -105,11 +142,26 @@ def main():
                   lambda xc, qd=qd, sd=sd, bm=bm_rs, kb=kb_rs:
                   q8.q8_matmul(xc, qd, sd, block_m=bm, block_n=n,
                                block_k=kb), x, k * n)
+        for gspec in filter(None,
+                            os.environ.get("MLIS_WS_GEOM", "").split(",")):
+            bm_g, bn_g = (int(v) for v in gspec.split(":"))
+            bench(f"{tag}/q8-ws(bm{bm_g},bn{bn_g})",
+                  lambda xc, qd=qd, sd=sd, bm=bm_g, bn=bn_g:
+                  q8.q8_matmul_ws(xc, qd, sd, block_m=bm, block_n=bn),
+                  x, k * n)
         qc, sc = q8.quantize_weight_percol(w)
         qcd, scd = jnp.asarray(qc), jnp.asarray(sc)
         bench(f"{tag}/q8-ws-int8",
               lambda xc, qcd=qcd, scd=scd: q8.q8_matmul_ws_int8(
                   xc, qcd, scd), x, k * n)
+        # shipping dispatch under current env defaults: per-block pair
+        # (ws/rs cost model) and per-column pair (int8ws candidacy)
+        bench(f"{tag}/q8-dot",
+              lambda xc, qd=qd, sd=sd: q8.q8_dot(xc, qd, sd), x, k * n)
+        if q8.percol_eligible(k, n, m_hint=m):
+            bench(f"{tag}/q8-dot-percol",
+                  lambda xc, qcd=qcd, scd=scd: q8.q8_dot(xc, qcd, scd),
+                  x, k * n)
         p, s4 = q4.quantize_weight_q4(w)
         pd, s4d = jnp.asarray(p), jnp.asarray(s4)
         bench(f"{tag}/q4-default",
