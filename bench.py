@@ -2,9 +2,11 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
 primary config (SD1.5 512px 20 steps, baseline target < 1 s on one v5e —
-BASELINE.md); per-config lines go to stderr.
+BASELINE.md); secondary configs ride in its "extra" list and also go to
+stderr.  The no-env default runs sd15 + sdxl (both flagships in the
+driver record).
 
-Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list, default sd15):
+Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list):
   sd15: SD1.5 512px, 20 Euler steps, cfg 7      (baseline 1.0 s)
   sdxl: SDXL 1024px, 20 Euler steps, cfg 7, dual text encoders
         (baseline 4.0 s)
@@ -260,6 +262,15 @@ def bench_config(name):
     use_i2i = name_base == "sd15-i2i"
     if use_i2i:
         name_base = "sd15"
+    # The reference's headline memory claim: SDXL 1024px within 4 GiB
+    # (README.md:3, via --unet-split + --vae-tile).  Our composition:
+    # packed-int4 UNet + int8 CLIP towers + latent-only loop + the
+    # single-dispatch tiled VAE decode (api._tiled_decode) as a second
+    # program, so the decode workspace never coexists with the loop's.
+    use_lowmem = name_base == "sdxl-lowmem"
+    if use_lowmem:
+        name_base = "sdxl"
+        use_q4 = True
     # Two-pass highres-fix shape (base loop at `size`, bilinear latent 2x,
     # img2img refine loop at 2*size, fused decode — the serving
     # enable_hr path's cost profile on raw kernels)
@@ -434,7 +445,8 @@ def bench_config(name):
             feat_tok_idx=(jnp.zeros((1,), jnp.int32)
                           if single_label or flow else None)),
         jnp.zeros((1, 77), jnp.int32))
-    clip_params = synth_params(spec_c, 2)
+    clip_params = (synth_q8_params(spec_c, 2) if use_lowmem
+                   else synth_params(spec_c, 2))
     clip2_params = None
     if clip2_p is not None:
         spec_c2 = B.trace_spec(
@@ -442,7 +454,8 @@ def bench_config(name):
                 ctx, toks, clip2_p,
                 feat_tok_idx=jnp.zeros((1,), jnp.int32), pre="clip2"),
             jnp.zeros((1, 77), jnp.int32))
-        clip2_params = synth_params(spec_c2, 3)
+        clip2_params = (synth_q8_params(spec_c2, 3) if use_lowmem
+                        else synth_params(spec_c2, 3))
     log(f"[{name}] weight synthesis {time.time() - t0:.1f}s")
 
     prompt = "a photograph of an astronaut riding a horse"
@@ -632,6 +645,19 @@ def bench_config(name):
                 ex = enc_extra[:4] + (t5_fn(),) + enc_extra[5:]
             encode = (clip_params, tokrows, wrows, clip_p, skip,
                       unet_p.clip_norm) + ex
+            if use_lowmem:
+                # latent-only loop, then the single-dispatch tiled VAE
+                # decode as a SECOND program: the decode workspace never
+                # coexists with the denoise loop's temps
+                from mlimgsynth_tpu.api import _tiled_decode
+                lat_out, _ = run_sampler(
+                    unet_params, x0, plan, None, None, None, None, lmask,
+                    cfg, unet_p, dtype=dtype, want_latent=True,
+                    encode=encode, control=control,
+                    deepcache=(3 if use_dc else 0))
+                return _tiled_decode(vae_params,
+                                     np.asarray(lat_out, np.float32),
+                                     vae_p, 512, dtype)
             _, img, _ = run_sampler(
                 unet_params, x0, plan, None, None, None, None, lmask,
                 cfg, unet_p, dtype=dtype, decode=decode, want_latent=False,
@@ -713,12 +739,34 @@ def bench_config(name):
         peak = 0
     from mlimgsynth_tpu.sampling import sampler as _sampler
     ma = getattr(_sampler, "LAST_MEMORY_ANALYSIS", None)
+    peak_gib = None
     if ma:
         log(f"[{name}] compiled loop memory: args "
             f"{ma['argument_bytes'] / 1024**3:.2f} GiB + temps "
             f"{ma['temp_bytes'] / 1024**3:.2f} GiB = "
             f"{ma['peak_estimate_bytes'] / 1024**3:.2f} GiB "
             f"(reference claims SDXL <= 4 GiB with unet-split+vae-tile)")
+    if use_lowmem and ma:
+        # Two-program peak: while the latent-only loop runs, the VAE
+        # weights (device-resident, not loop args) coexist with it; while
+        # the tiled decode runs, the loop's weights stay resident.  The
+        # claim peak is the max of the two phases.
+        import mlimgsynth_tpu.api as _api
+        dma = getattr(_api, "LAST_DECODE_MEMORY_ANALYSIS", None)
+        vae_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                        for v in vae_params.values())
+        if dma:
+            log(f"[{name}] tiled decode memory: args "
+                f"{dma['argument_bytes'] / 1024**3:.2f} GiB + temps "
+                f"{dma['temp_bytes'] / 1024**3:.2f} GiB + out "
+                f"{dma['output_bytes'] / 1024**3:.2f} GiB")
+            p1 = ma["peak_estimate_bytes"] + vae_bytes
+            p2 = ma["argument_bytes"] + dma["peak_estimate_bytes"]
+            peak_gib = round(max(p1, p2) / 1024**3, 3)
+            log(f"[{name}] lowmem phase peaks: loop+vae "
+                f"{p1 / 1024**3:.2f} GiB, weights+decode "
+                f"{p2 / 1024**3:.2f} GiB -> claim peak {peak_gib:.2f} GiB "
+                f"(reference SDXL claim: <= 4 GiB)")
     label = {"sdxl": "SDXL", "sd21": "SD2.1 dpm++2m vparam",
              "sd15-tae": "SD1.5+TAE",
              "sdxl-refiner": "SDXL-refiner",
@@ -738,7 +786,9 @@ def bench_config(name):
         label += " +T5-XXL-int8"
     if use_slg:
         label += " slg2.5"
-    if use_q4:
+    if use_lowmem:
+        label += " lowmem(int4-unet+int8-clip+tiled-vae)"
+    elif use_q4:
         label += " int4-weights"
     elif use_q8:
         label += " int8-weights"
@@ -746,7 +796,7 @@ def bench_config(name):
         label += " turbo-style"
     if n_batch > 1:
         label += f" batch{n_batch} throughput"
-    return {
+    out = {
         "metric": f"{label} {size}px "
                   f"{n_steps}-step cfg{cfg_scale:g} txt2img e2e latency "
                   "(text encode + denoise + decode)",
@@ -754,6 +804,9 @@ def bench_config(name):
         "unit": "s/image",
         "vs_baseline": round(baseline / (best / n_batch), 3),
     }
+    if peak_gib is not None:
+        out["peak_gib"] = peak_gib
+    return out
 
 
 def bench_flux(name):
@@ -1085,7 +1138,9 @@ def main():
     from mlimgsynth_tpu.utils.compcache import enable as _cc
     _cc()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    which = os.environ.get("MLIS_BENCH", "sd15")
+    # no-env default (the driver's invocation) runs BOTH flagships so the
+    # round record carries the UNet and the SDXL number (round-4 weak #6)
+    which = os.environ.get("MLIS_BENCH", "sd15,sdxl")
     configs = (["sd15", "sdxl", "sd21", "sd15-tae", "sd15-i2i"]
                if which == "all" else which.split(","))
     results = []
@@ -1102,7 +1157,12 @@ def main():
             results.append(bench_config(c))
     for r in results[1:]:
         log(json.dumps(r))
-    print(json.dumps(results[0]))
+    out = dict(results[0])
+    if len(results) > 1:
+        # keep the one-JSON-line driver contract; secondary configs ride
+        # inside the primary record
+        out["extra"] = results[1:]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -3612,6 +3612,28 @@ def _make_tiled_vae_jits():
     return dec_tiled, enc_tiled
 
 
+# Filled by _tiled_decode under MLIS_MEM_ANALYSIS=1 (bench memory
+# reporting for the two-program low-memory path; same contract as
+# sampling.sampler.LAST_MEMORY_ANALYSIS).
+LAST_DECODE_MEMORY_ANALYSIS = None
+
+
+def _decode_mem_analysis(jitted, *args, **kw):
+    global LAST_DECODE_MEMORY_ANALYSIS
+    try:
+        ma = jitted.lower(*args, **kw).compile().memory_analysis()
+        LAST_DECODE_MEMORY_ANALYSIS = {
+            "argument_bytes": ma.argument_size_in_bytes,
+            "output_bytes": ma.output_size_in_bytes,
+            "temp_bytes": ma.temp_size_in_bytes,
+            "peak_estimate_bytes": (ma.argument_size_in_bytes +
+                                    ma.output_size_in_bytes +
+                                    ma.temp_size_in_bytes),
+        }
+    except Exception:  # analysis is informational, never fatal
+        LAST_DECODE_MEMORY_ANALYSIS = None
+
+
 def _tiled_decode(params, lat: np.ndarray, P, tile_px: int, dtype
                   ) -> np.ndarray:
     f = P.f_down
@@ -3621,6 +3643,10 @@ def _tiled_decode(params, lat: np.ndarray, P, tile_px: int, dtype
     n0 = min(tile_px // f + k * 2, lw)
     n1 = min(tile_px // f + k * 2, lh)
     if n0 == lw and n1 == lh:
+        if os.environ.get("MLIS_MEM_ANALYSIS"):
+            _decode_mem_analysis(_make_vae_jits()[1],
+                                 params, lat.transpose(0, 2, 3, 1),
+                                 vae_p=P, dtype=dtype)
         out = np.asarray(_vae_decode_jit(
             params, lat.transpose(0, 2, 3, 1), vae_p=P, dtype=dtype),
             np.float32)
@@ -3628,6 +3654,10 @@ def _tiled_decode(params, lat: np.ndarray, P, tile_px: int, dtype
     origins, boxes = _tile_geometry(lw, lh, n0, n1, k)
     log.info(f"VAE tiled decode: {len(origins)} tiles of "
              f"{n0 * f}x{n1 * f}px in one dispatch")
+    if os.environ.get("MLIS_MEM_ANALYSIS"):
+        _decode_mem_analysis(_make_tiled_vae_jits()[0],
+                             params, lat.transpose(0, 2, 3, 1), origins,
+                             boxes, vae_p=P, dtype=dtype, tn1=n1, tn0=n0)
     out = np.asarray(_make_tiled_vae_jits()[0](
         params, lat.transpose(0, 2, 3, 1), origins, boxes,
         vae_p=P, dtype=dtype, tn1=n1, tn0=n0), np.float32)

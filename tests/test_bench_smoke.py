@@ -236,6 +236,30 @@ def test_bench_flux_dc_smoke(monkeypatch):
     assert "deepcache3" in r["metric"]
 
 
+def test_bench_sdxl_lowmem_smoke(monkeypatch):
+    """sdxl-lowmem: int4 UNet + int8 CLIP towers + latent-only loop +
+    the tiled-VAE decode as a second program, with the two-phase memory
+    accounting (peak_gib) in the result."""
+    import bench
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import unet as U
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.testing import (TINY_CLIP, TINY_CLIP2,
+                                        TINY_UNET_XL, TINY_VAE)
+
+    monkeypatch.setattr(U, "UNET_SDXL", TINY_UNET_XL)
+    monkeypatch.setattr(V, "VAE_SDXL", TINY_VAE)
+    monkeypatch.setattr(C, "CLIP_VIT_L_14", TINY_CLIP)
+    monkeypatch.setattr(C, "CLIP_VIT_BIGG_14", TINY_CLIP2)
+    monkeypatch.setattr(bench, "STEPS", 2)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_config("sdxl-lowmem")
+    assert r["value"] > 0
+    assert "lowmem" in r["metric"]
+    # the two-program memory accounting ran (loop + decode analyses)
+    assert r.get("peak_gib", 0) > 0
+
+
 def test_bench_esrgan_smoke(monkeypatch):
     """esrgan-x4 config: RRDBNet upscale compiles and runs one-dispatch
     at tiny geometry."""
