@@ -23,6 +23,9 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list):
         transformer; SD3/Flux cache the deep block tail as a residual)
   suffix -hires: two-pass highres-fix (size -> 2x size latent upscale)
   suffix -slg: skip-layer guidance (MMDiT configs)
+  suffix -pag: perturbed-attention guidance scale 3 (SD-UNet configs;
+        +1 NFE/step — the guidance-cost anchor next to -slg's)
+  suffix -unipc: UniPC bh2 order-2 solver (non-default-solver cost leg)
   suffix -t5: real T5-XXL 4.7B int8 conditioning computed on device
         (sd3* configs; all others run the zero-T5 context shape)
   sdxl-refiner: SDXL-refiner 1024px (single bigG tower, aesthetic-score
@@ -307,6 +310,17 @@ def bench_config(name):
         name_base = name_base[:-4]
         if not name_base.startswith("sd3"):
             raise SystemExit("-slg bench supports the MMDiT configs only")
+    # Perturbed-attention guidance (+1 NFE/step, identity mid-block
+    # self-attention) — the UNet-side guidance-cost anchor next to -slg
+    use_pag = name_base.endswith("-pag")
+    if use_pag:
+        name_base = name_base[:-4]
+        if name_base not in ("sd15", "sd21", "sdxl"):
+            raise SystemExit("-pag bench supports the SD-UNet configs only")
+    # Non-default-solver cost leg (UniPC bh2 order-2)
+    use_unipc = name_base.endswith("-unipc")
+    if use_unipc:
+        name_base = name_base[:-6]
     flow = False
     if name_base == "sdxl":
         size, baseline = 1024, 4.0
@@ -462,8 +476,11 @@ def bench_config(name):
     toks = tok.wrap_tokens(clip_p, tok.tokenize(prompt))
     ntoks = tok.wrap_tokens(clip_p, [])
     n_tok = len(tok.tokenize(prompt))
+    if use_unipc:
+        method = "unipc"
     cfg = SamplerConfig(method=method, sched="uniform", n_step=n_steps,
                         cfg_scale=cfg_scale,
+                        pag_scale=(3.0 if use_pag else 0.0),
                         f_t_ini=(0.75 if use_i2i else 1.0),
                         flow_shift=(getattr(unet_p, "flow_shift", 0.0)
                                     if flow else 0.0),
@@ -786,6 +803,10 @@ def bench_config(name):
         label += " +T5-XXL-int8"
     if use_slg:
         label += " slg2.5"
+    if use_pag:
+        label += " pag3"
+    if use_unipc:
+        label += " unipc"
     if use_lowmem:
         label += " lowmem(int4-unet+int8-clip+tiled-vae)"
     elif use_q4:

@@ -125,6 +125,50 @@ def test_bench_sd15_q4_smoke(monkeypatch):
     assert "int4-weights" in r["metric"]
 
 
+def test_bench_sd15_pag_smoke(monkeypatch):
+    """-pag suffix: perturbed-attention guidance (+1 NFE/step) runs
+    through the fused bench loop."""
+    import bench
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import unet as U
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.testing import TINY_CLIP, TINY_VAE
+
+    tiny_u = dataclasses.replace(
+        U.UNET_SD1, n_ch=32, ch_mult=(1, 2), transf_depth=(1, 1),
+        attn_res=(1, 2), n_head=4, n_te=128, n_ctx=TINY_CLIP.d_embed)
+    monkeypatch.setattr(U, "UNET_SD1", tiny_u)
+    monkeypatch.setattr(V, "VAE_SD1", TINY_VAE)
+    monkeypatch.setattr(C, "CLIP_VIT_L_14", TINY_CLIP)
+    monkeypatch.setattr(bench, "STEPS", 2)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_config("sd15-pag")
+    assert r["value"] > 0
+    assert "pag3" in r["metric"]
+
+
+def test_bench_sd15_unipc_smoke(monkeypatch):
+    """-unipc suffix: the UniPC bh2 solver runs through the fused bench
+    loop."""
+    import bench
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import unet as U
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.testing import TINY_CLIP, TINY_VAE
+
+    tiny_u = dataclasses.replace(
+        U.UNET_SD1, n_ch=32, ch_mult=(1, 2), transf_depth=(1, 1),
+        attn_res=(1, 2), n_head=4, n_te=128, n_ctx=TINY_CLIP.d_embed)
+    monkeypatch.setattr(U, "UNET_SD1", tiny_u)
+    monkeypatch.setattr(V, "VAE_SD1", TINY_VAE)
+    monkeypatch.setattr(C, "CLIP_VIT_L_14", TINY_CLIP)
+    monkeypatch.setattr(bench, "STEPS", 3)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_config("sd15-unipc")
+    assert r["value"] > 0
+    assert "unipc" in r["metric"]
+
+
 def test_bench_sd15_hires_smoke(monkeypatch):
     """-hires suffix: base loop -> latent 2x -> refine loop + decode."""
     import dataclasses
