@@ -338,9 +338,11 @@ def attn_mhead(ctx: Ctx, pre: str, q, k, v, d_out: int, d_embed: int,
         # consume the [N,H,D,Sq] output — the kernel's layout change folds
         # into these einsums for free (see ops/flash_attention.py).  Gate
         # mirrors flash_attention_compatible: big non-causal self-attention.
-        from ..ops.attention import attention_t, use_flash, use_flash_t
+        from ..ops.attention import (attention_t, unet_stock_preferred,
+                                     use_flash, use_flash_t)
         if (not mask and sq >= 512 and sk >= 512 and d_head <= 512
-                and use_flash() and use_flash_t()):
+                and use_flash() and use_flash_t()
+                and not unet_stock_preferred(n, n_head, sq, sk, d_head)):
             q = proj(q, "q_proj")
             k = proj(k, "k_proj")
             w_v = ctx.param(f"{pre}.v_proj.weight", (v.shape[-1], d_embed),

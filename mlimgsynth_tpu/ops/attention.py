@@ -207,6 +207,25 @@ def use_flash_t() -> bool:
     return os.environ.get("MLIS_FLASH_T", "1") not in ("0", "false", "no")
 
 
+def unet_stock_preferred(b: int, n_head: int, sq: int, sk: int,
+                         d_head: int) -> bool:
+    """Should attn_mhead emit NATURAL layout (so :func:`attention` routes
+    this self-attention through the stock kernel) instead of the
+    transposed-v layout?  Opt-in via MLIS_FLASH_UNET_STOCK (queue #42
+    A/B); the layout choice folds into the projection einsums either way,
+    so flipping this costs no relayout."""
+    from . import stock_flash as sf
+    if sf.unet_mode() == "off" or _sp_size() > 1:
+        return False
+    if MESH is not None and not _LOCAL_ONLY:
+        from ..parallel.mesh import DP_AXIS, TP_AXIS
+        if not _mesh_divides(b, n_head):
+            return False
+        b //= MESH.shape.get(DP_AXIS, 1)
+        n_head //= MESH.shape.get(TP_AXIS, 1)
+    return sf.unet_eligible(b, n_head, sq, sk, d_head)
+
+
 def attention_t(q, k, vt, scale=None):
     """Transposed-v attention: q,k [B,H,S,D], vt [B,H,D,Sk] -> [B,H,D,Sq].
 

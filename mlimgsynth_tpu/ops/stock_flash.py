@@ -54,6 +54,73 @@ def _padded_sq(b: int, h: int, sq: int, d: int, itemsize: int) -> int:
 # padding beyond this ratio costs more than the kernel swap saves
 _MAX_QPAD = 1.35
 
+# Regime-(a) budget for the sub-16MiB UNet gate: kernel frame + promoted
+# output must fit the scoped-VMEM stack with the same ~1 MiB slack
+# ops/flash_attention.VMEM_BUDGET keeps.
+_VMEM_BUDGET = int(15.0 * 1024 * 1024)
+
+
+def _stock_frame(bq: int, bkm: int, d: int, it: int) -> int:
+    """Conservative scoped-VMEM frame model for the stock kernel at
+    (block_q=bq, block_k_major=block_k=bkm): double-buffered q/k/v/out
+    windows (lanes pad d to 128), f32 m/l [bq,128] + acc [bq,dpad]
+    scratch, and the f32 [bq,bkm] logits product (p reuses it — same
+    accounting ops/flash_attention._scoped_vmem calibrated on v5e)."""
+    dpad = max(-(-d // 128) * 128, 128)
+    windows = 2 * (bq * dpad + 2 * bkm * dpad + bq * dpad) * it
+    scratch = (2 * bq * 128 + bq * dpad) * 4
+    logits = bq * bkm * 4
+    return windows + scratch + logits
+
+
+def _unet_blocks(b: int, h: int, sq: int, sk_pad: int, d: int,
+                 it: int) -> tuple[int, int] | None:
+    """Smallest-risk (block_q, block_k_major) whose frame + full output
+    fits the regime-(a) budget at a promotion-window shape; None when no
+    choice fits (caller stays on the planner-protected ours-t kernel)."""
+    out_b = b * h * sq * d * it
+    for bq in (512, 256, 128):
+        if bq > sq:
+            continue
+        for bkm in (1024, 512, 256, 128):
+            if sk_pad % bkm:
+                continue
+            if _stock_frame(bq, bkm, d, it) + out_b <= _VMEM_BUDGET:
+                return bq, bkm
+    return None
+
+
+def unet_mode() -> str:
+    """UNet-regime routing through the stock kernel ('off' default until
+    queue-42 A/B data lands; 'auto' = regime-(a)-gated; 'force')."""
+    v = os.environ.get("MLIS_FLASH_UNET_STOCK", "off").lower()
+    if v in ("1", "auto", "on", "true", "yes"):
+        return "auto"
+    if v == "force":
+        return "force"
+    return "off"
+
+
+def unet_eligible(b: int, h: int, sq: int, sk: int, d: int,
+                  itemsize: int = 2) -> bool:
+    """Natural-layout stock routing for the small-S UNet self-attention
+    regime (promotion-window outputs, regime-(a) safety).  Called by
+    attn_mhead BEFORE projections so the layout choice folds into the
+    einsums — kernel-only cost, no relayout (queue #25 measured the
+    relayout version losing; queue #42 measures this one)."""
+    m = unet_mode()
+    if m == "off" or mode() == "off":
+        return False
+    if sq != sk or sq < 512 or d > 128:
+        return False
+    if m == "force":
+        return True
+    sk_pad = -(-sk // _KV_PAD) * _KV_PAD
+    out_b = b * h * sq * d * itemsize
+    if out_b > _PROMOTION_STACK:
+        return False                     # large-S regime: eligible() owns it
+    return _unet_blocks(b, h, sq, sk_pad, d, itemsize) is not None
+
 
 def mode() -> str:
     """'auto' (default: size-gated), 'off', or 'force' (tests: skip the
@@ -86,14 +153,16 @@ def eligible(q, k, v, causal: bool, mesh=None) -> bool:
         return True
     if q.dtype != jnp.bfloat16:
         return False    # f32 outputs S(1)-place even above 16 MiB (r3 finding)
-    if sk < 2048:
-        return False                     # ours wins the small-S regime
     if mesh is not None:                 # per-device block inside shard_map
         from ..parallel.mesh import DP_AXIS, TP_AXIS
         b //= mesh.shape.get(DP_AXIS, 1)
         h //= mesh.shape.get(TP_AXIS, 1)
     # unpromotable by size — naturally, or via bounded zero-padding of q
-    return _padded_sq(b, h, sq, d, q.dtype.itemsize) <= sq * _MAX_QPAD
+    if (sk >= 2048
+            and _padded_sq(b, h, sq, d, q.dtype.itemsize) <= sq * _MAX_QPAD):
+        return True
+    # small-S / promotion-window UNet regime (opt-in, regime-(a) gated)
+    return unet_eligible(b, h, sq, sk, d, q.dtype.itemsize)
 
 
 @functools.lru_cache(maxsize=None)
@@ -134,6 +203,13 @@ def stock_flash(q, k, v, scale=None):
     env = os.environ.get("MLIS_STOCK_BLOCK")
     if env:
         bq, bkm = (int(v) for v in env.split(","))
+    elif b * h * sq * d * q.dtype.itemsize <= _PROMOTION_STACK:
+        # promotion-window output (UNet regime): blocks must satisfy
+        # regime (a) — kernel frame + promoted output under the budget
+        plan = _unet_blocks(b, h, sq, sk_pad, d, q.dtype.itemsize)
+        bq, bkm = plan if plan else (min(512, (sq // 128) * 128),
+                                     next(x for x in (512, 256, 128)
+                                          if sk_pad % x == 0))
     else:
         bkm = next(x for x in (1536, 1024, 512, 256, 128) if sk_pad % x == 0)
         bq = min(512, (sq // 128) * 128)  # block_q must not exceed sq

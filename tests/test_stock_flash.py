@@ -144,3 +144,76 @@ def test_qpad_into_unpromotable_regime(monkeypatch):
     ref = attention_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_unet_gate_eligibility(monkeypatch):
+    """MLIS_FLASH_UNET_STOCK=auto extends eligibility into the
+    promotion-window UNet regime under regime-(a) accounting (kernel
+    frame + full output <= budget); default stays off."""
+    sdxl = jnp.zeros((2, 10, 4096, 64), jnp.bfloat16)   # 10 MiB out
+    sd15 = jnp.zeros((2, 8, 4096, 40), jnp.bfloat16)    # 5 MiB out
+    sd21 = jnp.zeros((2, 10, 2304, 64), jnp.bfloat16)   # 5.9 MiB, padded kv
+    # default: off -> unchanged behavior
+    for q in (sdxl, sd15, sd21):
+        assert not sf.eligible(q, q, q, False)
+    monkeypatch.setenv("MLIS_FLASH_UNET_STOCK", "auto")
+    for q in (sdxl, sd15, sd21):
+        assert sf.eligible(q, q, q, False)
+    # large-S shapes keep their own gate (sd3 joint: still eligible)
+    big = jnp.zeros((2, 24, 4250, 64), jnp.bfloat16)
+    assert sf.eligible(big, big, big, False)
+    # cross attention and tiny S stay out
+    k77 = jnp.zeros((2, 10, 77, 64), jnp.bfloat16)
+    assert not sf.eligible(sdxl, k77, k77, False)
+    tiny = jnp.zeros((2, 10, 256, 64), jnp.bfloat16)
+    assert not sf.eligible(tiny, tiny, tiny, False)
+    # no block choice fits the budget -> ineligible (frame forced huge)
+    monkeypatch.setattr(sf, "_VMEM_BUDGET", 1)
+    assert not sf.eligible(sdxl, sdxl, sdxl, False)
+
+
+def test_attn_mhead_unet_stock_routes_and_matches(monkeypatch):
+    """Under MLIS_FLASH_UNET_STOCK=force, attn_mhead must emit the
+    NATURAL layout (no transposed-v projections) and attention() must
+    route to the stock wrapper — with numerics matching the shipped
+    transposed path."""
+    import jax
+    from mlimgsynth_tpu.models import blocks as B
+    from mlimgsynth_tpu.ops import flash_attention as fa
+
+    if jax.default_backend() != "tpu":
+        orig = fa.pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            kw.pop("compiler_params", None)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(fa.pl, "pallas_call", interp)
+
+    d_model, n_head, s = 64, 2, 512
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, s, d_model)).astype(np.float32)
+                    * 0.3)
+    spec = B.trace_spec(
+        lambda ctx, x: B.attn_mhead(ctx, "blk.attn1", x, x, x,
+                                    d_model, d_model, n_head), x)
+    params = {k: jnp.asarray(
+        rng.standard_normal(ps.shape).astype(np.float32) * 0.05)
+        for k, ps in spec.items()}
+
+    monkeypatch.setenv("MLIS_FLASH_ATTENTION", "1")
+    base = B.attn_mhead(B.Ctx(params), "blk.attn1", x, x, x,
+                        d_model, d_model, n_head)
+
+    calls = []
+    orig_sf = sf.stock_flash
+    monkeypatch.setattr(sf, "stock_flash",
+                        lambda *a, **kw: calls.append(1) or orig_sf(*a, **kw))
+    monkeypatch.setenv("MLIS_FLASH_UNET_STOCK", "force")
+    monkeypatch.setenv("MLIS_FLASH_STOCK", "force")
+    out = B.attn_mhead(B.Ctx(params), "blk.attn1", x, x, x,
+                       d_model, d_model, n_head)
+    assert calls, "stock wrapper was not reached"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=2e-3, rtol=2e-3)

@@ -54,6 +54,32 @@ for (b, h, s, d) in shapes:
     assert np.isfinite(out).all(), ("t", b, h, s, d)
     out = np.asarray(loop_s(q0), np.float32)
     assert np.isfinite(out).all(), ("s", b, h, s, d)
+
+import os
+if os.environ.get("MLIS_VMEM_UNET_STOCK"):
+    # The queue-42 unet-stock route: stock kernel with PROMOTION-WINDOW
+    # outputs, relying on regime-(a) frame accounting (_stock_frame).
+    # These are the shapes attn_mhead would route when
+    # MLIS_FLASH_UNET_STOCK=auto ships.
+    os.environ["MLIS_FLASH_UNET_STOCK"] = "auto"
+    from mlimgsynth_tpu.ops import stock_flash as sf
+    for (b, h, s, d) in [(2, 8, 4096, 40), (2, 10, 4096, 64),
+                         (2, 20, 1024, 64), (2, 10, 2304, 64),
+                         (2, 5, 9216, 64)]:
+        q0 = jnp.asarray(rng.standard_normal((b, h, s, d)),
+                         jnp.bfloat16) * 0.5
+        assert sf.eligible(q0, q0, q0, False), (b, h, s, d)
+
+        @jax.jit
+        def loop_u(q):
+            def body(q, _):
+                o = sf.stock_flash(q, q, q)
+                return q + o.astype(q.dtype) * 1e-3, None
+            q, _ = jax.lax.scan(body, q, None, length=2)
+            return q
+
+        out = np.asarray(loop_u(q0), np.float32)
+        assert np.isfinite(out).all(), ("u", b, h, s, d)
 print("CHILD_OK")
 """
 
