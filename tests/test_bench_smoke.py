@@ -59,6 +59,31 @@ def test_bench_sd35_large_q8_smoke(monkeypatch):
     assert "int8" in r["metric"]
 
 
+def test_bench_sd35_large_dc_smoke(monkeypatch):
+    """sd35-large-dc: DeepCache residual caching COMBINED with the q8
+    quantized-pair path (the deep-tail split must carry quantized
+    params through both the full and shallow branches)."""
+    import bench
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import mmdit as MM
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.testing import TINY_CLIP, TINY_CLIP2, TINY_VAE_SD3
+
+    tiny_mm = MM.MmditParams(
+        depth=2, d_model=128, n_head=2, patch=2, n_ch_in=4, n_ch_out=4,
+        d_ctx_in=80, d_pooled=64, pos_embed_max=8, d_t_embed=16,
+        n_ctx=80, ch_adm_in=64, qk_norm=True)
+    monkeypatch.setattr(MM, "MMDIT_SD35_LARGE", tiny_mm)
+    monkeypatch.setattr(V, "VAE_SD3", TINY_VAE_SD3)
+    monkeypatch.setattr(C, "CLIP_VIT_L_14", TINY_CLIP)
+    monkeypatch.setattr(C, "CLIP_VIT_BIGG_14", TINY_CLIP2)
+    monkeypatch.setattr(bench, "STEPS", 3)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_config("sd35-large-dc")
+    assert r["value"] > 0
+    assert "deepcache" in r["metric"] and "int8" in r["metric"]
+
+
 def test_bench_sd35_medium_smoke(monkeypatch):
     """sd35-medium is MMDiT-X: dual attention in the listed x-blocks plus
     qk-norm must run through the bench's fused flow path."""
