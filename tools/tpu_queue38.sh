@@ -2,7 +2,8 @@
 # Round-4 pass #38: ws planner v2 (cost-model block search, non-dividing
 # bn / cdiv stripes) kernel-level A/B + numerics at the seven DiT linear
 # shapes, then the sd35-large step attribution under the new plans.
-# Runs after queue 37 (whose e2e entries already use the new planner).
+# NOTE: the session-4 master ran this BEFORE queue 37 (chain 38 -> 39 ->
+# 37) so the final sweep picked up default flips decided on 38/39 data.
 set -u
 cd "$(dirname "$0")/.."
 
