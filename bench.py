@@ -26,6 +26,8 @@ Configs (select with MLIS_BENCH=sd15|sdxl|all or a comma list):
   suffix -pag: perturbed-attention guidance scale 3 (SD-UNet configs;
         +1 NFE/step — the guidance-cost anchor next to -slg's)
   suffix -unipc: UniPC bh2 order-2 solver (non-default-solver cost leg)
+  suffix -lcm: LCM distilled-inference shape (4 steps, cfg 1, the lcm
+        solver's implied distillation timestep grid; SD-UNet configs)
   suffix -t5: real T5-XXL 4.7B int8 conditioning computed on device
         (sd3* configs; all others run the zero-T5 context shape)
   sdxl-refiner: SDXL-refiner 1024px (single bigG tower, aesthetic-score
@@ -321,6 +323,15 @@ def bench_config(name):
     use_unipc = name_base.endswith("-unipc")
     if use_unipc:
         name_base = name_base[:-6]
+    # LCM distilled-inference shape: 4 steps at cfg 1 on the lcm solver's
+    # implied distillation timestep grid (sampling/sampler.py:116)
+    use_lcm = name_base.endswith("-lcm")
+    if use_lcm:
+        name_base = name_base[:-4]
+        if name_base not in ("sd15", "sd21", "sdxl"):
+            raise SystemExit("-lcm bench supports the SD-UNet configs only")
+        n_steps = 4
+        cfg_scale = 1.0
     flow = False
     if name_base == "sdxl":
         size, baseline = 1024, 4.0
@@ -478,6 +489,8 @@ def bench_config(name):
     n_tok = len(tok.tokenize(prompt))
     if use_unipc:
         method = "unipc"
+    if use_lcm:
+        method = "lcm"
     cfg = SamplerConfig(method=method, sched="uniform", n_step=n_steps,
                         cfg_scale=cfg_scale,
                         pag_scale=(3.0 if use_pag else 0.0),
@@ -807,6 +820,8 @@ def bench_config(name):
         label += " pag3"
     if use_unipc:
         label += " unipc"
+    if use_lcm:
+        label += " lcm4"
     if use_lowmem:
         label += " lowmem(int4-unet+int8-clip+tiled-vae)"
     elif use_q4:

@@ -194,6 +194,27 @@ def test_bench_sd15_unipc_smoke(monkeypatch):
     assert "unipc" in r["metric"]
 
 
+def test_bench_sd15_lcm_smoke(monkeypatch):
+    """-lcm suffix: 4-step cfg-1 distilled shape on the lcm solver's
+    implied timestep grid."""
+    import bench
+    from mlimgsynth_tpu.models import clip as C
+    from mlimgsynth_tpu.models import unet as U
+    from mlimgsynth_tpu.models import vae as V
+    from mlimgsynth_tpu.testing import TINY_CLIP, TINY_VAE
+
+    tiny_u = dataclasses.replace(
+        U.UNET_SD1, n_ch=32, ch_mult=(1, 2), transf_depth=(1, 1),
+        attn_res=(1, 2), n_head=4, n_te=128, n_ctx=TINY_CLIP.d_embed)
+    monkeypatch.setattr(U, "UNET_SD1", tiny_u)
+    monkeypatch.setattr(V, "VAE_SD1", TINY_VAE)
+    monkeypatch.setattr(C, "CLIP_VIT_L_14", TINY_CLIP)
+    monkeypatch.setenv("MLIS_BENCH_SIZE", "64")
+    r = bench.bench_config("sd15-lcm")
+    assert r["value"] > 0
+    assert "lcm4" in r["metric"]
+
+
 def test_bench_sd15_hires_smoke(monkeypatch):
     """-hires suffix: base loop -> latent 2x -> refine loop + decode."""
     import dataclasses
