@@ -422,10 +422,10 @@ def bench_config(name):
         # host->HBM link would take minutes at sd35-large/flux scale);
         # DiT configs let the cost model pick per-column int8-MXU
         # storage per shape (queue-38)
+        from mlimgsynth_tpu.ops.q8_matmul import dit_m_hint
         unet_params = synth_q8_params(
             spec_u, 0,
-            percol_m_hint=(2 * ((size // 16) ** 2 + 256)) if flow
-            else None)
+            percol_m_hint=dit_m_hint(size, size) if flow else None)
         n_q = sum(1 for k in unet_params if k.endswith("_q8"))
         log(f"[{name}] {n_q} linear weights synthesized int8 on device")
     else:
@@ -885,8 +885,9 @@ def bench_flux(name):
     if os.environ.get("MLIS_FLUX_Q4"):
         unet_params = synth_q4_params(spec_u, 0)   # ~6.2 GiB resident
     else:
+        from mlimgsynth_tpu.ops.q8_matmul import dit_m_hint
         unet_params = synth_q8_params(
-            spec_u, 0, percol_m_hint=(size // 16) ** 2 + 512)
+            spec_u, 0, percol_m_hint=dit_m_hint(size, size, flux=True))
     spec_v = B.trace_spec(
         lambda ctx, x: V.vae_decode_apply(ctx, x, vae_p),
         jnp.zeros((1, 8, 8, vae_p.ch_z)))

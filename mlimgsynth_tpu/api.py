@@ -1237,9 +1237,11 @@ class MLImgSynth:
             if (submodel == "unet" and up is not None
                     and (getattr(up, "flux", False)
                          or getattr(up, "flow", False))):
+                from .ops.q8_matmul import dit_m_hint
                 hh = int(self.c["height"] or 1024)
                 ww = int(self.c["width"] or 1024)
-                m_hint = 2 * ((hh // 16) * (ww // 16) + 256)
+                m_hint = dit_m_hint(hh, ww,
+                                    flux=getattr(up, "flux", False))
             n_q = weights_mod.quantize_linear_weights(
                 host, spec, bits=self._weights_qbits,
                 percol_m_hint=m_hint)
@@ -3617,9 +3619,18 @@ def _make_tiled_vae_jits():
 # sampling.sampler.LAST_MEMORY_ANALYSIS).
 LAST_DECODE_MEMORY_ANALYSIS = None
 
+# programs already analyzed (the AOT lower+compile is minutes through
+# the axon tunnel and never populates the jit's own cache — analyze each
+# distinct decode program once per process, not once per image)
+_DECODE_MA_SEEN: set = set()
 
-def _decode_mem_analysis(jitted, *args, **kw):
+
+def _decode_mem_analysis(jitted, *args, key=None, **kw):
     global LAST_DECODE_MEMORY_ANALYSIS
+    if key is not None:
+        if key in _DECODE_MA_SEEN:
+            return
+        _DECODE_MA_SEEN.add(key)
     try:
         ma = jitted.lower(*args, **kw).compile().memory_analysis()
         LAST_DECODE_MEMORY_ANALYSIS = {
@@ -3646,6 +3657,7 @@ def _tiled_decode(params, lat: np.ndarray, P, tile_px: int, dtype
         if os.environ.get("MLIS_MEM_ANALYSIS"):
             _decode_mem_analysis(_make_vae_jits()[1],
                                  params, lat.transpose(0, 2, 3, 1),
+                                 key=("full", lat.shape, id(P), str(dtype)),
                                  vae_p=P, dtype=dtype)
         out = np.asarray(_vae_decode_jit(
             params, lat.transpose(0, 2, 3, 1), vae_p=P, dtype=dtype),
@@ -3657,7 +3669,10 @@ def _tiled_decode(params, lat: np.ndarray, P, tile_px: int, dtype
     if os.environ.get("MLIS_MEM_ANALYSIS"):
         _decode_mem_analysis(_make_tiled_vae_jits()[0],
                              params, lat.transpose(0, 2, 3, 1), origins,
-                             boxes, vae_p=P, dtype=dtype, tn1=n1, tn0=n0)
+                             boxes,
+                             key=("tiled", lat.shape, id(P), str(dtype),
+                                  n1, n0, len(origins)),
+                             vae_p=P, dtype=dtype, tn1=n1, tn0=n0)
     out = np.asarray(_make_tiled_vae_jits()[0](
         params, lat.transpose(0, 2, 3, 1), origins, boxes,
         vae_p=P, dtype=dtype, tn1=n1, tn0=n0), np.float32)

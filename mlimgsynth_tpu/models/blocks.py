@@ -342,7 +342,8 @@ def attn_mhead(ctx: Ctx, pre: str, q, k, v, d_out: int, d_embed: int,
                                      use_flash, use_flash_t)
         if (not mask and sq >= 512 and sk >= 512 and d_head <= 512
                 and use_flash() and use_flash_t()
-                and not unet_stock_preferred(n, n_head, sq, sk, d_head)):
+                and not unet_stock_preferred(n, n_head, sq, sk, d_head,
+                                             dtype=q.dtype)):
             q = proj(q, "q_proj")
             k = proj(k, "k_proj")
             w_v = ctx.param(f"{pre}.v_proj.weight", (v.shape[-1], d_embed),

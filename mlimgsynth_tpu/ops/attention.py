@@ -208,14 +208,22 @@ def use_flash_t() -> bool:
 
 
 def unet_stock_preferred(b: int, n_head: int, sq: int, sk: int,
-                         d_head: int) -> bool:
+                         d_head: int, dtype=None) -> bool:
     """Should attn_mhead emit NATURAL layout (so :func:`attention` routes
     this self-attention through the stock kernel) instead of the
     transposed-v layout?  Opt-in via MLIS_FLASH_UNET_STOCK (queue #42
     A/B); the layout choice folds into the projection einsums either way,
-    so flipping this costs no relayout."""
+    so flipping this costs no relayout.  ``dtype`` is the activation
+    dtype the kernel will see: anything but bf16 is rejected here so an
+    f32 session never drops the transposed-v path for a stock route the
+    dispatcher would refuse (f32 outputs S(1)-place, round-3 finding)."""
+    import jax.numpy as jnp
     from . import stock_flash as sf
-    if sf.unet_mode() == "off" or _sp_size() > 1:
+    m = sf.unet_mode()
+    if m == "off" or _sp_size() > 1:
+        return False
+    # force mode (tests) skips the dtype gate like every other gate
+    if m != "force" and dtype is not None and dtype != jnp.bfloat16:
         return False
     if MESH is not None and not _LOCAL_ONLY:
         from ..parallel.mesh import DP_AXIS, TP_AXIS

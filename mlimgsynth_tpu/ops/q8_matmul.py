@@ -374,6 +374,20 @@ def percol_from_blocks(q: np.ndarray, s_block: np.ndarray):
 PERCOL_MAX_SCALE_RATIO = 8.0
 
 
+def dit_m_hint(height: int, width: int, *, flux: bool = False,
+               ctx_rows: int = 256) -> int:
+    """Shared token-count hint for the int8-MXU storage candidacy — the
+    ONE formula every caller (api session load, bench weight synthesis,
+    step_bench) must use so benches measure the exact storage mix the
+    session ships.  MMDiT stacks cond/uncond on the batch axis (2x);
+    flux runs 1 NFE/step (embedded guidance / cfg 1), so no doubling.
+    ``ctx_rows`` approximates the text rows joined to the image tokens
+    (T5 256 for flux; 77+77 CLIP + pooled padding for MMDiT — 256 is a
+    conservative shared ceiling)."""
+    tokens = (height // 16) * (width // 16) + ctx_rows
+    return tokens if flux else 2 * tokens
+
+
 def _int8ws_mode() -> str:
     import os
     v = os.environ.get("MLIS_Q8_INT8WS", "auto").lower()

@@ -316,7 +316,7 @@ def quantize_linear_weights(host_params: Dict[str, np.ndarray],
     from .ops.q8_matmul import KBLOCK, quantize_weight
     from .ops.q4_matmul import quantize_weight_q4
     n = 0
-    n_percol = 0
+    groups: Dict[tuple, list] = {}   # (K, N) -> [(name, ratio), ...]
     for name, ps in list(spec.items()):
         if ps.kind != LINEAR_W or name not in host_params:
             continue
@@ -331,14 +331,27 @@ def quantize_linear_weights(host_params: Dict[str, np.ndarray],
             q, scale = quantize_weight(w)
             if (percol_m_hint is not None
                     and q8m.percol_eligible(k, n_out, percol_m_hint)):
-                qc, sc, ratio = q8m.percol_from_blocks(q, scale)
-                if ratio <= q8m.PERCOL_MAX_SCALE_RATIO:
-                    q, scale = qc, sc
-                    n_percol += 1
+                _, _, ratio = q8m.percol_from_blocks(q, scale)
+                groups.setdefault((k, n_out), []).append((name, ratio))
             host_params[name + "_q8"] = q
         del host_params[name]
         host_params[name + "_scale"] = scale
         n += 1
+    # Per-(K, N) ALL-OR-NONE conversion: one outlier-heavy weight keeps
+    # the whole shape group per-block, so every same-shaped linear shares
+    # one scale format — uniform kernels per shape, and --pp block
+    # stacking (api._stack_pipeline_blocks) never sees mixed [N] vs
+    # [K/128, N] scale shapes across joint blocks.
+    n_percol = 0
+    for (k, n_out), members in groups.items():
+        if max(r for _, r in members) > q8m.PERCOL_MAX_SCALE_RATIO:
+            continue
+        for name, _ in members:
+            qc, sc, _ = q8m.percol_from_blocks(
+                host_params[name + "_q8"], host_params[name + "_scale"])
+            host_params[name + "_q8"] = qc
+            host_params[name + "_scale"] = sc
+            n_percol += 1
     if n_percol:
         from .utils.log import g_logger as log
         log.info2(f"{n_percol}/{n} quantized linears stored per-column "

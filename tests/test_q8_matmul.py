@@ -442,3 +442,47 @@ def test_quantize_linear_weights_percol(monkeypatch):
                     * 0.02) for name, ps in spec.items()}
     W.quantize_linear_weights(host2, spec, bits=8)
     assert host2["blk.qkv.weight_scale"].ndim == 2
+
+
+def test_quantize_linear_weights_percol_group_uniform(monkeypatch):
+    """Per-(K, N) ALL-OR-NONE storage: one outlier-heavy weight keeps its
+    whole shape group per-block, so same-shaped linears across MMDiT
+    blocks always share one scale format (a mixed [N] / [K/128, N] group
+    would break --pp block stacking's shape-uniformity contract)."""
+    from mlimgsynth_tpu import weights as W
+    from mlimgsynth_tpu.models.blocks import LINEAR_W, ParamSpec
+    monkeypatch.setenv("MLIS_Q8_INT8WS", "auto")
+    monkeypatch.setenv("MLIS_Q8_WS", "auto")
+    monkeypatch.setenv("MLIS_Q8_RS", "auto")
+    rng = np.random.default_rng(15)
+    spec = {
+        "blk.0.qkv.weight": ParamSpec((2432, 7296), LINEAR_W,
+                                      jnp.bfloat16),
+        "blk.1.qkv.weight": ParamSpec((2432, 7296), LINEAR_W,
+                                      jnp.bfloat16),
+    }
+    clean = (rng.standard_normal((2432, 7296)) * 0.02).astype(np.float32)
+    outlier = (rng.standard_normal((2432, 7296)) * 0.02).astype(np.float32)
+    outlier[:128] *= 200.0   # block 0 dominates every column amax
+    host = {"blk.0.qkv.weight": clean.copy(),
+            "blk.1.qkv.weight": outlier}
+    n_q = W.quantize_linear_weights(host, spec, bits=8,
+                                    percol_m_hint=8500)
+    assert n_q == 2
+    # the outlier member trips the guard -> the WHOLE group is per-block
+    assert host["blk.0.qkv.weight_scale"].ndim == 2
+    assert host["blk.1.qkv.weight_scale"].ndim == 2
+    # all-clean group converts as before
+    host2 = {"blk.0.qkv.weight": clean.copy(),
+             "blk.1.qkv.weight": clean.copy()}
+    W.quantize_linear_weights(host2, spec, bits=8, percol_m_hint=8500)
+    assert host2["blk.0.qkv.weight_scale"].ndim == 1
+    assert host2["blk.1.qkv.weight_scale"].ndim == 1
+
+
+def test_dit_m_hint_shared_formula():
+    """The ONE m_hint formula every caller shares: MMDiT stacks
+    cond/uncond (2x); flux runs 1 NFE/step (no doubling)."""
+    assert q8.dit_m_hint(1024, 1024) == 2 * (4096 + 256)
+    assert q8.dit_m_hint(1024, 1024, flux=True) == 4096 + 256
+    assert q8.dit_m_hint(512, 512, flux=True) == 1024 + 256

@@ -217,3 +217,17 @@ def test_attn_mhead_unet_stock_routes_and_matches(monkeypatch):
     assert calls, "stock wrapper was not reached"
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_unet_stock_preferred_rejects_f32(monkeypatch):
+    """auto mode: an f32 session must keep the transposed-v path — the
+    dispatcher refuses f32 stock routing (S(1) placement, round-3), so
+    preferring natural layout there would strand the shape on the XLA
+    fallback.  force (tests) skips the gate like every other gate."""
+    from mlimgsynth_tpu.ops.attention import unet_stock_preferred
+    monkeypatch.setenv("MLIS_FLASH_UNET_STOCK", "auto")
+    args = (2, 10, 4096, 4096, 64)   # sdxl self-attention, in-window
+    assert unet_stock_preferred(*args, dtype=jnp.bfloat16)
+    assert not unet_stock_preferred(*args, dtype=jnp.float32)
+    monkeypatch.setenv("MLIS_FLASH_UNET_STOCK", "force")
+    assert unet_stock_preferred(*args, dtype=jnp.float32)

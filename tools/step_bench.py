@@ -107,10 +107,11 @@ def flux_step_bench(n_scan, guidance=False):
                                               guidance=g),
         jnp.zeros((1, 8, 8, P.n_ch_in // 4)), jnp.zeros((1,)),
         jnp.zeros((1, s_t5, P.d_ctx_in)), jnp.zeros((1, P.d_pooled)))
-    # percol_m_hint: flux packs 2x2 -> (res/2)^2 img tokens + t5 context
-    # (matches bench_flux's hint so the int8ws candidacy fires here too)
-    params = synth_q8_params(spec, 0,
-                             percol_m_hint=n * ((res // 2) ** 2 + s_t5))
+    # percol_m_hint: the shared session/bench formula (dit_m_hint) so the
+    # int8ws candidacy fires on exactly the shapes the e2e path ships
+    from mlimgsynth_tpu.ops.q8_matmul import dit_m_hint
+    params = synth_q8_params(
+        spec, 0, percol_m_hint=dit_m_hint(res * 8, res * 8, flux=True))
 
     def loop(params, x, t, c, y):
         ctx = B.Ctx(params, dtype=jnp.bfloat16)
@@ -173,11 +174,11 @@ def mmdit_step_bench(n_scan, which="sd3"):
         jnp.zeros((1, 8, 8, P.n_ch_in)), jnp.zeros((1,)),
         jnp.zeros((1, s_ctx, P.d_ctx_in)), jnp.zeros((1, P.d_pooled)))
     if which == "sd35-large":
-        # percol_m_hint matches the e2e bench's (token count per CFG
-        # call) so the int8ws candidacy fires on the same shapes here —
+        # percol_m_hint: the shared session/bench formula (dit_m_hint) —
         # without it the step number silently measures per-block dq only
+        from mlimgsynth_tpu.ops.q8_matmul import dit_m_hint
         params = synth_q8_params(
-            spec, 0, percol_m_hint=n * ((res // 2) ** 2 + s_ctx))
+            spec, 0, percol_m_hint=dit_m_hint(res * 8, res * 8))
     else:
         params = synth_params(spec, 0)
 
