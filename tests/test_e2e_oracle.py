@@ -505,3 +505,83 @@ def test_e2e_generate_matches_torch_stack_sd35_medium(tmp_path, monkeypatch):
                                    err_msg=f"step {i} latent mismatch")
     psnr = _psnr_u8(img_jax, img_t)
     assert psnr > 40.0, f"final image PSNR {psnr:.1f} dB <= 40"
+
+
+# ---------------------------------------------------------------------------
+# ControlNet: hint encoder + control branch residuals through the full stack
+# ---------------------------------------------------------------------------
+
+def test_e2e_generate_matches_torch_stack_controlnet(tmp_path, monkeypatch):
+    """7th leg: the ControlNet-conditioned ``mlis_generate`` stack
+    (reference: src/control.c + unet_with_control) vs the torch oracle —
+    the only major conditioning path the composed oracle did not cover.
+    The torch side recomputes the hint-encoder features each eval (the
+    production path hoists them out of the loop: sampler consts), so
+    agreement also pins that hoist as value-preserving."""
+    from mlimgsynth_tpu.nameconv import normalize_cnet_name
+    from mlimgsynth_tpu.testing import write_tiny_controlnet
+
+    ckpt = tmp_path / "tiny.safetensors"
+    cnet = tmp_path / "tiny_cnet.safetensors"
+    arrays = write_tiny_checkpoint(ckpt)
+    cnet_arrays = write_tiny_controlnet(cnet)
+    patch_tiny_model_types(monkeypatch)
+    hint_u8 = (np.random.default_rng(3).random((64, 64, 3)) * 255).astype(
+        np.uint8)
+    strength = 0.8
+
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", str(ckpt))
+    s.option_set("model-type", "sd1")
+    s.option_set("control-net", str(cnet))
+    s.option_set("control-image", hint_u8)
+    s.option_set("control-strength", strength)
+    s.option_set("image-dim", 64)
+    s.option_set("steps", STEPS)
+    s.option_set("seed", SEED)
+    s.option_set("cfg-scale", CFG)
+    s.option_set("method", "euler")
+    s.option_set("scheduler", "uniform")
+    s.option_set("no-prompt-parse", 1)
+    s.option_set("prompt", PROMPT)
+    s.option_set("nprompt", NPROMPT)
+    traj_jax = []
+    s.step_observer = lambda i, lat: traj_jax.append(
+        np.asarray(lat, np.float32).copy())
+    s.generate()
+    img_jax = tensor_to_image_arr(np.asarray(s.tensors["image"], np.float32))
+
+    params = {normalize_name(cv): arr for cv, arr in arrays.items()}
+    params.update({normalize_cnet_name(ck): arr
+                   for ck, arr in cnet_arrays.items()})
+    cond, _ = TR.torch_clip_text(params, _wrapped_tokens(PROMPT), TINY_CLIP)
+    uncond, _ = TR.torch_clip_text(params, _wrapped_tokens(NPROMPT),
+                                   TINY_CLIP)
+    hint = torch.from_numpy(
+        hint_u8.astype(np.float32).transpose(2, 0, 1)[None] / 255.0)
+    x0 = np.zeros((1, 4, 8, 8), np.float32)
+    traj_t, _sig = TS.torch_sample(
+        params, TINY_UNET, x0, cond.float(), uncond.float(),
+        rng=RngPhilox(SEED), n_step=STEPS, method="euler", sched="uniform",
+        cfg_scale=CFG, cnet_hint=hint, cnet_strength=strength)
+    with torch.no_grad():
+        dec = TR.torch_vae_decode(
+            params, torch.from_numpy(traj_t[-1]), TINY_VAE)
+    img01 = np.clip((dec.numpy() + 1.0) * 0.5, 0.0, 1.0)
+    img_t = tensor_to_image_arr(img01)
+
+    assert len(traj_jax) == len(traj_t) == STEPS
+    for i, (a, b) in enumerate(zip(traj_jax, traj_t)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4,
+                                   err_msg=f"step {i} latent mismatch")
+        if i < STEPS - 2:
+            # the control branch adds a second f32 accumulation path per
+            # eval (hint encoder + residual taps); a late-step stat-hash
+            # bucket can straddle (one adjacent-character flip seen at
+            # step 3) -- early steps must still hash-match, late steps
+            # are pinned by the tight latent allclose + final PSNR
+            assert tensor_stat(a).hash == tensor_stat(b).hash, \
+                f"step {i} stat-hash mismatch"
+    psnr = _psnr_u8(img_jax, img_t)
+    assert psnr > 40.0, f"final image PSNR {psnr:.1f} dB <= 40"

@@ -163,7 +163,8 @@ class TorchDenoiser:
     """dxdt callback: eps-space derivative with k-diffusion scalings."""
 
     def __init__(self, params, P, cond, label, uncond, nlabel, cfg_scale,
-                 log_sigmas, cfg_rescale=0.0):
+                 log_sigmas, cfg_rescale=0.0, cnet_hint=None,
+                 cnet_strength=1.0):
         self.params = params
         self.P = P
         self.cond = cond
@@ -173,13 +174,24 @@ class TorchDenoiser:
         self.cfg_scale = cfg_scale
         self.cfg_rescale = cfg_rescale
         self.log_sigmas = log_sigmas
+        self.cnet_hint = cnet_hint           # NCHW [1,3,H,W] f32 in [0,1]
+        self.cnet_strength = cnet_strength
         self.nfe = 0
 
     def _run(self, x, sigma, cond, label):
         t = sigma_to_t(self.log_sigmas, sigma)
         c_in = 1.0 / math.sqrt(sigma * sigma + 1.0)
         tt = torch.full((x.shape[0],), t, dtype=torch.float32)
-        dx = torch_unet(self.params, x * c_in, tt, cond, label, self.P)
+        control = None
+        if self.cnet_hint is not None:
+            # ControlNet copy runs on the same c_in-scaled input as the
+            # UNet (models/unet.py:259, src/control.c behavior anchor)
+            from torch_ref import torch_controlnet
+            control = torch_controlnet(
+                self.params, x * c_in, tt, cond, label, self.cnet_hint,
+                self.P, strength=self.cnet_strength)
+        dx = torch_unet(self.params, x * c_in, tt, cond, label, self.P,
+                        control=control)
         self.nfe += 1
         if self.P.vparam:
             c_skip = sigma / (sigma * sigma + 1.0)
@@ -369,7 +381,8 @@ class TorchSolver:
 def torch_sample(params, P, x0, cond, uncond=None, label=None, nlabel=None,
                  *, rng, n_step, method="euler", sched="uniform",
                  cfg_scale=7.0, s_ancestral=0.0, s_noise=0.0,
-                 f_t_ini=1.0, f_t_end=0.0, lmask=None, cfg_rescale=0.0):
+                 f_t_ini=1.0, f_t_end=0.0, lmask=None, cfg_rescale=0.0,
+                 cnet_hint=None, cnet_strength=1.0):
     """Full denoise trajectory; returns the list of per-step latents (NCHW
     numpy f32, one after each dnsamp_step) plus the sigma schedule.
 
@@ -385,7 +398,8 @@ def torch_sample(params, P, x0, cond, uncond=None, label=None, nlabel=None,
     n_step = len(sigmas) - 1
 
     den = TorchDenoiser(params, P, cond, label, uncond, nlabel, cfg_scale,
-                        log_sigmas, cfg_rescale=cfg_rescale)
+                        log_sigmas, cfg_rescale=cfg_rescale,
+                        cnet_hint=cnet_hint, cnet_strength=cnet_strength)
 
     if method == "lcm":
         # Independent transcription of diffusers LCMScheduler.step: x0
