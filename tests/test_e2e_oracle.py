@@ -585,3 +585,90 @@ def test_e2e_generate_matches_torch_stack_controlnet(tmp_path, monkeypatch):
                 f"step {i} stat-hash mismatch"
     psnr = _psnr_u8(img_jax, img_t)
     assert psnr > 40.0, f"final image PSNR {psnr:.1f} dB <= 40"
+
+
+# ---------------------------------------------------------------------------
+# img2img + latent-mask inpaint: VAE encode -> truncated schedule -> masked
+# denoise -> decode through the full stack
+# ---------------------------------------------------------------------------
+
+def test_e2e_generate_matches_torch_stack_img2img_inpaint(tmp_path,
+                                                          monkeypatch):
+    """8th leg: the img2img+inpaint ``mlis_generate`` stack — VAE ENCODE
+    (moments + Philox posterior sample, reference mlis_img2img), the
+    f_t_ini-truncated schedule, per-step mask reapply (1 = KEEP, the
+    library latent-mask convention, src/sampling.c:98-110), and decode —
+    vs the all-torch pipeline.  Pins the encode draw order (per-sample
+    streams at seed+i sharing the session offset) and the block-mean
+    mask downsize against independent transcriptions."""
+    ckpt = tmp_path / "tiny.safetensors"
+    arrays = write_tiny_checkpoint(ckpt)
+    patch_tiny_model_types(monkeypatch)
+    rng0 = np.random.default_rng(7)
+    init_u8 = (rng0.random((64, 64, 3)) * 255).astype(np.uint8)
+    keep = np.ones((1, 1, 64, 64), np.float32)
+    keep[:, :, 16:48, 8:40] = 0.0            # repaint window
+    F_T_INI = 0.7
+
+    s = MLImgSynth()
+    s._dtype = jnp.float32
+    s.option_set("model", str(ckpt))
+    s.option_set("model-type", "sd1")
+    s.option_set("image-dim", 64)
+    s.option_set("steps", STEPS)
+    s.option_set("seed", SEED)
+    s.option_set("cfg-scale", CFG)
+    s.option_set("method", "euler")
+    s.option_set("scheduler", "uniform")
+    s.option_set("f_t_ini", F_T_INI)
+    s.option_set("no-prompt-parse", 1)
+    s.option_set("prompt", PROMPT)
+    s.option_set("nprompt", NPROMPT)
+    s.option_set("image", init_u8)
+    s.option_set("image_mask", keep)
+    traj_jax = []
+    s.step_observer = lambda i, lat: traj_jax.append(
+        np.asarray(lat, np.float32).copy())
+    s.generate()
+    img_jax = tensor_to_image_arr(np.asarray(s.tensors["image"], np.float32))
+
+    # ---- oracle stack ----
+    params = {normalize_name(cv): arr for cv, arr in arrays.items()}
+    cond, _ = TR.torch_clip_text(params, _wrapped_tokens(PROMPT), TINY_CLIP)
+    uncond, _ = TR.torch_clip_text(params, _wrapped_tokens(NPROMPT),
+                                   TINY_CLIP)
+    # VAE encode: u8 -> [0,1] -> [-1,1] -> moments -> Philox posterior
+    # sample * scale_factor (api.image_encode transcription)
+    x01 = init_u8.astype(np.float32).transpose(2, 0, 1)[None] / 255.0
+    with torch.no_grad():
+        mom = TR.torch_vae_encode(
+            params, torch.from_numpy(x01 * 2.0 - 1.0), TINY_VAE).numpy()
+    rng = RngPhilox(SEED)
+    st = RngPhilox(SEED + 0, rng.offset)     # per-sample stream, i = 0
+    ch_z = TINY_VAE.ch_z
+    rand = st.randn_shaped((ch_z, 8, 8))[None]
+    rng.offset = st.offset
+    mean, logvar = mom[:, :ch_z], np.clip(mom[:, ch_z:], -30, 20)
+    x0 = ((mean + np.exp(logvar * 0.5) * rand)
+          * TINY_VAE.scale_factor).astype(np.float32)
+    # block-mean latent mask (ltensor_downsize transcription)
+    lmask = keep.reshape(1, 1, 8, 8, 8, 8).mean(axis=(3, 5))
+    traj_t, _sig = TS.torch_sample(
+        params, TINY_UNET, x0, cond.float(), uncond.float(),
+        rng=rng, n_step=STEPS, method="euler", sched="uniform",
+        cfg_scale=CFG, f_t_ini=F_T_INI, lmask=lmask)
+    with torch.no_grad():
+        dec = TR.torch_vae_decode(
+            params, torch.from_numpy(traj_t[-1]), TINY_VAE)
+    img_t = tensor_to_image_arr(np.clip((dec.numpy() + 1.0) * 0.5, 0, 1))
+
+    assert len(traj_jax) == len(traj_t) > 0
+    # the VAE-encoder posterior sample feeds an extra f32 accumulation
+    # path into every latent, so a stat-hash bucket can straddle (one
+    # adjacent-character flip seen at step 1); pin the latents tightly +
+    # PSNR like the flux / MMDiT-X / ControlNet cases instead
+    for i, (a, b) in enumerate(zip(traj_jax, traj_t)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4,
+                                   err_msg=f"step {i} latent mismatch")
+    psnr = _psnr_u8(img_jax, img_t)
+    assert psnr > 40.0, f"final image PSNR {psnr:.1f} dB <= 40"
