@@ -19,16 +19,16 @@ run() {
   done
 }
 
-# BASELINE configs
-run "MLIS_BENCH=sd15,sd15-tae,sd21,sdxl,sd15-i2i python bench.py"
+# BASELINE configs (sd15/sdxl/sd15-pag/sd15-unipc/sdxl-lowmem already
+# recorded this session by queue 41 — not re-run)
+run "MLIS_BENCH=sd15-tae,sd21,sd15-i2i python bench.py"
 run "MLIS_BENCH=sd15-b8,sd15-cnet,sd15-hires python bench.py"
 run "MLIS_BENCH=sd15-dc,sdxl-dc python bench.py"
-# guidance / solver cost anchors
-run "MLIS_BENCH=sd15-pag,sd15-unipc,sd15-lcm python bench.py"
-# quantized + lowmem UNet configs
+# solver cost anchor (first hardware number)
+run "MLIS_BENCH=sd15-lcm python bench.py"
+# quantized UNet configs
 run "MLIS_BENCH=sd15-q4 python bench.py"
 run "MLIS_BENCH=sdxl-q8 python bench.py"
-run "MLIS_BENCH=sdxl-lowmem python bench.py"
 # beyond-reference SDXL pipelines
 run "MLIS_BENCH=sdxl-refiner python bench.py"
 run "MLIS_BENCH=sdxl-ens python bench.py"
@@ -40,7 +40,7 @@ run "MLIS_BENCH=sd35-medium,sd35-medium-slg python bench.py"
 run "MLIS_BENCH=sd35-medium-dc python bench.py"
 run "MLIS_BENCH=sd35-large python bench.py"
 run "MLIS_BENCH=sd35-large-q4 python bench.py"
-run "MLIS_BENCH=sd35-large-dc python bench.py"
+# (sd35-large-dc recorded by queue 43 this session)
 run "MLIS_BENCH=flux-schnell python bench.py"
 run "MLIS_FLUX_Q4=1 MLIS_BENCH=flux-schnell python bench.py"
 run "MLIS_BENCH=flux-schnell-dc python bench.py"
